@@ -1,0 +1,52 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level codecs mirroring the reference's glue helpers.
+  *
+  * - Field-name sanitization: reference `backend/backend/models/indexing.py:16-54`
+  *   (lowercase, strip `[^a-z0-9_-]`, no leading underscore, <=255 chars).
+  * - Composite keys `db:asset:path` build/split: reference
+  *   `backend/backend/handlers/indexing/assetIndexer.py:345-353,548,879-890`.
+  * - Type coercion (string -> typed with autodetect fallback): reference
+  *   `backend/backend/handlers/indexing/assetIndexer.py:184-276`.
+  *
+  * All of these are pure `Column` expressions (whole-stage-codegen friendly;
+  * no UDFs), so they stay inside the generated plan at any scale.
+  */
+object Codecs {
+
+  /** indexing.py:16-54 — sanitize a dynamic field name. */
+  def sanitizeFieldName(c: Column): Column =
+    substring(
+      regexp_replace(regexp_replace(lower(c), "[^a-z0-9_-]", ""), "^_+", ""),
+      1, 255)
+
+  /** assetIndexer.py:345-353 — build `a:b:c` composite key. */
+  def compositeKey(parts: Column*): Column = concat_ws(":", parts: _*)
+
+  /** assetIndexer.py:879-890 — split composite key, 0-based part index. */
+  def keyPart(key: Column, idx: Int): Column =
+    element_at(split(key, ":"), idx + 1)
+
+  /** assetIndexer.py:184-276 — type autodetect: bool set, int-then-float,
+    * ISO date, string fallback. Pure regex + `when` chain (codegen'd). */
+  def detectType(c: Column): Column =
+    when(lower(c).isin("true", "false", "yes", "no", "on", "off"), lit("boolean"))
+      .when(c.rlike("^[+-]?[0-9]+$"), lit("integer"))
+      .when(c.rlike("^[+-]?[0-9]+\\.[0-9]+$"), lit("float"))
+      .when(c.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}([T ][0-9]{2}:[0-9]{2}:[0-9]{2})?"),
+        lit("date"))
+      .otherwise(lit("string"))
+
+  /** fileIndexer.py:1023-1038 — file extension from a key/path. */
+  def fileExtension(c: Column): Column = regexp_extract(c, "\\.([^.]+)$", 1)
+
+  /** assetIndexer.py:496-505 — version label `v{id} ({alias})`. */
+  def versionLabel(id: Column, alias: Column): Column =
+    concat(lit("v"), id, lit(" ("), alias, lit(")"))
+
+  /** fileIndexer.py:511,555 — strip quotes from an ETag. */
+  def stripEtagQuotes(c: Column): Column = regexp_replace(c, "\"", "")
+}

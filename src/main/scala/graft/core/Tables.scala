@@ -1,0 +1,44 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's deterministic parquet tables (TESTDATA.md).
+  *
+  * Scale notes (100 TB design): every loader is a plain parquet scan, so
+  * Catalyst predicate pushdown / column pruning apply unchanged when the
+  * same tables are Delta/partitioned at cluster scale. Callers must keep
+  * filters and projections on the DataFrame (never collect-then-filter) so
+  * the scan stays prunable.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** The events table stores TIMESTAMP(NANOS) which Spark reads (with
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) as nano longs; convert
+    * to the engine-native microsecond TimestampType (truncating, same as
+    * DuckDB's TIMESTAMP_NS → TIMESTAMP cast in the oracle). */
+  private def normalizeEventTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,48 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph operators over an edge DataFrame `(parent, child)`.
+  *
+  * Reference: recursive descendant DFS with per-branch cycle detection,
+  * `backend/backend/handlers/assetLinks/assetLinksService.py:337-405`.
+  *
+  * Implementation: iterative frontier expansion — each level is one
+  * distributed join of the current frontier against the edge table; the
+  * driver only checks emptiness (a cheap `isEmpty`, not a collect of
+  * rows). Cycle safety comes from the accumulated `path` column
+  * (`!path.contains(child)` ≙ the reference's per-branch visited set).
+  *
+  * Scale: each level is an equi-join on `parent` — with the edge table
+  * bucketed on `parent` this is shuffle-free after the first level. Depth
+  * is bounded (`maxDepth`), matching the reference's practical tree
+  * depth; frontiers are checkpoint-free because each level's lineage is
+  * one join deep (we localCheckpoint every few levels to cut lineage for
+  * very deep graphs).
+  */
+object Traversal {
+
+  /** All descendants of `root` with depth and full path; cycle-safe. */
+  def descendants(edges: DataFrame, root: String, maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val e = edges.select(col("parent"), col("child"))
+    var frontier = Seq((root, 0, root)).toDF("node", "depth", "path")
+    var acc = frontier
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      frontier = frontier
+        .join(e, frontier("node") === e("parent"))
+        .filter(!concat(lit("/"), col("path"), lit("/")).contains(
+          concat(lit("/"), col("child"), lit("/"))))
+        .select(col("child").as("node"), (col("depth") + 1).as("depth"),
+          concat(col("path"), lit("/"), col("child")).as("path"))
+      if (depth % 4 == 3) frontier = frontier.localCheckpoint(eager = true)
+      acc = acc.unionByName(frontier)
+      depth += 1
+    }
+    acc
+  }
+}

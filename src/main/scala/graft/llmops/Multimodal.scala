@@ -1,0 +1,58 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
+  * processed in partition-local batches.
+  *
+  * The real decode (image/audio/video libraries) is STUBBED — this
+  * container has no media codecs — but everything Spark-side is real and
+  * tested: the schema contract, the batched `mapPartitions` shape (the
+  * Scala analog of `mapInPandas` batch processing: bounded memory per
+  * batch, no per-row virtual-call overhead), and the deterministic
+  * feature outputs that let the pipeline be oracle-verified.
+  *
+  * At 100 TB: payloads stay in columnar storage until this stage,
+  * batches bound executor memory (`BatchSize` × max payload), and the
+  * stage is a narrow transformation — no shuffle.
+  */
+object Multimodal {
+
+  /** Input contract: one media object per row. */
+  final case class MediaRecord(doc_id: Long, kind: String, media: Array[Byte])
+
+  /** Output contract: extracted features + carried metadata. */
+  final case class MediaFeatures(
+      doc_id: Long, kind: String, n_bytes: Long, sig: String, frames: Int)
+
+  val BatchSize = 64
+
+  /** STUB decode: deterministic byte-level features standing in for a
+    * codec call (the md5 is the "content fingerprint", `frames` a fake
+    * sampled-frame count). Replace the body with a real decoder when
+    * codecs are available; the batching contract stays. */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(r.media).map("%02x".format(_)).mkString
+    MediaFeatures(r.doc_id, r.kind, r.media.length.toLong, hex,
+      (r.media.length % 7 + 1).toInt)
+  }
+
+  /** Batched feature extraction over a media Dataset. */
+  def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaFeatures]
+    ds.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        // A real decoder would process `batch` as one vectorized call.
+        batch.iterator.map(decodeStub)
+      }
+    }
+  }
+
+  /** DataFrame façade: (doc_id, kind, media binary) → features. */
+  def extractFeaturesDF(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRecord]
+    extractFeatures(df.as[MediaRecord]).toDF()
+  }
+}

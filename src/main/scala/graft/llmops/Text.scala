@@ -1,0 +1,31 @@
+package graft.llmops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the dedup / text-analysis operators.
+  *
+  * Everything is a pure Catalyst expression (whole-stage codegen; no
+  * UDFs), deterministic, and exactly mirrorable in ANSI SQL — which is
+  * what lets every operator built on these be DuckDB-oracle-verified.
+  */
+object Text {
+
+  /** Whitespace tokens of the lower-cased, trimmed text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Distinct word n-gram shingles; empty array for docs shorter than n. */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** 60-bit stable hash of a string reduced into the Mersenne-ish field
+    * used by the MinHash permutations. Built from md5 so the DuckDB
+    * oracle can reproduce it bit-for-bit:
+    * `CAST(('0x' || substring(md5(s),1,15)) AS BIGINT) % 2147483647`. */
+  val HashP = 2147483647L // 2^31 - 1; keeps a*g+b inside signed 64-bit
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % HashP
+}

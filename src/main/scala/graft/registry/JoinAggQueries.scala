@@ -1,0 +1,306 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** SURVEY §2.3/2.4/2.6 — joins (J series), aggregations (A series) and set
+  * operations (U series), mapped onto the TPC-H-ish tables.
+  *
+  * Scale notes: dimension sides (nation, region, customer) are broadcast —
+  * at 100 TB the fact side (orders/lineitem ≙ assets/files) never shuffles
+  * for these joins; only the header-detail aggregation shuffles, on its
+  * natural key. Facets are single-shuffle partial-aggregated groupBys.
+  */
+object JoinAggQueries {
+  import QueryDef.sql
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** Exact money aggregation: per-row product in double (deterministic),
+    * rounded to an exact decimal, summed exactly, emitted as double. Both
+    * engines produce bit-identical results — no float-summation-order
+    * nondeterminism. */
+  private def revenueExpr = sum(
+    (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,4)")).cast("double")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── A1: faceted term counts, bucket cap 1000, count-desc + key
+    //    tiebreak (search.py:1392-1486).
+    sql("a1_facets",
+      """SELECT o_orderpriority AS facet_value, count(*) AS count
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY count DESC, facet_value LIMIT 1000""")(
+      (s, d) => graft.query.QueryCompiler.facet(
+        t(s, d, "orders"), col("o_orderpriority"))),
+
+    // ── A2+U1: dual-index facet merge — same-key buckets from two
+    //    "indexes" summed after a provenance-tagged union (search.py:258-277).
+    sql("a2_facet_union_merge",
+      """WITH a AS (SELECT o_orderstatus AS key, count(*) AS cnt
+        |             FROM orders GROUP BY 1),
+        |     b AS (SELECT l_returnflag AS key, count(*) AS cnt
+        |             FROM lineitem GROUP BY 1)
+        |SELECT key, CAST(sum(cnt) AS BIGINT) AS doc_count
+        |FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |GROUP BY key ORDER BY doc_count DESC, key""")(
+      (s, d) => {
+        val a = t(s, d, "orders").groupBy(col("o_orderstatus").as("key"))
+          .agg(count(lit(1)).as("cnt"))
+        val b = t(s, d, "lineitem").groupBy(col("l_returnflag").as("key"))
+          .agg(count(lit(1)).as("cnt"))
+        a.unionByName(b).groupBy("key")
+          .agg(sum("cnt").as("doc_count"))
+          .orderBy(col("doc_count").desc, col("key").asc)
+      }),
+
+    // ── A3+A5: aggregation totals / count endpoints (search.py:1750-1762,
+    //    assetCount.py).
+    sql("a3_a5_counts",
+      """SELECT count(*) AS n_open,
+        |       count(DISTINCT o_custkey) AS n_customers
+        |FROM orders WHERE o_orderstatus = 'O'""")(
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderstatus") === "O")
+        .agg(count(lit(1)).as("n_open"),
+          countDistinct(col("o_custkey")).as("n_customers"))),
+
+    // ── A7: metadata pivot — N KV rows folded into one canonical string
+    //    per entity (assetIndexer.py:339-377); map rendered as a sorted
+    //    k=v list for hash-stable comparison.
+    sql("a7_metadata_pivot",
+      """SELECT l_orderkey, string_agg(kv, ',' ORDER BY kv) AS md
+        |FROM (SELECT l_orderkey,
+        |             CAST(l_linenumber AS VARCHAR) || '=' ||
+        |             CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) AS kv
+        |      FROM lineitem WHERE l_orderkey < 200)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""")(
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"),
+          concat(col("l_linenumber").cast("string"), lit("="),
+            col("l_quantity").cast("int").cast("string")).as("kv"))
+        .groupBy("l_orderkey")
+        .agg(array_join(sort_array(collect_list("kv")), ",").as("md"))
+        .orderBy("l_orderkey")),
+
+    // ── A8: max-version selection — latest row per key via ranked window
+    //    (fileIndexer.py:544-556); full tiebreak chain for determinism.
+    sql("a8_latest_per_key",
+      """SELECT l_orderkey, l_linenumber,
+        |       strftime(l_shipdate, '%Y-%m-%d') AS shipped
+        |FROM lineitem WHERE l_orderkey < 1000
+        |QUALIFY row_number() OVER (PARTITION BY l_orderkey
+        |  ORDER BY l_shipdate DESC, l_linenumber DESC, l_partkey DESC,
+        |           l_suppkey DESC, l_extendedprice DESC) = 1
+        |ORDER BY l_orderkey""")(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        t(s, d, "lineitem")
+          .filter(col("l_orderkey") < 1000)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("l_orderkey").orderBy(
+              col("l_shipdate").desc, col("l_linenumber").desc,
+              col("l_partkey").desc, col("l_suppkey").desc,
+              col("l_extendedprice").desc)))
+          .filter(col("rn") === 1)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("shipped"))
+          .orderBy("l_orderkey")
+      }),
+
+    // ── J1: document-enrichment join — fact ⋈ broadcast dims ⋈ detail
+    //    aggregate (assetIndexer.py:602-737). The flagship plan shape:
+    //    dims broadcast (no shuffle), details pre-aggregated on the join
+    //    key (map-side combine), single shuffle on o_orderkey.
+    sql("j1_doc_enrichment",
+      """SELECT o.o_orderkey, c.c_name, n.n_name AS nation, r.r_name AS region,
+        |       o.o_totalprice,
+        |       COALESCE(l.n_lines, 0) AS n_lines,
+        |       COALESCE(l.sum_qty, 0) AS sum_qty,
+        |       COALESCE(l.revenue, 0.0) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |LEFT JOIN (
+        |  SELECT l_orderkey, count(*) AS n_lines,
+        |         CAST(SUM(CAST(l_quantity AS INTEGER)) AS BIGINT) AS sum_qty,
+        |         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |           AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM lineitem GROUP BY l_orderkey
+        |) l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey < 2000
+        |ORDER BY o.o_orderkey""")(
+      (s, d) => {
+        val li = t(s, d, "lineitem").groupBy("l_orderkey").agg(
+          count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("int")).as("sum_qty"),
+          revenueExpr.as("revenue"))
+        t(s, d, "orders")
+          .filter(col("o_orderkey") < 2000)
+          .join(broadcast(t(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderkey"), col("c_name"),
+            col("n_name").as("nation"), col("r_name").as("region"),
+            col("o_totalprice"),
+            coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+            coalesce(col("sum_qty"), lit(0L)).as("sum_qty"),
+            coalesce(col("revenue"), lit(0.0)).as("revenue"))
+          .orderBy("o_orderkey")
+      }),
+
+    // ── J3+A6: existence-flag join — per-entity booleans from a grouped
+    //    detail table, left-joined with false default
+    //    (assetIndexer.py:405-454).
+    sql("j3_link_flags",
+      """SELECT c.c_custkey,
+        |       COALESCE(f.n > 0, FALSE) AS has_orders,
+        |       COALESCE(f.nu > 0, FALSE) AS has_urgent
+        |FROM customer c LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n,
+        |         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS nu
+        |  FROM orders GROUP BY o_custkey
+        |) f ON c.c_custkey = f.o_custkey
+        |ORDER BY c.c_custkey""")(
+      (s, d) => {
+        val f = t(s, d, "orders").groupBy("o_custkey").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("nu"))
+        t(s, d, "customer")
+          .join(f, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("n") > 0, lit(false)).as("has_orders"),
+            coalesce(col("nu") > 0, lit(false)).as("has_urgent"))
+          .orderBy("c_custkey")
+      }),
+
+    // ── J4: batch key lookup — a literal key set joined (broadcast) to the
+    //    fact table (assetLinksService.py:80-118).
+    sql("j4_batch_get",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey IN (3, 7, 11, 101, 555, 999, 1234, 4321, 7777, 9999)
+        |ORDER BY o_orderkey""")(
+      (s, d) => {
+        import s.implicits._
+        val keys = Seq(3L, 7L, 11L, 101L, 555L, 999L, 1234L, 4321L, 7777L, 9999L)
+          .toDF("k")
+        t(s, d, "orders")
+          .join(broadcast(keys), col("o_orderkey") === col("k"), "left_semi")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey")
+      }),
+
+    // ── J5+U2: 1-hop adjacency, both directions, classified
+    //    (assetLinksService.py:207-335): for nation 5 — its region
+    //    (parent), sibling nations (related), its customers (children).
+    sql("j5_adjacency",
+      """WITH me AS (SELECT * FROM nation WHERE n_nationkey = 5)
+        |SELECT * FROM (
+        |  SELECT 'parent' AS rel, 'r' || CAST(r_regionkey AS VARCHAR) AS node_id,
+        |         r_name AS node_name
+        |  FROM region JOIN me ON r_regionkey = me.n_regionkey
+        |  UNION ALL
+        |  SELECT 'related', 'n' || CAST(nation.n_nationkey AS VARCHAR),
+        |         nation.n_name
+        |  FROM nation, me
+        |  WHERE nation.n_regionkey = me.n_regionkey
+        |    AND nation.n_nationkey <> 5
+        |  UNION ALL
+        |  SELECT 'child', 'c' || CAST(c_custkey AS VARCHAR), c_name
+        |  FROM customer WHERE c_nationkey = 5
+        |) ORDER BY rel, node_id""")(
+      (s, d) => {
+        val me = t(s, d, "nation").filter(col("n_nationkey") === 5)
+          .select(col("n_regionkey").as("my_region"))
+        val parents = t(s, d, "region")
+          .join(broadcast(me), col("r_regionkey") === col("my_region"))
+          .select(lit("parent").as("rel"),
+            concat(lit("r"), col("r_regionkey")).as("node_id"),
+            col("r_name").as("node_name"))
+        val siblings = t(s, d, "nation")
+          .join(broadcast(me), col("n_regionkey") === col("my_region"))
+          .filter(col("n_nationkey") =!= 5)
+          .select(lit("related").as("rel"),
+            concat(lit("n"), col("n_nationkey")).as("node_id"),
+            col("n_name").as("node_name"))
+        val children = t(s, d, "customer")
+          .filter(col("c_nationkey") === 5)
+          .select(lit("child").as("rel"),
+            concat(lit("c"), col("c_custkey")).as("node_id"),
+            col("c_name").as("node_name"))
+        parents.unionByName(siblings).unionByName(children)
+          .orderBy("rel", "node_id")
+      }),
+
+    // ── J8: version listing join — headers with per-version detail counts
+    //    and latest-change column (assetVersions.py:637-663).
+    sql("j8_version_counts",
+      """SELECT o.o_orderkey, o.o_orderstatus,
+        |       COALESCE(l.n_files, 0) AS n_files,
+        |       COALESCE(l.last_ship, '') AS last_ship
+        |FROM orders o LEFT JOIN (
+        |  SELECT l_orderkey, count(*) AS n_files,
+        |         strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship
+        |  FROM lineitem GROUP BY l_orderkey
+        |) l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey < 500
+        |ORDER BY o.o_orderkey""")(
+      (s, d) => {
+        val l = t(s, d, "lineitem").groupBy("l_orderkey").agg(
+          count(lit(1)).as("n_files"),
+          date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_ship"))
+        t(s, d, "orders")
+          .filter(col("o_orderkey") < 500)
+          .join(l, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            coalesce(col("n_files"), lit(0L)).as("n_files"),
+            coalesce(col("last_ship"), lit("")).as("last_ship"))
+          .orderBy("o_orderkey")
+      }),
+
+    // ── U1: dual-index union with provenance tag + missing-column fill
+    //    (search.py:197-292).
+    sql("u1_union_provenance",
+      """SELECT * FROM (
+        |  SELECT 'order' AS _index_type, o_orderkey AS id,
+        |         o_orderstatus AS status, o_totalprice AS price,
+        |         CAST(NULL AS INTEGER) AS line
+        |  FROM orders WHERE o_orderkey < 100
+        |  UNION ALL
+        |  SELECT 'line', l_orderkey, l_returnflag, CAST(NULL AS DOUBLE),
+        |         l_linenumber
+        |  FROM lineitem WHERE l_orderkey < 100
+        |) ORDER BY _index_type, id, COALESCE(line, -1), status""")(
+      (s, d) => {
+        val a = t(s, d, "orders").filter(col("o_orderkey") < 100)
+          .select(lit("order").as("_index_type"), col("o_orderkey").as("id"),
+            col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+        val b = t(s, d, "lineitem").filter(col("l_orderkey") < 100)
+          .select(lit("line").as("_index_type"), col("l_orderkey").as("id"),
+            col("l_returnflag").as("status"), col("l_linenumber").as("line"))
+        a.unionByName(b, allowMissingColumns = true)
+          .orderBy(col("_index_type"), col("id"),
+            coalesce(col("line"), lit(-1)), col("status"))
+      }),
+
+    // ── U3: dedup-by-key with deterministic survivor
+    //    (search.py:266-275; dropDuplicates semantics made deterministic).
+    sql("u3_dedup_by_key",
+      """SELECT o_custkey, CAST(min(o_orderkey) AS BIGINT) AS first_order,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""")(
+      (s, d) => t(s, d, "orders").groupBy("o_custkey")
+        .agg(min("o_orderkey").as("first_order"), count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey"))
+  )
+}

@@ -1,0 +1,417 @@
+package graft.registry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llmops.{MinHash, Multimodal, SimHash, Similarity, Text}
+
+/** LLM-training-data pipeline operators (BASELINE.json north star):
+  * deduplication (exact / MinHash+LSH / SimHash / n-gram Jaccard),
+  * similarity search (brute-force + LSH), text analysis (lang-id,
+  * quality, tokens, fingerprint), multimodal plumbing.
+  *
+  * Design rule: every deterministic operator is expressed so the DuckDB
+  * oracle reproduces it bit-for-bit — including the custom MinHash /
+  * SimHash aggregates (their permutation arithmetic lives inside the
+  * SQL-expressible field mod 2^31-1).
+  */
+object LlmQueries {
+  import QueryDef.{rowsOnly, sql}
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** Shared oracle CTE prefix: tokens → distinct 3-gram shingles → 60-bit
+    * hashes in [0, 2^31-1). */
+  private val ShingleCtes =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+      |     for i in range(1, len(tk) - 1)])) AS gram
+      |  FROM toks
+      |), gh AS (
+      |  SELECT doc_id, gram,
+      |         CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT)
+      |           % 2147483647 AS g
+      |  FROM grams
+      |)"""
+
+  /** Spark twin of ShingleCtes: (doc_id, gram, g). */
+  private def gramHashes(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), Text.shingles(Text.tokens(col("text"))).as("grams"))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .withColumn("g", Text.hash60(col("gram")))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Exact dedup: content-hash groupBy, deterministic survivor.
+    //    At 100 TB this is one shuffle on md5(text) with map-side combine.
+    sql("llm_dedup_exact",
+      """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""")(
+      (s, d) => t(s, d, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")),
+
+    // ── n-gram Jaccard near-dup pairs (the exact quadratic baseline the
+    //    MinHash path approximates). Gram join; at 100 TB requires the
+    //    MinHash/LSH path or a document-frequency cap on grams.
+    sql("llm_dedup_ngram_jaccard",
+      s"""WITH $ShingleCtes, sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+        |), shared AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id, CAST(shared AS BIGINT) AS shared,
+        |       CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+        |FROM shared JOIN sizes sa ON sa.doc_id = a_id
+        |            JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+        |ORDER BY a_id, b_id""")(
+      (s, d) => {
+        val grams = gramHashes(s, d).select("doc_id", "gram")
+        val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val a = grams.select(col("doc_id").as("a_id"), col("gram"))
+        val b = grams.select(col("doc_id").as("b_id"), col("gram"))
+        val shared = a.join(b, Seq("gram"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+        val jac = col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared"))
+        shared
+          .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+          .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+          .filter(jac >= 0.5)
+          .select(col("a_id"), col("b_id"), col("shared"), jac.as("jaccard"))
+          .orderBy("a_id", "b_id")
+      }),
+
+    // ── MinHash + LSH near-dup detection: one-pass signature aggregate,
+    //    band-key equi-join for candidates, exact verify on candidates
+    //    only. The custom Aggregator's signatures are reproduced exactly
+    //    by the oracle's explicit (a*g+b) mod P minimization.
+    sql("llm_dedup_minhash",
+      s"""WITH $ShingleCtes, sig AS (
+        |  SELECT doc_id, j,
+        |         min((((((j+1)*2654435761) % 2147483647) * g)
+        |              + (((j+17)*40503) % 2147483647)) % 2147483647) AS h
+        |  FROM gh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+        |  GROUP BY doc_id, j
+        |), bands AS (
+        |  SELECT doc_id, j // 4 AS band,
+        |         string_agg(CAST(h AS VARCHAR), '_' ORDER BY j) AS bkey
+        |  FROM sig GROUP BY doc_id, j // 4
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |), est AS (
+        |  SELECT c.a_id, c.b_id,
+        |         CAST(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_match
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.a_id
+        |  JOIN sig sb ON sb.doc_id = c.b_id AND sb.j = sa.j
+        |  GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+        |), shared AS (
+        |  SELECT c.a_id, c.b_id, count(*) AS shared
+        |  FROM cand c
+        |  JOIN grams ga ON ga.doc_id = c.a_id
+        |  JOIN grams gb ON gb.doc_id = c.b_id AND gb.gram = ga.gram
+        |  GROUP BY 1, 2
+        |)
+        |SELECT e.a_id, e.b_id, e.n_match,
+        |       CAST(COALESCE(sh.shared, 0) AS DOUBLE)
+        |         / (sa.n + sb.n - COALESCE(sh.shared, 0)) AS jaccard
+        |FROM est e
+        |LEFT JOIN shared sh ON sh.a_id = e.a_id AND sh.b_id = e.b_id
+        |JOIN sizes sa ON sa.doc_id = e.a_id
+        |JOIN sizes sb ON sb.doc_id = e.b_id
+        |ORDER BY e.a_id, e.b_id""")(
+      (s, d) => {
+        val gh = gramHashes(s, d).persist()
+        val sig = gh.groupBy("doc_id")
+          .agg(MinHash.minhash(col("g")).as("sig")).persist()
+        val bandStructs = array((0 until MinHash.NumBands).map { bnd =>
+          struct(lit(bnd).as("band"),
+            concat_ws("_", slice(col("sig"), bnd * MinHash.BandRows + 1,
+              MinHash.BandRows)).as("bkey"))
+        }: _*)
+        val bands = sig.select(col("doc_id"), explode(bandStructs).as("b"))
+          .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        val est = cand
+          .join(sig.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
+          .join(sig.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
+          .withColumn("n_match", aggregate(
+            zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, v) => acc + v))
+          .select("a_id", "b_id", "n_match")
+        val grams = gh.select("doc_id", "gram")
+        val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val shared = cand
+          .join(grams.select(col("doc_id").as("a_id"), col("gram")), "a_id")
+          .join(grams.select(col("doc_id").as("b_id"), col("gram").as("gram_b")), "b_id")
+          .filter(col("gram") === col("gram_b"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+        val jac = coalesce(col("shared"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("shared"), lit(0L)))
+        est
+          .join(shared, Seq("a_id", "b_id"), "left")
+          .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+          .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+          .select(col("a_id"), col("b_id"), col("n_match"), jac.as("jaccard"))
+          .orderBy("a_id", "b_id")
+      }),
+
+    // ── SimHash near-dup detection: vote aggregate → 31-bit fingerprint;
+    //    pigeonhole chunk join bounds the pair search (hamming ≤ 3 ⇒ one
+    //    of 4 chunks equal).
+    sql("llm_dedup_simhash",
+      s"""WITH $ShingleCtes, votes AS (
+        |  SELECT doc_id, b,
+        |         SUM(CASE WHEN (g >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM gh CROSS JOIN (SELECT unnest(generate_series(0, 30)) AS b)
+        |  GROUP BY doc_id, b
+        |), fp AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+        |                       ELSE 0 END) AS BIGINT) AS sim_sig
+        |  FROM votes GROUP BY doc_id
+        |), chunks AS (
+        |  SELECT doc_id, sim_sig, c,
+        |         CASE c WHEN 0 THEN sim_sig & 255
+        |                WHEN 1 THEN (sim_sig >> 8) & 255
+        |                WHEN 2 THEN (sim_sig >> 16) & 255
+        |                ELSE (sim_sig >> 24) & 127 END AS cv
+        |  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         a.sim_sig AS sig_a, b.sim_sig AS sig_b
+        |  FROM chunks a JOIN chunks b
+        |    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+        |)
+        |SELECT a_id, b_id, sig_a, sig_b,
+        |       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+        |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        |ORDER BY a_id, b_id""")(
+      (s, d) => {
+        val fp = gramHashes(s, d).groupBy("doc_id")
+          .agg(SimHash.simhash(col("g")).as("sim_sig"))
+        val chunkStructs = array(
+          struct(lit(0).as("c"), (col("sim_sig").bitwiseAND(255L)).as("cv")),
+          struct(lit(1).as("c"),
+            (shiftright(col("sim_sig"), 8).bitwiseAND(255L)).as("cv")),
+          struct(lit(2).as("c"),
+            (shiftright(col("sim_sig"), 16).bitwiseAND(255L)).as("cv")),
+          struct(lit(3).as("c"),
+            (shiftright(col("sim_sig"), 24).bitwiseAND(127L)).as("cv")))
+        val chunks = fp.select(col("doc_id"), col("sim_sig"),
+            explode(chunkStructs).as("ch"))
+          .select(col("doc_id"), col("sim_sig"),
+            col("ch.c").as("c"), col("ch.cv").as("cv"))
+        val hamming = bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+        chunks.as("x").join(chunks.as("y"),
+            col("x.c") === col("y.c") && col("x.cv") === col("y.cv") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+            col("x.sim_sig").as("sig_a"), col("y.sim_sig").as("sig_b"))
+          .distinct()
+          .filter(hamming <= 3)
+          .select(col("a_id"), col("b_id"), col("sig_a"), col("sig_b"),
+            hamming.cast("long").as("hamming"))
+          .orderBy("a_id", "b_id")
+      }),
+
+    // ── Brute-force cosine top-k (exact ANN baseline); queries broadcast,
+    //    sequential-fold dot product for engine-identical arithmetic.
+    sql("llm_sim_topk",
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS v
+        |      FROM embeddings),
+        |scored AS (
+        |  SELECT q.q_id, c.cand_id,
+        |         list_dot_product(q.v, c.v) /
+        |           (sqrt(list_dot_product(q.v, q.v)) *
+        |            sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM q, c WHERE q.q_id <> c.cand_id
+        |)
+        |SELECT q_id,
+        |       CAST(row_number() OVER (PARTITION BY q_id
+        |         ORDER BY sim DESC, cand_id) AS INTEGER) AS rank,
+        |       cand_id, sim
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY q_id, rank""")(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
+          .orderBy("q_id", "rank")
+      }),
+
+    // ── LSH-bucketed ANN (the scale path). No SQL oracle (bucket
+    //    assignment is engine-side); verified in specs against the brute
+    //    baseline for recall.
+    rowsOnly("llm_sim_lsh")(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.lshTopK(e.filter(col("vec_id") < 10), e, k = 5)
+          .orderBy("q_id", "rank")
+      }),
+
+    // ── Language-ID heuristic: marker-stopword hits per language,
+    //    fixed-precedence argmax.
+    sql("llm_text_langid",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |           AS tk
+        |  FROM documents
+        |), scores AS (
+        |  SELECT doc_id, lang,
+        |    len(list_intersect(tk, ['the','a','of','and','to'])) AS s_en,
+        |    len(list_intersect(tk, ['der','die','und','das','ein'])) AS s_de,
+        |    len(list_intersect(tk, ['el','la','de','los','y'])) AS s_es,
+        |    len(list_intersect(tk, ['le','les','et','des','un'])) AS s_fr
+        |  FROM toks
+        |)
+        |SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+        |       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |            WHEN s_es >= s_fr THEN 'es'
+        |            ELSE 'fr' END AS predicted
+        |FROM scores ORDER BY doc_id""")(
+      (s, d) => {
+        def score(tk: Column, markers: Seq[String]): Column =
+          size(array_intersect(tk, typedLit(markers))).cast("long")
+        val tk = array_distinct(Text.tokens(col("text")))
+        val scored = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), tk.as("tk"))
+          .select(col("doc_id"), col("lang"),
+            score(col("tk"), Seq("the", "a", "of", "and", "to")).as("s_en"),
+            score(col("tk"), Seq("der", "die", "und", "das", "ein")).as("s_de"),
+            score(col("tk"), Seq("el", "la", "de", "los", "y")).as("s_es"),
+            score(col("tk"), Seq("le", "les", "et", "des", "un")).as("s_fr"))
+        scored.withColumn("predicted",
+            when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+              col("s_en") >= col("s_fr"), "en")
+              .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+              .when(col("s_es") >= col("s_fr"), "es")
+              .otherwise("fr"))
+          .orderBy("doc_id")
+      }),
+
+    // ── Quality scoring: length / punctuation / stopword-ratio features
+    //    + composite score; all exact-integer ratios (engine-identical).
+    sql("llm_text_quality",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         length(text) AS n_chars,
+        |         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+        |         len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+        |         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |             x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(n_punct AS BIGINT) AS n_punct,
+        |       CAST(n_stop AS BIGINT) AS n_stop,
+        |       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+        |       CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+        |       0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+        |         + 0.5 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars) AS quality
+        |FROM f ORDER BY doc_id""")(
+      (s, d) => {
+        val tk = Text.tokens(col("text"))
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+        val f = t(s, d, "documents").select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(tk).cast("long").as("n_tokens"),
+          regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("long").as("n_punct"),
+          size(filter(tk, x => x.isInCollection(stops))).cast("long").as("n_stop"))
+        f.select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_punct"),
+            col("n_stop"),
+            (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+            (col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
+            (col("n_chars").cast("double") / col("n_tokens")).as("avg_token_len"),
+            (lit(0.5) * (col("n_stop").cast("double") / col("n_tokens")) +
+              lit(0.5) * (lit(1.0) -
+                col("n_punct").cast("double") / col("n_chars"))).as("quality"))
+          .orderBy("doc_id")
+      }),
+
+    // ── Token counting: whitespace + BPE-ish regex segmentation.
+    sql("llm_text_tokens",
+      """SELECT doc_id,
+        |       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |         AS BIGINT) AS n_ws,
+        |       CAST(len(regexp_extract_all(lower(text),
+        |           '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""")(
+      (s, d) => t(s, d, "documents").select(
+          col("doc_id"),
+          when(length(trim(col("text"))) === 0, 0)
+            .otherwise(size(split(trim(col("text")), "\\s+")))
+            .cast("long").as("n_ws"),
+          regexp_count(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("n_bpe"))
+        .orderBy("doc_id")),
+
+    // ── Document fingerprint: canonicalized (sorted distinct token set)
+    //    content hash + cluster sizes.
+    sql("llm_text_fingerprint",
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_sort(list_distinct(
+        |           regexp_split_to_array(trim(lower(text)), '\s+'))), ' '))
+        |           AS fingerprint
+        |  FROM documents
+        |)
+        |SELECT doc_id, fingerprint,
+        |       count(*) OVER (PARTITION BY fingerprint) AS cluster_n
+        |FROM fp ORDER BY doc_id""")(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            md5(array_join(sort_array(array_distinct(Text.tokens(col("text")))),
+              " ")).as("fingerprint"))
+          .withColumn("cluster_n",
+            count(lit(1)).over(Window.partitionBy("fingerprint")))
+          .orderBy("doc_id")
+      }),
+
+    // ── Multimodal plumbing: binary payload + metadata → batched
+    //    mapPartitions feature extraction (decode stubbed, deterministic).
+    sql("llm_mm_features",
+      """SELECT doc_id, source AS kind,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS sig,
+        |       CAST(octet_length(encode(text)) % 7 + 1 AS INTEGER) AS frames
+        |FROM documents ORDER BY doc_id""")(
+      (s, d) => Multimodal.extractFeaturesDF(
+          t(s, d, "documents").select(col("doc_id"), col("source").as("kind"),
+            col("text").cast("binary").as("media")))
+        .orderBy("doc_id"))
+  )
+}

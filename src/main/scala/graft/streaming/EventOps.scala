@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream transforms. Each works identically on a batch DataFrame
+  * (how the DuckDB oracle checks them) and on a streaming DataFrame
+  * (`readStream`), except where noted.
+  *
+  * Reference streaming semantics: SURVEY §2.8 — the indexer pipeline is
+  * at-least-once with idempotent upserts keyed on deterministic doc ids
+  * (assetIndexer.py:534-596); late data is handled by re-reading current
+  * truth (last-writer-wins). Watermarked windows are our addition for the
+  * `events` table.
+  */
+object EventOps {
+
+  /** Tumbling-window aggregate; in streaming prepend
+    * `.withWatermark(ts, ...)`. Window starts align to the epoch, same as
+    * `date_trunc` in the oracle. */
+  def tumbling(df: DataFrame, ts: Column, duration: String, keys: Column*): DataFrame =
+    df.groupBy(window(ts, duration) +: keys: _*)
+
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+
+  /** Sliding-window aggregate (each event lands in duration/slide windows). */
+  def sliding(df: DataFrame, ts: Column, duration: String, slide: String,
+      keys: Column*): DataFrame =
+    df.groupBy(window(ts, duration, slide) +: keys: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+
+  /** Gap-based sessionization (batch form): a new session starts when the
+    * gap to the previous event of the same key exceeds `gapMicros`. The
+    * streaming twin is `session_window(ts, gap)` / flatMapGroupsWithState;
+    * this lag+cumsum form is what the SQL oracle can mirror exactly. */
+  def sessionize(df: DataFrame, key: Column, ts: Column, gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(unix_micros(ts).asc, col("event_id").asc)
+    val newSession = when(
+      unix_micros(ts) - lag(unix_micros(ts), 1).over(w) > gapMicros, 1)
+      .otherwise(when(lag(unix_micros(ts), 1).over(w).isNull, 1).otherwise(0))
+    df.withColumn("session_seq",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** ST3 — idempotent last-writer-wins upsert compaction: latest record
+    * per key (the batch equivalent of the `MERGE` the streaming
+    * foreachBatch applies; deterministic tiebreak). */
+  def latestByKey(df: DataFrame, key: Column, ordering: Seq[Column]): DataFrame =
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy(key).orderBy(ordering: _*)))
+      .filter(col("rn") === 1).drop("rn")
+}
