@@ -39,12 +39,24 @@ object LlmQueries {
       |  FROM grams
       |)"""
 
-  /** Spark twin of ShingleCtes: (doc_id, gram, g). */
-  private def gramHashes(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .select(col("doc_id"), Text.shingles(Text.tokens(col("text"))).as("grams"))
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
+  /** Spark twin of ShingleCtes: (doc_id, gram, g).
+    *
+    * PERF: the shingle arrays are persisted (one small row per doc) and
+    * eagerly built BEFORE the explode. `Generate(explode(<HOF expr>))`
+    * re-evaluates the higher-order shingle expression per OUTPUT row
+    * (measured 22 s vs 0.4 s at sf0.1); exploding a materialized array
+    * column is linear. The cache is tiny (docs × gram array) and shared
+    * across the minhash/simhash/ngram queries (same logical plan →
+    * same cache entry). */
+  private def gramHashes(s: SparkSession, d: String): DataFrame = {
+    val arrays = t(s, d, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), Text.shingles(col("tk")).as("grams"))
+      .persist()
+    arrays.count()
+    arrays.select(col("doc_id"), explode(col("grams")).as("gram"))
       .withColumn("g", Text.hash60(col("gram")))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -60,14 +72,19 @@ object LlmQueries {
         .orderBy("keep_id")),
 
     // ── n-gram Jaccard near-dup pairs (the exact quadratic baseline the
-    //    MinHash path approximates). Gram join; at 100 TB requires the
+    //    MinHash path approximates). Jaccard is defined over HASHED
+    //    shingle sets (60-bit md5-derived, same function both engines —
+    //    any collision affects both identically): the pair join runs on
+    //    bigints, not gram strings. At 100 TB this still requires the
     //    MinHash/LSH path or a document-frequency cap on grams.
     sql("llm_dedup_ngram_jaccard",
-      s"""WITH $ShingleCtes, sizes AS (
-        |  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+      s"""WITH $ShingleCtes, ghd AS (
+        |  SELECT DISTINCT doc_id, g FROM gh
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM ghd GROUP BY doc_id
         |), shared AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
-        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  FROM ghd a JOIN ghd b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |)
         |SELECT a_id, b_id, CAST(shared AS BIGINT) AS shared,
@@ -77,11 +94,11 @@ object LlmQueries {
         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
         |ORDER BY a_id, b_id""")(
       (s, d) => {
-        val grams = gramHashes(s, d).select("doc_id", "gram")
-        val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val a = grams.select(col("doc_id").as("a_id"), col("gram"))
-        val b = grams.select(col("doc_id").as("b_id"), col("gram"))
-        val shared = a.join(b, Seq("gram"))
+        val ghd = gramHashes(s, d).select("doc_id", "g").distinct()
+        val sizes = ghd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val a = ghd.select(col("doc_id").as("a_id"), col("g"))
+        val b = ghd.select(col("doc_id").as("b_id"), col("g"))
+        val shared = a.join(b, Seq("g"))
           .filter(col("a_id") < col("b_id"))
           .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
         val jac = col("shared").cast("double") /
@@ -121,13 +138,15 @@ object LlmQueries {
         |  JOIN sig sa ON sa.doc_id = c.a_id
         |  JOIN sig sb ON sb.doc_id = c.b_id AND sb.j = sa.j
         |  GROUP BY 1, 2
+        |), ghd AS (
+        |  SELECT DISTINCT doc_id, g FROM gh
         |), sizes AS (
-        |  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+        |  SELECT doc_id, count(*) AS n FROM ghd GROUP BY doc_id
         |), shared AS (
         |  SELECT c.a_id, c.b_id, count(*) AS shared
         |  FROM cand c
-        |  JOIN grams ga ON ga.doc_id = c.a_id
-        |  JOIN grams gb ON gb.doc_id = c.b_id AND gb.gram = ga.gram
+        |  JOIN ghd ga ON ga.doc_id = c.a_id
+        |  JOIN ghd gb ON gb.doc_id = c.b_id AND gb.g = ga.g
         |  GROUP BY 1, 2
         |)
         |SELECT e.a_id, e.b_id, e.n_match,
@@ -139,9 +158,15 @@ object LlmQueries {
         |JOIN sizes sb ON sb.doc_id = e.b_id
         |ORDER BY e.a_id, e.b_id""")(
       (s, d) => {
+        // Persist + eager materialization: the signature table is scanned
+        // by several downstream branches (bands, est×2); without an eager
+        // build, concurrent stages of the single final action race to
+        // compute the cache 2-3× (measured 24 s vs 8 s at sf0.1).
         val gh = gramHashes(s, d).persist()
+        gh.count()
         val sig = gh.groupBy("doc_id")
           .agg(MinHash.minhash(col("g")).as("sig")).persist()
+        sig.count()
         val bandStructs = array((0 until MinHash.NumBands).map { bnd =>
           struct(lit(bnd).as("band"),
             concat_ws("_", slice(col("sig"), bnd * MinHash.BandRows + 1,
@@ -153,7 +178,8 @@ object LlmQueries {
             col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .distinct()
+          .distinct().persist()
+        cand.count()
         val est = cand
           .join(sig.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
           .join(sig.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
@@ -162,12 +188,12 @@ object LlmQueries {
               (x, y) => when(x === y, 1L).otherwise(0L)),
             lit(0L), (acc, v) => acc + v))
           .select("a_id", "b_id", "n_match")
-        val grams = gh.select("doc_id", "gram")
-        val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val ghd = gh.select("doc_id", "g").distinct()
+        val sizes = ghd.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val shared = cand
-          .join(grams.select(col("doc_id").as("a_id"), col("gram")), "a_id")
-          .join(grams.select(col("doc_id").as("b_id"), col("gram").as("gram_b")), "b_id")
-          .filter(col("gram") === col("gram_b"))
+          .join(ghd.select(col("doc_id").as("a_id"), col("g")), "a_id")
+          .join(ghd.select(col("doc_id").as("b_id"), col("g").as("g_b")), "b_id")
+          .filter(col("g") === col("g_b"))
           .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
         val jac = coalesce(col("shared"), lit(0L)).cast("double") /
           (col("na") + col("nb") - coalesce(col("shared"), lit(0L)))
@@ -212,7 +238,8 @@ object LlmQueries {
         |ORDER BY a_id, b_id""")(
       (s, d) => {
         val fp = gramHashes(s, d).groupBy("doc_id")
-          .agg(SimHash.simhash(col("g")).as("sim_sig"))
+          .agg(SimHash.simhash(col("g")).as("sim_sig")).persist()
+        fp.count()
         val chunkStructs = array(
           struct(lit(0).as("c"), (col("sim_sig").bitwiseAND(255L)).as("cv")),
           struct(lit(1).as("c"),
@@ -340,14 +367,16 @@ object LlmQueries {
         |         + 0.5 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars) AS quality
         |FROM f ORDER BY doc_id""")(
       (s, d) => {
-        val tk = Text.tokens(col("text"))
         val stops = Seq("the", "a", "of", "and", "to", "in", "is")
-        val f = t(s, d, "documents").select(
-          col("doc_id"),
-          length(col("text")).cast("long").as("n_chars"),
-          size(tk).cast("long").as("n_tokens"),
-          regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("long").as("n_punct"),
-          size(filter(tk, x => x.isInCollection(stops))).cast("long").as("n_stop"))
+        val f = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("tk"))
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"),
+            size(col("tk")).cast("long").as("n_tokens"),
+            regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("long").as("n_punct"),
+            size(filter(col("tk"), x => x.isInCollection(stops)))
+              .cast("long").as("n_stop"))
         f.select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_punct"),
             col("n_stop"),
             (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
