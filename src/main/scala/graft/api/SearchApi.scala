@@ -1,0 +1,89 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.authz.Abac
+import graft.query.{QueryCompiler => QC, SearchRequest}
+
+/** The search entry point — lifecycle SURVEY §3.1 as ONE logical plan.
+  *
+  * The reference splits this across API Gateway, a query-builder lambda,
+  * two sequential OpenSearch requests, a per-hit Casbin post-filter and a
+  * re-slice (`backend/backend/handlers/search/search.py:1931-1991` →
+  * `:949-1000` → `:197-292` → `:1515-1567`). Here: compile once, push
+  * everything (including the ABAC predicate) into the scan, union the two
+  * doc tables, and derive hits + facets + totals from the same filtered
+  * frame. The reference's ×2 over-fetch buffer and post-pagination pass
+  * (search.py:969-976,1739-1748) have no equivalent — they exist only
+  * because its row security cannot be pushed down.
+  */
+object SearchApi {
+
+  /** `total` is lazy (A4 — the authoritative post-filter count) so
+    * callers that only page hits don't pay the count job. */
+  final case class SearchResult(
+      hits: DataFrame, facets: DataFrame, total: () => Long)
+
+  /** Text-searchable fields of the doc tables, with O3 score weights. */
+  val ScoredFields: Seq[(String, Double)] = Seq(
+    "str_assetname" -> 3.0, "str_description" -> 2.0, "str_assetid" -> 1.0,
+    "str_databaseid" -> 1.0, "str_assettype" -> 1.0)
+
+  /** U1 — union the asset and file doc tables with provenance. */
+  def dualIndex(assetDocs: DataFrame, fileDocs: DataFrame): DataFrame =
+    assetDocs.withColumn("_index_type", lit("asset"))
+      .unionByName(fileDocs.withColumn("_index_type", lit("file")),
+        allowMissingColumns = true)
+
+  def search(
+      docs: DataFrame,
+      req: SearchRequest,
+      policy: Option[Abac.Policy] = None): SearchResult = {
+
+    val fieldsPresent = docs.columns.toSet
+    def fieldCol(f: String): Column = col(f)
+
+    // F9 + F10 + F2 filters + F12 tokens + free text, one predicate tree.
+    val archived = QC.archivedExclusion(col("bool_archived"), req.includeArchived)
+    val access = QC.accessibleDatabases(col("str_databaseid"),
+      req.accessibleDatabases)
+    val termFilters = req.filters.map { case (f, v) => QC.term(col(f), v) }.toSeq
+    val tokenPred = QC.tokens(req.tokens, req.operation, {
+      case "all" => ScoredFields.map(_._1).filter(fieldsPresent).map(col)
+      case f     => Seq(col(f))
+    })
+    val textPred = req.query match {
+      case Some(q) =>
+        QC.multiField(ScoredFields.map(_._1).filter(fieldsPresent).map(col), q)
+      case None => lit(true)
+    }
+    val policyPred = policy.map(p => Abac.compile(docs, p)).getOrElse(lit(true))
+
+    val filtered = docs.filter(QC.boolQuery(
+      must = Seq(tokenPred, textPred),
+      filter = Seq(archived, access, policyPred) ++ termFilters))
+
+    // O3 scoring + F13 cut when a free-text query is present.
+    val scored = req.query match {
+      case Some(q) =>
+        filtered.withColumn("_score", QC.score(
+            ScoredFields.filter(f => fieldsPresent(f._1))
+              .map { case (f, w) => (col(f), w) }, q))
+          .filter(col("_score") > QC.MinScore)
+      case None => filtered.withColumn("_score", lit(0.0))
+    }
+
+    // Deterministic total order: requested sort, then score, then doc id
+    // (SURVEY §7.5.4 — the reference's dual-index ordering is broken).
+    val sortCols = QC.sortCols(req.sort, fieldCol) ++
+      Seq(col("_score").desc, col("_docId").asc)
+    val page = QC.paginate(scored.orderBy(sortCols: _*), req.from, req.size)
+
+    // A1-A3 facets on the SAME filtered frame (single plan reuse).
+    val facetField =
+      if (fieldsPresent("str_assettype")) "str_assettype" else "str_databaseid"
+    val facets = QC.facet(scored, col(facetField))
+    SearchResult(page, facets, () => scored.count())
+  }
+}

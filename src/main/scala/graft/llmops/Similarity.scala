@@ -22,16 +22,23 @@ object Similarity {
   /** Cast a float embedding column to array<double> (exact). */
   def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Sequential-fold dot product (deterministic). */
+  /** Sequential-fold dot product (deterministic). Reference HOF form —
+    * [[graft.functions.GraftFunctions.CosineSimExpr]] is the fast path
+    * with identical fold order; specs assert bit-equality. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  def cosine(a: Column, b: Column): Column =
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Fast cosine via the registered Catalyst expression. */
+  def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
 
   /** Exact top-k neighbors for each query row. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col("vec_id").as("q_id"),
       asDouble(col("embedding")).as("q_vec"))
     val c = candidates.select(col("vec_id").as("cand_id"),
@@ -45,8 +52,13 @@ object Similarity {
       .select("q_id", "rank", "cand_id", "sim")
   }
 
-  /** Number of hyperplanes (bucket bits). */
-  val LshBits = 16
+  /** Multi-table random-hyperplane LSH: `LshTables` independent tables of
+    * `LshBits` sign bits each. For neighbors at cosine θ, one-bit
+    * agreement is 1-θ/π; recall ≈ 1-(1-p^bits)^tables — 10×6 gives
+    * ≈0.95 for 0.8-similar pairs while candidate sets stay ~bits% of
+    * the corpus per query. */
+  val LshTables = 10
+  val LshBits = 6
 
   /** Deterministic pseudo-random hyperplane component r(i)(d) ∈ [-0.5, 0.5).
     * Pure arithmetic — identical on any engine. */
@@ -54,28 +66,50 @@ object Similarity {
     (((lit(i.toLong * 131L) + d) * 2654435761L) % 1000003L).cast("double") /
       1000003.0 - 0.5
 
-  /** Sign-bucket id of an embedding under the LshBits hyperplanes. */
-  def lshBucket(vec: Column): Column = {
-    val bits = (0 until LshBits).map { i =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0L), lit(63L)), (x, d) => x * planeComponent(i, d)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Reference HOF form of the per-table bucket array (spec cross-checks
+    * the fast expression against it). Element t = bucket of table t. */
+  def lshBucketArrayHof(vec: Column): Column =
+    array((0 until LshTables).map { t =>
+      (0 until LshBits).map { b =>
+        val i = t * LshBits + b
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0L), lit(63L)),
+            (x, d) => x * planeComponent(i, d)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
 
-  /** Approximate NN via LSH bucket equi-join; exact cosine re-rank inside
-    * buckets. Recall improves with multiple tables; one table here. */
+  /** Fast path: tight-loop Catalyst expression, array<long> of buckets. */
+  def lshBucketArray(vec: Column): Column =
+    call_function("graft_lsh_buckets", vec)
+
+  /** Approximate NN: candidates = any-table bucket collision (equi-join
+    * on (table, bucket) — at 100 TB this shuffles only (id, bucket) pairs
+    * and each bucket is a small local problem), exact cosine re-rank. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col("vec_id").as("q_id"),
       asDouble(col("embedding")).as("q_vec"))
-      .withColumn("bucket", lshBucket(col("q_vec")))
     val c = candidates.select(col("vec_id").as("cand_id"),
       asDouble(col("embedding")).as("c_vec"))
-      .withColumn("bucket", lshBucket(col("c_vec")))
-    q.join(c, Seq("bucket")).filter(col("q_id") =!= col("cand_id"))
+    // Materialize bucket arrays before exploding — Generate over a
+    // computed expression re-evaluates it per output row (see
+    // LlmQueries.gramHashes); over a cached array it's linear.
+    val cbArr = c.select(col("cand_id"), lshBucketArray(col("c_vec")).as("tbs"))
+      .persist()
+    cbArr.count()
+    val qb = q.select(col("q_id"),
+      posexplode(lshBucketArray(col("q_vec"))).as(Seq("t", "b")))
+    val cb = cbArr.select(col("cand_id"),
+      posexplode(col("tbs")).as(Seq("t", "b")))
+    val pairs = qb.join(cb, Seq("t", "b"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .select("q_id", "cand_id").distinct()
+    pairs
+      .join(broadcast(q), "q_id")
+      .join(c, "cand_id")
       .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id").asc)))

@@ -1,0 +1,83 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.SearchApi
+import graft.core.Tables
+import graft.query.{SearchRequest, SortField}
+
+/** End-to-end advanced search (lifecycle SURVEY §3.1) through the
+  * SearchApi façade: docs built from orders⋈customer, full predicate
+  * stack (archived, accessible set, term filter, free text), scoring,
+  * min-score cut, deterministic sort, offset pagination — one plan.
+  */
+object ApiQueries {
+  import QueryDef.sql
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("o_orderkey").cast("string").as("_docId"),
+        col("c_name").as("str_assetname"),
+        col("o_orderstatus").as("str_assettype"),
+        col("o_orderpriority").as("str_databaseid"),
+        col("c_mktsegment").as("str_description"),
+        col("o_orderkey").cast("string").as("str_assetid"),
+        (col("o_orderstatus") === "F").as("bool_archived"))
+
+  private val Q = "customer#00000012"
+
+  val defs: Seq[QueryDef] = Seq(
+    sql("search_advanced",
+      s"""WITH docs AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS _docid,
+        |         c_name AS str_assetname,
+        |         o_orderstatus AS str_assettype,
+        |         o_orderpriority AS str_databaseid,
+        |         c_mktsegment AS str_description,
+        |         CAST(o_orderkey AS VARCHAR) AS str_assetid,
+        |         (o_orderstatus = 'F') AS bool_archived
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |), f AS (
+        |  SELECT * FROM docs
+        |  WHERE NOT bool_archived
+        |    AND str_databaseid IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        |    AND str_assettype = 'O'
+        |    AND (lower(str_assetname) LIKE '%$Q%'
+        |         OR lower(str_description) LIKE '%$Q%'
+        |         OR lower(str_assetid) LIKE '%$Q%'
+        |         OR lower(str_databaseid) LIKE '%$Q%'
+        |         OR lower(str_assettype) LIKE '%$Q%')
+        |), s AS (
+        |  SELECT _docid, str_assetname, str_assettype, str_databaseid,
+        |    (CASE WHEN lower(str_assetname) LIKE '%$Q%'
+        |          THEN CAST(3.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |   + CASE WHEN lower(str_description) LIKE '%$Q%'
+        |          THEN CAST(2.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |   + CASE WHEN lower(str_assetid) LIKE '%$Q%'
+        |          THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |   + CASE WHEN lower(str_databaseid) LIKE '%$Q%'
+        |          THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |   + CASE WHEN lower(str_assettype) LIKE '%$Q%'
+        |          THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+        |      AS _score
+        |  FROM f
+        |)
+        |SELECT * FROM s WHERE _score > 0.01
+        |ORDER BY str_assetname, _score DESC, _docid
+        |LIMIT 20 OFFSET 10""")(
+      (s, d) => {
+        val req = SearchRequest(
+          query = Some(Q),
+          filters = Map("str_assettype" -> "O"),
+          accessibleDatabases = Some(Seq("1-URGENT", "2-HIGH", "3-MEDIUM")),
+          sort = Seq(SortField("str_assetname")),
+          from = 10, size = 20)
+        SearchApi.search(docs(s, d), req).hits
+          .select("_docId", "str_assetname", "str_assettype",
+            "str_databaseid", "_score")
+      })
+  )
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental search-doc maintenance — the streaming half of the indexer
+  * pipeline (SURVEY §2.8 ST1-ST4).
+  *
+  * Reference flow: entity-table change streams → route by source →
+  * rebuild the affected doc(s) by re-reading current truth → idempotent
+  * upsert keyed on the deterministic doc id
+  * (`backend/backend/handlers/indexing/assetIndexer.py:602-737,1002-1114`).
+  *
+  * Spark shape: a CDC batch of changed keys drives a SEMI-JOIN-restricted
+  * re-run of the full doc-build join (never a full recompute — SURVEY
+  * §7.5.5), then a MERGE-equivalent: union + last-writer-wins on _docId.
+  * In production the merge is a Delta `MERGE INTO` from `foreachBatch`;
+  * the pure-DataFrame equivalent here has identical semantics and is what
+  * the tests verify.
+  */
+object DocMaintenance {
+
+  /** CDC record contract (ST1): op ∈ INSERT|MODIFY|REMOVE. */
+  val CdcColumns: Seq[String] = Seq("sequence", "op", "table", "databaseId", "assetId")
+
+  /** ST4 — affected asset keys of a CDC batch: metadata/asset changes map
+    * to their own key; link changes fan out to both endpoints
+    * (assetIndexer.py:902-910,974-987). */
+  def affectedKeys(batch: DataFrame): DataFrame = {
+    val direct = batch
+      .filter(col("table") =!= "assetLinks")
+      .select(col("databaseId"), col("assetId"))
+    val linkFrom = batch.filter(col("table") === "assetLinks")
+      .select(col("fromDatabaseId").as("databaseId"), col("fromAssetId").as("assetId"))
+    val linkTo = batch.filter(col("table") === "assetLinks")
+      .select(col("toDatabaseId").as("databaseId"), col("toAssetId").as("assetId"))
+    direct.unionByName(linkFrom).unionByName(linkTo).distinct()
+  }
+
+  /** Rebuild docs for the affected keys only (keyed incremental view
+    * maintenance): semi-join every input of the doc build down to the
+    * changed keys, then run the same J1 pipeline. */
+  def rebuildChanged(
+      changedKeys: DataFrame,
+      assets: DataFrame,
+      buckets: DataFrame,
+      metadata: DataFrame,
+      versions: DataFrame,
+      links: DataFrame): DataFrame = {
+    val keys = Seq("databaseId", "assetId")
+    val keyDf = changedKeys.select(keys.map(col): _*).distinct()
+    graft.docs.DocBuilder.buildAssetDocs(
+      assets.join(broadcast(keyDf), keys, "left_semi"),
+      buckets,
+      metadata.join(broadcast(keyDf), keys, "left_semi"),
+      versions.join(broadcast(keyDf), keys, "left_semi"),
+      // links are keyed by either endpoint; keep those touching a changed key
+      links.join(broadcast(keyDf.select(col("databaseId").as("fd"),
+          col("assetId").as("fa"))),
+        (col("fromDatabaseId") === col("fd") && col("fromAssetId") === col("fa")),
+        "left_semi"))
+  }
+
+  /** ST3/S9 — idempotent MERGE-equivalent on the deterministic doc id:
+    * rows from `updates` win over `current`; REMOVE keys are deleted.
+    * At-least-once delivery therefore converges to the same table. */
+  def mergeDocs(current: DataFrame, updates: DataFrame,
+      removedDocIds: DataFrame = null): DataFrame = {
+    val afterRemove =
+      if (removedDocIds == null) current
+      else current.join(removedDocIds, Seq("_docId"), "left_anti")
+    val winners = updates.select(col("_docId")).distinct()
+    afterRemove.join(winners, Seq("_docId"), "left_anti")
+      .unionByName(updates)
+  }
+
+  /** Run a CDC source as a Structured Streaming query into a doc-table
+    * sink directory, applying the incremental rebuild per micro-batch.
+    * (Parquet-based stand-in for the Delta `MERGE INTO` foreachBatch.) */
+  def streamMaintain(
+      cdc: DataFrame, // streaming DF with CdcColumns
+      snapshot: () => (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame),
+      applyBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    cdc.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (assets, buckets, metadata, versions, links) = snapshot()
+        val changed = affectedKeys(batch)
+        applyBatch(rebuildChanged(changed, assets, buckets, metadata, versions, links))
+      }
+      .start()
+}

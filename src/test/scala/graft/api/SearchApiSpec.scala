@@ -1,0 +1,75 @@
+package graft.api
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.authz.Abac
+import graft.query.{SearchRequest, SortField, Token}
+
+class SearchApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val assetDocs = Seq(
+    ("db1#a1", "db1", "a1", "Red Rocket", "a toy rocket", "gltf", false),
+    ("db1#a2", "db1", "a2", "Blue Car", "a toy car", "obj", false),
+    ("db2#a3", "db2", "a3", "Red Car", "vehicle scan", "gltf", false),
+    ("db2#a4", "db2", "a4", "Old Red", "archived thing", "obj", true))
+    .toDF("_docId", "str_databaseid", "str_assetid", "str_assetname",
+      "str_description", "str_assettype", "bool_archived")
+
+  private lazy val fileDocs = Seq(
+    ("db1#a1#f1", "db1", "a1", "model.gltf", "gltf", false))
+    .toDF("_docId", "str_databaseid", "str_assetid", "str_key",
+      "str_fileext", "bool_archived")
+
+  test("dual-index union tags provenance and fills missing columns (U1)") {
+    val dual = SearchApi.dualIndex(assetDocs, fileDocs)
+    assert(dual.count() == 5)
+    assert(dual.filter(col("_index_type") === "file")
+      .select("str_key").as[String].collect().toSeq == Seq("model.gltf"))
+    assert(dual.filter(col("_index_type") === "asset")
+      .filter(col("str_key").isNull).count() == 4)
+  }
+
+  test("free text scores, cuts by min-score, and excludes archived") {
+    val res = SearchApi.search(assetDocs, SearchRequest(query = Some("red")))
+    val hits = res.hits.select("str_assetid", "_score")
+      .as[(String, Double)].collect().toMap
+    assert(hits.keySet == Set("a1", "a3")) // a4 archived
+    assert(hits("a1") == 3.0 && hits("a3") == 3.0)
+    assert(res.total() == 2)
+  }
+
+  test("accessible-database restriction + ABAC deny compose (F10+F11)") {
+    val policy = Abac.Policy(
+      allow = Seq(Seq(Abac.Criterion("str_databaseid", "is_one_of",
+        values = Seq("db1", "db2")))),
+      deny = Seq(Seq(Abac.Criterion("str_assetname", "starts_with", "Blue"))))
+    val res = SearchApi.search(assetDocs,
+      SearchRequest(accessibleDatabases = Some(Seq("db1"))),
+      Some(policy))
+    assert(res.hits.select("str_assetid").as[String].collect().toSeq ==
+      Seq("a1")) // db2 filtered by access, Blue Car denied by policy
+  }
+
+  test("token predicates + filters + sort + pagination in one plan") {
+    val res = SearchApi.search(assetDocs, SearchRequest(
+      tokens = Seq(Token("str_description", ":", "toy")),
+      sort = Seq(SortField("str_assetname", descending = false)),
+      from = 0, size = 10))
+    assert(res.hits.select("str_assetname").as[String].collect().toSeq ==
+      Seq("Blue Car", "Red Rocket"))
+  }
+
+  test("facets computed on the filtered frame with cap + tiebreak (A1)") {
+    val res = SearchApi.search(assetDocs, SearchRequest())
+    val facets = res.facets.as[(String, Long)].collect().toSeq
+    assert(facets == Seq(("gltf", 2L), ("obj", 1L)))
+  }
+
+  test("includeArchived restores archived docs (F9)") {
+    val res = SearchApi.search(assetDocs,
+      SearchRequest(query = Some("red"), includeArchived = true))
+    assert(res.total() == 3)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MinHash signature equals a reference Scala computation") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
+    val gh = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(Text.shingles(col("tk"))).as("gram"))
+      .withColumn("g", Text.hash60(col("gram")))
+    val sigs = gh.groupBy("doc_id").agg(MinHash.minhash(col("g")).as("sig"))
+      .as[(Long, Array[Long])].collect().toMap
+    // independent reference computation from the collected hashes
+    val hashes = gh.select("doc_id", "g").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((doc, gs) <- hashes) {
+      val expect = Array.tabulate(MinHash.NumPerm) { j =>
+        gs.map(g => (MinHash.A(j) * g + MinHash.B(j)) % MinHash.P).min
+      }
+      assert(sigs(doc).toSeq == expect.toSeq, s"doc $doc")
+    }
+  }
+
+  test("MinHash est similarity tracks true Jaccard on planted near-dups") {
+    // the sf0.001 documents table has 25 planted pairs with jaccard>=0.8
+    val q = graft.registry.LlmQueries.defs
+      .find(_.name == "llm_dedup_minhash").get
+    val out = q.fn(spark, sf()).as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    for ((_, _, nMatch, jac) <- out if jac >= 0.8) {
+      val est = nMatch.toDouble / MinHash.NumPerm
+      assert(math.abs(est - jac) < 0.35,
+        s"estimate $est too far from true $jac")
+    }
+    // every high-jaccard ngram pair must be found by the LSH candidates
+    val exact = graft.registry.LlmQueries.defs
+      .find(_.name == "llm_dedup_ngram_jaccard").get
+      .fn(spark, sf()).as[(Long, Long, Long, Double)].collect()
+      .filter(_._4 >= 0.8).map(r => (r._1, r._2)).toSet
+    val found = out.map(r => (r._1, r._2)).toSet
+    assert(exact.subsetOf(found), s"missed pairs: ${exact diff found}")
+  }
+
+  test("SimHash: identical docs get identical fingerprints, near-dups close") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")).toDF("doc_id", "text")
+    val fp = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(Text.shingles(col("tk"))).as("gram"))
+      .withColumn("g", Text.hash60(col("gram")))
+      .groupBy("doc_id").agg(SimHash.simhash(col("g")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) > 3)
+  }
+
+  test("LSH top-k achieves high recall vs brute force on real embeddings") {
+    val e = Tables.embeddings(spark, sf())
+    val queries = e.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(queries, e, k = 5)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(queries, e, k = 5)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall too low") // single-table LSH
+    // top-1 within-bucket hit should mostly agree with brute top-1
+    assert(lsh.nonEmpty)
+  }
+
+  test("custom Catalyst expressions match the HOF reference bit-exactly") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("w", reverse(col("v")))
+    val cos = e.select(
+      Similarity.cosine(col("v"), col("w")).as("fast"),
+      Similarity.cosineHof(col("v"), col("w")).as("ref"))
+      .as[(Double, Double)].collect()
+    assert(cos.nonEmpty && cos.forall { case (f, r) => f == r })
+    val buckets = e.select(
+      Similarity.lshBucketArray(col("v")).as("fast"),
+      Similarity.lshBucketArrayHof(col("v")).as("ref"))
+      .as[(Array[Long], Array[Long])].collect()
+    assert(buckets.nonEmpty &&
+      buckets.forall { case (f, r) => f.toSeq == r.toSeq })
+  }
+
+  test("multimodal batch extraction is deterministic and batch-shaped") {
+    val media = Seq(
+      (1L, "img", "hello".getBytes("UTF-8")),
+      (2L, "aud", Array.emptyByteArray))
+      .toDF("doc_id", "kind", "media")
+    val got = Multimodal.extractFeaturesDF(media)
+      .as[(Long, String, Long, String, Int)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, "img", 5L, "5d41402abc4b2a76b9719d911017c592", 6)))
+    assert(got(1)._3 == 0L && got(1)._5 == 1)
+  }
+
+  test("language-id marker scoring is deterministic with precedence ties") {
+    val q = graft.registry.LlmQueries.defs.find(_.name == "llm_text_langid").get
+    val out = q.fn(spark, sf())
+      .select("predicted").as[String].collect()
+    assert(out.nonEmpty && out.forall(Set("en", "de", "es", "fr")))
+  }
+}

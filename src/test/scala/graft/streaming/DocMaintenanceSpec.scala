@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DocMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkAssets(rows: (String, String, String)*) =
+    rows.toSeq.toDF("databaseId", "assetId", "assetName")
+      .withColumn("description", lit("d"))
+      .withColumn("assetType", lit("gltf"))
+      .withColumn("bucketId", lit("b1"))
+      .withColumn("isDistributable", lit(true))
+      .withColumn("tags", array())
+      .withColumn("assetLocationKey", lit("k"))
+      .withColumn("previewLocationKey", lit(null).cast("string"))
+      .withColumn("currentVersionId", lit(null).cast("string"))
+      .withColumn("archived", lit(false))
+
+  private lazy val buckets =
+    Seq(("b1", "bkt", "/", true))
+      .toDF("bucketId", "bucketName", "baseAssetsPrefix", "isVersioningEnabled")
+  private lazy val emptyMd = Seq.empty[(String, String, String, String, String, String)]
+    .toDF("databaseId", "assetId", "filePath", "metadataKey",
+      "metadataValue", "metadataValueType")
+  private lazy val emptyVer =
+    Seq.empty[(String, String, String, String, String, java.sql.Timestamp, Boolean, String)]
+      .toDF("databaseId", "assetId", "assetVersionId", "versionAlias",
+        "comment", "dateCreated", "isCurrentVersion", "createdBy")
+  private lazy val emptyLinks =
+    Seq.empty[(String, String, String, String, String, String, String)]
+      .toDF("assetLinkId", "fromDatabaseId", "fromAssetId", "toDatabaseId",
+        "toAssetId", "relationshipType", "assetLinkAliasId")
+
+  test("affectedKeys fans link changes to both endpoints (ST4)") {
+    val batch = Seq(
+      (1L, "MODIFY", "metadata", "db1", "a1", null, null, null, null),
+      (2L, "INSERT", "assetLinks", null, null, "db1", "a2", "db2", "a9"))
+      .toDF("sequence", "op", "table", "databaseId", "assetId",
+        "fromDatabaseId", "fromAssetId", "toDatabaseId", "toAssetId")
+    val keys = DocMaintenance.affectedKeys(batch)
+      .as[(String, String)].collect().toSet
+    assert(keys == Set(("db1", "a1"), ("db1", "a2"), ("db2", "a9")))
+  }
+
+  test("rebuildChanged touches only the changed keys (keyed semi-join)") {
+    val assets = mkAssets(("db1", "a1", "One"), ("db1", "a2", "Two"),
+      ("db2", "a3", "Three"))
+    val changed = Seq(("db1", "a2")).toDF("databaseId", "assetId")
+    val rebuilt = DocMaintenance.rebuildChanged(changed, assets, buckets,
+      emptyMd, emptyVer, emptyLinks)
+    assert(rebuilt.select("_docId").as[String].collect().toSeq == Seq("db1#a2"))
+  }
+
+  test("mergeDocs: updates win, removes drop, redelivery converges (S9/ST3)") {
+    val current = Seq(("d1", "old1"), ("d2", "old2"), ("d3", "old3"))
+      .toDF("_docId", "payload")
+    val updates = Seq(("d2", "new2"), ("d4", "new4")).toDF("_docId", "payload")
+    val removed = Seq("d3").toDF("_docId")
+    val once = DocMaintenance.mergeDocs(current, updates, removed)
+    val expect = Set(("d1", "old1"), ("d2", "new2"), ("d4", "new4"))
+    assert(once.as[(String, String)].collect().toSet == expect)
+    // idempotence: applying the same batch to the merged state is a no-op
+    val twice = DocMaintenance.mergeDocs(once, updates, removed)
+    assert(twice.as[(String, String)].collect().toSet == expect)
+  }
+}

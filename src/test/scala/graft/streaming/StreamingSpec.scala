@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** ST-series: the EventOps transforms run identically in batch (oracle-
+  * verified) and streaming; doc maintenance converges under at-least-once
+  * redelivery.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tumbling window over readStream equals the batch result") {
+    val batchDf = Tables.events(spark, sf())
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val src = batchDf.select($"event_id", $"ts", $"event_type", $"value")
+    src.write.mode("overwrite").parquet(dir)
+    val streamDf = spark.readStream.schema(src.schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+    val q = EventOps.tumbling(streamDf, col("ts"), "1 hour", col("event_type"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("ws"),
+        col("event_type"), col("n"), col("total"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("tumbling_out")
+      .as[(String, String, Long, Double)].collect().toSet
+    val batch = EventOps.tumbling(batchDf, col("ts"), "1 hour", col("event_type"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("ws"),
+        col("event_type"), col("n"), col("total"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("latestByKey is idempotent under redelivery (at-least-once ST3)") {
+    val batch1 = Seq((1L, "k1", 10, "v1"), (2L, "k1", 20, "v2"), (3L, "k2", 5, "x"))
+      .toDF("event_id", "key", "ver", "payload")
+    val redelivered = batch1.unionByName(batch1) // duplicate delivery
+    def compact(df: org.apache.spark.sql.DataFrame) =
+      EventOps.latestByKey(df, col("key"),
+        Seq(col("ver").desc, col("event_id").desc))
+        .select("key", "ver", "payload")
+    assert(compact(redelivered).collect().toSet == compact(batch1).collect().toSet)
+    assert(compact(batch1).as[(String, Int, String)].collect().toSet ==
+      Set(("k1", 20, "v2"), ("k2", 5, "x")))
+  }
+
+  test("sessionize splits on gap and keeps within-gap events together") {
+    val t0 = 1700000000000000L // micros
+    val rows = Seq(
+      (1L, 100L, t0),
+      (2L, 100L, t0 + 60L * 1000000),            // +1 min  → same session
+      (3L, 100L, t0 + 3600L * 1000000),          // +1 h    → new session
+      (4L, 200L, t0))
+      .map { case (id, u, us) =>
+        (id, u, new java.sql.Timestamp(us / 1000))
+      }.toDF("event_id", "user_id", "ts")
+    val got = EventOps.sessionize(rows, col("user_id"), col("ts"),
+        gapMicros = 1800L * 1000000)
+      .groupBy("user_id", "session_seq").count()
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((100L, 1L, 2L), (100L, 2L, 1L), (200L, 1L, 1L)))
+  }
+}
