@@ -15,7 +15,8 @@ object SparkEntry {
 
   private def all: Seq[QueryDef] =
     CoreQueries.defs ++ JoinAggQueries.defs ++ GraphQueries.defs ++
-      StreamQueries.defs ++ LlmQueries.defs ++ ApiQueries.defs
+      StreamQueries.defs ++ LlmQueries.defs ++ ApiQueries.defs ++
+      CoverageQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the J1 document-enrichment join (fact ⋈ broadcast dims ⋈ detail agg). */

@@ -74,6 +74,33 @@ object DocMaintenance {
       .unionByName(updates)
   }
 
+  /** ST7/S8 — S3-eventual-consistency reconciliation: objects that arrive
+    * for unknown assets get the asset auto-created (get-or-create,
+    * sqsBucketSync.py:592-741). Returns the asset rows to insert —
+    * a streaming left-anti join against current truth. */
+  def reconcileUnknownAssets(s3Objects: DataFrame, assets: DataFrame): DataFrame =
+    s3Objects
+      .join(assets.select("databaseId", "assetId"),
+        Seq("databaseId", "assetId"), "left_anti")
+      .select(col("databaseId"), col("assetId"),
+        col("assetId").as("assetName"),
+        graft.core.Codecs.fileExtension(col("objectKey")).as("assetType"),
+        lit(false).as("archived"))
+      .distinct()
+
+  /** ST8/W7 — auto-execute a workflow when files arrive: per micro-batch,
+    * submit each (db, asset) once (sqsAutoExecuteWorkflow shape). */
+  def autoExecOnArrival(
+      newFiles: DataFrame,
+      submit: (String, String) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newFiles.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select("databaseId", "assetId").distinct().collect()
+          .foreach(r => submit(r.getString(0), r.getString(1)))
+      }
+      .start()
+
   /** Run a CDC source as a Structured Streaming query into a doc-table
     * sink directory, applying the incremental rebuild per micro-batch.
     * (Parquet-based stand-in for the Delta `MERGE INTO` foreachBatch.) */

@@ -54,6 +54,34 @@ class DocMaintenanceSpec extends SparkSpec {
     assert(rebuilt.select("_docId").as[String].collect().toSeq == Seq("db1#a2"))
   }
 
+  test("reconcileUnknownAssets auto-creates rows for unknown keys (ST7/S8)") {
+    val s3 = Seq(
+      ("db1", "a1", "scene.gltf"),
+      ("db1", "aNew", "fresh.obj"),
+      ("db1", "aNew", "fresh.mtl"))
+      .toDF("databaseId", "assetId", "objectKey")
+    val assets = Seq(("db1", "a1")).toDF("databaseId", "assetId")
+    val created = DocMaintenance.reconcileUnknownAssets(s3, assets)
+      .orderBy("assetType")
+      .as[(String, String, String, String, Boolean)].collect().toSeq
+    assert(created.map(_._2).toSet == Set("aNew"))
+    assert(created.map(_._4).sorted == Seq("mtl", "obj"))
+  }
+
+  test("autoExecOnArrival submits one workflow per (db, asset) batch (ST8/W7)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-arrival").toString
+    val files = Seq(("db1", "a1", "f1"), ("db1", "a1", "f2"), ("db2", "a2", "g1"))
+      .toDF("databaseId", "assetId", "fileKey")
+    files.write.mode("overwrite").parquet(dir)
+    val submitted = scala.collection.concurrent.TrieMap.empty[(String, String), Int]
+    val stream = spark.readStream.schema(files.schema).parquet(dir)
+    val q = DocMaintenance.autoExecOnArrival(stream,
+      (db, a) => { submitted.updateWith((db, a))(v => Some(v.getOrElse(0) + 1)); () })
+    try q.processAllAvailable() finally q.stop()
+    assert(submitted.keySet == Set(("db1", "a1"), ("db2", "a2")))
+    assert(submitted.values.forall(_ == 1))
+  }
+
   test("mergeDocs: updates win, removes drop, redelivery converges (S9/ST3)") {
     val current = Seq(("d1", "old1"), ("d2", "old2"), ("d3", "old3"))
       .toDF("_docId", "payload")
