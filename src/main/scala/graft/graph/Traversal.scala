@@ -23,26 +23,35 @@ import org.apache.spark.sql.functions._
   */
 object Traversal {
 
-  /** All descendants of `root` with depth and full path; cycle-safe. */
+  /** All descendants of `root` with depth and full path; cycle-safe.
+    *
+    * Each level is persisted and counted ONCE — the count doubles as the
+    * termination check and the cache materialization, so the final
+    * union-tree action reads every level from cache instead of
+    * recomputing the whole prefix per level (one job per level total).
+    */
   def descendants(edges: DataFrame, root: String, maxDepth: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    val e = edges.select(col("parent"), col("child"))
+    val e = edges.select(col("parent"), col("child")).persist()
     var frontier = Seq((root, 0, root)).toDF("node", "depth", "path")
-    var acc = frontier
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
-      frontier = frontier
+    var n = 1L
+    while (depth < maxDepth && n > 0) {
+      val next = frontier
         .join(e, frontier("node") === e("parent"))
         .filter(!concat(lit("/"), col("path"), lit("/")).contains(
           concat(lit("/"), col("child"), lit("/"))))
         .select(col("child").as("node"), (col("depth") + 1).as("depth"),
           concat(col("path"), lit("/"), col("child")).as("path"))
-      if (depth % 4 == 3) frontier = frontier.localCheckpoint(eager = true)
-      acc = acc.unionByName(frontier)
+        .persist()
+      n = next.count()
+      if (n > 0) levels += next
+      frontier = next
       depth += 1
     }
-    acc
+    levels.reduce(_ unionByName _)
   }
 }

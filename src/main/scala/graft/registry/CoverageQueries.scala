@@ -45,11 +45,14 @@ object CoverageQueries {
         |              WHERE c.l_orderkey = a.l_orderkey AND c.v LIKE '%2%')
         |ORDER BY l_orderkey""")(
       (s, d) => {
-        // last-writer-wins dedup per key, matching the reference's pivot
-        val kv = t(s, d, "lineitem").groupBy(
-            col("l_orderkey"),
-            concat(lit("line_"), col("l_linenumber")).as("k"))
+        // last-writer-wins dedup per key (reference pivot semantics);
+        // grouped on the numeric key, the string map key derived after —
+        // the 600k-row shuffle carries ints, not concat'd strings
+        val kv = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"), col("l_linenumber"))
           .agg(max(col("l_quantity").cast("int")).cast("string").as("v"))
+          .select(col("l_orderkey"),
+            concat(lit("line_"), col("l_linenumber")).as("k"), col("v"))
         val md = kv.groupBy("l_orderkey")
           .agg(map_from_entries(collect_list(struct(col("k"), col("v")))).as("MD"))
         md.filter(map_contains_key(col("MD"), "line_3") &&

@@ -162,8 +162,8 @@ object LlmQueries {
         // by several downstream branches (bands, est×2); without an eager
         // build, concurrent stages of the single final action race to
         // compute the cache 2-3× (measured 24 s vs 8 s at sf0.1).
+        // sig.count() materializes gh and sig in one chain.
         val gh = gramHashes(s, d).persist()
-        gh.count()
         val sig = gh.groupBy("doc_id")
           .agg(MinHash.minhash(col("g")).as("sig")).persist()
         sig.count()
