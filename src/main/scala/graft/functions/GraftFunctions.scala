@@ -37,6 +37,8 @@ object GraftFunctions {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
+      // toDoubleArray is one copy per call; acceptable here (one call per
+      // corpus row, not per pair — the pairwise hot paths below avoid it)
       val v = input.asInstanceOf[ArrayData].toDoubleArray()
       val tables = Similarity.LshTables
       val bits = Similarity.LshBits
@@ -64,25 +66,48 @@ object GraftFunctions {
   }
 
   /** Cosine similarity of two array<double> columns; the three inner
-    * products fold sequentially, exactly like the HOF/oracle versions. */
+    * products fold sequentially, exactly like the HOF/oracle versions.
+    * Reads `ArrayData` in place (no per-call copy — this runs once per
+    * PAIR inside nested-loop/window plans, where a copy per call is 2×
+    * the array bytes in allocation alone). */
   case class CosineSimExpr(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData].toDoubleArray()
-      val b = r.asInstanceOf[ArrayData].toDoubleArray()
-      val n = math.min(a.length, b.length)
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val la = a.numElements(); val lb = b.numElements()
+      val n = math.min(la, lb)
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
-      while (i < n) { dot += a(i) * b(i); i += 1 }
+      while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
       i = 0
-      while (i < a.length) { na += a(i) * a(i); i += 1 }
+      while (i < la) { val x = a.getDouble(i); na += x * x; i += 1 }
       i = 0
-      while (i < b.length) { nb += b(i) * b(i); i += 1 }
+      while (i < lb) { val x = b.getDouble(i); nb += x * x; i += 1 }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): CosineSimExpr = copy(l, r)
+  }
+
+  /** Plain sequential-fold dot product of two array<double> columns —
+    * for plans that precompute per-vector norms once instead of
+    * re-deriving them per pair (same fold order as the HOF/oracle). */
+  case class DotExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+      dot
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): DotExpr = copy(l, r)
   }
 
   /** Idempotent per-session registration. */
@@ -92,5 +117,7 @@ object GraftFunctions {
       es => LshBucketsExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine",
       es => CosineSimExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dot",
+      es => DotExpr(es(0), es(1)), "scala_udf")
   }
 }
