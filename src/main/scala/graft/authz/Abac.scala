@@ -38,9 +38,14 @@ object Abac {
   /** Compile one criterion against a schema-aware field resolver.
     * Array-typed columns get membership semantics for is_one_of
     * (reference: tag criteria hit `list_tags`). */
-  def criterion(df: DataFrame, c: Criterion): Column = {
-    val col0 = df.col(c.field)
-    val isArray = df.schema.fields
+  def criterion(df: DataFrame, c: Criterion): Column =
+    criterionOf(df.schema, df.col(c.field), c)
+
+  /** Schema-based variant — used by the auto-injection rule where there
+    * is no DataFrame, only a logical relation's schema; `col0` may be an
+    * unresolved column (resolved later against the relation output). */
+  def criterionOf(schema: StructType, col0: Column, c: Criterion): Column = {
+    val isArray = schema.fields
       .find(_.name == c.field).exists(_.dataType.isInstanceOf[ArrayType])
     c.operator match {
       case "equals"           => col0 === lit(c.value)
@@ -59,10 +64,18 @@ object Abac {
   }
 
   /** Compile a full policy to a single row predicate. */
-  def compile(df: DataFrame, p: Policy): Column = {
+  def compile(df: DataFrame, p: Policy): Column =
+    compileOf(df.schema, n => df.col(n), p)
+
+  /** Schema-based policy compile with a caller-supplied column resolver
+    * (for DataFrames: `df.col`; for logical plans: `functions.col`,
+    * resolved against the relation output by the injection rule). */
+  def compileOf(schema: StructType, resolve: String => Column, p: Policy): Column = {
     def ruleSet(rules: Seq[Seq[Criterion]]): Option[Column] =
       if (rules.isEmpty) None
-      else Some(rules.map(r => r.map(criterion(df, _)).reduce(_ && _)).reduce(_ || _))
+      else Some(rules.map(r =>
+        r.map(c => criterionOf(schema, resolve(c.field), c)).reduce(_ && _))
+        .reduce(_ || _))
     val allow = ruleSet(p.allow).getOrElse(lit(false)) // no allow rule ⇒ deny
     val deny  = ruleSet(p.deny).getOrElse(lit(false))
     allow && !deny
@@ -70,4 +83,49 @@ object Abac {
 
   /** Apply as a pushed-down filter. */
   def enforce(df: DataFrame, p: Policy): DataFrame = df.filter(compile(df, p))
+
+  // ── Catalyst-Expression compiler (used by the auto-injection rule,
+  // where the predicate must drop into an already-analyzed plan — the
+  // Column DSL builds name-resolved UnresolvedFunctions, which never
+  // pass through the analyzer inside an optimizer rule).
+
+  import org.apache.spark.sql.catalyst.expressions.{
+    And, ArraysOverlap, Contains, CreateArray, EndsWith, EqualTo,
+    Expression, In, Literal, Not, Or, StartsWith}
+
+  /** One criterion as a Catalyst Expression over a resolved attribute. */
+  def criterionExpr(schema: StructType, attr: Expression, c: Criterion): Expression = {
+    val isArray = schema.fields
+      .find(_.name == c.field).exists(_.dataType.isInstanceOf[ArrayType])
+    def l(s: String) = Literal(s)
+    c.operator match {
+      case "equals"           => EqualTo(attr, l(c.value))
+      case "contains"         => Contains(attr, l(c.value))
+      case "does_not_contain" => Not(Contains(attr, l(c.value)))
+      case "starts_with"      => StartsWith(attr, l(c.value))
+      case "ends_with"        => EndsWith(attr, l(c.value))
+      case "is_one_of" =>
+        if (isArray) ArraysOverlap(attr, CreateArray(c.values.map(l)))
+        else In(attr, c.values.map(l))
+      case "is_not_one_of" =>
+        if (isArray) Not(ArraysOverlap(attr, CreateArray(c.values.map(l))))
+        else Not(In(attr, c.values.map(l)))
+      case op => throw new IllegalArgumentException(s"unknown criterion op $op")
+    }
+  }
+
+  /** Full policy as a Catalyst Expression; `resolve` maps a field name
+    * to the target relation's attribute. Same effect resolution as
+    * [[compile]]: some(allow) && !some(deny). */
+  def compileExpr(schema: StructType, resolve: String => Expression,
+      p: Policy): Expression = {
+    def ruleSet(rules: Seq[Seq[Criterion]]): Option[Expression] =
+      if (rules.isEmpty) None
+      else Some(rules.map(r =>
+        r.map(c => criterionExpr(schema, resolve(c.field), c))
+          .reduce(And(_, _))).reduce(Or(_, _)))
+    val allow = ruleSet(p.allow).getOrElse(Literal(false))
+    val deny  = ruleSet(p.deny).getOrElse(Literal(false))
+    And(allow, Not(deny))
+  }
 }
