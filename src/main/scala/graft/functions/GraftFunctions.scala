@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -110,6 +110,44 @@ object GraftFunctions {
         l: Expression, r: Expression): DotExpr = copy(l, r)
   }
 
+  /** `graft_nearest_centroids(vec, centroidMatrix, n)` — ids (row
+    * indices into the matrix) of the `n` centroids with highest cosine
+    * similarity to `vec`, best first; ties broken by lower id. The
+    * matrix arrives as a literal array<array<double>> (broadcast by
+    * value — IVF centroid sets are tiny next to the corpus), so corpus
+    * assignment is a NARROW pass: no join, no shuffle. */
+  case class NearestCentroidsExpr(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v0: Any, m0: Any, n0: Any): Any = {
+      val v = v0.asInstanceOf[ArrayData]
+      val m = m0.asInstanceOf[ArrayData]
+      val n = n0.asInstanceOf[Int]
+      val k = m.numElements()
+      val sims = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val cent = m.getArray(c)
+        val d = math.min(v.numElements(), cent.numElements())
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < d) {
+          val x = v.getDouble(i); val y = cent.getDouble(i)
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        sims(c) = if (na == 0.0 || nb == 0.0) -2.0
+                  else dot / (math.sqrt(na) * math.sqrt(nb))
+        c += 1
+      }
+      val order = Array.range(0, k).sortBy(i => (-sims(i), i))
+      new GenericArrayData(order.take(math.min(n, k)))
+    }
+    override protected def withNewChildrenInternal(
+        a: Expression, b: Expression, c: Expression): NearestCentroidsExpr =
+      copy(a, b, c)
+  }
+
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -119,5 +157,7 @@ object GraftFunctions {
       es => CosineSimExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot",
       es => DotExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_nearest_centroids",
+      es => NearestCentroidsExpr(es(0), es(1), es(2)), "scala_udf")
   }
 }

@@ -84,6 +84,87 @@ object Similarity {
   def lshBucketArray(vec: Column): Column =
     call_function("graft_lsh_buckets", vec)
 
+  /** IVF (inverted-file) ANN — the second scale path beside LSH.
+    *
+    * Training: k-means with a deterministic init (every `stride`-th
+    * vector by id) and `iters` Lloyd iterations; the element-wise
+    * centroid mean is a distributed `posexplode → groupBy(cid, pos)`
+    * aggregation (scales to any corpus; only k×dim numbers ever reach
+    * the driver). Assignment is a NARROW pass: centroids travel as a
+    * broadcast literal into [[graft.functions.GraftFunctions.NearestCentroidsExpr]],
+    * so the corpus never shuffles for list building. Search probes the
+    * `nprobe` nearest lists per query and exact-cosine re-ranks inside
+    * them — candidate volume ≈ nprobe/k of the corpus.
+    */
+  val IvfCentroids = 16
+  val IvfProbes = 4
+  val IvfIters = 2
+
+  /** Train centroids; returns k rows of `Array[Double]` (dense means). */
+  def kmeansCentroids(vecs: DataFrame, k: Int = IvfCentroids,
+      iters: Int = IvfIters): Array[Array[Double]] = {
+    val spark = vecs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val n = vecs.count()
+    val stride = math.max(1L, n / k)
+    var cents: Array[Array[Double]] = vecs
+      .filter(col("vec_id") % stride === 0)
+      .orderBy("vec_id").limit(k)
+      .select(asDouble(col("embedding")).as("e"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val centLit = typedLit(cents.map(_.toSeq).toSeq)
+      val assigned = vecs.select(
+        element_at(call_function("graft_nearest_centroids",
+          asDouble(col("embedding")), centLit, lit(1)), 1).as("cid"),
+        asDouble(col("embedding")).as("e"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .groupBy("cid").agg(map_from_entries(
+          collect_list(struct(col("pos"), col("m")))).as("byPos"))
+        .collect()
+      val updated = cents.clone()
+      means.foreach { row =>
+        val cid = row.getInt(0)
+        val byPos = row.getMap[Int, Double](1)
+        updated(cid) = Array.tabulate(cents(cid).length)(i =>
+          byPos.getOrElse(i, cents(cid)(i)))
+      }
+      cents = updated
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF ANN search: assign corpus to lists (narrow), probe nprobe
+    * lists per query, exact re-rank. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nCentroids: Int = IvfCentroids, nprobe: Int = IvfProbes): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val cents = kmeansCentroids(candidates, nCentroids)
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    val c = candidates.select(col("vec_id").as("cand_id"),
+        asDouble(col("embedding")).as("c_vec"))
+      .withColumn("cid", element_at(call_function("graft_nearest_centroids",
+        col("c_vec"), centLit, lit(1)), 1))
+    val q = queries.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("q_vec"))
+    val probes = q.select(col("q_id"), col("q_vec"),
+      explode(call_function("graft_nearest_centroids",
+        col("q_vec"), centLit, lit(nprobe))).as("cid"))
+    probes.join(c, Seq("cid"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id").asc)))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "cand_id", "sim")
+  }
+
   /** Approximate NN: candidates = any-table bucket collision (equi-join
     * on (table, bucket) — at 100 TB this shuffles only (id, bucket) pairs
     * and each bucket is a small local problem), exact cosine re-rank. */

@@ -336,6 +336,16 @@ object LlmQueries {
           .orderBy("q_id", "rank")
       }),
 
+    // ── IVF ANN (second scale path): distributed k-means lists,
+    //    narrow broadcast-literal assignment, nprobe-list search.
+    //    Verified in specs for recall against the brute baseline.
+    rowsOnly("llm_sim_ivf")(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5)
+          .orderBy("q_id", "rank")
+      }),
+
     // ── Language-ID heuristic: marker-stopword hits per language,
     //    fixed-precedence argmax.
     sql("llm_text_langid",

@@ -75,6 +75,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF top-k: deterministic, k rows per query, useful recall") {
+    val e = Tables.embeddings(spark, sf())
+    val queries = e.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(queries, e, k = 5)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivf1 = Similarity.ivfTopK(queries, e, k = 5)
+      .select("q_id", "rank", "cand_id").as[(Long, Int, Long)].collect()
+    val ivf2 = Similarity.ivfTopK(queries, e, k = 5)
+      .select("q_id", "rank", "cand_id").as[(Long, Int, Long)].collect()
+    assert(ivf1.sortBy(r => (r._1, r._2)).toSeq ===
+      ivf2.sortBy(r => (r._1, r._2)).toSeq) // deterministic train+search
+    val pairs = ivf1.map(r => (r._1, r._3)).toSet
+    val recall = (brute intersect pairs).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall too low") // nprobe 4 of 16 lists
+    // every query returns k rows (probed lists are never empty at k=5)
+    val perQuery = ivf1.groupBy(_._1).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ == 5))
+  }
+
   test("custom Catalyst expressions match the HOF reference bit-exactly") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sf())
