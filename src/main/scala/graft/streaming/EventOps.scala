@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Event-stream transforms. Each works identically on a batch DataFrame
   * (how the DuckDB oracle checks them) and on a streaming DataFrame
@@ -43,6 +44,42 @@ object EventOps {
       .otherwise(when(lag(unix_micros(ts), 1).over(w).isNull, 1).otherwise(0))
     df.withColumn("session_seq",
       sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Stateful sessionization — the `flatMapGroupsWithState` twin of
+    * [[sessionize]]: a per-key state machine `(current seq, last ts)`
+    * assigns each event its session number. Runs identically over a
+    * batch `Dataset` (how the spec proves it equals the window-function
+    * form, which the DuckDB oracle checks) and over `readStream`
+    * micro-batches, where the state persists in the state store between
+    * batches. Events are ordered (ts, event_id) inside each group/batch;
+    * cross-batch order follows arrival, matching the reference's
+    * last-writer-wins stance on late data (SURVEY ST5) — add a
+    * watermark+timeout to finalize sessions in production streams.
+    *
+    * At 100 TB: state is 16 bytes per active key, partitioned by the
+    * group key — the canonical KeyValueGroupedDataset scale shape. */
+  final case class SessionEvent(
+      user_id: Long, event_id: Long, tsMicros: Long)
+  final case class SessionAssigned(
+      user_id: Long, event_id: Long, tsMicros: Long, session_seq: Long)
+
+  def sessionizeStateful(ds: Dataset[SessionEvent], gapMicros: Long)
+      : Dataset[SessionAssigned] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), SessionAssigned](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, events, state) =>
+          var (seq, last) = state.getOption.getOrElse((0L, Long.MinValue))
+          val out = events.toSeq.sortBy(e => (e.tsMicros, e.event_id)).map { e =>
+            if (last == Long.MinValue || e.tsMicros - last > gapMicros) seq += 1
+            last = e.tsMicros
+            SessionAssigned(uid, e.event_id, e.tsMicros, seq)
+          }
+          state.update((seq, last))
+          out.iterator
+      }
   }
 
   /** ST3 — idempotent last-writer-wins upsert compaction: latest record

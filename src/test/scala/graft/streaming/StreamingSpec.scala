@@ -50,6 +50,48 @@ class StreamingSpec extends SparkSpec {
       Set(("k1", 20, "v2"), ("k2", 5, "x")))
   }
 
+  test("stateful (flatMapGroupsWithState) sessionization equals the window form") {
+    val ev = Tables.events(spark, sf())
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMicros"))
+      .as[EventOps.SessionEvent]
+    val gap = 1800L * 1000000
+    val stateful = EventOps.sessionizeStateful(ev, gap)
+      .select("user_id", "event_id", "session_seq")
+      .as[(Long, Long, Long)].collect().toSet
+    val windowed = EventOps.sessionize(Tables.events(spark, sf()),
+        col("user_id"), col("ts"), gap)
+      .select(col("user_id"), col("event_id"), col("session_seq").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stateful == windowed)
+    assert(stateful.nonEmpty)
+  }
+
+  test("stateful sessionization over readStream matches batch (single replay)") {
+    val ev = Tables.events(spark, sf())
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMicros"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    ev.write.mode("overwrite").parquet(dir)
+    val streamed = EventOps.sessionizeStateful(
+      spark.readStream.schema(ev.schema).parquet(dir).as[EventOps.SessionEvent],
+      1800L * 1000000)
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("sess_out")
+      .select("user_id", "event_id", "session_seq")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = EventOps.sessionizeStateful(
+      Tables.events(spark, sf())
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsMicros")).as[EventOps.SessionEvent],
+      1800L * 1000000)
+      .select("user_id", "event_id", "session_seq")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("sessionize splits on gap and keeps within-gap events together") {
     val t0 = 1700000000000000L // micros
     val rows = Seq(
