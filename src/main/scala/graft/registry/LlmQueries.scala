@@ -474,6 +474,67 @@ object LlmQueries {
           .orderBy("doc_id")
       }),
 
+    // ── PII detection + redaction: regex detectors (email, phone) with
+    //    counts and a redacted payload. The synthetic corpus contains no
+    //    PII, so a deterministic contact suffix derived from doc_id is
+    //    appended first — both engines see the identical payload. Pure
+    //    codegen'd row expressions; at 100 TB this is a narrow scan.
+    sql("llm_text_pii",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
+        |         '@example.com tel +1-555-' ||
+        |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS payload
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(payload,
+        |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+        |         AS n_emails,
+        |       CAST(len(regexp_extract_all(payload,
+        |         '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |       md5(regexp_replace(regexp_replace(payload,
+        |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |         '\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS redacted_sig
+        |FROM p ORDER BY doc_id""")(
+      (s, d) => {
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phoneRe = "\\+1-555-[0-9]{4}"
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            concat(col("text"), lit(" contact: user"),
+              col("doc_id").cast("string"), lit("@example.com tel +1-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+              .as("payload"))
+          .select(col("doc_id"),
+            regexp_count(col("payload"), lit(emailRe)).cast("long").as("n_emails"),
+            regexp_count(col("payload"), lit(phoneRe)).cast("long").as("n_phones"),
+            md5(regexp_replace(
+              regexp_replace(col("payload"), emailRe, "[EMAIL]"),
+              phoneRe, "[PHONE]")).as("redacted_sig"))
+          .orderBy("doc_id")
+      }),
+
+    // ── Winnowing-style rolling-hash fingerprint: per-doc minimum and
+    //    bottom-3 of the 3-gram window hashes (the standard bottom-k
+    //    sketch used for plagiarism-style containment). Reuses the
+    //    cached distinct gram-hash table — marginal cost is one small
+    //    groupBy.
+    sql("llm_text_winnow",
+      s"""WITH $ShingleCtes, ghd AS (
+        |  SELECT DISTINCT doc_id, g FROM gh
+        |)
+        |SELECT doc_id, CAST(MIN(g) AS BIGINT) AS min_hash,
+        |       array_to_string(list_slice(list(g ORDER BY g), 1, 3), ',')
+        |         AS bottom3
+        |FROM ghd GROUP BY doc_id ORDER BY doc_id""")(
+      (s, d) => gramSetRows(s, d)
+        .groupBy("doc_id")
+        .agg(min(col("g")).as("min_hash"),
+          array_join(slice(sort_array(collect_list(col("g"))), 1, 3), ",")
+            .as("bottom3"))
+        .orderBy("doc_id")),
+
     // ── Multimodal plumbing: binary payload + metadata → batched
     //    mapPartitions feature extraction (decode stubbed, deterministic).
     sql("llm_mm_features",

@@ -225,6 +225,79 @@ object MoreQueries {
           .orderBy("p_partkey")
       }),
 
+    // ── C13 phase-2: geo bounding-box + nearest-k over gp_ point fields
+    //    derived deterministically from entity keys. Exact-arithmetic
+    //    distance (squared degrees) keeps the ranking engine-stable; the
+    //    trig haversine is spec-verified instead (Geo.scala).
+    sql("c13_geo_bbox",
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |         CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.25 AS gp_lat,
+        |         CAST((c_custkey * 13) % 360 - 180 AS DOUBLE) AS gp_lon
+        |  FROM customer
+        |)
+        |SELECT c_custkey, gp_lat, gp_lon,
+        |       (gp_lat - 10.0) * (gp_lat - 10.0)
+        |         + (gp_lon - 20.0) * (gp_lon - 20.0) AS dist2
+        |FROM pts
+        |WHERE gp_lat BETWEEN -45.0 AND 45.0 AND gp_lon BETWEEN -90.0 AND 90.0
+        |ORDER BY dist2, c_custkey LIMIT 20""")(
+      (s, d) => {
+        val pts = t(s, d, "customer").select(col("c_custkey"),
+          ((col("c_custkey") % 180 - 90).cast("double") + 0.25).as("gp_lat"),
+          ((col("c_custkey") * 13) % 360 - 180).cast("double").as("gp_lon"))
+        pts
+          .filter(graft.query.Geo.inBBox(col("gp_lat"), col("gp_lon"),
+            -45.0, 45.0, -90.0, 90.0))
+          .withColumn("dist2", graft.query.Geo.sqDegreeDist(
+            col("gp_lat"), col("gp_lon"), 10.0, 20.0))
+          .orderBy(col("dist2"), col("c_custkey"))
+          .limit(20)
+          .select("c_custkey", "gp_lat", "gp_lon", "dist2")
+      }),
+
+    // ── §1.3 metadata-schema validation: required-key and
+    //    controlled-list violations over the long-form metadata table
+    //    (metadataSchemaService.py:343-494). Required = anti-join on the
+    //    required key; controlled list = value-set filter; one union of
+    //    violation rows.
+    sql("md_schema_validate",
+      """WITH kv AS (
+        |  SELECT l_orderkey AS entity,
+        |         'line_' || CAST(l_linenumber AS VARCHAR) AS k,
+        |         CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) AS v
+        |  FROM lineitem WHERE l_orderkey < 2000
+        |), ents AS (SELECT DISTINCT entity FROM kv),
+        |missing AS (
+        |  SELECT entity, 'missing_required:line_1' AS violation FROM ents
+        |  WHERE entity NOT IN (SELECT entity FROM kv WHERE k = 'line_1')
+        |), badvalue AS (
+        |  SELECT DISTINCT entity,
+        |         'not_in_controlled_list:' || k || '=' || v AS violation
+        |  FROM kv
+        |  WHERE k = 'line_1' AND CAST(v AS INTEGER) > 45
+        |)
+        |SELECT entity, violation FROM missing
+        |UNION ALL SELECT entity, violation FROM badvalue
+        |ORDER BY entity, violation""")(
+      (s, d) => {
+        val kv = t(s, d, "lineitem").filter(col("l_orderkey") < 2000)
+          .select(col("l_orderkey").as("entity"),
+            concat(lit("line_"), col("l_linenumber")).as("k"),
+            col("l_quantity").cast("int").cast("string").as("v"))
+        val ents = kv.select("entity").distinct()
+        val having = kv.filter(col("k") === "line_1").select("entity").distinct()
+        val missing = ents.join(having, Seq("entity"), "left_anti")
+          .withColumn("violation", lit("missing_required:line_1"))
+        val badValue = kv
+          .filter(col("k") === "line_1" && col("v").cast("int") > 45)
+          .select(col("entity"),
+            concat(lit("not_in_controlled_list:"), col("k"), lit("="), col("v"))
+              .as("violation"))
+          .distinct()
+        missing.unionByName(badValue).orderBy("entity", "violation")
+      }),
+
     // ── Embedding-cosine near-dup dedup (BASELINE addition): exact
     //    pairwise baseline — every pair ≥ τ, each duplicate assigned to
     //    its lowest-id partner (earliest copy wins). The pair join
