@@ -74,11 +74,26 @@ object SearchApi {
       case None => filtered.withColumn("_score", lit(0.0))
     }
 
+    // F15/F16 — optional per-hit highlight fragments and the
+    // match-explanation struct (matched fields + score contribution),
+    // derived columns on the already-filtered frame.
+    val decorated = (req.query, req.explain) match {
+      case (Some(q), true) =>
+        val withExp = scored.withColumn("_explanation",
+          graft.query.Fields.explanation(
+            ScoredFields.filter(f => fieldsPresent(f._1)), q))
+        ScoredFields.map(_._1).filter(fieldsPresent)
+          .foldLeft(withExp) { (df, f) =>
+            df.withColumn(s"${f}_highlight", QC.highlight(col(f), q))
+          }
+      case _ => scored
+    }
+
     // Deterministic total order: requested sort, then score, then doc id
     // (SURVEY §7.5.4 — the reference's dual-index ordering is broken).
     val sortCols = QC.sortCols(req.sort, fieldCol) ++
       Seq(col("_score").desc, col("_docId").asc)
-    val page = QC.paginate(scored.orderBy(sortCols: _*), req.from, req.size)
+    val page = QC.paginate(decorated.orderBy(sortCols: _*), req.from, req.size)
 
     // A1-A3 facets on the SAME filtered frame (single plan reuse).
     val facetField =

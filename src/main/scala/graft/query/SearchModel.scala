@@ -23,7 +23,8 @@ final case class SearchRequest(
     includeArchived: Boolean = false,          // F9
     sort: Seq[SortField] = Nil,                // O1
     from: Int = 0,                             // O4
-    size: Int = 100)
+    size: Int = 100,
+    explain: Boolean = false)                  // F15/F16 highlight+explanation
 
 /** handlers/search/search.py:1305-1371 — one sort key. */
 final case class SortField(field: String, descending: Boolean = false)

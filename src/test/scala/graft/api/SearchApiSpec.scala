@@ -31,6 +31,20 @@ class SearchApiSpec extends SparkSpec {
       .filter(col("str_key").isNull).count() == 4)
   }
 
+  test("explain=true decorates hits with highlights and match explanation") {
+    val res = SearchApi.search(assetDocs,
+      SearchRequest(query = Some("red"), explain = true))
+    val row = res.hits
+      .filter(col("str_assetid") === "a1")
+      .select(col("str_assetname_highlight"),
+        array_join(col("_explanation.matched_fields"), ",").as("mf"),
+        col("_explanation.score"))
+      .as[(String, String, Double)].collect().head
+    assert(row._1 == "[Red] Rocket")
+    assert(row._2 == "str_assetname")
+    assert(row._3 == 3.0)
+  }
+
   test("free text scores, cuts by min-score, and excludes archived") {
     val res = SearchApi.search(assetDocs, SearchRequest(query = Some("red")))
     val hits = res.hits.select("str_assetid", "_score")
