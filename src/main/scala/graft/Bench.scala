@@ -66,7 +66,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // oracle_value: subtotal over queries that HAVE a DuckDB oracle —
+    // the apples-to-apples number against the oracle-runtime baseline
+    // (rows-only operators like the ANN scale paths have no DuckDB twin)
+    val oracleKeys = SparkEntry.oracleSql.keySet
+    val oracleTotal = results.collect { case (k, v) if oracleKeys(k) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","oracle_value":$oracleTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -129,12 +129,17 @@ object LlmQueries {
       (s, d) => {
         val ghd = gramSetRows(s, d)
         val docsets = docGramStats(s, d)
-        // Self-join on the gram hash; ghd is cached so both sides reuse
-        // one exchange (ReusedExchange). Measured faster than per-gram
+        // Self-join on the gram hash with the build side BROADCAST: the
+        // distinct (doc, gram-hash) table is two longs per row — far
+        // below broadcast thresholds at the exact-baseline scales where
+        // this operator is appropriate (beyond that, the MinHash path
+        // replaces it entirely, see header note). Pair generation then
+        // runs without any exchange; the only shuffle left is the
+        // partial-aggregated pair count. Measured faster than per-gram
         // doc-list grouping + HOF pair explosion (0.76 s vs 1.31 s).
         val a = ghd.select(col("doc_id").as("a_id"), col("g"))
         val b = ghd.select(col("doc_id").as("b_id"), col("g"))
-        val shared = a.join(b, Seq("g"))
+        val shared = a.join(broadcast(b), Seq("g"))
           .filter(col("a_id") < col("b_id"))
           .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
         val jac = col("shared").cast("double") /
