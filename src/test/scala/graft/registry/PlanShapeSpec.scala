@@ -1,0 +1,69 @@
+package graft.registry
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions for the scale-critical queries: the
+  * plans must actually broadcast dimensions, push predicates into the
+  * parquet scan, prune columns, and partial-aggregate before shuffles —
+  * not just produce correct rows. These are the properties that decide
+  * whether the same plan survives a 100 TB input.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf())
+      .queryExecution.executedPlan.toString
+
+  test("J1 doc enrichment broadcasts its dimension tables") {
+    val p = plan("j1_doc_enrichment")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("S4 secondary-path scan pushes the key predicate to parquet") {
+    val p = plan("s4_gsi_scan")
+    assert(p.contains("PushedFilters:") &&
+      (p.contains("GreaterThanOrEqual(l_partkey") ||
+       p.contains("ReadSchema") && p.contains("l_partkey")), p.take(2000))
+  }
+
+  test("S1 point lookup pushes both key equalities") {
+    val p = plan("s1_point_lookup")
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo"), p.take(2000))
+  }
+
+  test("projection prunes the parquet read schema (F14)") {
+    val p = plan("s4_gsi_scan")
+    // only the selected + filtered columns are read, not the full table
+    assert(!p.contains("l_comment") && !p.contains("l_returnflag"),
+      p.take(2000))
+  }
+
+  test("facets partial-aggregate before the exchange (A1)") {
+    val p = plan("a1_facets")
+    val exchangeIdx = p.indexOf("Exchange")
+    val partialIdx = p.indexOf("partial_count")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"expected map-side partial agg below the Exchange:\n${p.take(2000)}")
+  }
+
+  test("ABAC predicate is pushed into the scan, not post-filtered (F11)") {
+    val p = plan("f11_abac")
+    assert(p.contains("PushedFilters:") &&
+      (p.contains("StringEndsWith") || p.contains("In(c_mktsegment")),
+      p.take(2000))
+  }
+
+  test("ngram pair join broadcasts the hash side") {
+    val p = plan("llm_dedup_ngram_jaccard")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("no Scala UDFs anywhere in the flagship plans") {
+    Seq("j1_doc_enrichment", "search_advanced", "a1_facets",
+      "f7_metadata_kv", "llm_text_quality").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$q contains a UDF:\n${p.take(1500)}")
+    }
+  }
+}
