@@ -331,8 +331,11 @@ object MoreQueries {
           .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
         val a = v.select(col("vec_id").as("keep_id"), col("e").as("ea"),
           col("nrm").as("na"))
+        // the corpus parquet is one file → one partition; spread the
+        // stream side so the O(n²) pair scan uses every core (the
+        // broadcast side is unaffected)
         val b = v.select(col("vec_id").as("dup_id"), col("e").as("eb"),
-          col("nrm").as("nb"))
+          col("nrm").as("nb")).repartition(col("dup_id"))
         broadcast(a).join(b, col("keep_id") < col("dup_id"))
           .withColumn("sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
           .filter(col("sim") >= 0.45)
