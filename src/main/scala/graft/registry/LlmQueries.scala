@@ -61,35 +61,32 @@ object LlmQueries {
       .persist()
   }
 
-  /** Distinct (doc_id, g) rows, persisted — one computation serves the
-    * ngram-Jaccard AND MinHash queries (identical plan → one cache
-    * entry). The distinct matters for exactness: a 60-bit collision
-    * inside one doc must count once, same as the oracle's DISTINCT.
-    * The eager count materializes arrays → gh → ghd in a single job
-    * chain (each persist marker fills as the pass flows through it). */
-  private def gramSetRows(s: SparkSession, d: String): DataFrame = {
-    val ghd = gramHashes(s, d).select("doc_id", "g").distinct().persist()
-    ghd.count()
-    ghd
-  }
-
-  /** Per-doc gram-set stats in ONE aggregation pass over ghd: sorted
-    * gram-hash set, cardinality, and the 64-slot MinHash signature —
-    * sizes/verify/estimate all come from this single shuffle. ~docs ×
-    * (set + 64) longs — small enough to BROADCAST, which turns every
-    * "attach sizes / exact-verify a candidate pair" step into a
-    * shuffle-free broadcast join + array_intersect. At 100 TB the
-    * equivalent is a bucketed side table; the pair-verify stays a
-    * narrow map-side operation either way. */
+  /** Per-doc gram-set stats in ONE aggregation pass straight off the
+    * gram-hash rows — the dedup that the oracle writes as DISTINCT
+    * happens inside `collect_set`, and the MinHash fold is
+    * duplicate-insensitive, so no separate distinct exchange exists at
+    * all: sorted gram-hash set, cardinality, and the 64-slot signature
+    * come out of ONE shuffle on doc_id. ~docs × (set + 64) longs —
+    * small enough to BROADCAST, which turns every "attach sizes /
+    * exact-verify a candidate pair" step into a shuffle-free broadcast
+    * join + array_intersect. At 100 TB the equivalent is a bucketed
+    * side table; the pair-verify stays a narrow map-side operation
+    * either way. */
   private def docGramStats(s: SparkSession, d: String): DataFrame = {
-    val ds = gramSetRows(s, d).groupBy("doc_id")
-      .agg(sort_array(collect_list(col("g"))).as("gs"),
-        count(lit(1)).as("n"),
+    val ds = gramHashes(s, d).groupBy("doc_id")
+      .agg(sort_array(collect_set(col("g"))).as("gs"),
         MinHash.minhash(col("g")).as("sig"))
+      .withColumn("n", size(col("gs")).cast("long"))
       .persist()
     ds.count()
     ds
   }
+
+  /** Distinct (doc_id, g) rows for pair generation — a NARROW explode of
+    * the cached per-doc sets (no distinct exchange; the set was already
+    * deduped inside docGramStats' aggregation). */
+  private def gramSetRows(s: SparkSession, d: String): DataFrame =
+    docGramStats(s, d).select(col("doc_id"), explode(col("gs")).as("g"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -533,11 +530,12 @@ object LlmQueries {
         |       array_to_string(list_slice(list(g ORDER BY g), 1, 3), ',')
         |         AS bottom3
         |FROM ghd GROUP BY doc_id ORDER BY doc_id""")(
-      (s, d) => gramSetRows(s, d)
-        .groupBy("doc_id")
-        .agg(min(col("g")).as("min_hash"),
-          array_join(slice(sort_array(collect_list(col("g"))), 1, 3), ",")
-            .as("bottom3"))
+      (s, d) => docGramStats(s, d)
+        // the per-doc set is already sorted ascending — the sketch is a
+        // narrow projection, zero shuffles
+        .select(col("doc_id"),
+          element_at(col("gs"), 1).as("min_hash"),
+          array_join(slice(col("gs"), 1, 3), ",").as("bottom3"))
         .orderBy("doc_id")),
 
     // ── Multimodal plumbing: binary payload + metadata → batched
