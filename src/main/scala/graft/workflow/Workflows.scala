@@ -23,13 +23,16 @@ import scala.util.{Failure, Success, Try}
   */
 object Workflows {
 
-  /** W1 — registered pipeline. `waitForCallback` pipelines complete only
-    * when their callback token is delivered (emulated synchronously). */
+  /** W1 — registered pipeline. `waitForCallback` pipelines suspend the
+    * execution after their transform runs (the external callout); the
+    * workflow resumes when the callback token is delivered
+    * (stepfunctions_builder.py:316-513 task-token pattern). */
   final case class Pipeline(
       pipelineId: String,
       transform: DataFrame => DataFrame,
       executionType: String = "native", // native | Lambda | SQS | EventBridge
-      enabled: Boolean = true)
+      enabled: Boolean = true,
+      waitForCallback: Boolean = false)
 
   /** W2 — linear workflow over registered pipelines. */
   final case class Workflow(workflowId: String, pipelineIds: Seq[String])
@@ -54,10 +57,21 @@ object Workflows {
       workflows(w.workflowId) = w
     }
 
+    /** W6 — suspended execution awaiting its callback token: the
+      * pending-callback state table (the Step-Functions task-token
+      * equivalent, stepfunctions_builder.py:316-513). */
+    private final case class PendingCallback(
+        databaseId: String, assetId: String, workflowId: String,
+        remaining: Seq[String], current: DataFrame, startedAtMs: Long)
+    private val pending = mutable.LinkedHashMap[String, PendingCallback]()
+
     /** W3/W4 — run a workflow over an input frame (the reference passes
       * the asset + file + simplified metadata KV; here the input frame
-      * carries those columns). Status lifecycle NEW→RUNNING→SUCCEEDED/
-      * FAILED as in executeWorkflow.py:334-351. */
+      * carries those columns). Status lifecycle NEW→RUNNING→
+      * (PENDING_CALLBACK→)SUCCEEDED/FAILED as in
+      * executeWorkflow.py:334-351. A waitForCallback stage suspends the
+      * execution after its transform (the callout); resume with
+      * [[deliverCallback]]. */
     def execute(
         workflowId: String,
         databaseId: String,
@@ -67,21 +81,74 @@ object Workflows {
         throw new IllegalArgumentException(s"no workflow $workflowId"))
       seq += 1
       val execId = s"exec-$seq"
-      val started = System.currentTimeMillis()
-      var failedAt = ""
-      val result = Try {
-        w.pipelineIds.foldLeft(input) { (df, pid) =>
-          failedAt = pid
-          pipelines(pid).transform(df)
-        }
-      } match {
-        case s @ Success(_) => failedAt = ""; s
-        case f @ Failure(_) => f
+      runStages(execId, databaseId, assetId, workflowId, w.pipelineIds,
+        input, System.currentTimeMillis())
+    }
+
+    /** Deliver the task token for a PENDING_CALLBACK execution: resume
+      * the remaining stages on success, or fail the execution. Tokens
+      * are single-use — a second delivery (or an unknown id) is an
+      * error, as with Step Functions task tokens. */
+    def deliverCallback(
+        executionId: String,
+        success: Boolean = true,
+        reason: String = ""): Try[DataFrame] = {
+      val p = pending.remove(executionId).getOrElse(
+        throw new IllegalArgumentException(
+          s"no pending callback for $executionId (unknown or already delivered)"))
+      if (!success) {
+        val failedPipeline = executions.collectFirst {
+          case e if e.executionId == executionId => e.failedPipeline
+        }.getOrElse("")
+        record(executionId, p.databaseId, p.assetId, p.workflowId, "FAILED",
+          p.startedAtMs, failedPipeline)
+        Failure(new RuntimeException(
+          s"callback failure for $executionId: $reason"))
+      } else {
+        val (_, r) = runStages(executionId, p.databaseId, p.assetId,
+          p.workflowId, p.remaining, p.current, p.startedAtMs)
+        r
       }
-      executions += ExecutionRecord(databaseId, assetId, execId, workflowId,
+    }
+
+    private def runStages(
+        execId: String, databaseId: String, assetId: String,
+        workflowId: String, stages: Seq[String], input: DataFrame,
+        startedAtMs: Long): (String, Try[DataFrame]) = {
+      var failedAt = ""
+      var current = input
+      var idx = 0
+      val result = Try {
+        while (idx < stages.length) {
+          val pid = stages(idx)
+          failedAt = pid
+          current = pipelines(pid).transform(current)
+          idx += 1
+          if (pipelines(pid).waitForCallback) {
+            pending(execId) = PendingCallback(databaseId, assetId, workflowId,
+              stages.drop(idx), current, startedAtMs)
+            record(execId, databaseId, assetId, workflowId,
+              "PENDING_CALLBACK", startedAtMs, pid)
+            return (execId, Success(current))
+          }
+        }
+        failedAt = ""
+        current
+      }
+      record(execId, databaseId, assetId, workflowId,
         if (result.isSuccess) "SUCCEEDED" else "FAILED",
-        started, System.currentTimeMillis(), failedAt)
+        startedAtMs, failedAt)
       (execId, result)
+    }
+
+    /** Upsert the execution record (last state wins — the listing shows
+      * the current status). */
+    private def record(execId: String, databaseId: String, assetId: String,
+        workflowId: String, status: String, startedAtMs: Long,
+        failedPipeline: String): Unit = {
+      executions.filterInPlace(_.executionId != execId)
+      executions += ExecutionRecord(databaseId, assetId, execId, workflowId,
+        status, startedAtMs, System.currentTimeMillis(), failedPipeline)
     }
 
     /** J9 — execution listing as a DataFrame. */

@@ -48,6 +48,37 @@ class WorkflowSpec extends SparkSpec {
     }
   }
 
+  test("waitForCallback suspends, resumes on token, and tokens are single-use (W6)") {
+    val r = reg()
+    r.registerPipeline(Pipeline("callout",
+      df => df.withColumn("v", col("v") * 10), executionType = "SQS",
+      waitForCallback = true))
+    r.registerWorkflow(Workflow("wf3", Seq("double", "callout", "inc")))
+    val (execId, partial) = r.execute("wf3", "db1", "a1", Seq(1, 2).toDF("v"))
+    // suspended after the callout stage ran (1,2 → double → ×10)
+    assert(partial.get.select("v").as[Int].collect().sorted.toSeq == Seq(20, 40))
+    assert(r.executionTable(spark).filter(col("executionId") === execId)
+      .head().getAs[String]("executionStatus") == "PENDING_CALLBACK")
+    // token delivery resumes the remaining stage
+    val resumed = r.deliverCallback(execId)
+    assert(resumed.get.select("v").as[Int].collect().sorted.toSeq == Seq(21, 41))
+    assert(r.executionTable(spark).filter(col("executionId") === execId)
+      .head().getAs[String]("executionStatus") == "SUCCEEDED")
+    // tokens are single-use
+    intercept[IllegalArgumentException] { r.deliverCallback(execId) }
+  }
+
+  test("waitForCallback failure token fails the execution (W6)") {
+    val r = reg()
+    r.registerPipeline(Pipeline("callout",
+      df => df, executionType = "Lambda", waitForCallback = true))
+    r.registerWorkflow(Workflow("wf4", Seq("callout")))
+    val (execId, _) = r.execute("wf4", "db1", "a1", Seq(1).toDF("v"))
+    assert(r.deliverCallback(execId, success = false, reason = "timeout").isFailure)
+    val rec = r.executionTable(spark).filter(col("executionId") === execId).head()
+    assert(rec.getAs[String]("executionStatus") == "FAILED")
+  }
+
   test("sidecar ingestion expands JSON to typed metadata rows (W5)") {
     val sidecars = Seq(
       ("db1", "a1", "/out.gltf", """{"polyCount":"1200","author":"alice"}"""))
