@@ -57,6 +57,19 @@ object JoinAggQueries {
           .orderBy(col("doc_count").desc, col("key").asc)
       }),
 
+    // ── A1 at scale: sketch-based distinct counts (SURVEY §7.5.7 —
+    //    "facets via sketches when buckets explode"). HyperLogLog++
+    //    partial-aggregates map-side to a fixed-size sketch per bucket,
+    //    so a facet over billions of rows shuffles KBs. No SQL oracle
+    //    (sketch internals are engine-specific); the spec bounds the
+    //    error against the exact count.
+    QueryDef.rowsOnly("a1_facets_sketch")(
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("facet_value"))
+        .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02)
+          .as("approx_customers"))
+        .orderBy(col("approx_customers").desc, col("facet_value"))),
+
     // ── A3+A5: aggregation totals / count endpoints (search.py:1750-1762,
     //    assetCount.py).
     sql("a3_a5_counts",

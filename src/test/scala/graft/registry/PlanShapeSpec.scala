@@ -58,6 +58,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("sketch facet partial-aggregates and stays within its error bound") {
+    val df = graft.SparkEntry.queries("a1_facets_sketch")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_approx_count_distinct"), p.take(2000))
+    import org.apache.spark.sql.functions._
+    val approx = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.core.Tables.load(spark, sf(), "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n < 0.1,
+        s"facet $k: approx $a vs exact $n")
+    }
+  }
+
   test("no Scala UDFs anywhere in the flagship plans") {
     Seq("j1_doc_enrichment", "search_advanced", "a1_facets",
       "f7_metadata_kv", "llm_text_quality").foreach { q =>
