@@ -129,10 +129,12 @@ object CoreQueries {
         |  AND event_type = 'view'
         |ORDER BY event_id LIMIT 500""")(
       (s, d) => t(s, d, "events")
-        .filter(QC.exists(get_json_object(col("props"), "$.k")) &&
-          QC.term(col("event_type"), "view"))
+        .filter(QC.term(col("event_type"), "view"))
+        // project the JSON path once; the exists filter and the output
+        // column share the parse (the reference parses per access)
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .filter(QC.exists(col("k")))
         .orderBy("event_id").limit(500)),
 
     // ── F6: metadata mini-language `k:v AND k2:v2` (search.py:1123-1303),
