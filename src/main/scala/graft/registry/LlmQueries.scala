@@ -338,6 +338,22 @@ object LlmQueries {
           .orderBy("q_id", "rank")
       }),
 
+    // ── int8 embedding quantization (storage scale path): 4× smaller
+    //    codes, per-vector scale; rows-only (round() tie behavior is
+    //    engine-specific) with the accuracy bound asserted in specs.
+    rowsOnly("llm_embed_quantize")(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        t(s, d, "embeddings")
+          .select(col("vec_id"),
+            Similarity.asDouble(col("embedding")).as("v"))
+          .withColumn("qv", graft.llmops.Quantize.quantize(col("v")))
+          .select(col("vec_id"), col("qv.scale").as("scale"),
+            Similarity.cosine(col("v"),
+              graft.llmops.Quantize.dequantize(col("qv"))).as("roundtrip_sim"))
+          .orderBy("vec_id")
+      }),
+
     // ── IVF ANN (second scale path): distributed k-means lists,
     //    narrow broadcast-literal assignment, nprobe-list search.
     //    Verified in specs for recall against the brute baseline.

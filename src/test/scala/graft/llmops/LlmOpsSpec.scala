@@ -75,6 +75,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("int8 quantization: 4x smaller codes, >0.995 cosine to the original") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val rt = e.withColumn("qv", Quantize.quantize(col("v")))
+      .withColumn("back", Quantize.dequantize(col("qv")))
+      .select(Similarity.cosine(col("v"), col("back")).as("sim"),
+        size(col("qv.q")).as("n"))
+      .as[(Double, Int)].collect()
+    assert(rt.nonEmpty)
+    rt.foreach { case (sim, _) => assert(sim > 0.995, s"cosine $sim") }
+    // tinyint codes: 1 byte/dim vs 4 (float32) — 4x + one double scale
+    assert(rt.forall(_._2 == 64))
+  }
+
   test("IVF top-k: deterministic, k rows per query, useful recall") {
     val e = Tables.embeddings(spark, sf())
     val queries = e.filter(col("vec_id") < 20)
