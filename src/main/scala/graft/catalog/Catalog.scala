@@ -22,7 +22,9 @@ object Catalog {
     assets.filter(col("databaseId") === databaseId && col("assetId") === assetId)
 
   /** S2 + O6/O7 — assets of one database, newest key first, keyset-paged.
-    * `afterToken` is the last assetId of the previous page (exclusive). */
+    * `afterToken` is an OPAQUE continuation token (url-safe base64 of
+    * the last assetId, the reference's LastEvaluatedKey encoding —
+    * common/dynamodb.py:98-144); produce one with [[nextToken]]. */
   def listAssets(
       assets: DataFrame,
       databaseId: String,
@@ -34,7 +36,7 @@ object Catalog {
     val base = assets
       .filter(col("databaseId") === databaseId)
       .filter(QueryCompiler.archivedExclusion(col("archived"), includeArchived))
-    val paged = afterToken match {
+    val paged = afterToken.map(graft.core.Layout.decodeToken) match {
       case Some(t) if descending  => base.filter(col("assetId") < t)
       case Some(t)                => base.filter(col("assetId") > t)
       case None                   => base
@@ -42,6 +44,9 @@ object Catalog {
     val key = if (descending) col("assetId").desc else col("assetId").asc
     paged.orderBy(key).limit(pageSize)
   }
+
+  /** Continuation token for the page that ended at `lastKey`. */
+  def nextToken(lastKey: String): String = graft.core.Layout.encodeToken(lastKey)
 
   /** S3 — governed full scan (never returns archived unless asked). */
   def scanAssets(assets: DataFrame, includeArchived: Boolean = false): DataFrame =
@@ -58,7 +63,7 @@ object Catalog {
     val base = files
       .filter(col("databaseId") === databaseId && col("assetId") === assetId)
       .filter(QueryCompiler.archivedExclusion(col("archived"), includeArchived))
-    val paged = afterToken match {
+    val paged = afterToken.map(graft.core.Layout.decodeToken) match {
       case Some(t) => base.filter(col("fileKey") > t)
       case None    => base
     }

@@ -20,8 +20,10 @@ class CatalogSpec extends SparkSpec {
     val page1 = Catalog.listAssets(assets, "db1", pageSize = 5)
       .select("assetId").as[String].collect().toSeq
     assert(page1 == Seq("a019", "a018", "a017", "a016", "a014")) // a015,a020 archived
+    val token = Catalog.nextToken(page1.last) // opaque base64, O6 contract
+    assert(token != page1.last)
     val page2 = Catalog.listAssets(assets, "db1",
-      afterToken = Some(page1.last), pageSize = 5)
+      afterToken = Some(token), pageSize = 5)
       .select("assetId").as[String].collect().toSeq
     assert(page2 == Seq("a013", "a012", "a011", "a009", "a008"))
   }
