@@ -49,4 +49,40 @@ object Codecs {
 
   /** fileIndexer.py:511,555 — strip quotes from an ETag. */
   def stripEtagQuotes(c: Column): Column = regexp_replace(c, "\"", "")
+
+  /** C5 — validity of a typed metadata value per its declared type tag
+    * (metadata.py:44-221): structured types parse against their schema
+    * (Schemas.XyzSchema etc.), `lla` additionally range-checks
+    * lat ∈ [-90,90] / long ∈ [-180,180], scalars coerce. One `when`
+    * chain — usable as a write-path CHECK or a validation report
+    * predicate, fully codegen'd. */
+  def typedValueValid(v: Column, t: Column): Column = {
+    import graft.core.{Schemas => S}
+    val xyz = from_json(v, S.XyzSchema)
+    val wxyz = from_json(v, S.WxyzSchema)
+    val m = from_json(v, S.Matrix4x4Schema)
+    val gp = from_json(v, S.GeoPointSchema)
+    val lla = from_json(v, S.LlaSchema)
+    when(t === "number", v.try_cast("double").isNotNull)
+      .when(t === "boolean",
+        lower(v).isin("true", "false", "1", "0", "yes", "no", "on", "off"))
+      .when(t === "date", try_to_timestamp(v).isNotNull)
+      .when(t === "json", get_json_object(v, "$").isNotNull)
+      .when(t === "xyz", xyz.isNotNull && xyz.getField("x").isNotNull &&
+        xyz.getField("y").isNotNull && xyz.getField("z").isNotNull)
+      .when(t === "wxyz", wxyz.isNotNull && wxyz.getField("w").isNotNull &&
+        wxyz.getField("x").isNotNull && wxyz.getField("y").isNotNull &&
+        wxyz.getField("z").isNotNull)
+      .when(t === "matrix4x4", m.isNotNull && size(m) === 4 &&
+        forall(m, r => r.isNotNull && size(r) === 4 &&
+          !exists(r, x => x.isNull)))
+      .when(t === "geopoint", gp.isNotNull &&
+        gp.getField("type") === "Point" &&
+        size(gp.getField("coordinates")) === 2)
+      .when(t === "geojson", gp.isNotNull && gp.getField("type").isNotNull)
+      .when(t === "lla", lla.isNotNull &&
+        lla.getField("lat").between(-90.0, 90.0) &&
+        lla.getField("long").between(-180.0, 180.0))
+      .otherwise(v.isNotNull) // string / multiline / controlled list
+  }
 }

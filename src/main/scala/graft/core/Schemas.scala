@@ -93,9 +93,132 @@ object Schemas {
     StructField("isCurrentVersion", BooleanType),
     StructField("createdBy", StringType)))
 
+  /** Per-version file snapshots (storageBuilder :1241-1266). */
+  val assetFileVersions: StructType = StructType(Seq(
+    StructField("databaseId", StringType, nullable = false),
+    StructField("assetId", StringType, nullable = false),
+    StructField("assetVersionId", StringType, nullable = false),
+    StructField("fileKey", StringType, nullable = false),
+    StructField("s3VersionId", StringType),
+    StructField("fileSize", LongType),
+    StructField("etag", StringType)))
+
+  /** Per-version metadata snapshots (storageBuilder :1267-1292). */
+  val assetMetadataVersions: StructType = StructType(Seq(
+    StructField("databaseId", StringType, nullable = false),
+    StructField("assetId", StringType, nullable = false),
+    StructField("assetVersionId", StringType, nullable = false),
+    StructField("entityType", StringType),
+    StructField("filePath", StringType),
+    StructField("metadataKey", StringType, nullable = false),
+    StructField("metadataValue", StringType),
+    StructField("metadataValueType", StringType)))
+
+  val tags: StructType = StructType(Seq(
+    StructField("tagName", StringType, nullable = false),
+    StructField("tagTypeName", StringType),
+    StructField("description", StringType)))
+
+  val tagTypes: StructType = StructType(Seq(
+    StructField("tagTypeName", StringType, nullable = false),
+    StructField("description", StringType),
+    StructField("required", BooleanType)))
+
+  val comments: StructType = StructType(Seq(
+    StructField("assetId", StringType, nullable = false),
+    StructField("assetVersionId", StringType),
+    StructField("commentId", StringType, nullable = false),
+    StructField("commentBody", StringType),
+    StructField("commentOwnerId", StringType),
+    StructField("dateCreated", TimestampType),
+    StructField("dateEdited", TimestampType)))
+
+  /** ABAC policy rows (storageBuilder :1057-1137; authz/__init__.py). */
+  val roles: StructType = StructType(Seq(
+    StructField("roleName", StringType, nullable = false),
+    StructField("description", StringType),
+    StructField("source", StringType)))
+
+  val userRoles: StructType = StructType(Seq(
+    StructField("userId", StringType, nullable = false),
+    StructField("roleName", StringType, nullable = false)))
+
+  val constraints: StructType = StructType(Seq(
+    StructField("constraintId", StringType, nullable = false),
+    StructField("objectType", StringType),
+    StructField("name", StringType),
+    StructField("description", StringType),
+    StructField("appliesTo", ArrayType(StringType)), // role names
+    StructField("criteriaAnd", StringType),          // JSON criterion list
+    StructField("criteriaOr", StringType),
+    StructField("permissions", StringType)))         // JSON permission list
+
+  val pipelines: StructType = StructType(Seq(
+    StructField("databaseId", StringType, nullable = false),
+    StructField("pipelineId", StringType, nullable = false),
+    StructField("pipelineType", StringType),
+    StructField("pipelineExecutionType", StringType), // Lambda|SQS|EventBridge
+    StructField("waitForCallback", BooleanType),
+    StructField("enabled", BooleanType),
+    StructField("userProvidedResource", StringType)))
+
+  val workflowDefs: StructType = StructType(Seq(
+    StructField("databaseId", StringType, nullable = false),
+    StructField("workflowId", StringType, nullable = false),
+    StructField("pipelineIds", ArrayType(StringType)),
+    StructField("description", StringType)))
+
+  val workflowExecutions: StructType = StructType(Seq(
+    StructField("databaseId", StringType, nullable = false),
+    StructField("assetId", StringType, nullable = false),
+    StructField("executionId", StringType, nullable = false),
+    StructField("workflowId", StringType),
+    StructField("executionStatus", StringType),
+    StructField("startedAt", TimestampType),
+    StructField("stoppedAt", TimestampType),
+    StructField("inputFileKey", StringType)))
+
+  /** Metadata schema definitions v2 (storageBuilder :974-1027). */
+  val metadataSchemas: StructType = StructType(Seq(
+    StructField("metadataSchemaId", StringType, nullable = false),
+    StructField("databaseId", StringType, nullable = false),
+    StructField("metadataEntityType", StringType), // asset | file
+    StructField("field", StringType),
+    StructField("valueType", StringType),
+    StructField("required", BooleanType),
+    StructField("controlledList", ArrayType(StringType)),
+    StructField("sequence", IntegerType)))
+
+  val subscriptions: StructType = StructType(Seq(
+    StructField("eventName", StringType, nullable = false),
+    StructField("entityNameId", StringType, nullable = false),
+    StructField("subscribers", ArrayType(StringType))))
+
   /** The 13 metadata value types (metadata.py:21-35). */
   val MetadataValueTypes: Seq[String] = Seq(
     "string", "multiline_string", "inline_controlled_list", "number",
     "boolean", "date", "json", "xyz", "wxyz", "matrix4x4", "geopoint",
     "geojson", "lla")
+
+  /** Parse schemas for the structured metadata value types (§1.2;
+    * metadata.py:96-214) — `from_json` targets for typed access. */
+  val XyzSchema: StructType = StructType(Seq(
+    StructField("x", DoubleType), StructField("y", DoubleType),
+    StructField("z", DoubleType)))
+
+  val WxyzSchema: StructType = StructType(Seq(
+    StructField("w", DoubleType), StructField("x", DoubleType),
+    StructField("y", DoubleType), StructField("z", DoubleType)))
+
+  val Matrix4x4Schema: DataType = ArrayType(ArrayType(DoubleType))
+
+  /** GeoJSON Point (metadata.py:159-172). */
+  val GeoPointSchema: StructType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("coordinates", ArrayType(DoubleType))))
+
+  /** {lat ∈ [-90,90], long ∈ [-180,180], alt} (metadata.py:183-214). */
+  val LlaSchema: StructType = StructType(Seq(
+    StructField("lat", DoubleType), StructField("long", DoubleType),
+    StructField("alt", DoubleType)))
 }
