@@ -81,6 +81,26 @@ object DocBuilder {
           (coalesce(col("rel_in"), lit(0)) === 1)).as("bool_has_assets_related"))
   }
 
+  /** §1.2 — dynamic typed-field derivation for hot metadata keys: the
+    * reference's index-time value inspection (models/indexing.py:58-121)
+    * lands each metadata value in a type-prefixed field
+    * (`MD_num_*` double, `MD_date_*`, `MD_bool_*`, `MD_str_*` text) via
+    * dynamic templates; here each requested key becomes typed top-level
+    * columns with the same detection rules — sortable/filterable with
+    * parquet stats, while the MD map stays the lossless catch-all. */
+  def typedMetadataColumns(docs: DataFrame, keys: Seq[String]): DataFrame =
+    keys.foldLeft(docs) { (df, k0) =>
+      val k = k0.toLowerCase
+      val v = element_at(col("MD"), k)
+      df.withColumn(s"MD_str_$k", v)
+        .withColumn(s"MD_num_$k", v.try_cast("double"))
+        .withColumn(s"MD_bool_$k",
+          when(lower(v).isin("true", "1", "yes", "on"), true)
+            .when(lower(v).isin("false", "0", "no", "off"), false))
+        .withColumn(s"MD_date_$k",
+          when(v.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}"), try_to_timestamp(v)))
+    }
+
   /** J1 — the asset search-doc table with the typed-prefix columns of
     * models/indexing.py:221-257. */
   def buildAssetDocs(

@@ -93,4 +93,15 @@ class DocBuilderSpec extends SparkSpec {
     assert(docs.filter($"bool_archived").select("str_assetid")
       .as[String].collect().toSeq == Seq("a2"))
   }
+
+  test("typed metadata columns derive per the index-time detection rules (§1.2)") {
+    val typed = DocBuilder.typedMetadataColumns(docs, Seq("polyCount", "author"))
+      .filter($"str_assetid" === "a1").head()
+    assert(typed.getAs[String]("MD_str_polycount") == "1200")
+    assert(typed.getAs[Double]("MD_num_polycount") == 1200.0)
+    assert(typed.getAs[Any]("MD_date_polycount") == null)
+    assert(typed.getAs[String]("MD_str_author") == "alice")
+    assert(typed.getAs[Any]("MD_num_author") == null)
+    assert(typed.getAs[Any]("MD_bool_author") == null)
+  }
 }
