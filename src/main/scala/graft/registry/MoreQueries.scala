@@ -225,6 +225,44 @@ object MoreQueries {
           .orderBy("p_partkey")
       }),
 
+    // ── J5 authz accounting: the reference's adjacency endpoint returns
+    //    visible neighbors plus a COUNT of the ones the user may not see
+    //    (assetLinksService.py:207-335 unauthorizedCount) — here both
+    //    sides of the policy come out of one aggregation pass over the
+    //    classified neighbor union.
+    sql("j5_authz_counts",
+      """WITH me AS (SELECT * FROM nation WHERE n_nationkey = 5),
+        |neigh AS (
+        |  SELECT 'related' AS rel, nation.n_name AS node_name
+        |  FROM nation, me
+        |  WHERE nation.n_regionkey = me.n_regionkey AND nation.n_nationkey <> 5
+        |  UNION ALL
+        |  SELECT 'child', c_name FROM customer WHERE c_nationkey = 5
+        |)
+        |SELECT rel,
+        |       count(CASE WHEN node_name NOT LIKE '%7' THEN 1 END) AS n_visible,
+        |       count(CASE WHEN node_name LIKE '%7' THEN 1 END) AS n_unauthorized
+        |FROM neigh GROUP BY rel ORDER BY rel""")(
+      (s, d) => {
+        val me = t(s, d, "nation").filter(col("n_nationkey") === 5)
+          .select(col("n_regionkey").as("my_region"))
+        val siblings = t(s, d, "nation")
+          .join(broadcast(me), col("n_regionkey") === col("my_region"))
+          .filter(col("n_nationkey") =!= 5)
+          .select(lit("related").as("rel"), col("n_name").as("node_name"))
+        val children = t(s, d, "customer")
+          .filter(col("c_nationkey") === 5)
+          .select(lit("child").as("rel"), col("c_name").as("node_name"))
+        val neigh = siblings.unionByName(children)
+        val visible = Abac.compile(neigh, Abac.Policy(
+          allow = Seq(Seq(Abac.Criterion("node_name", "does_not_contain", "x-none"))),
+          deny = Seq(Seq(Abac.Criterion("node_name", "ends_with", "7")))))
+        neigh.groupBy("rel")
+          .agg(count(when(visible, 1)).as("n_visible"),
+            count(when(!visible, 1)).as("n_unauthorized"))
+          .orderBy("rel")
+      }),
+
     // ── C13 phase-2: geo bounding-box + nearest-k over gp_ point fields
     //    derived deterministically from entity keys. Exact-arithmetic
     //    distance (squared degrees) keeps the ranking engine-stable; the
