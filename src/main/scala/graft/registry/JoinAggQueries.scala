@@ -57,6 +57,20 @@ object JoinAggQueries {
           .orderBy(col("doc_count").desc, col("key").asc)
       }),
 
+    // ── A1 over an array field: the `list_tags` facet explodes the tag
+    //    array before counting (search.py:1449-1456 nested terms agg);
+    //    tags derived by tokenizing p_type (no array column in the
+    //    test tables).
+    sql("a1_facets_tags",
+      """SELECT tag AS facet_value, count(*) AS count
+        |FROM (SELECT unnest(regexp_split_to_array(p_type, ' ')) AS tag
+        |      FROM part)
+        |GROUP BY tag ORDER BY count DESC, facet_value LIMIT 1000""")(
+      (s, d) => graft.query.QueryCompiler.facet(
+        t(s, d, "part")
+          .select(explode(split(col("p_type"), " ")).as("tag")),
+        col("tag"))),
+
     // ── A1 at scale: sketch-based distinct counts (SURVEY §7.5.7 —
     //    "facets via sketches when buckets explode"). HyperLogLog++
     //    partial-aggregates map-side to a fixed-size sketch per bucket,
