@@ -127,6 +127,21 @@ class LlmOpsSpec extends SparkSpec {
       buckets.forall { case (f, r) => f.toSeq == r.toSeq })
   }
 
+  test("batched inference labeling emits mergeable metadata rows (W6)") {
+    val payloads = Seq(
+      Inference.AssetPayload("db1", "a1", "/m.gltf", Array[Byte](1, 2, 3)),
+      Inference.AssetPayload("db1", "a2", "/n.gltf", Array[Byte](1, 2, 3, 4)))
+      .toDS()
+    val rows = Inference.labelAssets(payloads).collect()
+    assert(rows.length == 4) // 2 keys per asset
+    val a1 = rows.filter(_.assetId == "a1").map(r =>
+      r.metadataKey -> (r.metadataValue, r.metadataValueType)).toMap
+    assert(a1("ai_label") == (("vehicle", "string"))) // 3 bytes % 3 == 0
+    assert(a1("ai_confidence")._2 == "number")
+    // deterministic across runs
+    assert(Inference.labelAssets(payloads).collect().toSeq == rows.toSeq)
+  }
+
   test("multimodal batch extraction is deterministic and batch-shaped") {
     val media = Seq(
       (1L, "img", "hello".getBytes("UTF-8")),
