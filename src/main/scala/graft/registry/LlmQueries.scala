@@ -124,30 +124,61 @@ object LlmQueries {
         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
         |ORDER BY a_id, b_id""")(
       (s, d) => {
-        val ghd = gramSetRows(s, d)
-        val docsets = docGramStats(s, d)
-        // Self-join on the gram hash with the build side BROADCAST: the
-        // distinct (doc, gram-hash) table is two longs per row — far
-        // below broadcast thresholds at the exact-baseline scales where
-        // this operator is appropriate (beyond that, the MinHash path
-        // replaces it entirely, see header note). Pair generation then
-        // runs without any exchange; the only shuffle left is the
-        // partial-aggregated pair count. Measured faster than per-gram
-        // doc-list grouping + HOF pair explosion (0.76 s vs 1.31 s).
-        val a = ghd.select(col("doc_id").as("a_id"), col("g"))
-        val b = ghd.select(col("doc_id").as("b_id"), col("g"))
-        val shared = a.join(broadcast(b), Seq("g"))
-          .filter(col("a_id") < col("b_id"))
-          .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
-        val jac = col("shared").cast("double") /
-          (col("na") + col("nb") - col("shared"))
-        shared
-          .join(broadcast(docsets.select(col("doc_id").as("a_id"),
-            col("n").as("na"))), "a_id")
-          .join(broadcast(docsets.select(col("doc_id").as("b_id"),
-            col("n").as("nb"))), "b_id")
-          .filter(jac >= 0.5)
-          .select(col("a_id"), col("b_id"), col("shared"), jac.as("jaccard"))
+        import s.implicits._
+        // Broadcast-inverted-index pairwise counting — the textbook
+        // shape for exact short-document overlap: the gram → doc-list
+        // index (~2 MB here) broadcasts, and ONE narrow pass over the
+        // per-doc gram sets counts every co-occurring partner in a
+        // local map and emits finished (a, b, shared, jaccard) rows.
+        // Zero shuffles before the final sort, versus a pair self-join
+        // whose grouped output is ~200× the result size. Appropriate
+        // exactly while the index side is broadcastable — beyond that
+        // the MinHash path replaces this operator entirely (header
+        // note), so the broadcast bound is not a scale ceiling.
+        val stats = docGramStats(s, d)
+        val local = stats.select(col("doc_id"), col("gs"), col("n"))
+          .as[(Long, Seq[Long], Long)].collect().sortBy(_._1)
+        val docIds = local.map(_._1)
+        val sizes = local.map(_._3)
+        val inverted = new java.util.HashMap[Long, Array[Int]]()
+        locally {
+          val tmp = scala.collection.mutable.HashMap
+            .empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
+          local.zipWithIndex.foreach { case ((_, gs, _), i) =>
+            gs.foreach(g => tmp.getOrElseUpdate(g,
+              scala.collection.mutable.ArrayBuffer.empty[Int]) += i)
+          }
+          tmp.foreach { case (g, ds) => inverted.put(g, ds.toArray) }
+        }
+        val bc = s.sparkContext.broadcast((docIds, sizes, inverted))
+        stats.select(col("doc_id"), col("gs"))
+          .as[(Long, Seq[Long])]
+          .mapPartitions { it =>
+            val (ids, ns, inv) = bc.value
+            it.flatMap { case (aId, gs) =>
+              val aIdx = java.util.Arrays.binarySearch(ids, aId)
+              val counts = new java.util.HashMap[Int, Int]()
+              gs.foreach { g =>
+                val postings = inv.get(g)
+                if (postings != null) postings.foreach { bIdx =>
+                  if (ids(bIdx) > aId)
+                    counts.merge(bIdx, 1, Integer.sum)
+                }
+              }
+              val na = ns(aIdx)
+              val out = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, Long, Long, Double)]
+              counts.forEach { (bIdx, shared) =>
+                // identical arithmetic to the oracle: int division only
+                // at the final double step
+                val jac = shared.toDouble / (na + ns(bIdx) - shared)
+                if (jac >= 0.5)
+                  out += ((aId, ids(bIdx), shared.toLong, jac))
+              }
+              out.iterator
+            }
+          }
+          .toDF("a_id", "b_id", "shared", "jaccard")
           .orderBy("a_id", "b_id")
       }),
 

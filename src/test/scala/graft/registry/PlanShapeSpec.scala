@@ -53,9 +53,16 @@ class PlanShapeSpec extends SparkSpec {
       p.take(2000))
   }
 
-  test("ngram pair join broadcasts the hash side") {
+  test("ngram pairwise counting is a narrow pass (no pre-sort exchange)") {
     val p = plan("llm_dedup_ngram_jaccard")
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("MapPartitions"), p.take(2000))
+    // only the final ORDER BY's range partitioning plus the cached
+    // stats-build aggregation (embedded under InMemoryRelation) may
+    // shuffle — pair generation + counting itself never does
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"$exchanges exchanges:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      p.take(2000))
   }
 
   test("sketch facet partial-aggregates and stays within its error bound") {
