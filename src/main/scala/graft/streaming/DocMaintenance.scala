@@ -49,16 +49,25 @@ object DocMaintenance {
       links: DataFrame): DataFrame = {
     val keys = Seq("databaseId", "assetId")
     val keyDf = changedKeys.select(keys.map(col): _*).distinct()
+    // Links are keyed by EITHER endpoint: DocBuilder.linkFlags derives
+    // bool_has_asset_parents (and half of bool_has_assets_related) from the
+    // *to* endpoint, so a rebuild of X must see incoming edges P→X as well as
+    // outgoing ones (assetIndexer.py:405-454 re-reads both GSIs). Union of two
+    // semi-joins; distinct() collapses edges whose both endpoints changed.
+    val fromTouched = links.join(
+      broadcast(keyDf.select(col("databaseId").as("fd"), col("assetId").as("fa"))),
+      col("fromDatabaseId") === col("fd") && col("fromAssetId") === col("fa"),
+      "left_semi")
+    val toTouched = links.join(
+      broadcast(keyDf.select(col("databaseId").as("td"), col("assetId").as("ta"))),
+      col("toDatabaseId") === col("td") && col("toAssetId") === col("ta"),
+      "left_semi")
     graft.docs.DocBuilder.buildAssetDocs(
       assets.join(broadcast(keyDf), keys, "left_semi"),
       buckets,
       metadata.join(broadcast(keyDf), keys, "left_semi"),
       versions.join(broadcast(keyDf), keys, "left_semi"),
-      // links are keyed by either endpoint; keep those touching a changed key
-      links.join(broadcast(keyDf.select(col("databaseId").as("fd"),
-          col("assetId").as("fa"))),
-        (col("fromDatabaseId") === col("fd") && col("fromAssetId") === col("fa")),
-        "left_semi"))
+      fromTouched.unionByName(toTouched).distinct())
   }
 
   /** ST3/S9 — idempotent MERGE-equivalent on the deterministic doc id:

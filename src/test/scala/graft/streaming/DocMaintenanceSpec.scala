@@ -54,6 +54,42 @@ class DocMaintenanceSpec extends SparkSpec {
     assert(rebuilt.select("_docId").as[String].collect().toSeq == Seq("db1#a2"))
   }
 
+  test("rebuildChanged keeps INCOMING edges: metadata change on X preserves parent flag") {
+    // P→X parentChild edge; a metadata change to X rebuilds X's doc. The
+    // semi-join must keep the edge whose *to* endpoint is X, or the rebuilt
+    // doc loses bool_has_asset_parents (assetIndexer.py re-reads both GSIs).
+    val assets = mkAssets(("db1", "p1", "Parent"), ("db1", "x1", "Child"))
+    val links = Seq(("l1", "db1", "p1", "db1", "x1", "parentChild", null: String))
+      .toDF("assetLinkId", "fromDatabaseId", "fromAssetId", "toDatabaseId",
+        "toAssetId", "relationshipType", "assetLinkAliasId")
+    val changed = Seq(("db1", "x1")).toDF("databaseId", "assetId")
+    val rebuilt = DocMaintenance.rebuildChanged(changed, assets, buckets,
+      emptyMd, emptyVer, links)
+    val row = rebuilt.filter(col("_docId") === "db1#x1")
+      .select("bool_has_asset_parents", "bool_has_asset_children").as[(Boolean, Boolean)]
+      .collect()
+    assert(row.toSeq == Seq((true, false)))
+  }
+
+  test("rebuildChanged does not duplicate an edge when both endpoints changed") {
+    val assets = mkAssets(("db1", "p1", "Parent"), ("db1", "x1", "Child"))
+    val links = Seq(
+      ("l1", "db1", "p1", "db1", "x1", "parentChild", null: String),
+      ("l2", "db1", "x1", "db1", "p1", "related", null: String))
+      .toDF("assetLinkId", "fromDatabaseId", "fromAssetId", "toDatabaseId",
+        "toAssetId", "relationshipType", "assetLinkAliasId")
+    val changed = Seq(("db1", "p1"), ("db1", "x1")).toDF("databaseId", "assetId")
+    val rebuilt = DocMaintenance.rebuildChanged(changed, assets, buckets,
+      emptyMd, emptyVer, links)
+    val rows = rebuilt
+      .select("_docId", "bool_has_asset_parents", "bool_has_asset_children",
+        "bool_has_assets_related")
+      .as[(String, Boolean, Boolean, Boolean)].collect().toSet
+    assert(rows == Set(
+      ("db1#p1", false, true, true),
+      ("db1#x1", true, false, true)))
+  }
+
   test("reconcileUnknownAssets auto-creates rows for unknown keys (ST7/S8)") {
     val s3 = Seq(
       ("db1", "a1", "scene.gltf"),
