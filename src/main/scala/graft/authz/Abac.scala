@@ -90,20 +90,41 @@ object Abac {
   // pass through the analyzer inside an optimizer rule).
 
   import org.apache.spark.sql.catalyst.expressions.{
-    And, ArraysOverlap, Contains, CreateArray, EndsWith, EqualTo,
+    And, ArraysOverlap, Cast, Contains, CreateArray, EndsWith, EqualTo,
     Expression, In, Literal, Not, Or, StartsWith}
+  import org.apache.spark.sql.types.{DataType, StringType}
 
-  /** One criterion as a Catalyst Expression over a resolved attribute. */
+  /** One criterion as a Catalyst Expression over a resolved attribute.
+    *
+    * This runs INSIDE an optimizer rule, i.e. after analysis — no
+    * implicit type coercion will ever be applied to what it builds. So
+    * it performs the same casts the analyzer would have inserted on the
+    * `enforce()` path: comparison literals cast to the attribute's type
+    * (equals / is_one_of on non-string columns), the attribute cast to
+    * string for the substring operators — keeping auto-injection
+    * behaviorally identical to the analyzed Column path. */
   def criterionExpr(schema: StructType, attr: Expression, c: Criterion): Expression = {
-    val isArray = schema.fields
-      .find(_.name == c.field).exists(_.dataType.isInstanceOf[ArrayType])
-    def l(s: String) = Literal(s)
+    val fieldType: Option[DataType] =
+      schema.fields.find(_.name == c.field).map(_.dataType)
+    val isArray = fieldType.exists(_.isInstanceOf[ArrayType])
+    val elemType: DataType = fieldType match {
+      case Some(ArrayType(et, _)) => et
+      case Some(dt)               => dt
+      case None                   => StringType
+    }
+    // no analyzer runs after an optimizer rule, so the cast must carry
+    // its timezone itself (string↔date/timestamp casts need one)
+    val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    def l(s: String): Expression =
+      if (elemType == StringType) Literal(s) else Cast(Literal(s), elemType, tz)
+    def str(e: Expression): Expression =
+      if (fieldType.contains(StringType)) e else Cast(e, StringType, tz)
     c.operator match {
       case "equals"           => EqualTo(attr, l(c.value))
-      case "contains"         => Contains(attr, l(c.value))
-      case "does_not_contain" => Not(Contains(attr, l(c.value)))
-      case "starts_with"      => StartsWith(attr, l(c.value))
-      case "ends_with"        => EndsWith(attr, l(c.value))
+      case "contains"         => Contains(str(attr), Literal(c.value))
+      case "does_not_contain" => Not(Contains(str(attr), Literal(c.value)))
+      case "starts_with"      => StartsWith(str(attr), Literal(c.value))
+      case "ends_with"        => EndsWith(str(attr), Literal(c.value))
       case "is_one_of" =>
         if (isArray) ArraysOverlap(attr, CreateArray(c.values.map(l)))
         else In(attr, c.values.map(l))

@@ -1,0 +1,176 @@
+package graft.authz
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Constraint-table → [[Abac.Policy]] loader — the production entry point
+  * of every governed query.
+  *
+  * Reference: the Casbin enforcer builds its policy text from stored
+  * constraint records per user
+  * (`backend/backend/handlers/authz/__init__.py:197-276` batch read with
+  * `#group#`/`#user#` suffix dedup, `:468-556` policy-line generation;
+  * criteria → matcher rules `:387-423`; effect model
+  * `backend/backend/common/constants.py:116-131`). This loader reproduces
+  * those semantics over a constraints DataFrame (the Spark twin of the
+  * denormalized constraints table) and emits the [[Abac.Policy]] DNF that
+  * [[Abac.enforce]] / [[graft.plans.AbacInjection]] compile to pushed row
+  * predicates.
+  *
+  * Faithful behaviors:
+  *  - denormalized rows dedup by BASE constraintId (suffix
+  *    `#group#{g}` / `#user#{u}` stripped);
+  *  - a user's applicable rules = group permissions whose groupId is one
+  *    of the user's role names + user permissions for the userId, each
+  *    filtered to the requested action, with `permissionType` routing to
+  *    the allow or deny set (missing/empty → allow);
+  *  - `criteriaAnd` → one conjunctive rule; `criteriaOr` → one
+  *    single-criterion rule per criterion (the reference emits
+  *    `c1 || c2 …` as one Casbin line — same DNF);
+  *  - legacy `criteria` appends to `criteriaAnd`;
+  *  - criteria on fields outside [[ConstraintFields]] are skipped
+  *    (reference `:390-392`), and a rule whose every criterion was
+  *    skipped emits nothing;
+  *  - a constraint with no criteria at all grants nothing (the reference
+  *    emits no policy line for it);
+  *  - MFA gating of roles: without MFA only roles with
+  *    `mfaRequired` absent or false count (`:337-359,470-478`).
+  *
+  * Divergence (by design): the reference guards each constraint with an
+  * `object__type equals <objectType>` matcher criterion evaluated per
+  * request; here governance is attached per TABLE, so the loader selects
+  * constraints whose `objectType` matches the governed table's type
+  * up front — same decisions, no per-row type dispatch.
+  */
+object PolicyLoader {
+
+  /** Mirror of PERMISSION_CONSTRAINT_FIELDS (constants.py:87-113). */
+  val ConstraintFields: Set[String] = Set(
+    "databaseId", "assetName", "assetType", "tags", "tagName",
+    "tagTypeName", "roleName", "userId", "pipelineId", "pipelineType",
+    "pipelineExecutionType", "workflowId", "metadataSchemaName",
+    "metadataSchemaEntityType", "object__type", "route__path")
+
+  final case class UserContext(userId: String, roles: Set[String])
+
+  /** MFA-aware role resolution (authz/__init__.py:470-478): with MFA all
+    * of the user's roles apply; without, only roles whose definition has
+    * `mfaRequired` false/absent. Role tables are admin-sized metadata —
+    * driver materialization is the correct scale call here. */
+  def rolesFor(userRoles: DataFrame, roles: DataFrame, userId: String,
+      mfaEnabled: Boolean): Set[String] = {
+    val own = userRoles.filter(col("userId") === userId).select("roleName")
+    val eligible =
+      if (mfaEnabled) own
+      else own.join(
+        roles.filter(!coalesce(col("mfaRequired"), lit(false)))
+          .select("roleName"),
+        Seq("roleName"), "left_semi")
+    eligible.distinct().collect().map(_.getString(0)).toSet
+  }
+
+  private case class Permission(principal: String, isGroup: Boolean,
+      permission: String, permissionType: String)
+
+  /** Build the policy for one user + action over the constraints of one
+    * object type. `fieldMap` rewrites criterion field names to the
+    * governed table's columns (e.g. `databaseId` → `str_databaseid`);
+    * identity by default. */
+  def load(constraints: DataFrame, user: UserContext, action: String,
+      objectType: String, fieldMap: String => String = identity): Abac.Policy = {
+    implicit val formats: Formats = DefaultFormats
+    val rows = constraints
+      .filter(col("objectType") === objectType)
+      .select("constraintId", "criteriaAnd", "criteriaOr", "criteria",
+        "groupPermissions", "userPermissions")
+      .collect()
+
+    // dedup denormalized copies by base constraintId (suffix stripped)
+    def baseId(id: String): String =
+      id.split("#group#")(0).split("#user#")(0)
+    val unique: Seq[Row] = rows.groupBy(r => baseId(r.getString(0)))
+      .toSeq.sortBy(_._1).map(_._2.head)
+
+    def parseJson(s: String): JValue =
+      if (s == null || s.trim.isEmpty) JNothing
+      else try JsonMethods.parse(s) catch { case _: Throwable => JNothing }
+
+    def criteriaOf(v: JValue): Seq[Abac.Criterion] = v match {
+      case JArray(items) => items.flatMap(criterionOf)
+      case o: JObject    => criterionOf(o).toSeq
+      case _             => Nil
+    }
+    def criterionOf(v: JValue): Option[Abac.Criterion] = v match {
+      case o: JObject =>
+        val field = (o \ "field").extractOpt[String].getOrElse("")
+        val op    = (o \ "operator").extractOpt[String].getOrElse("")
+        val value = (o \ "value").extractOpt[String].getOrElse("")
+        val values = (o \ "values") match {
+          case JArray(vs) => vs.flatMap(_.extractOpt[String])
+          case _          => Nil
+        }
+        // reference is_one_of takes a scalar `value` ('v' in r.obj.f);
+        // normalize to the membership list form
+        val vs = if (values.nonEmpty) values
+          else if (op == "is_one_of" || op == "is_not_one_of") Seq(value)
+          else Nil
+        if (field.isEmpty || op.isEmpty) None
+        else Some(Abac.Criterion(field, op, value, vs))
+      case _ => None
+    }
+
+    def permissionsOf(v: JValue, isGroup: Boolean): Seq[Permission] = v match {
+      case JArray(items) => items.flatMap {
+        case o: JObject =>
+          val principal =
+            (o \ (if (isGroup) "groupId" else "userId")).extractOpt[String]
+          val perm = (o \ "permission").extractOpt[String].getOrElse("")
+          val ptype = (o \ "permissionType").extractOpt[String]
+            .filter(_.nonEmpty).getOrElse("allow")
+          principal.map(Permission(_, isGroup, perm, ptype))
+        case _ => None
+      }
+      case _ => Nil
+    }
+
+    var allow = Vector.empty[Seq[Abac.Criterion]]
+    var deny  = Vector.empty[Seq[Abac.Criterion]]
+    unique.foreach { r =>
+      def js(i: Int): JValue = parseJson(if (r.isNullAt(i)) null else r.getString(i))
+      // unknown-field skip happens on the PRE-MAPPED name, like the
+      // reference's PERMISSION_CONSTRAINT_FIELDS check; legacy
+      // single-criterion `criteria` appends to criteriaAnd
+      val andKept = (criteriaOf(js(1)) ++ criteriaOf(js(3)))
+        .filter(c => ConstraintFields(c.field))
+        .map(c => c.copy(field = fieldMap(c.field)))
+      val orKept = criteriaOf(js(2))
+        .filter(c => ConstraintFields(c.field))
+        .map(c => c.copy(field = fieldMap(c.field)))
+      val applicable =
+        permissionsOf(js(4), isGroup = true)
+          .filter(p => user.roles.contains(p.principal)) ++
+        permissionsOf(js(5), isGroup = false)
+          .filter(_.principal == user.userId)
+      applicable.filter(_.permission == action).foreach { p =>
+        val rules: Seq[Seq[Abac.Criterion]] =
+          (if (andKept.nonEmpty) Seq(andKept) else Nil) ++
+            orKept.map(Seq(_))
+        if (p.permissionType == "deny") deny ++= rules else allow ++= rules
+      }
+    }
+    Abac.Policy(allow, deny)
+  }
+
+  /** One-call wiring: load the user's policy from the constraints table
+    * and govern `path` with it (auto-injected row security for every
+    * subsequent read of that table). */
+  def govern(path: String, constraints: DataFrame, user: UserContext,
+      action: String, objectType: String,
+      fieldMap: String => String = identity): Abac.Policy = {
+    val p = load(constraints, user, action, objectType, fieldMap)
+    graft.plans.AbacInjection.govern(path, p)
+    p
+  }
+}

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation, FileTable}
 
 import graft.authz.Abac
 
@@ -26,34 +27,107 @@ import graft.authz.Abac
   * normal pushdown (FileSourceStrategy splits it into the parquet
   * reader like any user filter).
   *
-  * Governance is keyed by the relation's root path. The rule is
-  * idempotent under the optimizer's fixed-point batches via a node tag.
+  * Governance is keyed by normalized URI PREFIX: a read of a
+  * subdirectory, partition path, glob expansion, or individual file
+  * under a governed root is governed too, and `file:/x`, `file:///x`
+  * and `/x` resolve to the same key (s3/s3a/s3n likewise). Both v1
+  * parquet relations and DSv2 file tables are matched.
+  *
+  * Scope limits (documented, enforced by specs where possible):
+  * `govern`/`ungovern` invalidate the ACTIVE sessions' plan caches of
+  * this JVM so previously-cached unfiltered plans cannot serve governed
+  * reads; streaming sources are NOT matched by this rule — govern the
+  * sink/table a stream materializes, not the stream itself.
   */
 object AbacInjection {
 
   private val Applied = TreeNodeTag[Boolean]("graft.abac.applied")
 
-  /** path → policy registry (session-independent; paths are stable). */
+  /** normalized path prefix → policy registry. */
   private val governed = new ConcurrentHashMap[String, Abac.Policy]()
 
-  def govern(path: String, policy: Abac.Policy): Unit =
+  def govern(path: String, policy: Abac.Policy): Unit = {
     governed.put(normalize(path), policy)
+    invalidateCaches()
+  }
 
-  def ungovern(path: String): Unit = governed.remove(normalize(path))
+  def ungovern(path: String): Unit = {
+    governed.remove(normalize(path))
+    invalidateCaches()
+  }
 
-  def clear(): Unit = governed.clear()
+  def clear(): Unit = {
+    governed.clear()
+    invalidateCaches()
+  }
 
-  private def normalize(p: String): String =
-    p.stripSuffix("/").replaceFirst("^file:", "")
+  /** A governed-policy change must drop cached plans: `df.cache()` of a
+    * governed read compiled BEFORE `govern()` would otherwise keep
+    * serving unfiltered rows (and vice versa after `ungovern`). Session
+    * scope is this JVM's active/default sessions — matching the
+    * registry's single-process scope. */
+  private def invalidateCaches(): Unit =
+    (SparkSession.getActiveSession.toSeq ++ SparkSession.getDefaultSession)
+      .distinct.foreach { s =>
+        try s.sharedState.cacheManager.clearCache()
+        catch { case _: Throwable => () }
+      }
 
-  private def policyFor(rel: LogicalRelation): Option[Abac.Policy] =
-    rel.relation match {
-      case fs: HadoopFsRelation =>
-        fs.location.rootPaths.iterator
-          .map(rp => governed.get(normalize(rp.toString)))
-          .collectFirst { case p if p != null => p }
-      case _ => None
+  /** Scheme-normalized, trailing-slash-free URI: `file:///x`, `file:/x`
+    * and `/x` → `file:/x`; `s3`/`s3a`/`s3n` unify; relative paths
+    * resolve through Hadoop Path normalization (`..`, `//`). */
+  private[plans] def normalize(p: String): String = {
+    val uri = new org.apache.hadoop.fs.Path(p).toUri
+    val scheme = Option(uri.getScheme).getOrElse("file") match {
+      case "s3a" | "s3n" => "s3"
+      case s             => s
     }
+    val auth = Option(uri.getAuthority).getOrElse("")
+    s"$scheme://$auth${uri.getPath.stripSuffix("/")}"
+  }
+
+  /** True when `path` equals a governed root or sits strictly under one. */
+  private def lookup(path: String): Option[Abac.Policy] = {
+    val n = normalize(path)
+    val it = governed.entrySet().iterator()
+    var found: Option[Abac.Policy] = None
+    while (found.isEmpty && it.hasNext) {
+      val e = it.next()
+      if (n == e.getKey || n.startsWith(e.getKey + "/"))
+        found = Some(e.getValue)
+    }
+    found
+  }
+
+  private def policyFor(plan: LogicalPlan): Option[Abac.Policy] = plan match {
+    case rel: LogicalRelation =>
+      rel.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.iterator
+            .flatMap(rp => lookup(rp.toString)).nextOption()
+        case _ => None
+      }
+    case rel: DataSourceV2Relation =>
+      rel.table match {
+        case ft: FileTable =>
+          ft.fileIndex.rootPaths.iterator
+            .flatMap(rp => lookup(rp.toString)).nextOption()
+        case _ => None
+      }
+    // extraOptimizations run after the main batches, where V2 pushdown
+    // has already turned DataSourceV2Relation into a ScanRelation — the
+    // injected Filter then evaluates above the scan (correct rows; the
+    // session-extensions install path sees the pre-pushdown relation and
+    // gets full pushdown)
+    case rel: DataSourceV2ScanRelation =>
+      rel.relation.table match {
+        case ft: FileTable =>
+          ft.fileIndex.rootPaths.iterator
+            .flatMap(rp => lookup(rp.toString)).nextOption()
+        case _ => None
+      }
+    case _ => None
+  }
 
   /** The optimizer rule. Injected predicates are compiled from the
     * registered policy against the relation's full schema (column
@@ -62,15 +136,27 @@ object AbacInjection {
   case class Rule0(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
       plan.transformUp {
-        case rel: LogicalRelation if rel.getTagValue(Applied).isEmpty =>
+        case rel @ (_: LogicalRelation | _: DataSourceV2Relation |
+            _: DataSourceV2ScanRelation)
+            if rel.getTagValue(Applied).isEmpty =>
           policyFor(rel) match {
             case None => rel
             case Some(policy) =>
               rel.setTagValue(Applied, true)
+              // FAIL CLOSED: a governed scan whose policy columns are
+              // not in the relation output (a DSv2 scan already pruned
+              // by pushdown — this rule ran too late, e.g. via the
+              // experimental install() hook instead of the
+              // GraftExtensions session-build path) must error, never
+              // silently return unfiltered rows.
               val resolve: String => Expression = name =>
                 rel.output.find(a => spark.sessionState.conf.resolver(a.name, name))
-                  .getOrElse(throw new IllegalStateException(
-                    s"ABAC policy column '$name' not in ${rel.schema.fieldNames.mkString(",")}"))
+                  .getOrElse(throw new SecurityException(
+                    s"governed scan cannot enforce its row policy: column '$name' " +
+                      s"is not in the scan output [${rel.output.map(_.name).mkString(",")}] " +
+                      "(DSv2 scan pruned before injection — build the session with " +
+                      "spark.sql.extensions=graft.plans.GraftExtensions so the rule " +
+                      "runs before scan pushdown)"))
               Filter(Abac.compileExpr(rel.schema, resolve, policy), rel)
           }
       }

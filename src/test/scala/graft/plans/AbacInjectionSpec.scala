@@ -72,4 +72,84 @@ class AbacInjectionSpec extends SparkSpec {
       assert(spark.read.parquet(other).count() === base)
     }
   }
+
+  test("scheme variants and file paths under a governed root are still governed") {
+    val expected = Abac.enforce(spark.read.parquet(path), policy).count()
+    withGoverned {
+      // file:// scheme variant of the same root
+      assert(spark.read.parquet("file://" + path).count() === expected)
+      assert(spark.read.parquet("file:" + path).count() === expected)
+    }
+    // individual part-files under a governed DIRECTORY root: write a
+    // multi-file copy, govern the dir, and read each part file directly
+    val dir = java.nio.file.Files.createTempDirectory("graft-abac").toString
+    spark.read.parquet(path).repartition(3).write.mode("overwrite").parquet(dir)
+    AbacInjection.install(spark)
+    AbacInjection.govern(dir, policy)
+    try {
+      val parts = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      assert(parts.length > 1)
+      val n = parts.map(p => spark.read.parquet(p).count()).sum
+      assert(n === expected, s"per-file reads bypassed the policy")
+    } finally AbacInjection.clear()
+  }
+
+  test("normalize unifies file-scheme spellings and s3 flavors") {
+    assert(AbacInjection.normalize("/a/b/") == AbacInjection.normalize("file:///a/b"))
+    assert(AbacInjection.normalize("file:/a/b") == AbacInjection.normalize("file:///a/b/"))
+    assert(AbacInjection.normalize("s3a://bkt/p") == AbacInjection.normalize("s3://bkt/p/"))
+  }
+
+  test("DSv2 file reads: filtered when policy columns survive, FAIL CLOSED when pruned") {
+    val expected = Abac.enforce(spark.read.parquet(path), policy).count()
+    val key = "spark.sql.sources.useV1SourceList"
+    val prev = spark.conf.get(key)
+    withGoverned {
+      try {
+        spark.conf.set(key, "") // force parquet through DataSourceV2Relation
+        // policy columns in the scan output → governed result
+        val kept = spark.read.parquet(path)
+          .select("c_custkey", "c_mktsegment", "c_name").collect()
+        assert(kept.length === expected)
+        // count() prunes every column before the late rule runs — must
+        // refuse rather than return unfiltered rows
+        val err = intercept[Exception] { spark.read.parquet(path).count() }
+        def rootMessages(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x =>
+            Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+        assert(rootMessages(err).exists(_.contains("cannot enforce its row policy")),
+          err.toString)
+      } finally spark.conf.set(key, prev)
+    }
+  }
+
+  test("plans cached before govern() cannot serve unfiltered rows afterwards") {
+    val df = spark.read.parquet(path)
+    val all = df.count()
+    df.cache()
+    df.count() // materialize the unfiltered cache entry
+    AbacInjection.install(spark)
+    AbacInjection.govern(path, policy) // must drop the cached plan
+    try {
+      val expected = Abac.enforce(spark.read.parquet(path), policy).count()
+      assert(expected < all)
+      assert(spark.read.parquet(path).count() === expected,
+        "cached unfiltered plan served a governed read")
+    } finally AbacInjection.clear()
+  }
+
+  test("auto-injected predicates coerce literals like the analyzed path") {
+    // c_custkey is BIGINT; a policy written with string values must
+    // behave exactly as enforce() (where the analyzer inserts casts)
+    val numPolicy = Abac.Policy(
+      allow = Seq(Seq(Abac.Criterion("c_custkey", "is_one_of",
+        values = Seq("1", "2", "3")))))
+    val expected = Abac.enforce(spark.read.parquet(path), numPolicy).count()
+    assert(expected > 0)
+    AbacInjection.install(spark)
+    AbacInjection.govern(path, numPolicy)
+    try assert(spark.read.parquet(path).count() === expected)
+    finally AbacInjection.clear()
+  }
 }
