@@ -83,6 +83,72 @@ object DocMaintenance {
       .unionByName(updates)
   }
 
+  /** Partition column of the persisted docs table (docs are written
+    * `partitionBy(str_databaseid)` so the F10 access filter and this
+    * incremental merge both prune partitions). */
+  val DocPartitionCol = "str_databaseid"
+
+  /** ST3/S9 at table scale — PARTITION-SCOPED incremental merge. The
+    * pure-DataFrame [[mergeDocs]] rewrites O(table) per micro-batch; the
+    * reference upserts per doc id (`assetIndexer.py:534-596`). The
+    * 100 TB equivalent of that upsert on a parquet lake is a merge that
+    * touches ONLY the partitions present in the batch:
+    *
+    *  1. affected partition keys = databaseIds of updates ∪ removes
+    *     (a driver-sized list of partition VALUES, never row data);
+    *  2. current rows of those partitions only (partition-pruned read);
+    *  3. same last-writer-wins merge;
+    *  4. dynamic-partition-overwrite write — untouched partitions' files
+    *     are never rewritten (asserted by file listing in the spec);
+    *  5. partitions whose every doc was removed are deleted explicitly
+    *     (dynamic overwrite only replaces partitions present in the
+    *     written data — an emptied partition would otherwise go stale).
+    *
+    * A transactional table format (Delta/Iceberg MERGE INTO) adds ACID
+    * and concurrent-writer safety on top; the partition-scoped I/O shape
+    * is the same. */
+  def mergeDocsIncremental(spark: SparkSession, tablePath: String,
+      updates: DataFrame, removedDocIds: DataFrame = null): Unit = {
+    val dir = new java.io.File(tablePath)
+    if (!dir.exists() || dir.listFiles() == null || dir.listFiles().isEmpty) {
+      updates.write.mode("overwrite")
+        .partitionBy(DocPartitionCol).parquet(tablePath)
+      return
+    }
+    val removedWithPart = Option(removedDocIds).map(
+      _.withColumn(DocPartitionCol, split(col("_docId"), "#").getItem(0)))
+    val touched: Seq[String] = (
+      updates.select(DocPartitionCol).distinct() +:
+        removedWithPart.map(_.select(DocPartitionCol).distinct()).toSeq)
+      .reduce(_.unionByName(_)).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (touched.isEmpty) return
+    // partition-pruned read of the affected partitions only; partition
+    // values are strings by contract (cast defends against inference)
+    val current = spark.read.parquet(tablePath)
+      .withColumn(DocPartitionCol, col(DocPartitionCol).cast("string"))
+      .filter(col(DocPartitionCol).isin(touched: _*))
+    val merged = mergeDocs(current, updates,
+      Option(removedDocIds).map(_.select("_docId")).orNull)
+    // localCheckpoint breaks the read-from lineage so the partition
+    // overwrite of the same path is legal; it holds only the touched
+    // partitions' rows (micro-batch-scale, not table-scale)
+    val out = merged.localCheckpoint()
+    out.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(DocPartitionCol)
+      .parquet(tablePath)
+    // drop partitions the merge emptied (not re-written by dynamic mode)
+    val still = out.select(DocPartitionCol).distinct()
+      .collect().map(_.getString(0)).toSet
+    (touched.toSet -- still).foreach { p =>
+      val pd = new java.io.File(dir, s"$DocPartitionCol=$p")
+      if (pd.exists()) {
+        pd.listFiles().foreach(_.delete()); pd.delete()
+      }
+    }
+  }
+
   /** ST7/S8 — S3-eventual-consistency reconciliation: objects that arrive
     * for unknown assets get the asset auto-created (get-or-create,
     * sqsBucketSync.py:592-741). Returns the asset rows to insert —

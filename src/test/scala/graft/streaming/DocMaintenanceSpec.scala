@@ -118,6 +118,54 @@ class DocMaintenanceSpec extends SparkSpec {
     assert(submitted.values.forall(_ == 1))
   }
 
+  test("mergeDocsIncremental rewrites only touched partitions; redelivery converges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    def docs(rows: (String, String, String)*) =
+      rows.toSeq.toDF("_docId", "str_databaseid", "payload")
+    // seed: two partitions
+    DocMaintenance.mergeDocsIncremental(spark, dir,
+      docs(("dbA#a1", "dbA", "a1v1"), ("dbA#a2", "dbA", "a2v1"),
+        ("dbB#b1", "dbB", "b1v1")))
+    def partFiles(p: String): Map[String, Long] = {
+      val d = new java.io.File(dir, s"str_databaseid=$p")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val dbBBefore = partFiles("dbB")
+    assert(dbBBefore.nonEmpty)
+    // update touches dbA only (+ a brand-new partition dbC)
+    val batch = docs(("dbA#a1", "dbA", "a1v2"), ("dbC#c1", "dbC", "c1v1"))
+    val removed = Seq("dbA#a2").toDF("_docId")
+    DocMaintenance.mergeDocsIncremental(spark, dir, batch, removed)
+    val read = spark.read.parquet(dir)
+      .select("_docId", "payload").as[(String, String)].collect().toSet
+    assert(read == Set(("dbA#a1", "a1v2"), ("dbB#b1", "b1v1"),
+      ("dbC#c1", "c1v1")))
+    // the untouched partition's files were not rewritten
+    assert(partFiles("dbB") == dbBBefore,
+      s"dbB files changed: ${partFiles("dbB")} vs $dbBBefore")
+    // redelivery of the same batch converges to the same table
+    DocMaintenance.mergeDocsIncremental(spark, dir, batch, removed)
+    val again = spark.read.parquet(dir)
+      .select("_docId", "payload").as[(String, String)].collect().toSet
+    assert(again == read)
+  }
+
+  test("mergeDocsIncremental deletes a fully-removed partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs2").toString
+    def docs(rows: (String, String, String)*) =
+      rows.toSeq.toDF("_docId", "str_databaseid", "payload")
+    DocMaintenance.mergeDocsIncremental(spark, dir,
+      docs(("dbA#a1", "dbA", "x"), ("dbB#b1", "dbB", "y")))
+    DocMaintenance.mergeDocsIncremental(spark, dir,
+      docs(), Seq("dbB#b1").toDF("_docId"))
+    val left = spark.read.parquet(dir)
+      .select("_docId").as[String].collect().toSet
+    assert(left == Set("dbA#a1"))
+    assert(!new java.io.File(dir, "str_databaseid=dbB").exists())
+  }
+
   test("mergeDocs: updates win, removes drop, redelivery converges (S9/ST3)") {
     val current = Seq(("d1", "old1"), ("d2", "old2"), ("d3", "old3"))
       .toDF("_docId", "payload")
