@@ -16,7 +16,7 @@ object SparkEntry {
   private def all: Seq[QueryDef] =
     CoreQueries.defs ++ JoinAggQueries.defs ++ GraphQueries.defs ++
       StreamQueries.defs ++ LlmQueries.defs ++ ApiQueries.defs ++
-      CoverageQueries.defs ++ MoreQueries.defs
+      CoverageQueries.defs ++ MoreQueries.defs ++ SurfaceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the J1 document-enrichment join (fact ⋈ broadcast dims ⋈ detail agg). */

@@ -1,0 +1,127 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.query.QueryCompiler
+
+/** Comments + tag-catalog query surfaces (VERDICT r1 "What's missing"
+  * items 3-4).
+  *
+  * Comments (`backend/backend/handlers/comments/commentService.py`):
+  * a per-asset PK query over the comments table (PK `assetId`, SK
+  * `assetVersionId:commentId`), keyset-paginated, with soft-deleted
+  * comments excluded unless `showDeleted`; the per-version listing is a
+  * begins_with prefix query on the SK (`:119-152`). Modeled on
+  * `lineitem`: order = asset, line = comment, composite SK derived the
+  * same way the reference concatenates `assetVersionId:commentId`.
+  *
+  * Tags (`backend/backend/handlers/tags/tagService.py`): the tag catalog
+  * listing joins tags to their tagTypes and (for delete-protection,
+  * `:162-224`) needs per-tag usage counts over assets. Modeled on the
+  * `part` table's tag tokens (the same derivation `a1_facets_tags` uses).
+  *
+  * Scale shape: the comment listings are PK point scans — partition
+  * pruning + parquet pushdown make them index-equivalent; the tag
+  * catalog is one explode + one shuffle with map-side combine, and the
+  * tagType dim joins broadcast.
+  */
+object SurfaceQueries {
+  import QueryDef.sql
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** Comment rows modeled from lineitem: SK = 'v<partkey%4>:c<linenumber>',
+    * body/date synthesized deterministically, soft-delete flag =
+    * (l_returnflag = 'R'). */
+  private def comments(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").select(
+      col("l_orderkey").as("asset_id"),
+      concat(lit("v"), (col("l_partkey") % 4).cast("string"),
+        lit(":c"), col("l_linenumber").cast("string")).as("sk"),
+      concat(lit("note-"), col("l_quantity").cast("int").cast("string"))
+        .as("body"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd").as("date_created"),
+      col("l_suppkey").as("owner_id"),
+      (col("l_returnflag") === "R").as("deleted"))
+
+  private val CommentsSqlCte =
+    """cm AS (
+      |  SELECT l_orderkey AS asset_id,
+      |         'v' || CAST(l_partkey % 4 AS VARCHAR) ||
+      |           ':c' || CAST(l_linenumber AS VARCHAR) AS sk,
+      |         'note-' || CAST(CAST(l_quantity AS INT) AS VARCHAR) AS body,
+      |         strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS date_created,
+      |         l_suppkey AS owner_id,
+      |         (l_returnflag = 'R') AS deleted
+      |  FROM lineitem
+      |)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Comments: per-asset listing, keyset-paged on the SK, deleted
+    //    excluded (get_comments :86-117 + showDeleted handling :234-241).
+    sql("cm1_comments_keyset",
+      s"""WITH $CommentsSqlCte
+        |SELECT asset_id, sk, body, date_created, owner_id FROM cm
+        |WHERE asset_id = 7 AND NOT deleted AND sk > 'v1:c2'
+        |ORDER BY sk LIMIT 3""")(
+      (s, d) => QueryCompiler.keysetPage(
+        comments(s, d)
+          .filter(col("asset_id") === 7 && !col("deleted"))
+          .select("asset_id", "sk", "body", "date_created", "owner_id"),
+        col("sk"), Some(lit("v1:c2")), pageSize = 3)),
+
+    // ── Comments: per-version listing = begins_with prefix query on the
+    //    composite SK (get_comments_version :119-152).
+    sql("cm2_comments_version_prefix",
+      s"""WITH $CommentsSqlCte
+        |SELECT asset_id, sk, body, owner_id, deleted FROM cm
+        |WHERE asset_id <= 20 AND sk LIKE 'v2:%'
+        |ORDER BY asset_id, sk""")(
+      (s, d) => comments(s, d)
+        .filter(col("asset_id") <= 20 && col("sk").startsWith("v2:"))
+        .select("asset_id", "sk", "body", "owner_id", "deleted")
+        .orderBy("asset_id", "sk")),
+
+    // ── Tag catalog: tags ⋈ tagType dim + usage counts (the listing of
+    //    handle_get_request :226-277 and the in-use check of
+    //    delete_tag :162-224 in one surface). One exchange for the tag
+    //    counts (map-side combined), broadcast join for the type dim.
+    sql("tg1_tag_catalog",
+      """WITH tags AS (
+        |  SELECT unnest(regexp_split_to_array(p_type, ' ')) AS tag_name,
+        |         p_brand, p_size
+        |  FROM part
+        |), catalog AS (
+        |  SELECT tag_name, min(p_brand) AS tag_type,
+        |         CAST(count(*) AS BIGINT) AS n_assets,
+        |         CAST(count(DISTINCT p_size) AS BIGINT) AS n_sizes
+        |  FROM tags GROUP BY tag_name
+        |), types AS (
+        |  SELECT p_brand AS tag_type,
+        |         CAST(count(DISTINCT p_partkey) AS BIGINT) AS type_assets
+        |  FROM part GROUP BY p_brand
+        |)
+        |SELECT c.tag_name, c.tag_type, c.n_assets, c.n_sizes,
+        |       t.type_assets
+        |FROM catalog c JOIN types t USING (tag_type)
+        |ORDER BY c.tag_name""")(
+      (s, d) => {
+        val exploded = t(s, d, "part")
+          .select(explode(split(col("p_type"), " ")).as("tag_name"),
+            col("p_brand"), col("p_size"))
+        val catalog = exploded.groupBy("tag_name")
+          .agg(min("p_brand").as("tag_type"),
+            count(lit(1)).as("n_assets"),
+            countDistinct("p_size").as("n_sizes"))
+        val types = t(s, d, "part").groupBy(col("p_brand").as("tag_type"))
+          .agg(countDistinct("p_partkey").as("type_assets"))
+        catalog.join(broadcast(types), "tag_type")
+          .select("tag_name", "tag_type", "n_assets", "n_sizes",
+            "type_assets")
+          .orderBy("tag_name")
+      })
+  )
+}
