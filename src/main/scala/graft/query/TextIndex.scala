@@ -1,0 +1,87 @@
+package graft.query
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** F3 at 100 TB — trigram-postings side table pruning substring scans.
+  *
+  * The reference's text search is an OpenSearch inverted-index query
+  * (`handlers/search/search.py:1074-1121`); the round-1 engine compiled
+  * it to a full `contains` scan — correct, but every search touches
+  * every row. This component is the lakehouse analogue of the inverted
+  * index at FILE granularity: a side table `(file, trigram)` of the
+  * distinct lowercase trigrams per parquet file of a text column. A
+  * substring search must match every trigram of its literal, so the
+  * candidate file set is `files ⊇ all trigrams of the literal` — the
+  * scan then reads ONLY those files (the same containment logic an
+  * n-gram bloom filter applies per row group; file grain keeps it a
+  * plain DataFrame join).
+  *
+  * Scale notes: the postings table is ≤ |files| × |trigram vocab| rows
+  * (thousands of × smaller than the corpus), is built in one narrow
+  * pass + one map-side-combined aggregation, and in production is
+  * maintained incrementally by the same indexer that writes the files
+  * (a new file appends its trigram rows; a deleted file removes them).
+  * Wildcard patterns prune with the trigrams of every literal segment
+  * ≥ 3 chars; patterns with no such segment fall back to the full scan
+  * — never wrong, only unpruned.
+  */
+object TextIndex {
+
+  /** session+path+column → materialized postings, built once per run
+    * (the per-session stand-in for the incrementally-maintained table). */
+  private val cache = new ConcurrentHashMap[String, DataFrame]()
+
+  /** Distinct lowercase trigrams of a string column. */
+  def trigrams(c: Column): Column = {
+    val t = lower(c)
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(t) - 2, lit(0))),
+      i => t.substr(i, lit(3))))
+  }
+
+  /** `(file, tri)` postings of `textCol` over a parquet directory. */
+  def postings(spark: SparkSession, path: String, textCol: String): DataFrame =
+    cache.computeIfAbsent(s"${spark.hashCode}:$path:$textCol", { _ =>
+      val p = spark.read.parquet(path)
+        .select(input_file_name().as("file"), trigrams(col(textCol)).as("ts"))
+        .select(col("file"), explode(col("ts")).as("tri"))
+        .distinct()
+        .persist()
+      p.count()
+      p
+    })
+
+  /** Trigrams the pattern REQUIRES: every literal segment (between
+    * `*`/`?` wildcards) of length ≥ 3 contributes its trigrams. Empty ⇒
+    * the pattern cannot prune. */
+  def requiredTrigrams(pattern: String): Set[String] =
+    pattern.toLowerCase.split("[*?]").filter(_.length >= 3)
+      .flatMap(seg => seg.sliding(3)).toSet
+
+  /** Substring/wildcard search over `textCol` of the parquet table at
+    * `path`, reading only files whose postings contain every required
+    * trigram. Result is identical to filtering the full table with
+    * [[QueryCompiler.wildcard]]. */
+  def prunedSearch(spark: SparkSession, path: String, textCol: String,
+      pattern: String): DataFrame = {
+    val full = spark.read.parquet(path)
+    val required = requiredTrigrams(pattern)
+    val pred = QueryCompiler.wildcard(col(textCol), pattern)
+    if (required.isEmpty) full.filter(pred)
+    else {
+      val files = postings(spark, path, textCol)
+        .filter(col("tri").isin(required.toSeq: _*))
+        .groupBy("file")
+        .agg(countDistinct(col("tri")).as("hits"))
+        .filter(col("hits") === required.size)
+        .select("file")
+        .collect().map(_.getString(0)) // file LIST only — never row data
+      if (files.isEmpty) full.filter(lit(false))
+      else spark.read.schema(full.schema).parquet(files.toIndexedSeq: _*)
+        .filter(pred)
+    }
+  }
+}

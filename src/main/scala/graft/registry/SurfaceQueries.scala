@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.query.QueryCompiler
+import graft.query.{QueryCompiler, TextIndex}
 
 /** Comments + tag-catalog query surfaces (VERDICT r1 "What's missing"
   * items 3-4).
@@ -59,6 +59,18 @@ object SurfaceQueries {
       |)"""
 
   val defs: Seq[QueryDef] = Seq(
+
+    // ── F3 scale path: substring search through the trigram-postings
+    //    side table — identical rows to the full contains scan, but only
+    //    candidate FILES are read (TextIndexSpec asserts the pruning;
+    //    at one file per sf dir the gate query proves equivalence).
+    sql("f3_wildcard_indexed",
+      """SELECT doc_id, lang FROM documents
+        |WHERE contains(lower(text), 'dup')
+        |ORDER BY doc_id""")(
+      (s, d) => TextIndex.prunedSearch(s, s"$d/documents.parquet", "text", "dup")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
 
     // ── Comments: per-asset listing, keyset-paged on the SK, deleted
     //    excluded (get_comments :86-117 + showDeleted handling :234-241).

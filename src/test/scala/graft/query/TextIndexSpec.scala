@@ -1,0 +1,66 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The trigram-postings side table must prune the files a substring scan
+  * reads while returning exactly the full scan's rows. */
+class TextIndexSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-ti").toString
+    graft.core.Tables.load(spark, sf("sf0.01"), "documents")
+      .repartition(64)
+      .write.mode("overwrite").parquet(d)
+    d
+  }
+
+  private def fullScan(pattern: String) =
+    spark.read.parquet(dir)
+      .filter(QueryCompiler.wildcard(col("text"), pattern))
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+
+  private def pruned(pattern: String) =
+    TextIndex.prunedSearch(spark, dir, "text", pattern)
+
+  test("pruned substring search reads fewer files, identical rows") {
+    val exact = fullScan("dup")
+    assert(exact.nonEmpty)
+    val df = pruned("dup")
+    val got = df.select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    assert(got == exact)
+    val allFiles = spark.read.parquet(dir).inputFiles.length
+    assert(allFiles == 64)
+    assert(df.inputFiles.length < allFiles,
+      s"no pruning: ${df.inputFiles.length} of $allFiles files read")
+  }
+
+  test("wildcard patterns prune with every literal segment's trigrams") {
+    val exact = fullScan("*dup*join*")
+    val got = pruned("*dup*join*")
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    assert(got == exact)
+  }
+
+  test("un-prunable short pattern falls back to the full scan, still correct") {
+    val exact = fullScan("up")
+    val df = pruned("up")
+    val got = df.select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    assert(got == exact && got.nonEmpty)
+  }
+
+  test("literal absent from every file yields an empty result without reading rows") {
+    assert(pruned("zzzqqq").count() == 0)
+  }
+
+  test("requiredTrigrams: segments under 3 chars contribute nothing") {
+    assert(TextIndex.requiredTrigrams("ab*cd") == Set.empty[String])
+    assert(TextIndex.requiredTrigrams("*scan?batch*") ==
+      Set("sca", "can", "bat", "atc", "tch"))
+  }
+}
