@@ -71,7 +71,9 @@ object Bench {
     // (rows-only operators like the ANN scale paths have no DuckDB twin)
     val oracleKeys = SparkEntry.oracleSql.keySet
     val oracleTotal = results.collect { case (k, v) if oracleKeys(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","oracle_value":$oracleTotal,"queries":$qs,"sf":"$sfDir"}""")
+    // warm_dir makes the numbers interpretable: warmup at the target dir
+    // (no sf0.001 sibling) means the suite ran once untimed at full SF
+    println(s"""{"metric":"total","value":$total,"unit":"sec","oracle_value":$oracleTotal,"queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir"}""")
     spark.stop()
   }
 }

@@ -52,6 +52,15 @@ object Traversal {
       frontier = next
       depth += 1
     }
-    levels.reduce(_ unionByName _)
+    // materialize the union ONCE (each level still reads its cache, so
+    // this is one job over cached blocks), then release every level and
+    // the edge cache — repeated traversals no longer accumulate
+    // executor-memory entries. localCheckpoint blocks are reference-
+    // tracked: the ContextCleaner frees them when the returned frame is
+    // garbage collected, so nothing is pinned beyond the caller's use.
+    val result = levels.reduce(_ unionByName _).localCheckpoint(true)
+    levels.foreach(_.unpersist(false))
+    e.unpersist(false)
+    result
   }
 }
