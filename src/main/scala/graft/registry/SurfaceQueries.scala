@@ -97,6 +97,75 @@ object SurfaceQueries {
         .select("asset_id", "sk", "body", "owner_id", "deleted")
         .orderBy("asset_id", "sk")),
 
+    // ── Subscriptions: the listing surface (subscriptionService.py:78-137)
+    //    — subscriptions grouped per entity with enrichment from the
+    //    entity table (the reference's per-id asset-name batch get is the
+    //    same join, done set-wise). Subscription rows are synthesized
+    //    deterministically from customer (both engines see identical
+    //    rows): every third customer subscribes to entity c_custkey % 300.
+    sql("sb1_subscription_listing",
+      """WITH subs AS (
+        |  SELECT c_custkey % 300 AS entity_id, c_name AS subscriber
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |), grouped AS (
+        |  SELECT entity_id,
+        |         array_to_string(list_sort(list(subscriber)), ',') AS subscribers,
+        |         CAST(count(*) AS BIGINT) AS n_subscribers
+        |  FROM subs GROUP BY entity_id
+        |)
+        |SELECT g.entity_id, g.subscribers, g.n_subscribers,
+        |       o.o_orderpriority AS entity_value
+        |FROM grouped g JOIN orders o ON o.o_orderkey = g.entity_id
+        |ORDER BY g.entity_id""")(
+      (s, d) => {
+        val subs = t(s, d, "customer")
+          .filter(col("c_custkey") % 3 === 0)
+          .select((col("c_custkey") % 300).as("entity_id"),
+            col("c_name").as("subscriber"))
+        val grouped = subs.groupBy("entity_id")
+          .agg(array_join(sort_array(collect_list(col("subscriber"))), ",")
+              .as("subscribers"),
+            count(lit(1)).as("n_subscribers"))
+        grouped.join(t(s, d, "orders")
+            .select(col("o_orderkey").as("entity_id"),
+              col("o_orderpriority").as("entity_value")),
+          "entity_id")
+          .select("entity_id", "subscribers", "n_subscribers", "entity_value")
+          .orderBy("entity_id")
+      }),
+
+    // ── Subscriptions: notification dispatch, batch twin of the
+    //    streaming fan-out (subscriptionService.py:139-226 — SNS publish
+    //    per subscriber when the subscribed event hits the entity).
+    //    'Version change' events := purchase events; entity = event's
+    //    props.k (the same typed-JSON access path C5 uses).
+    sql("sb2_notification_dispatch",
+      """WITH subs AS (
+        |  SELECT c_custkey % 300 AS entity_id, c_name AS subscriber
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |), ev AS (
+        |  SELECT event_id,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) % 300
+        |           AS entity_id
+        |  FROM events WHERE event_type = 'purchase' AND event_id < 500
+        |)
+        |SELECT ev.event_id, ev.entity_id, s.subscriber
+        |FROM ev JOIN subs s USING (entity_id)
+        |ORDER BY event_id, subscriber""")(
+      (s, d) => {
+        val subs = t(s, d, "customer")
+          .filter(col("c_custkey") % 3 === 0)
+          .select((col("c_custkey") % 300).as("entity_id"),
+            col("c_name").as("subscriber"))
+        val ev = t(s, d, "events")
+          .filter(col("event_type") === "purchase" && col("event_id") < 500)
+          .select(col("event_id"),
+            (get_json_object(col("props"), "$.k").cast("long") % 300)
+              .as("entity_id"))
+        graft.streaming.Subscriptions.dispatch(ev, subs)
+          .orderBy("event_id", "subscriber")
+      }),
+
     // ── Tag catalog: tags ⋈ tagType dim + usage counts (the listing of
     //    handle_get_request :226-277 and the in-use check of
     //    delete_tag :162-224 in one surface). One exchange for the tag
