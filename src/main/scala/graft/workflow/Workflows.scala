@@ -42,6 +42,13 @@ object Workflows {
       workflowId: String, executionStatus: String,
       startedAtMs: Long, stoppedAtMs: Long, failedPipeline: String)
 
+  /** DRIVER-LOCAL orchestrator state, by design: workflow/pipeline
+    * definitions and execution records are control-plane metadata (the
+    * reference keeps them in admin-sized DynamoDB tables), mutated only
+    * by the single orchestrating driver. Data-plane state never lives
+    * here — executions materialize to DataFrames ([[executionsDf]]) for
+    * the J9/W3 query surfaces, and a multi-driver deployment would back
+    * this class with the table itself. */
   final class Registry {
     private val pipelines = mutable.LinkedHashMap[String, Pipeline]()
     private val workflows = mutable.LinkedHashMap[String, Workflow]()

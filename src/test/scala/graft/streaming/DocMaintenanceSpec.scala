@@ -166,6 +166,45 @@ class DocMaintenanceSpec extends SparkSpec {
     assert(!new java.io.File(dir, "str_databaseid=dbB").exists())
   }
 
+  test("end-to-end: CDC stream → affected keys → incremental rebuild → partition-scoped merge") {
+    val cdcDir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-docstore").toString
+    val assets = mkAssets(("db1", "a1", "One"), ("db1", "a2", "Two"),
+      ("db2", "b1", "Bee"))
+    val links = Seq(("l1", "db1", "a1", "db1", "a2", "parentChild", null: String))
+      .toDF("assetLinkId", "fromDatabaseId", "fromAssetId", "toDatabaseId",
+        "toAssetId", "relationshipType", "assetLinkAliasId")
+    // seed the doc table with a full build
+    DocMaintenance.mergeDocsIncremental(spark, docsDir,
+      graft.docs.DocBuilder.buildAssetDocs(assets, buckets, emptyMd, emptyVer, links))
+    def dbFiles(p: String): Map[String, Long] = {
+      val d = new java.io.File(docsDir, s"str_databaseid=$p")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val db2Before = dbFiles("db2")
+    assert(db2Before.nonEmpty)
+    // stream one CDC batch: metadata change on db1/a2 (child of a1)
+    val batch = Seq((1L, "MODIFY", "metadata", "db1", "a2",
+      null: String, null: String, null: String, null: String))
+      .toDF("sequence", "op", "table", "databaseId", "assetId",
+        "fromDatabaseId", "fromAssetId", "toDatabaseId", "toAssetId")
+    batch.write.mode("overwrite").parquet(cdcDir)
+    val cdc = spark.readStream.schema(batch.schema).parquet(cdcDir)
+    val q = DocMaintenance.streamMaintain(cdc,
+      () => (assets, buckets, emptyMd, emptyVer, links),
+      rebuilt => DocMaintenance.mergeDocsIncremental(spark, docsDir, rebuilt))
+    try q.processAllAvailable() finally q.stop()
+    // the rebuilt child doc kept its parent flag (incoming edge survived)
+    val row = spark.read.parquet(docsDir)
+      .filter(col("_docId") === "db1#a2")
+      .select("bool_has_asset_parents").as[Boolean].collect().toSeq
+    assert(row == Seq(true))
+    // db2's partition was never rewritten by the db1-only batch
+    assert(dbFiles("db2") == db2Before)
+  }
+
   test("mergeDocs: updates win, removes drop, redelivery converges (S9/ST3)") {
     val current = Seq(("d1", "old1"), ("d2", "old2"), ("d3", "old3"))
       .toDF("_docId", "payload")
