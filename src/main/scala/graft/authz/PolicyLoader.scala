@@ -163,6 +163,35 @@ object PolicyLoader {
     Abac.Policy(allow, deny)
   }
 
+  private final case class CachedPolicy(policy: Abac.Policy, atNanos: Long)
+  private val policyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedPolicy]()
+
+  /** Per-user compiled-policy cache with TTL — the Spark twin of the
+    * reference's `casbin_user_policy_map` + `_dateTime_Cached` 60-second
+    * enforcer reuse (`authz/__init__.py:22,45-49,165-176`). Every
+    * governed request re-deriving the policy from the constraints table
+    * would put a metadata read on the hot path; a TTL bounds staleness
+    * exactly like the reference's. Keyed by (user, roles, action,
+    * objectType) — a role change takes effect at most `ttl` late, same
+    * contract as the reference. */
+  def loadCached(constraints: DataFrame, user: UserContext, action: String,
+      objectType: String, fieldMap: String => String = identity,
+      ttl: java.time.Duration = java.time.Duration.ofSeconds(60)): Abac.Policy = {
+    val key = s"${user.userId}|${user.roles.toSeq.sorted.mkString(",")}|$action|$objectType"
+    val now = System.nanoTime()
+    val hit = policyCache.get(key)
+    if (hit != null && now - hit.atNanos < ttl.toNanos) hit.policy
+    else {
+      val p = load(constraints, user, action, objectType, fieldMap)
+      policyCache.put(key, CachedPolicy(p, now))
+      p
+    }
+  }
+
+  /** Drop all cached policies (e.g. after a constraint-table write). */
+  def invalidateCache(): Unit = policyCache.clear()
+
   /** One-call wiring: load the user's policy from the constraints table
     * and govern `path` with it (auto-injected row security for every
     * subsequent read of that table). */

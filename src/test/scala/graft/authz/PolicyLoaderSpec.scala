@@ -142,6 +142,30 @@ class PolicyLoaderSpec extends SparkSpec {
     assert(mapped.allow == Seq(Seq(Abac.Criterion("str_databaseid", "equals", "db1"))))
   }
 
+  test("loadCached serves within TTL without re-reading; invalidate forces reload") {
+    PolicyLoader.invalidateCache()
+    val user = PolicyLoader.UserContext("u", Set("g"))
+    val c1 = constraintsDf(
+      ("c1", "asset",
+        """[{"field":"databaseId","operator":"equals","value":"db1"}]""",
+        null, null, """[{"groupId":"g","permission":"GET"}]""", null))
+    val p1 = PolicyLoader.loadCached(c1, user, "GET", "asset")
+    assert(p1.allow == Seq(Seq(Abac.Criterion("databaseId", "equals", "db1"))))
+    // a DIFFERENT constraints table within TTL still returns the cached
+    // policy (staleness bounded by ttl, like the reference's 60 s map)
+    val c2 = constraintsDf(
+      ("c1", "asset",
+        """[{"field":"databaseId","operator":"equals","value":"db2"}]""",
+        null, null, """[{"groupId":"g","permission":"GET"}]""", null))
+    assert(PolicyLoader.loadCached(c2, user, "GET", "asset") == p1)
+    PolicyLoader.invalidateCache()
+    val p2 = PolicyLoader.loadCached(c2, user, "GET", "asset")
+    assert(p2.allow == Seq(Seq(Abac.Criterion("databaseId", "equals", "db2"))))
+    // zero TTL bypasses the cache entirely
+    assert(PolicyLoader.loadCached(c1, user, "GET", "asset",
+      ttl = java.time.Duration.ZERO) == p1)
+  }
+
   test("loader wires into auto-injection: governed reads are filtered") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pl").toString
     docs.write.mode("overwrite").parquet(dir)
