@@ -80,9 +80,14 @@ object Bench {
     // (rows-only operators like the ANN scale paths have no DuckDB twin)
     val oracleKeys = SparkEntry.oracleSql.keySet
     val oracleTotal = results.collect { case (k, v) if oracleKeys(k) => v }.sum
+    // pass_totals expose scheduling noise directly in the artifact: a
+    // wide spread across passes means machine contention, not a
+    // regression (single-run totals vary up to 2× on shared VMs).
     // warm_dir makes the numbers interpretable: warmup at the target dir
-    // (no sf0.001 sibling) means the suite ran once untimed at full SF
-    println(s"""{"metric":"total","value":$total,"unit":"sec","oracle_value":$oracleTotal,"queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir"}""")
+    // (no sf0.001 sibling) means the suite ran once untimed at full SF.
+    val passTotals = passes.map(_.values.sum)
+      .map(v => f"$v%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","oracle_value":$oracleTotal,"queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","pass_totals":$passTotals}""")
     spark.stop()
   }
 }

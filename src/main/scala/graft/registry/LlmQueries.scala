@@ -100,6 +100,46 @@ object LlmQueries {
   private def gramSetRows(s: SparkSession, d: String): DataFrame =
     docGramStats(s, d).select(col("doc_id"), explode(col("gs")).as("g"))
 
+  /** Candidate pairs for exact Jaccard ≥ 0.5 over per-doc SORTED gram
+    * sets `(doc_id, gs, n)` — AllPairs/PPJoin, fully distributed.
+    *
+    * PREFIX FILTER: under any global gram order, two sets with
+    * J ≥ 0.5 overlap in ≥ ⌈n/2⌉ elements, so their first ⌊n/2⌋+1
+    * elements under that order must intersect — indexing only that
+    * prefix is lossless for candidate generation. The gram sets arrive
+    * already sorted by the global hash order, so the prefix is a
+    * zero-shuffle slice (the postings self-join drops from Σ_g df² pair
+    * rows to prefix collisions only: 15.0M → 0.6M on the sf0.1 corpus).
+    *
+    * Then PPJoin-style pruning BEFORE any gram-set fetch:
+    * (a) length filter inside the join — J ≥ 0.5 forces
+    *     max(na,nb) ≤ 2·min(na,nb);
+    * (b) positional filter — sets sorted by one global order share
+    *     their common elements in the same relative order, so the
+    *     EARLIEST colliding gram (min pos on both sides, attained by
+    *     the same gram) bounds the total overlap:
+    *     I ≤ min(na − ia, nb − jb); J ≥ 0.5 needs 3·I ≥ na + nb.
+    * Both are exact — no qualifying pair is pruned
+    * (`NgramCandidateSpec` property-checks superset-ness against a
+    * brute-force evaluation on randomized sets). `viral` (grams above
+    * the df cap) are excluded from candidate generation only. */
+  private[registry] def ngramCandidates(stats: DataFrame, viral: DataFrame): DataFrame = {
+    val prefixes0 = stats.select(col("doc_id"), col("n"),
+      posexplode(slice(col("gs"), lit(1),
+        (size(col("gs")) / 2).cast("int") + 1)).as(Seq("pos", "g")))
+    val prefixes = prefixes0.join(broadcast(viral), Seq("g"), "left_anti")
+    prefixes.as("x").hint("shuffle_hash").join(prefixes.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.n") <= lit(2) * col("y.n") &&
+          col("y.n") <= lit(2) * col("x.n"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(min(col("x.pos")).as("ia"), min(col("y.pos")).as("jb"),
+        first(col("x.n")).as("na0"), first(col("y.n")).as("nb0"))
+      .filter(lit(3) * least(col("na0") - col("ia"), col("nb0") - col("jb")) >=
+        col("na0") + col("nb0"))
+      .select("a_id", "b_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: content-hash groupBy, deterministic survivor.
@@ -151,46 +191,18 @@ object LlmQueries {
         // composed entirely of corpus-viral 3-grams; the cap is a
         // documented semantic of the operator at scale.
         val stats = docGramStats(s, d)
-        // AllPairs/PPJoin PREFIX FILTER: under any global gram order, two
-        // sets with Jaccard ≥ 0.5 overlap in ≥ ⌈n/2⌉ elements, so their
-        // first ⌊n/2⌋+1 elements under that order must intersect —
-        // indexing only that prefix is lossless for candidate generation.
-        // The cached per-doc gram sets are already sorted by the global
-        // 60-bit hash order, so the prefix is a ZERO-SHUFFLE slice of the
-        // cache, and the postings self-join drops from Σ_g df² pair rows
-        // to the prefix collisions only (15.0M → 0.6M on the sf0.1
-        // corpus). Exactness is restored by verifying every candidate
-        // against its FULL gram set below.
-        val prefixes0 = stats.select(col("doc_id"), col("n"),
-          posexplode(slice(col("gs"), lit(1),
-            (size(col("gs")) / 2).cast("int") + 1)).as(Seq("pos", "g")))
         // viral-gram cap: the excluded-gram list is ≤ |postings| /
         // NgramDfCap rows BY CONSTRUCTION — broadcastable at any corpus
         // size; its partial count aggregates map-side, so the cap costs
-        // a narrow anti-join instead of a corpus-wide window sort
+        // a narrow anti-join instead of a corpus-wide window sort.
+        // (With the cap active, the candidate contract weakens from
+        // "shares any sub-cap gram" to "the pruning bounds hold over the
+        // sub-cap collisions" — still: only boilerplate-dominated pairs
+        // can be missed, and the exact verify never mis-scores a
+        // surviving pair.)
         val viral = gramSetRows(s, d).groupBy("g").agg(count(lit(1)).as("df"))
           .filter(col("df") > NgramDfCap).select("g")
-        val prefixes = prefixes0.join(broadcast(viral), Seq("g"), "left_anti")
-        // PPJoin-style pruning BEFORE the expensive gram-set fetch:
-        // (a) length filter inside the join — J ≥ 0.5 forces
-        //     max(na,nb) ≤ 2·min(na,nb);
-        // (b) positional filter — sets sorted by one global order share
-        //     their common elements in the same relative order, so the
-        //     EARLIEST colliding gram (min pos on both sides, attained by
-        //     the same gram) bounds the total overlap:
-        //     I ≤ min(na − ia, nb − jb); J ≥ 0.5 needs 3·I ≥ na + nb.
-        // Both are exact (no qualifying pair pruned); together they drop
-        // ~2.7× more candidates before any array is shuffled.
-        val cand = prefixes.as("x").hint("shuffle_hash").join(prefixes.as("y"),
-            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
-              col("x.n") <= lit(2) * col("y.n") &&
-              col("y.n") <= lit(2) * col("x.n"))
-          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .agg(min(col("x.pos")).as("ia"), min(col("y.pos")).as("jb"),
-            first(col("x.n")).as("na0"), first(col("y.n")).as("nb0"))
-          .filter(lit(3) * least(col("na0") - col("ia"), col("nb0") - col("jb")) >=
-            col("na0") + col("nb0"))
-          .select("a_id", "b_id")
+        val cand = ngramCandidates(stats, viral)
         val jac = col("shared").cast("double") /
           (col("na") + col("nb") - col("shared"))
         cand.hint("shuffle_hash")

@@ -1,0 +1,67 @@
+package graft.registry
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Property check: the AllPairs/PPJoin candidate generator (prefix slice
+  * + length filter + positional filter) NEVER prunes a pair with
+  * Jaccard ≥ 0.5 — on randomized gram-set universes including the edge
+  * shapes (singleton sets, identical sets, disjoint sets, containment,
+  * odd/even sizes). The filters may overshoot (extra candidates are
+  * verified away later); they must never undershoot.
+  */
+class NgramCandidateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomSet(rnd: scala.util.Random, universe: Int, maxLen: Int): Seq[Int] = {
+    val len = 1 + rnd.nextInt(maxLen)
+    val set = scala.collection.mutable.SortedSet.empty[Int]
+    while (set.size < len) set += rnd.nextInt(universe)
+    set.toSeq
+  }
+
+  private def check(seed: Int, nDocs: Int, universe: Int, maxLen: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val base = (0 until nDocs).map(i => (i.toLong, randomSet(rnd, universe, maxLen)))
+    val docs = base ++ Seq(
+      (nDocs.toLong, base.head._2),                      // exact duplicate
+      (nDocs.toLong + 1, base.head._2 :+ (universe + 1))) // superset (+1 elem)
+    val truePairs = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs
+      if ia < ib
+      shared = sa.toSet.intersect(sb.toSet).size
+      if shared > 0 &&
+        shared.toDouble / (sa.size + sb.size - shared) >= 0.5
+    } yield (ia, ib)).toSet
+    assert(truePairs.nonEmpty) // the forced dup/superset make this non-vacuous
+
+    val stats = docs.toDF("doc_id", "gs")
+      .withColumn("gs", sort_array(col("gs")))
+      .withColumn("n", size(col("gs")).cast("long"))
+    val cand = LlmQueries.ngramCandidates(stats, Seq.empty[Int].toDF("g"))
+      .as[(Long, Long)].collect().toSet
+    val missed = truePairs -- cand
+    assert(missed.isEmpty,
+      s"seed=$seed: candidate generator pruned qualifying pairs $missed " +
+        s"(|true|=${truePairs.size}, |cand|=${cand.size})")
+  }
+
+  test("candidates are a superset of all J>=0.5 pairs (randomized universes)") {
+    // small universes force heavy overlap; large ones force sparsity
+    check(seed = 1, nDocs = 30, universe = 20, maxLen = 8)
+    check(seed = 2, nDocs = 30, universe = 200, maxLen = 12)
+    check(seed = 3, nDocs = 40, universe = 15, maxLen = 5)
+    check(seed = 4, nDocs = 25, universe = 1000, maxLen = 20)
+  }
+
+  test("identical single-element sets are found (smallest edge case)") {
+    val stats = Seq((1L, Seq(7)), (2L, Seq(7)), (3L, Seq(9)))
+      .toDF("doc_id", "gs")
+      .withColumn("n", size(col("gs")).cast("long"))
+    val cand = LlmQueries.ngramCandidates(stats, Seq.empty[Int].toDF("g"))
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)))
+    assert(!cand.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}
