@@ -134,6 +134,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sorted page queries plan TakeOrderedAndProject, never a global sort") {
+    // ORDER BY + LIMIT must become a per-partition top-k + driver merge
+    // (TakeOrderedAndProject) — a global Sort before a limit shuffles
+    // the whole table and is the difference between O(page) and
+    // O(table) at 100 TB
+    Seq("o1_multisort", "o4_offset_pagination", "cm1_comments_keyset")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("TakeOrderedAndProject"),
+          s"$q: expected top-k plan:\n${p.take(1500)}")
+      }
+  }
+
+  test("keyset cursor predicate reaches the parquet scan") {
+    val p = plan("o6_keyset_pagination")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(c_custkey"),
+      p.take(1500))
+  }
+
   test("no Scala UDFs anywhere in the flagship plans") {
     Seq("j1_doc_enrichment", "search_advanced", "a1_facets",
       "f7_metadata_kv", "llm_text_quality").foreach { q =>
