@@ -97,6 +97,53 @@ object SurfaceQueries {
         .select("asset_id", "sk", "body", "owner_id", "deleted")
         .orderBy("asset_id", "sk")),
 
+    // ── Asset-link get with BOTH-endpoint authorization + link metadata
+    //    (assetLinksService.py:164-206: a link is visible only when the
+    //    caller passes the permission check on BOTH linked assets;
+    //    per-link metadata rows `:135-157` travel with it). Set-wise:
+    //    links ⋈ policy-enforced from-endpoints ⋈ policy-enforced
+    //    to-endpoints — the endpoint filters are real Abac policies, so
+    //    the authz predicates push into both endpoint scans.
+    sql("j11_link_both_endpoint_authz",
+      """WITH links AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS link_id,
+        |         l_orderkey AS from_id, l_partkey AS to_id,
+        |         l_returnflag AS relationship,
+        |         'qty=' || CAST(CAST(l_quantity AS INT) AS VARCHAR) ||
+        |           ';ship=' || strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+        |           AS link_md
+        |  FROM lineitem WHERE l_orderkey < 300
+        |)
+        |SELECT link_id, from_id, to_id, relationship, link_md
+        |FROM links
+        |JOIN orders o ON o.o_orderkey = from_id AND o.o_orderstatus = 'O'
+        |JOIN part p ON p.p_partkey = to_id
+        |  AND p.p_brand LIKE 'Brand#1%'
+        |ORDER BY link_id""")(
+      (s, d) => {
+        val links = t(s, d, "lineitem")
+          .filter(col("l_orderkey") < 300)
+          .select((col("l_orderkey") * 10 + col("l_linenumber")).as("link_id"),
+            col("l_orderkey").as("from_id"), col("l_partkey").as("to_id"),
+            col("l_returnflag").as("relationship"),
+            concat(lit("qty="), col("l_quantity").cast("int").cast("string"),
+              lit(";ship="), date_format(col("l_shipdate"), "yyyy-MM-dd"))
+              .as("link_md"))
+        // the endpoint visibility checks are REAL policies — compiled to
+        // pushed predicates on each endpoint scan, exactly the F11 path
+        val fromAuth = graft.authz.Abac.enforce(t(s, d, "orders"),
+          graft.authz.Abac.Policy(allow = Seq(Seq(
+            graft.authz.Abac.Criterion("o_orderstatus", "equals", "O")))))
+          .select(col("o_orderkey").as("from_id"))
+        val toAuth = graft.authz.Abac.enforce(t(s, d, "part"),
+          graft.authz.Abac.Policy(allow = Seq(Seq(
+            graft.authz.Abac.Criterion("p_brand", "starts_with", "Brand#1")))))
+          .select(col("p_partkey").as("to_id"))
+        links.join(fromAuth, "from_id").join(toAuth, "to_id")
+          .select("link_id", "from_id", "to_id", "relationship", "link_md")
+          .orderBy("link_id")
+      }),
+
     // ── Subscriptions: the listing surface (subscriptionService.py:78-137)
     //    — subscriptions grouped per entity with enrichment from the
     //    entity table (the reference's per-id asset-name batch get is the
