@@ -38,9 +38,10 @@ object SearchApi {
 
   def search(
       docs: DataFrame,
-      req: SearchRequest,
+      req0: SearchRequest,
       policy: Option[Abac.Policy] = None): SearchResult = {
 
+    val req = graft.query.SearchLimits.validate(req0)
     val fieldsPresent = docs.columns.toSet
     def fieldCol(f: String): Column = col(f)
 

@@ -28,3 +28,23 @@ final case class SearchRequest(
 
 /** handlers/search/search.py:1305-1371 — one sort key. */
 final case class SortField(field: String, descending: Boolean = false)
+
+/** Request guards of models/search.py:126-147,170-181 — the reference
+  * rejects out-of-envelope pages before touching the engine; so do we
+  * (cheap correctness-compat, SURVEY §4 "rate/size guards"). */
+object SearchLimits {
+  val MaxWindow = 10000 // from + size ≤ 10 000 (OpenSearch window limit)
+  val MaxSize   = 2000  // size ∈ [1, 2000]
+  val FacetBuckets = 1000 // terms-agg bucket cap (search.py:1409)
+
+  /** Throws IllegalArgumentException exactly where the reference's
+    * Pydantic validators reject. */
+  def validate(req: SearchRequest): SearchRequest = {
+    require(req.size >= 1 && req.size <= MaxSize,
+      s"size must be in [1, $MaxSize], got ${req.size}")
+    require(req.from >= 0, s"from must be >= 0, got ${req.from}")
+    require(req.from + req.size <= MaxWindow,
+      s"from + size must be <= $MaxWindow, got ${req.from + req.size}")
+    req
+  }
+}

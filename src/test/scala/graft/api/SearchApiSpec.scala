@@ -86,4 +86,23 @@ class SearchApiSpec extends SparkSpec {
       SearchRequest(query = Some("red"), includeArchived = true))
     assert(res.total() == 3)
   }
+
+  test("request guards reject out-of-envelope pages like the reference") {
+    // models/search.py:126-147,170-181: size ∈ [1,2000], from+size ≤ 10000
+    intercept[IllegalArgumentException] {
+      SearchApi.search(assetDocs, SearchRequest(size = 0))
+    }
+    intercept[IllegalArgumentException] {
+      SearchApi.search(assetDocs, SearchRequest(size = 2001))
+    }
+    intercept[IllegalArgumentException] {
+      SearchApi.search(assetDocs, SearchRequest(from = 9000, size = 1001))
+    }
+    intercept[IllegalArgumentException] {
+      SearchApi.search(assetDocs, SearchRequest(from = -1))
+    }
+    // boundary accepted: from + size == 10000
+    assert(SearchApi.search(assetDocs,
+      SearchRequest(from = 8000, size = 2000)).total() >= 0)
+  }
 }
