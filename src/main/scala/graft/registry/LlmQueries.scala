@@ -153,12 +153,12 @@ object LlmQueries {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("keep_id")),
 
-    // ── n-gram Jaccard near-dup pairs (the exact quadratic baseline the
-    //    MinHash path approximates). Jaccard is defined over HASHED
-    //    shingle sets (60-bit md5-derived, same function both engines —
-    //    any collision affects both identically): the pair join runs on
-    //    bigints, not gram strings. At 100 TB this still requires the
-    //    MinHash/LSH path or a document-frequency cap on grams.
+    // ── n-gram Jaccard near-dup pairs — EXACT, and fully distributed:
+    //    AllPairs/PPJoin candidate generation (see ngramCandidates) with
+    //    a viral-gram df cap, then exact verification on full gram sets.
+    //    Jaccard is defined over HASHED shingle sets (60-bit md5-derived,
+    //    same function both engines — any collision affects both
+    //    identically): the pair join runs on integers, not gram strings.
     sql("llm_dedup_ngram_jaccard",
       s"""WITH $ShingleCtes, ghd AS (
         |  SELECT DISTINCT doc_id, g FROM gh
@@ -423,6 +423,24 @@ object LlmQueries {
             Similarity.cosine(col("v"),
               graft.llmops.Quantize.dequantize(col("qv"))).as("roundtrip_sim"))
           .orderBy("vec_id")
+      }),
+
+    // ── Top-k over the QUANTIZED store — the int8 codes are the form
+    //    the corpus is stored in at 100 TB (4× smaller scans), so search
+    //    must work directly on them: dequantize-in-scan + exact re-rank.
+    //    Rows-only (round() ties are engine-specific); recall vs the
+    //    float32 exact top-k is bounded in LlmOpsSpec.
+    rowsOnly("llm_sim_topk_q8")(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val stored = t(s, d, "embeddings")
+          .select(col("vec_id"),
+            graft.llmops.Quantize.quantize(
+              Similarity.asDouble(col("embedding"))).as("qv"))
+          .select(col("vec_id"),
+            graft.llmops.Quantize.dequantize(col("qv")).as("embedding"))
+        Similarity.bruteForceTopK(stored.filter(col("vec_id") < 10), stored, k = 5)
+          .orderBy("q_id", "rank")
       }),
 
     // ── IVF ANN (second scale path): distributed k-means lists,

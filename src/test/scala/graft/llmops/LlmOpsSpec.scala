@@ -90,6 +90,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(rt.forall(_._2 == 64))
   }
 
+  test("quantized-store top-k keeps high recall vs float32 exact search") {
+    val e = Tables.embeddings(spark, sf())
+    val queries = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, e, k = 5)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    val q8 = graft.SparkEntry.queries("llm_sim_topk_q8")(spark, sf())
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect q8).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall $recall below 0.8")
+  }
+
   test("IVF top-k: k rows per query, useful recall") {
     val e = Tables.embeddings(spark, sf())
     val queries = e.filter(col("vec_id") < 20)
