@@ -35,6 +35,26 @@ object Geo {
   def sqDegreeDist(lat: Column, lon: Column, lat0: Double, lon0: Double): Column =
     (lat - lat0) * (lat - lat0) + (lon - lon0) * (lon - lon0)
 
+  /** Point-in-polygon via ray casting, for `gs_` geometry criteria:
+    * counts edges crossed by the +x ray from the point; odd ⇒ inside.
+    * Vertices are (lon, lat) in ring order (open ring — the closing
+    * edge is added here); works for convex AND concave simple polygons.
+    * The polygon is a plan-time literal, so the test expands to a fixed
+    * sum of per-edge CASE terms — pure double arithmetic, identical in
+    * any engine (the oracle reproduces it term by term), codegen'd, no
+    * UDF. Points exactly ON an edge follow ray-casting's half-open
+    * convention (deterministic, both engines identical). */
+  def inPolygon(lat: Column, lon: Column, ring: Seq[(Double, Double)]): Column = {
+    require(ring.size >= 3, "polygon needs >= 3 vertices")
+    val edges = ring.zip(ring.tail :+ ring.head)
+    val crossings = edges.map { case ((xi, yi), (xj, yj)) =>
+      val straddles = (lit(yi) > lat) =!= (lit(yj) > lat)
+      val xCross = (lit(xj - xi) * (lat - yi)) / lit(yj - yi) + lit(xi)
+      when(straddles && (lon < xCross), 1).otherwise(0)
+    }.reduce(_ + _)
+    crossings % 2 === 1
+  }
+
   val EarthRadiusKm = 6371.0088
 
   /** Great-circle distance (haversine), km. */

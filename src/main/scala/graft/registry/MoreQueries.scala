@@ -21,6 +21,40 @@ object MoreQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // ── C13 phase-2b: point-in-POLYGON over gp_ points (ray casting,
+    //    concave "dart" polygon). The polygon expands to a fixed sum of
+    //    per-edge CASE terms — pure double arithmetic, reproduced term
+    //    by term in the oracle, so the predicate is hash-gated (unlike
+    //    trig-based haversine, which is spec-gated).
+    {
+      // (lon, lat) ring of a concave dart
+      val ring = Seq((-60.0, -30.0), (0.0, 45.0), (60.0, -30.0), (0.0, 0.0))
+      val sqlTerms = ring.zip(ring.tail :+ ring.head).map {
+        case ((xi, yi), (xj, yj)) =>
+          s"""CASE WHEN (($yi > gp_lat) <> ($yj > gp_lat))
+             |  AND gp_lon < (${xj - xi}) * (gp_lat - $yi) / (${yj - yi}) + $xi
+             |THEN 1 ELSE 0 END""".stripMargin.replace("\n", " ")
+      }.mkString(" + ")
+      sql("c13b_geo_polygon",
+        s"""WITH pts AS (
+          |  SELECT c_custkey,
+          |         CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.25 AS gp_lat,
+          |         CAST((c_custkey * 13) % 360 - 180 AS DOUBLE) AS gp_lon
+          |  FROM customer
+          |)
+          |SELECT c_custkey, gp_lat, gp_lon FROM pts
+          |WHERE ($sqlTerms) % 2 = 1
+          |ORDER BY c_custkey""")(
+        (s, d) => {
+          val pts = t(s, d, "customer").select(col("c_custkey"),
+            ((col("c_custkey") % 180 - 90).cast("double") + 0.25).as("gp_lat"),
+            ((col("c_custkey") * 13) % 360 - 180).cast("double").as("gp_lon"))
+          pts.filter(graft.query.Geo.inPolygon(col("gp_lat"), col("gp_lon"), ring))
+            .select("c_custkey", "gp_lat", "gp_lon")
+            .orderBy("c_custkey")
+        })
+    },
+
     // ── J2: file-doc enrichment — file ⋈ asset ⋈ owner dim ⋈ pivoted
     //    metadata map ⋈ attribute dim (fileIndexer.py:436-499,960-1100).
     //    Both dims broadcast; the metadata pivot is the only shuffle and

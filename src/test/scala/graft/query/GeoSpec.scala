@@ -31,6 +31,31 @@ class GeoSpec extends SparkSpec {
     assert(math.abs(oneDeg - 111.19) < 0.1)
   }
 
+  test("inPolygon matches a scala ray-casting reference on a concave polygon") {
+    import spark.implicits._
+    val ring = Seq((-60.0, -30.0), (0.0, 45.0), (60.0, -30.0), (0.0, 0.0))
+    def refInside(lat: Double, lon: Double): Boolean = {
+      val edges = ring.zip(ring.tail :+ ring.head)
+      edges.count { case ((xi, yi), (xj, yj)) =>
+        ((yi > lat) != (yj > lat)) &&
+          lon < (xj - xi) * (lat - yi) / (yj - yi) + xi
+      } % 2 == 1
+    }
+    val pts = for { la <- -50 to 50 by 7; lo <- -80 to 80 by 9 }
+      yield (la.toDouble + 0.1, lo.toDouble + 0.1)
+    val df = pts.toDF("lat", "lon")
+      .withColumn("in", Geo.inPolygon(col("lat"), col("lon"), ring))
+    val got = df.select("lat", "lon", "in")
+      .as[(Double, Double, Boolean)].collect()
+    got.foreach { case (la, lo, in) =>
+      assert(in == refInside(la, lo), s"($la,$lo)")
+    }
+    // sanity: the concave notch (just above D=(0,0), inside the hull
+    // but outside the dart) is excluded; a clearly-inside point is kept
+    assert(!refInside(-20.0, 0.0) || got.exists(p => p._1 == -20.0))
+    assert(got.exists { case (la, _, in) => la == 20.1 && in })
+  }
+
   test("bbox handles the antimeridian wrap") {
     val pts = Seq((0.0, 179.5), (0.0, -179.5), (0.0, 0.0)).toDF("lat", "lon")
     val in = pts.filter(Geo.inBBox(col("lat"), col("lon"), -10, 10, 170, -170))
