@@ -213,6 +213,53 @@ object SurfaceQueries {
           .orderBy("event_id", "subscriber")
       }),
 
+    // ── Version diff: the set comparison behind version revert/creation
+    //    (assetVersions.py:399-470 validates and copies exactly the
+    //    files that differ between the target version's stored file list
+    //    and the current state). Full-outer join of two version file
+    //    sets on (asset, fileKey), rows classified added / removed /
+    //    changed / unchanged by presence + etag. One shuffle on the
+    //    composite key; at 100 TB both sides partition-prune to the
+    //    asset's own partition first.
+    sql("j12_version_diff",
+      """WITH v1 AS (
+        |  SELECT l_orderkey AS asset_id, 'f' || CAST(l_linenumber AS VARCHAR) AS file_key,
+        |         md5(CAST(CAST(l_quantity AS INT) AS VARCHAR)) AS etag
+        |  FROM lineitem WHERE l_orderkey < 100 AND l_linenumber <= 3
+        |), v2 AS (
+        |  SELECT l_orderkey AS asset_id, 'f' || CAST(l_linenumber AS VARCHAR) AS file_key,
+        |         md5(CAST(CAST(l_extendedprice AS INT) AS VARCHAR)) AS etag
+        |  FROM lineitem WHERE l_orderkey < 100 AND l_linenumber >= 2
+        |)
+        |SELECT COALESCE(v1.asset_id, v2.asset_id) AS asset_id,
+        |       COALESCE(v1.file_key, v2.file_key) AS file_key,
+        |       CASE WHEN v2.etag IS NULL THEN 'removed'
+        |            WHEN v1.etag IS NULL THEN 'added'
+        |            WHEN v1.etag <> v2.etag THEN 'changed'
+        |            ELSE 'unchanged' END AS change
+        |FROM v1 FULL OUTER JOIN v2
+        |  ON v1.asset_id = v2.asset_id AND v1.file_key = v2.file_key
+        |ORDER BY asset_id, file_key""")(
+      (s, d) => {
+        def ver(maxLine: Boolean, etagCol: org.apache.spark.sql.Column) =
+          t(s, d, "lineitem")
+            .filter(col("l_orderkey") < 100 &&
+              (if (maxLine) col("l_linenumber") <= 3 else col("l_linenumber") >= 2))
+            .select(col("l_orderkey").as("asset_id"),
+              concat(lit("f"), col("l_linenumber").cast("string")).as("file_key"),
+              md5(etagCol.cast("int").cast("string")).as("etag"))
+        val v1 = ver(maxLine = true, col("l_quantity"))
+        val v2 = ver(maxLine = false, col("l_extendedprice"))
+          .withColumnRenamed("etag", "etag2")
+        v1.join(v2, Seq("asset_id", "file_key"), "full_outer")
+          .select(col("asset_id"), col("file_key"),
+            when(col("etag2").isNull, "removed")
+              .when(col("etag").isNull, "added")
+              .when(col("etag") =!= col("etag2"), "changed")
+              .otherwise("unchanged").as("change"))
+          .orderBy("asset_id", "file_key")
+      }),
+
     // ── Tag catalog: tags ⋈ tagType dim + usage counts (the listing of
     //    handle_get_request :226-277 and the in-use check of
     //    delete_tag :162-224 in one surface). One exchange for the tag
