@@ -60,6 +60,31 @@ object SurfaceQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // ── Export accounting (assetExportService shape): per-asset file
+    //    counts + byte totals AND the grand total in ONE aggregation
+    //    pass via ROLLUP — one shuffle computes every level (the
+    //    reference iterates assets and sums client-side). Money-sum
+    //    parity per the oracle rules: decimal-exact sum, double at the
+    //    edge; TOTAL row via coalesce (engines disagree on NULL sort
+    //    order, so the label is part of the key).
+    sql("ex1_export_rollup",
+      """SELECT COALESCE(CAST(l_orderkey AS VARCHAR), 'TOTAL') AS asset_id,
+        |       CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_bytes
+        |FROM lineitem WHERE l_orderkey < 50
+        |GROUP BY ROLLUP(l_orderkey)
+        |ORDER BY asset_id""")(
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_orderkey") < 50)
+        .rollup(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("total_bytes"))
+        .select(coalesce(col("l_orderkey").cast("string"), lit("TOTAL"))
+          .as("asset_id"), col("n_files"), col("total_bytes"))
+        .orderBy("asset_id")),
+
     // ── F3 scale path: substring search through the trigram-postings
     //    side table — identical rows to the full contains scan, but only
     //    candidate FILES are read (TextIndexSpec asserts the pruning;
