@@ -37,6 +37,42 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("watermark drops late events in append-mode windowed aggregation") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    def ev(id: Long, ts: String, v: Double) =
+      (id, Timestamp.valueOf(ts), "click", v)
+    val schema = Seq(ev(0, "2024-01-01 01:00:00", 1.0))
+      .toDF("event_id", "ts", "event_type", "value").schema
+    // batch 1: three events in the 01:00 window + one at 03:10 that
+    // advances the watermark (1h) past the 01:00 window's end
+    Seq(ev(1, "2024-01-01 01:05:00", 1.0), ev(2, "2024-01-01 01:10:00", 1.0),
+      ev(3, "2024-01-01 01:20:00", 1.0), ev(4, "2024-01-01 03:10:00", 1.0))
+      .toDF("event_id", "ts", "event_type", "value")
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+    val agg = EventOps.tumbling(stream, col("ts"), "1 hour", col("event_type"))
+      .select(date_format(col("window.start"), "HH:mm").as("ws"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out")
+      .start()
+    try {
+      q.processAllAvailable() // batch 1: watermark advances to 02:10
+      // batch 2: a LATE event for the 01:00 window (behind the 02:10
+      // watermark → must be dropped) plus a fresh event advancing time;
+      // the SAME query instance carries the watermark across batches
+      Seq(ev(5, "2024-01-01 01:30:00", 99.0), ev(6, "2024-01-01 05:00:00", 1.0))
+        .toDF("event_id", "ts", "event_type", "value")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late_out").as[(String, Long)].collect().toMap
+    // the 01:00 window finalized with THREE events — the late arrival
+    // (event 5) was excluded by the watermark, not merged in
+    assert(rows.get("01:00").contains(3L), rows.toString)
+  }
+
   test("latestByKey is idempotent under redelivery (at-least-once ST3)") {
     val batch1 = Seq((1L, "k1", 10, "v1"), (2L, "k1", 20, "v2"), (3L, "k2", 5, "x"))
       .toDF("event_id", "key", "ver", "payload")
