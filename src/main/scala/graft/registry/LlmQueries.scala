@@ -140,6 +140,65 @@ object LlmQueries {
       .select("a_id", "b_id")
   }
 
+  /** SimHash near-dup pairs (shared by the simhash gate query and the
+    * component clustering): vote-aggregate fingerprint, pigeonhole
+    * chunk equi-join, hamming ≤ 3 verify. */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val fp = gramHashes(s, d).groupBy("doc_id")
+      .agg(SimHash.simhash(col("g")).as("sim_sig")).persist()
+    fp.count()
+    val chunkStructs = array(
+      struct(lit(0).as("c"), (col("sim_sig").bitwiseAND(255L)).as("cv")),
+      struct(lit(1).as("c"),
+        (shiftright(col("sim_sig"), 8).bitwiseAND(255L)).as("cv")),
+      struct(lit(2).as("c"),
+        (shiftright(col("sim_sig"), 16).bitwiseAND(255L)).as("cv")),
+      struct(lit(3).as("c"),
+        (shiftright(col("sim_sig"), 24).bitwiseAND(127L)).as("cv")))
+    val chunks = fp.select(col("doc_id"), col("sim_sig"),
+        explode(chunkStructs).as("ch"))
+      .select(col("doc_id"), col("sim_sig"),
+        col("ch.c").as("c"), col("ch.cv").as("cv"))
+    val hamming = bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.sim_sig").as("sig_a"), col("y.sim_sig").as("sig_b"))
+      .distinct()
+      .filter(hamming <= 3)
+      .select(col("a_id"), col("b_id"), col("sig_a"), col("sig_b"),
+        hamming.cast("long").as("hamming"))
+  }
+
+  /** SQL body of the simhash pair pipeline (the CTE chain after
+    * ShingleCtes), shared by the simhash oracle and the components
+    * oracle. */
+  private val SimhashPairCtes =
+    """votes AS (
+      |  SELECT doc_id, b,
+      |         SUM(CASE WHEN (g >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM gh CROSS JOIN (SELECT unnest(generate_series(0, 30)) AS b)
+      |  GROUP BY doc_id, b
+      |), fp AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+      |                       ELSE 0 END) AS BIGINT) AS sim_sig
+      |  FROM votes GROUP BY doc_id
+      |), chunks AS (
+      |  SELECT doc_id, sim_sig, c,
+      |         CASE c WHEN 0 THEN sim_sig & 255
+      |                WHEN 1 THEN (sim_sig >> 8) & 255
+      |                WHEN 2 THEN (sim_sig >> 16) & 255
+      |                ELSE (sim_sig >> 24) & 127 END AS cv
+      |  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+      |         a.sim_sig AS sig_a, b.sim_sig AS sig_b
+      |  FROM chunks a JOIN chunks b
+      |    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+      |)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: content-hash groupBy, deterministic survivor.
@@ -316,60 +375,67 @@ object LlmQueries {
     //    pigeonhole chunk join bounds the pair search (hamming ≤ 3 ⇒ one
     //    of 4 chunks equal).
     sql("llm_dedup_simhash",
-      s"""WITH $ShingleCtes, votes AS (
-        |  SELECT doc_id, b,
-        |         SUM(CASE WHEN (g >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        |  FROM gh CROSS JOIN (SELECT unnest(generate_series(0, 30)) AS b)
-        |  GROUP BY doc_id, b
-        |), fp AS (
-        |  SELECT doc_id,
-        |         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
-        |                       ELSE 0 END) AS BIGINT) AS sim_sig
-        |  FROM votes GROUP BY doc_id
-        |), chunks AS (
-        |  SELECT doc_id, sim_sig, c,
-        |         CASE c WHEN 0 THEN sim_sig & 255
-        |                WHEN 1 THEN (sim_sig >> 8) & 255
-        |                WHEN 2 THEN (sim_sig >> 16) & 255
-        |                ELSE (sim_sig >> 24) & 127 END AS cv
-        |  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)
-        |), pairs AS (
-        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-        |         a.sim_sig AS sig_a, b.sim_sig AS sig_b
-        |  FROM chunks a JOIN chunks b
-        |    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
-        |)
+      s"""WITH $ShingleCtes, $SimhashPairCtes
         |SELECT a_id, b_id, sig_a, sig_b,
         |       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
         |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
         |ORDER BY a_id, b_id""")(
+      (s, d) => simhashPairs(s, d).orderBy("a_id", "b_id")),
+
+    // ── Dedup CLUSTER formation — connected components over the
+    //    near-dup pair graph (the step after pair generation in every
+    //    production dedup pipeline: keep min-id per component, drop the
+    //    rest). Spark side: iterative min-label propagation on the PAIR
+    //    graph only — per iteration one join + map-side-combined min-agg
+    //    over edges (pairs ≪ corpus), iterations = cluster diameter
+    //    (near-dup clusters are shallow; the driver holds only a
+    //    convergence checksum). Oracle: recursive transitive closure —
+    //    feasible exactly because components are small.
+    sql("llm_dedup_components",
+      s"""WITH RECURSIVE $ShingleCtes, $SimhashPairCtes, dup AS (
+        |  SELECT a_id, b_id FROM pairs
+        |  WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        |), edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM dup
+        |  UNION ALL
+        |  SELECT b_id, a_id FROM dup
+        |), closure(src, dst) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT c.src, e.v FROM closure c JOIN edges e ON c.dst = e.u
+        |)
+        |SELECT src AS doc_id,
+        |       CAST(least(src, min(dst)) AS BIGINT) AS component_id,
+        |       CAST(count(DISTINCT dst) AS BIGINT) AS component_size
+        |FROM closure GROUP BY src ORDER BY doc_id""")(
       (s, d) => {
-        val fp = gramHashes(s, d).groupBy("doc_id")
-          .agg(SimHash.simhash(col("g")).as("sim_sig")).persist()
-        fp.count()
-        val chunkStructs = array(
-          struct(lit(0).as("c"), (col("sim_sig").bitwiseAND(255L)).as("cv")),
-          struct(lit(1).as("c"),
-            (shiftright(col("sim_sig"), 8).bitwiseAND(255L)).as("cv")),
-          struct(lit(2).as("c"),
-            (shiftright(col("sim_sig"), 16).bitwiseAND(255L)).as("cv")),
-          struct(lit(3).as("c"),
-            (shiftright(col("sim_sig"), 24).bitwiseAND(127L)).as("cv")))
-        val chunks = fp.select(col("doc_id"), col("sim_sig"),
-            explode(chunkStructs).as("ch"))
-          .select(col("doc_id"), col("sim_sig"),
-            col("ch.c").as("c"), col("ch.cv").as("cv"))
-        val hamming = bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
-        chunks.as("x").join(chunks.as("y"),
-            col("x.c") === col("y.c") && col("x.cv") === col("y.cv") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-            col("x.sim_sig").as("sig_a"), col("y.sim_sig").as("sig_b"))
-          .distinct()
-          .filter(hamming <= 3)
-          .select(col("a_id"), col("b_id"), col("sig_a"), col("sig_b"),
-            hamming.cast("long").as("hamming"))
-          .orderBy("a_id", "b_id")
+        val dup = simhashPairs(s, d).select("a_id", "b_id")
+        val edges = dup.select(col("a_id").as("u"), col("b_id").as("v"))
+          .unionByName(dup.select(col("b_id").as("u"), col("a_id").as("v")))
+          .persist()
+        var labels = edges.select(col("u").as("node")).distinct()
+          .withColumn("comp", col("node")).persist()
+        labels.count()
+        var converged = false
+        while (!converged) {
+          val next = labels.join(edges, labels("node") === edges("u"))
+            .select(col("v").as("node"), col("comp"))
+            .unionByName(labels.select("node", "comp"))
+            .groupBy("node").agg(min("comp").as("comp"))
+            .persist()
+          // labels only ever decrease → equal checksum ⇒ fixpoint;
+          // the driver sees two scalars per iteration, never rows
+          val s0 = labels.agg(sum("comp")).head.getLong(0)
+          val s1 = next.agg(sum("comp")).head.getLong(0)
+          labels.unpersist(false)
+          labels = next
+          converged = s0 == s1
+        }
+        val sizes = labels.groupBy("comp").agg(count(lit(1)).as("component_size"))
+        labels.join(sizes, "comp")
+          .select(col("node").as("doc_id"), col("comp").as("component_id"),
+            col("component_size"))
+          .orderBy("doc_id")
       }),
 
     // ── Brute-force cosine top-k (exact ANN baseline); queries broadcast,
