@@ -415,7 +415,9 @@ object LlmQueries {
           .persist()
         var labels = edges.select(col("u").as("node")).distinct()
           .withColumn("comp", col("node")).persist()
-        labels.count()
+        // labels only ever decrease → equal checksum across iterations
+        // ⇒ fixpoint; the driver sees ONE scalar per iteration, never rows
+        var checksum = labels.agg(sum("comp")).head.getLong(0)
         var converged = false
         while (!converged) {
           val next = labels.join(edges, labels("node") === edges("u"))
@@ -423,14 +425,13 @@ object LlmQueries {
             .unionByName(labels.select("node", "comp"))
             .groupBy("node").agg(min("comp").as("comp"))
             .persist()
-          // labels only ever decrease → equal checksum ⇒ fixpoint;
-          // the driver sees two scalars per iteration, never rows
-          val s0 = labels.agg(sum("comp")).head.getLong(0)
           val s1 = next.agg(sum("comp")).head.getLong(0)
           labels.unpersist(false)
           labels = next
-          converged = s0 == s1
+          converged = s1 == checksum
+          checksum = s1
         }
+        edges.unpersist(false)
         val sizes = labels.groupBy("comp").agg(count(lit(1)).as("component_size"))
         labels.join(sizes, "comp")
           .select(col("node").as("doc_id"), col("comp").as("component_id"),
