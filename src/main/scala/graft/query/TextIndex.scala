@@ -38,6 +38,13 @@ object TextIndex {
     * the build to the next search. */
   private val cache = new ConcurrentHashMap[String, String]()
 
+  /** Drop the cached postings for a table (call after rewriting it —
+    * the side table is maintained incrementally by the writer in
+    * production; in-session it is built once per (path, column) and
+    * does NOT observe later writes to the table). */
+  def invalidate(path: String, textCol: String): Unit =
+    cache.remove(s"$path:$textCol")
+
   /** Distinct lowercase trigrams of a string column. */
   def trigrams(c: Column): Column = {
     val t = lower(c)
