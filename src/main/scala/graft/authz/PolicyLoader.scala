@@ -81,10 +81,15 @@ object PolicyLoader {
   def load(constraints: DataFrame, user: UserContext, action: String,
       objectType: String, fieldMap: String => String = identity): Abac.Policy = {
     implicit val formats: Formats = DefaultFormats
+    // tolerate absent optional columns (e.g. tables predating the legacy
+    // `criteria` field or without user permissions)
+    val wanted = Seq("constraintId", "criteriaAnd", "criteriaOr", "criteria",
+      "groupPermissions", "userPermissions")
+    val present = constraints.columns.toSet
     val rows = constraints
       .filter(col("objectType") === objectType)
-      .select("constraintId", "criteriaAnd", "criteriaOr", "criteria",
-        "groupPermissions", "userPermissions")
+      .select(wanted.map(c =>
+        if (present(c)) col(c) else lit(null).cast("string").as(c)): _*)
       .collect()
 
     // dedup denormalized copies by base constraintId (suffix stripped)

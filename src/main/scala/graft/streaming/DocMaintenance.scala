@@ -123,11 +123,14 @@ object DocMaintenance {
       .reduce(_.unionByName(_)).distinct()
       .collect().map(_.getString(0)).toSeq
     if (touched.isEmpty) return
-    // partition-pruned read of the affected partitions only; partition
-    // values are strings by contract (cast defends against inference)
+    // partition-pruned read of the affected partitions only: the filter
+    // applies to the RAW partition column (a cast above it would block
+    // partition pruning); the string cast for schema stability comes
+    // after — values are strings by contract, the cast only defends
+    // against numeric-looking inference
     val current = spark.read.parquet(tablePath)
-      .withColumn(DocPartitionCol, col(DocPartitionCol).cast("string"))
       .filter(col(DocPartitionCol).isin(touched: _*))
+      .withColumn(DocPartitionCol, col(DocPartitionCol).cast("string"))
     val merged = mergeDocs(current, updates,
       Option(removedDocIds).map(_.select("_docId")).orNull)
     // localCheckpoint breaks the read-from lineage so the partition
