@@ -174,10 +174,12 @@ object Similarity {
   def lshCollisionPairs(vecs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     // materialize bucket arrays before exploding (Generate re-evaluates
-    // computed expressions per output row — see lshTopK)
+    // computed expressions per output row — see lshTopK). localCheckpoint
+    // rather than persist: the blocks are single-use and auto-freed by
+    // the ContextCleaner when the result is GC'd — repeated calls do not
+    // accumulate cache entries.
     val arr = vecs.select(col("vec_id"), lshBucketArray(col("e")).as("tbs"))
-      .persist()
-    arr.count()
+      .localCheckpoint(true)
     val tb = arr.select(col("vec_id"), posexplode(col("tbs")).as(Seq("t", "b")))
     tb.as("x").join(tb.as("y"),
         col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
