@@ -86,7 +86,9 @@ object Bench {
     // warm_dir makes the numbers interpretable: warmup at the target dir
     // (no sf0.001 sibling) means the suite ran once untimed at full SF.
     val passTotals = passes.map(_.values.sum)
-      .map(v => f"$v%.3f").mkString("[", ",", "]")
+      .map(v => String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(v))) // locale-fixed: a comma decimal would corrupt the JSON
+      .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","oracle_value":$oracleTotal,"queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","pass_totals":$passTotals}""")
     spark.stop()
   }

@@ -189,10 +189,25 @@ object PolicyLoader {
     if (hit != null && now - hit.atNanos < ttl.toNanos) hit.policy
     else {
       val p = load(constraints, user, action, objectType, fieldMap)
+      // bounded: sweep expired entries when the map grows past the cap
+      // (a long-lived multi-tenant driver would otherwise accumulate one
+      // entry per distinct principal/action forever)
+      if (policyCache.size >= MaxCachedPolicies) {
+        val it = policyCache.entrySet().iterator()
+        while (it.hasNext) {
+          if (now - it.next().getValue.atNanos >= ttl.toNanos) it.remove()
+        }
+        if (policyCache.size >= MaxCachedPolicies) policyCache.clear()
+      }
       policyCache.put(key, CachedPolicy(p, now))
       p
     }
   }
+
+  /** Cap on cached per-user policies (sweep threshold, not a hard LRU —
+    * policies are tiny; the cap only prevents unbounded principal
+    * churn). */
+  val MaxCachedPolicies = 10000
 
   /** Drop all cached policies (e.g. after a constraint-table write). */
   def invalidateCache(): Unit = policyCache.clear()

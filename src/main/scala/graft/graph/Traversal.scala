@@ -49,6 +49,8 @@ object Traversal {
         .persist()
       n = next.count()
       if (n > 0) levels += next
+      else next.unpersist(false) // terminating empty frontier: not in
+      // `levels`, so the cleanup below would never release it
       frontier = next
       depth += 1
     }

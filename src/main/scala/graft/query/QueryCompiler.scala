@@ -136,7 +136,8 @@ object QueryCompiler {
 
   /** A1 — faceted term counts (search.py:1392-1486): bucket cap 1000,
     * count-desc with key tiebreak for determinism (SURVEY §7.5.4). */
-  def facet(df: DataFrame, field: Column, cap: Int = 1000): DataFrame =
+  def facet(df: DataFrame, field: Column,
+      cap: Int = SearchLimits.FacetBuckets): DataFrame =
     df.groupBy(field.as("facet_value")).count()
       .orderBy(col("count").desc, col("facet_value").asc)
       .limit(cap)

@@ -45,21 +45,27 @@ object TextIndex {
   def invalidate(path: String, textCol: String): Unit =
     cache.remove(s"$path:$textCol")
 
-  /** Distinct lowercase trigrams of a string column. */
+  /** Distinct lowercase trigrams of a string column. Strings shorter
+    * than 3 chars yield an empty array (a naive sequence(1, n-2) would
+    * DESCEND for n < 3 and emit the short string itself as junk rows). */
   def trigrams(c: Column): Column = {
     val t = lower(c)
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(t) - 2, lit(0))),
-      i => t.substr(i, lit(3))))
+    when(length(t) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(t) - 2),
+        i => t.substr(i, lit(3)))))
   }
 
   /** `(file, tri)` postings of `textCol` over a parquet directory —
     * built once per (path, column) and stored as a parquet side table. */
   def postings(spark: SparkSession, path: String, textCol: String): DataFrame = {
     val loc = cache.computeIfAbsent(s"$path:$textCol", { key =>
+      // full-width digest of the key — a 32-bit hashCode could collide
+      // across tables sharing the tmpdir and silently cross postings
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val out = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        "graft-triidx-" + Integer.toHexString(key.hashCode)).getPath
+        System.getProperty("java.io.tmpdir"), "graft-triidx-" + digest).getPath
       spark.read.parquet(path)
         .select(input_file_name().as("file"), trigrams(col(textCol)).as("ts"))
         .select(col("file"), explode(col("ts")).as("tri"))
@@ -96,8 +102,21 @@ object TextIndex {
         .select("file")
         .collect().map(_.getString(0)) // file LIST only — never row data
       if (files.isEmpty) full.filter(lit(false))
-      else spark.read.schema(full.schema).parquet(files.toIndexedSeq: _*)
-        .filter(pred)
+      else {
+        // basePath restores hive-partition columns when the table is
+        // partitioned — without it an explicit file list reads partition
+        // columns as null and the "identical to the full scan" contract
+        // breaks on partitioned tables. (Only valid when the root is a
+        // directory; a single-file table has no partition columns.)
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val isDir = hPath
+          .getFileSystem(spark.sessionState.newHadoopConf())
+          .getFileStatus(hPath).isDirectory
+        val reader = if (isDir) spark.read.option("basePath", path)
+          else spark.read
+        reader.schema(full.schema).parquet(files.toIndexedSeq: _*)
+          .filter(pred)
+      }
     }
   }
 }

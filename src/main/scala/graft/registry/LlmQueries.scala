@@ -23,9 +23,13 @@ object LlmQueries {
 
   /** Document-frequency cap for n-gram candidate generation: grams seen in
     * more than this many documents are too common to identify a near-dup
-    * pair and would contribute df² rows to the postings self-join. Pairs
-    * are still exact-verified on their FULL gram sets; only pairs whose
-    * every shared gram exceeds the cap can be missed. */
+    * pair and would contribute df² rows to the postings self-join. When
+    * any gram exceeds the cap, candidate generation runs on the CAPPED
+    * gram sets (cap applied before the prefix slice — see
+    * [[ngramCandidates]]), so recall is exact for capped-set Jaccard
+    * ≥ 0.5: only pairs whose similarity rests on corpus-boilerplate
+    * grams can be missed. Surviving pairs are always exact-verified on
+    * their FULL gram sets. */
   val NgramDfCap = 2048L
 
   /** Shared oracle CTE prefix: tokens → distinct 3-gram shingles → 60-bit
@@ -121,13 +125,33 @@ object LlmQueries {
     *     I ≤ min(na − ia, nb − jb); J ≥ 0.5 needs 3·I ≥ na + nb.
     * Both are exact — no qualifying pair is pruned
     * (`NgramCandidateSpec` property-checks superset-ness against a
-    * brute-force evaluation on randomized sets). `viral` (grams above
-    * the df cap) are excluded from candidate generation only. */
+    * brute-force evaluation on randomized sets, with and without caps).
+    *
+    * DF-CAP SEMANTICS: when `viral` (grams in > NgramDfCap docs) is
+    * non-empty, the capped grams are removed from each doc's set
+    * BEFORE the prefix slice, and the length/positional bounds run on
+    * the CAPPED sizes — the theorems then hold exactly w.r.t. the
+    * capped sets, so candidate recall is exact for capped-set Jaccard
+    * ≥ 0.5. Corpus-boilerplate grams thus do not count toward finding
+    * a pair (the standard stopword-removal contract); the verified
+    * jaccard is still computed on the FULL sets. The cap-rebuild path
+    * costs one extra shuffle and runs ONLY when a viral gram actually
+    * exists (one tiny driver check) — with no viral grams the slice is
+    * the zero-shuffle cached-stats path. */
   private[registry] def ngramCandidates(stats: DataFrame, viral: DataFrame): DataFrame = {
-    val prefixes0 = stats.select(col("doc_id"), col("n"),
+    // the viral relation is an already-aggregated, ≤|postings|/cap-row
+    // frame — this existence probe is a driver scalar, not corpus work
+    val hasViral = !viral.isEmpty
+    val base =
+      if (!hasViral) stats.select(col("doc_id"), col("gs"), col("n"))
+      else stats.select(col("doc_id"), explode(col("gs")).as("g"))
+        .join(broadcast(viral), Seq("g"), "left_anti")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("g"))).as("gs"))
+        .withColumn("n", size(col("gs")).cast("long"))
+    val prefixes = base.select(col("doc_id"), col("n"),
       posexplode(slice(col("gs"), lit(1),
         (size(col("gs")) / 2).cast("int") + 1)).as(Seq("pos", "g")))
-    val prefixes = prefixes0.join(broadcast(viral), Seq("g"), "left_anti")
     prefixes.as("x").hint("shuffle_hash").join(prefixes.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
           col("x.n") <= lit(2) * col("y.n") &&
@@ -244,11 +268,11 @@ object LlmQueries {
         // skew guard for exact short-doc overlap. (2) candidates are
         // exact-verified against the FULL gram sets (shuffle joins on
         // a_id/b_id, candidate side as build), so the df cap cannot
-        // change a surviving pair's jaccard. A pair is missed only if
-        // EVERY shared gram sits in > NgramDfCap docs — at jaccard ≥ 0.5
-        // the pair shares half its grams, so this requires a document
-        // composed entirely of corpus-viral 3-grams; the cap is a
-        // documented semantic of the operator at scale.
+        // change a surviving pair's jaccard. With the cap active,
+        // candidate recall is exact w.r.t. the CAPPED gram sets (see
+        // ngramCandidates) — only pairs whose similarity rests on
+        // corpus-boilerplate grams can be missed, the stopword-removal
+        // contract documented at NgramDfCap.
         val stats = docGramStats(s, d)
         // viral-gram cap: the excluded-gram list is ≤ |postings| /
         // NgramDfCap rows BY CONSTRUCTION — broadcastable at any corpus
@@ -416,8 +440,13 @@ object LlmQueries {
         var labels = edges.select(col("u").as("node")).distinct()
           .withColumn("comp", col("node")).persist()
         // labels only ever decrease → equal checksum across iterations
-        // ⇒ fixpoint; the driver sees ONE scalar per iteration, never rows
-        var checksum = labels.agg(sum("comp")).head.getLong(0)
+        // ⇒ fixpoint; the driver sees ONE scalar per iteration, never
+        // rows (sum over zero rows is NULL → 0: an empty pair graph
+        // converges immediately to the empty result, like the oracle)
+        def checksumOf(df: DataFrame): Long =
+          Option(df.agg(sum("comp")).head.getAs[java.lang.Long](0))
+            .map(_.toLong).getOrElse(0L)
+        var checksum = checksumOf(labels)
         var converged = false
         while (!converged) {
           val next = labels.join(edges, labels("node") === edges("u"))
@@ -425,7 +454,7 @@ object LlmQueries {
             .unionByName(labels.select("node", "comp"))
             .groupBy("node").agg(min("comp").as("comp"))
             .persist()
-          val s1 = next.agg(sum("comp")).head.getLong(0)
+          val s1 = checksumOf(next)
           labels.unpersist(false)
           labels = next
           converged = s1 == checksum

@@ -109,8 +109,15 @@ object DocMaintenance {
     * is the same. */
   def mergeDocsIncremental(spark: SparkSession, tablePath: String,
       updates: DataFrame, removedDocIds: DataFrame = null): Unit = {
-    val dir = new java.io.File(tablePath)
-    if (!dir.exists() || dir.listFiles() == null || dir.listFiles().isEmpty) {
+    // Hadoop FS, not java.io.File: the table lives on the lake (s3a/hdfs)
+    // in production — a local-FS probe would misread any remote path as
+    // an empty table and overwrite it with the micro-batch
+    val hPath = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasData = fs.exists(hPath) &&
+      fs.listStatus(hPath).exists(s =>
+        s.isDirectory || s.getPath.getName.endsWith(".parquet"))
+    if (!hasData) {
       updates.write.mode("overwrite")
         .partitionBy(DocPartitionCol).parquet(tablePath)
       return
@@ -141,14 +148,15 @@ object DocMaintenance {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(DocPartitionCol)
       .parquet(tablePath)
-    // drop partitions the merge emptied (not re-written by dynamic mode)
+    // drop partitions the merge emptied (not re-written by dynamic mode);
+    // partition dir names use the same escaping the writer applies
     val still = out.select(DocPartitionCol).distinct()
       .collect().map(_.getString(0)).toSet
     (touched.toSet -- still).foreach { p =>
-      val pd = new java.io.File(dir, s"$DocPartitionCol=$p")
-      if (pd.exists()) {
-        pd.listFiles().foreach(_.delete()); pd.delete()
-      }
+      val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(p)
+      val pd = new org.apache.hadoop.fs.Path(hPath, s"$DocPartitionCol=$escaped")
+      if (fs.exists(pd)) fs.delete(pd, true)
     }
   }
 

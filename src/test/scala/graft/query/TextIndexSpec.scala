@@ -58,6 +58,29 @@ class TextIndexSpec extends SparkSpec {
     assert(pruned("zzzqqq").count() == 0)
   }
 
+  test("pruned search preserves hive-partition columns on a partitioned table") {
+    import spark.implicits._
+    val pdir = java.nio.file.Files.createTempDirectory("graft-tip").toString
+    Seq((1L, "the quick brown fox", "en"), (2L, "der schnelle fuchs", "de"),
+      (3L, "quick silver", "en"))
+      .toDF("id", "text", "lang")
+      .write.mode("overwrite").partitionBy("lang").parquet(pdir)
+    val got = TextIndex.prunedSearch(spark, pdir, "text", "quick")
+      .select("id", "lang").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "en"), (3L, "en")),
+      s"partition column lost or wrong rows: $got")
+  }
+
+  test("strings shorter than 3 chars produce no postings") {
+    import spark.implicits._
+    val sdir = java.nio.file.Files.createTempDirectory("graft-tis").toString
+    Seq((1L, "ab"), (2L, ""), (3L, "abcd")).toDF("id", "text")
+      .write.mode("overwrite").parquet(sdir)
+    val tris = TextIndex.postings(spark, sdir, "text")
+      .select("tri").as[String].collect().toSet
+    assert(tris == Set("abc", "bcd"), tris.toString)
+  }
+
   test("requiredTrigrams: segments under 3 chars contribute nothing") {
     assert(TextIndex.requiredTrigrams("ab*cd") == Set.empty[String])
     assert(TextIndex.requiredTrigrams("*scan?batch*") ==

@@ -55,6 +55,36 @@ class NgramCandidateSpec extends SparkSpec {
     check(seed = 4, nDocs = 25, universe = 1000, maxLen = 20)
   }
 
+  test("with a viral cap, candidates are a superset of all capped-set J>=0.5 pairs") {
+    // boilerplate gram 0 appears in EVERY doc and sorts first — the
+    // round-1 bug class: anti-joining it out of a pre-capped prefix
+    // shortened the index and silently dropped qualifying pairs. The
+    // contract: recall is exact w.r.t. the CAPPED sets.
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 30).map { i =>
+      val s = randomSet(rnd, 40, 6).filter(_ != 0)
+      (i.toLong, 0 +: s) // viral gram prepended to every doc
+    }
+    val docs = base ++ Seq((30L, base.head._2), (31L, base.head._2 :+ 41))
+    val truePairsCapped = (for {
+      (ia, sa0) <- docs; (ib, sb0) <- docs
+      if ia < ib
+      sa = sa0.toSet - 0; sb = sb0.toSet - 0 // capped sets
+      shared = sa.intersect(sb).size
+      if sa.nonEmpty && sb.nonEmpty && shared > 0 &&
+        shared.toDouble / (sa.size + sb.size - shared) >= 0.5
+    } yield (ia, ib)).toSet
+    assert(truePairsCapped.nonEmpty)
+    val stats = docs.toDF("doc_id", "gs")
+      .withColumn("gs", sort_array(col("gs")))
+      .withColumn("n", size(col("gs")).cast("long"))
+    val viral = Seq(0).toDF("g")
+    val cand = LlmQueries.ngramCandidates(stats, viral)
+      .as[(Long, Long)].collect().toSet
+    val missed = truePairsCapped -- cand
+    assert(missed.isEmpty, s"capped-set qualifying pairs pruned: $missed")
+  }
+
   test("identical single-element sets are found (smallest edge case)") {
     val stats = Seq((1L, Seq(7)), (2L, Seq(7)), (3L, Seq(9)))
       .toDF("doc_id", "gs")
