@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session builders for the library.
+  *
+  * The engine needs three things from its session that users should not
+  * have to re-discover: the ABAC injection rule registered BEFORE scan
+  * pushdown (session extensions, not the late experimental hook — see
+  * [[graft.plans.AbacInjection]] on why the late path must fail closed
+  * for pruned DSv2 scans), nanosecond-parquet tolerance for event
+  * tables, and a UTC session so date codecs are deterministic.
+  */
+object GraftSession {
+
+  /** Apply the engine's required settings to any builder. AQE stays ON
+    * here — it is the right default on a cluster (skew joins, partition
+    * coalescing); `graft.Bench` turns it off only because benchmark
+    * stages at tens of MB are known-tiny (see ARCHITECTURE.md). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.adaptive.enabled", "true")
+
+  /** Local development/test session (`local[*]`, modest shuffle
+    * parallelism). Production deployments pass their own master/resource
+    * configs through [[configure]]. */
+  def local(appName: String = "graft", cores: String = "*",
+      shufflePartitions: Int = 32): SparkSession =
+    finish(configure(SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions))
+      .getOrCreate())
+
+  /** Post-build wiring. `spark.sql.extensions` is a STATIC conf: it only
+    * takes effect when this session creates the JVM's first context. If
+    * a context already existed, the extensions path is silently skipped
+    * — so the injection rule is ALSO installed through the runtime hook
+    * here (the late path; pruned-DSv2 scans then fail closed rather than
+    * leak, see AbacInjection). Registers the custom functions either
+    * way. */
+  def finish(s: SparkSession): SparkSession = {
+    graft.plans.AbacInjection.install(s)
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
+}
