@@ -197,7 +197,16 @@ object PolicyLoader {
         while (it.hasNext) {
           if (now - it.next().getValue.atNanos >= ttl.toNanos) it.remove()
         }
-        if (policyCache.size >= MaxCachedPolicies) policyCache.clear()
+        if (policyCache.size >= MaxCachedPolicies) {
+          // all entries still live: evict the OLDEST half rather than
+          // clearing — a full clear would stampede every active
+          // principal onto the constraints table at once
+          import scala.jdk.CollectionConverters._
+          policyCache.entrySet().asScala.toSeq
+            .sortBy(_.getValue.atNanos)
+            .take(MaxCachedPolicies / 2)
+            .foreach(e => policyCache.remove(e.getKey, e.getValue))
+        }
       }
       policyCache.put(key, CachedPolicy(p, now))
       p

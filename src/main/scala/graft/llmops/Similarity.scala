@@ -174,12 +174,14 @@ object Similarity {
   def lshCollisionPairs(vecs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     // materialize bucket arrays before exploding (Generate re-evaluates
-    // computed expressions per output row — see lshTopK). localCheckpoint
-    // rather than persist: the blocks are single-use and auto-freed by
-    // the ContextCleaner when the result is GC'd — repeated calls do not
-    // accumulate cache entries.
+    // computed expressions per output row — see lshTopK). persist(), not
+    // localCheckpoint: checkpoint blocks are non-recomputable, so an
+    // executor loss mid-join would fail the job at exactly the scale
+    // where churn is routine; the cache entry is deduped by plan (same
+    // input → same entry) and released by clearCache/session end.
     val arr = vecs.select(col("vec_id"), lshBucketArray(col("e")).as("tbs"))
-      .localCheckpoint(true)
+      .persist()
+    arr.count()
     val tb = arr.select(col("vec_id"), posexplode(col("tbs")).as(Seq("t", "b")))
     tb.as("x").join(tb.as("y"),
         col("x.t") === col("y.t") && col("x.b") === col("y.b") &&

@@ -163,13 +163,20 @@ object AbacInjection {
   }
 
   /** Install on an existing session (experimental-methods hook — the
-    * extensions path below needs the rule present at session build). */
+    * extensions path below needs the rule present at session build).
+    * No-ops when the session's context was built WITH GraftExtensions:
+    * the extension-registered rule already runs pre-pushdown, and a
+    * second late-path copy would re-match the rewritten DSv2 scan
+    * relation (tags do not survive that rewrite) and inject the policy
+    * filter twice. */
   def install(spark: SparkSession): Unit = {
+    val extActive = spark.sparkContext.getConf
+      .get("spark.sql.extensions", "").contains("graft.plans.GraftExtensions")
     val already = spark.experimental.extraOptimizations.exists {
       case Rule0(_) => true
       case _        => false
     }
-    if (!already)
+    if (!extActive && !already)
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ Rule0(spark)
   }

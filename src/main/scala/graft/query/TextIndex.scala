@@ -109,9 +109,13 @@ object TextIndex {
         // breaks on partitioned tables. (Only valid when the root is a
         // directory; a single-file table has no partition columns.)
         val hPath = new org.apache.hadoop.fs.Path(path)
-        val isDir = hPath
-          .getFileSystem(spark.sessionState.newHadoopConf())
-          .getFileStatus(hPath).isDirectory
+        // glob/pattern paths don't resolve to a single status — treat
+        // them as non-directories (no basePath), same behavior they had
+        // before partition-column support
+        val isDir =
+          try hPath.getFileSystem(spark.sessionState.newHadoopConf())
+            .getFileStatus(hPath).isDirectory
+          catch { case _: java.io.IOException => false }
         val reader = if (isDir) spark.read.option("basePath", path)
           else spark.read
         reader.schema(full.schema).parquet(files.toIndexedSeq: _*)

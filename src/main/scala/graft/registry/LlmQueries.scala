@@ -139,9 +139,10 @@ object LlmQueries {
     * exists (one tiny driver check) — with no viral grams the slice is
     * the zero-shuffle cached-stats path. */
   private[registry] def ngramCandidates(stats: DataFrame, viral: DataFrame): DataFrame = {
-    // the viral relation is an already-aggregated, ≤|postings|/cap-row
-    // frame — this existence probe is a driver scalar, not corpus work
-    val hasViral = !viral.isEmpty
+    // the probe pays the (map-side-combined) df aggregation once;
+    // persisting first means the anti-join below REUSES that result
+    // instead of recomputing the aggregation inside broadcast()
+    val hasViral = !viral.persist().isEmpty
     val base =
       if (!hasViral) stats.select(col("doc_id"), col("gs"), col("n"))
       else stats.select(col("doc_id"), explode(col("gs")).as("g"))
