@@ -82,6 +82,23 @@ object EventOps {
       }
   }
 
+  /** Session aggregates via Spark's built-in `session_window` — the
+    * third (and most idiomatic) sessionization form beside the
+    * window-function twin ([[sessionize]], what the SQL oracle mirrors)
+    * and the explicit state machine ([[sessionizeStateful]]). In
+    * streaming, prepend `.withWatermark(ts, ...)`; state then expires
+    * as sessions close — the canonical unbounded-stream shape. Boundary
+    * nuance: an event at EXACTLY gap distance starts a new
+    * `session_window` (windows are half-open `[start, last+gap)`) but
+    * stays in the same [[sessionize]] session (`> gap` test) —
+    * identical everywhere except exact-gap ties, which microsecond
+    * event time makes measure-zero (spec asserts equality on the events
+    * table). */
+  def sessionAgg(df: DataFrame, key: Column, ts: Column, gap: String): DataFrame =
+    df.groupBy(session_window(ts, gap).as("sw"), key)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+
   /** ST3 — idempotent last-writer-wins upsert compaction: latest record
     * per key (the batch equivalent of the `MERGE` the streaming
     * foreachBatch applies; deterministic tiebreak). */

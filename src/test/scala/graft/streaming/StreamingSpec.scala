@@ -73,6 +73,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.get("01:00").contains(3L), rows.toString)
   }
 
+  test("built-in session_window aggregates match the window-function sessionization") {
+    val gapMin = 30
+    val ev = Tables.events(spark, sf())
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    // per-session (count, total) multiset from the oracle-gated
+    // lag+cumsum form...
+    val fromSessionize = EventOps.sessionize(ev, col("user_id"), col("ts"),
+        gapMin * 60L * 1000000L)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select("user_id", "n_events", "total")
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    // ...must equal the built-in session_window form
+    val fromBuiltin = EventOps.sessionAgg(ev, col("user_id"), col("ts"),
+        s"$gapMin minutes")
+      .select("user_id", "n_events", "total")
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(fromBuiltin.nonEmpty)
+    assert(fromBuiltin == fromSessionize)
+  }
+
   test("latestByKey is idempotent under redelivery (at-least-once ST3)") {
     val batch1 = Seq((1L, "k1", 10, "v1"), (2L, "k1", 20, "v2"), (3L, "k2", 5, "x"))
       .toDF("event_id", "key", "ver", "payload")
