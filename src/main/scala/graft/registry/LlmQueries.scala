@@ -592,6 +592,53 @@ object LlmQueries {
           .orderBy("doc_id")
       }),
 
+    // ── Language-ID, char-trigram profile variant: the n-gram form real
+    //    langid uses (marker stopwords break on fragments/compounds;
+    //    char trigrams don't need token boundaries). Score = overlap of
+    //    the doc's distinct char trigrams with a fixed per-language
+    //    profile; same fixed-precedence argmax as the marker variant.
+    //    Narrow codegen'd scan — trigram extraction shared with the
+    //    text-index component.
+    sql("llm_text_langid_ngram",
+      """WITH tris AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct([substring(lower(text), i, 3)
+        |                        for i in range(1, length(text) - 1)]) AS tg
+        |  FROM documents
+        |), scores AS (
+        |  SELECT doc_id, lang,
+        |    len(list_intersect(tg, ['the','ing','ion','and','ent'])) AS s_en,
+        |    len(list_intersect(tg, ['der','sch','ein','ich','und'])) AS s_de,
+        |    len(list_intersect(tg, ['que','los','ado','cio','nte'])) AS s_es,
+        |    len(list_intersect(tg, ['les','des','eur','ais','oir'])) AS s_fr
+        |  FROM tris
+        |)
+        |SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+        |       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |            WHEN s_es >= s_fr THEN 'es'
+        |            ELSE 'fr' END AS predicted
+        |FROM scores ORDER BY doc_id""")(
+      (s, d) => {
+        def score(tg: Column, profile: Seq[String]): Column =
+          size(array_intersect(tg, typedLit(profile))).cast("long")
+        val scored = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            graft.query.TextIndex.trigrams(col("text")).as("tg"))
+          .select(col("doc_id"), col("lang"),
+            score(col("tg"), Seq("the", "ing", "ion", "and", "ent")).as("s_en"),
+            score(col("tg"), Seq("der", "sch", "ein", "ich", "und")).as("s_de"),
+            score(col("tg"), Seq("que", "los", "ado", "cio", "nte")).as("s_es"),
+            score(col("tg"), Seq("les", "des", "eur", "ais", "oir")).as("s_fr"))
+        scored.withColumn("predicted",
+            when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+              col("s_en") >= col("s_fr"), "en")
+              .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+              .when(col("s_es") >= col("s_fr"), "es")
+              .otherwise("fr"))
+          .orderBy("doc_id")
+      }),
+
     // ── Quality scoring: length / punctuation / stopword-ratio features
     //    + composite score; all exact-integer ratios (engine-identical).
     sql("llm_text_quality",
