@@ -55,4 +55,39 @@ object Multimodal {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaRecord]
     extractFeatures(df.as[MediaRecord]).toDF()
   }
+
+  /** One sampled frame of a media payload. */
+  final case class MediaFrame(
+      doc_id: Long, kind: String, frame_idx: Int, frame_sig: String)
+
+  /** STUB frame decode: a real video decoder seeks to frame k and
+    * decodes; the stand-in slices the payload into `frameCount(r)` even
+    * byte ranges and fingerprints each — deterministic, so the Spark
+    * plumbing (one input row → N frame rows, batch-local work, no
+    * shuffle) is oracle-verifiable end to end. */
+  def frameCount(nBytes: Long): Int = (nBytes % 7 + 1).toInt
+
+  def sampleFramesStub(r: MediaRecord): Iterator[MediaFrame] = {
+    val n = frameCount(r.media.length.toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until n).iterator.map { k =>
+      val from = (r.media.length.toLong * k / n).toInt
+      val until = (r.media.length.toLong * (k + 1) / n).toInt
+      md.reset()
+      val hex = md.digest(java.util.Arrays.copyOfRange(r.media, from, until))
+        .map("%02x".format(_)).mkString
+      MediaFrame(r.doc_id, r.kind, k, hex)
+    }
+  }
+
+  /** Frame sampling: each payload expands to its sampled frames —
+    * a narrow flatMap (the generator shape); output rows are
+    * frame-grain training examples. */
+  def sampleFramesDF(df: DataFrame): DataFrame = {
+    implicit val in = org.apache.spark.sql.Encoders.product[MediaRecord]
+    implicit val out = org.apache.spark.sql.Encoders.product[MediaFrame]
+    df.as[MediaRecord].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.iterator.flatMap(sampleFramesStub))
+    }.toDF()
+  }
 }

@@ -787,6 +787,30 @@ object LlmQueries {
           array_join(slice(col("gs"), 1, 3), ",").as("bottom3"))
         .orderBy("doc_id")),
 
+    // ── Multimodal frame sampling: one payload row → N frame-grain rows
+    //    (the video-decoder shape: narrow flatMap, batch-local work, no
+    //    shuffle; decode stubbed as even byte-range fingerprints). The
+    //    oracle slices the VARCHAR — identical to the binary path because
+    //    the corpus is ASCII (byte offsets == char offsets).
+    sql("llm_mm_frames",
+      """WITH m AS (
+        |  SELECT doc_id, source AS kind, text,
+        |         length(text) AS len,
+        |         CAST(length(text) % 7 + 1 AS INT) AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id, kind, CAST(k AS INT) AS frame_idx,
+        |       md5(substring(text, CAST((len * k) // n AS INT) + 1,
+        |           CAST((len * (k + 1)) // n AS INT)
+        |             - CAST((len * k) // n AS INT))) AS frame_sig
+        |FROM m CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k)
+        |WHERE k < n
+        |ORDER BY doc_id, frame_idx""")(
+      (s, d) => Multimodal.sampleFramesDF(
+          t(s, d, "documents").select(col("doc_id"),
+            col("source").as("kind"), col("text").cast("binary").as("media")))
+        .orderBy("doc_id", "frame_idx")),
+
     // ── Multimodal plumbing: binary payload + metadata → batched
     //    mapPartitions feature extraction (decode stubbed, deterministic).
     sql("llm_mm_features",
