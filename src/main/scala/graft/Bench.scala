@@ -23,7 +23,10 @@ object Bench {
       // sessions keep AQE on (see ARCHITECTURE.md); set
       // SPARK_GRAFT_AQE=true to bench with it.
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+        // normalized: any of true/1/yes (case-insensitive) enables; anything
+        // else benches with AQE off rather than throwing on session build
+        sys.env.get("SPARK_GRAFT_AQE")
+          .exists(v => Set("true", "1", "yes")(v.toLowerCase)).toString)
       // default 100 evicts compiled classes across 55 queries → constant
       // recompilation; size for the whole suite so warmup compiles stick
       .config("spark.sql.codegen.cache.maxEntries", "5000")

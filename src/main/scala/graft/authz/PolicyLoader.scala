@@ -178,12 +178,19 @@ object PolicyLoader {
     * governed request re-deriving the policy from the constraints table
     * would put a metadata read on the hot path; a TTL bounds staleness
     * exactly like the reference's. Keyed by (user, roles, action,
-    * objectType) — a role change takes effect at most `ttl` late, same
-    * contract as the reference. */
+    * objectType, fieldMap-image) — a role change takes effect at most
+    * `ttl` late, same contract as the reference. The fieldMap term
+    * matters when two governed tables share an objectType but map
+    * criterion fields to different columns: without it one table could
+    * be served the other's compiled predicate within the TTL. `fieldMap`
+    * is only ever applied to [[ConstraintFields]] names (criteria are
+    * filtered to that set before mapping), so its image over that set is
+    * a complete fingerprint of its observable behavior. */
   def loadCached(constraints: DataFrame, user: UserContext, action: String,
       objectType: String, fieldMap: String => String = identity,
       ttl: java.time.Duration = java.time.Duration.ofSeconds(60)): Abac.Policy = {
-    val key = s"${user.userId}|${user.roles.toSeq.sorted.mkString(",")}|$action|$objectType"
+    val mapSig = ConstraintFields.toSeq.sorted.map(fieldMap).mkString(",")
+    val key = s"${user.userId}|${user.roles.toSeq.sorted.mkString(",")}|$action|$objectType|$mapSig"
     val now = System.nanoTime()
     val hit = policyCache.get(key)
     if (hit != null && now - hit.atNanos < ttl.toNanos) hit.policy

@@ -86,15 +86,23 @@ object AbacInjection {
     s"$scheme://$auth${uri.getPath.stripSuffix("/")}"
   }
 
-  /** True when `path` equals a governed root or sits strictly under one. */
+  /** True when `path` equals a governed root or sits strictly under one.
+    * When BOTH a root and a nested path are governed (e.g. `/data` and
+    * `/data/sub`), the MOST SPECIFIC (longest) prefix wins —
+    * ConcurrentHashMap iteration order must never decide which policy
+    * applies to reads under the nested root. */
   private def lookup(path: String): Option[Abac.Policy] = {
     val n = normalize(path)
     val it = governed.entrySet().iterator()
+    var bestLen = -1
     var found: Option[Abac.Policy] = None
-    while (found.isEmpty && it.hasNext) {
+    while (it.hasNext) {
       val e = it.next()
-      if (n == e.getKey || n.startsWith(e.getKey + "/"))
+      if ((n == e.getKey || n.startsWith(e.getKey + "/")) &&
+          e.getKey.length > bestLen) {
+        bestLen = e.getKey.length
         found = Some(e.getValue)
+      }
     }
     found
   }

@@ -38,6 +38,19 @@ object TextIndex {
     * the build to the next search. */
   private val cache = new ConcurrentHashMap[String, String]()
 
+  /** Per-process scope token for the side-table directory. The in-memory
+    * location cache is per-JVM, so a second JVM would rebuild (and
+    * previously OVERWRITE) the shared deterministic location while the
+    * first could be mid-read — two parallel test/bench runs racing on
+    * mode(overwrite). Scoping the directory per process removes the
+    * cross-JVM race at zero extra cost: the other JVM was going to
+    * rebuild anyway (its cache map starts empty). In production the
+    * postings are a writer-maintained table at a managed location, not a
+    * tmpdir artifact. */
+  private val processScope =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "-")
+
   /** Drop the cached postings for a table (call after rewriting it —
     * the side table is maintained incrementally by the writer in
     * production; in-session it is built once per (path, column) and
@@ -65,7 +78,8 @@ object TextIndex {
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val out = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-triidx-" + digest).getPath
+        System.getProperty("java.io.tmpdir"),
+        s"graft-triidx-$digest-$processScope").getPath
       spark.read.parquet(path)
         .select(input_file_name().as("file"), trigrams(col(textCol)).as("ts"))
         .select(col("file"), explode(col("ts")).as("tri"))

@@ -145,11 +145,23 @@ object LlmQueries {
     val hasViral = !viral.persist().isEmpty
     val base =
       if (!hasViral) stats.select(col("doc_id"), col("gs"), col("n"))
-      else stats.select(col("doc_id"), explode(col("gs")).as("g"))
-        .join(broadcast(viral), Seq("g"), "left_anti")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(col("g"))).as("gs"))
-        .withColumn("n", size(col("gs")).cast("long"))
+      else cappedGramStats(stats, viral)
+    ngramPrefixJoin(base)
+  }
+
+  /** Per-doc sets with viral grams removed: `(doc_id, gs, n)` over the
+    * CAPPED sets. Docs whose every gram is viral emit no row (an empty
+    * capped set can never satisfy capped-Jaccard ≥ 0.5). */
+  private def cappedGramStats(stats: DataFrame, viral: DataFrame): DataFrame =
+    stats.select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(broadcast(viral), Seq("g"), "left_anti")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("g"))).as("gs"))
+      .withColumn("n", size(col("gs")).cast("long"))
+
+  /** AllPairs/PPJoin prefix+length+positional candidate join over
+    * per-doc sorted sets `(doc_id, gs, n)`. */
+  private def ngramPrefixJoin(base: DataFrame): DataFrame = {
     val prefixes = base.select(col("doc_id"), col("n"),
       posexplode(slice(col("gs"), lit(1),
         (size(col("gs")) / 2).cast("int") + 1)).as(Seq("pos", "g")))
@@ -163,6 +175,57 @@ object LlmQueries {
       .filter(lit(3) * least(col("na0") - col("ia"), col("nb0") - col("jb")) >=
         col("na0") + col("nb0"))
       .select("a_id", "b_id")
+  }
+
+  /** Full n-gram Jaccard pair pipeline over per-doc stats `(doc_id, gs,
+    * n)` and a viral-gram list `(g)`: candidates → exact verify →
+    * `(a_id, b_id, shared, jaccard)` (unordered).
+    *
+    * CONTRACT (deterministic, oracle-expressible): a pair qualifies iff
+    * Jaccard ≥ 0.5 on the FULL gram sets AND, when any viral gram
+    * exists, Jaccard ≥ 0.5 on the CAPPED sets too — similarity may not
+    * rest on corpus-boilerplate grams (the stopword-removal contract at
+    * [[NgramDfCap]]). The capped-side VERIFY (not just capped candidate
+    * generation) is what makes the output a function of the data alone:
+    * without it, pairs with capped-J < 0.5 but full-J ≥ 0.5 would
+    * appear or not depending on which extra candidates the prefix
+    * filters happened to over-generate. With no viral grams both
+    * conditions coincide and the capped joins are skipped entirely. */
+  private[registry] def ngramJaccardPairs(stats: DataFrame, viral: DataFrame): DataFrame = {
+    val hasViral = !viral.persist().isEmpty
+    val capped =
+      if (hasViral) Some(cappedGramStats(stats, viral).persist())
+      else None
+    val cand = ngramPrefixJoin(
+      capped.getOrElse(stats.select(col("doc_id"), col("gs"), col("n"))))
+    val jac = col("shared").cast("double") /
+      (col("na") + col("nb") - col("shared"))
+    val verified = cand.hint("shuffle_hash")
+      .join(stats.select(col("doc_id").as("a_id"), col("gs").as("gs_a"),
+        col("n").as("na")), "a_id")
+      .hint("shuffle_hash")
+      .join(stats.select(col("doc_id").as("b_id"), col("gs").as("gs_b"),
+        col("n").as("nb")), "b_id")
+      .withColumn("shared",
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+      .filter(jac >= 0.5)
+    val qualified = capped match {
+      case None => verified
+      case Some(cs) =>
+        val jacC = col("shared_c").cast("double") /
+          (col("na_c") + col("nb_c") - col("shared_c"))
+        verified.hint("shuffle_hash")
+          .join(cs.select(col("doc_id").as("a_id"), col("gs").as("gs_ca"),
+            col("n").as("na_c")), "a_id")
+          .hint("shuffle_hash")
+          .join(cs.select(col("doc_id").as("b_id"), col("gs").as("gs_cb"),
+            col("n").as("nb_c")), "b_id")
+          .withColumn("shared_c",
+            size(array_intersect(col("gs_ca"), col("gs_cb"))).cast("long"))
+          .filter(jacC >= 0.5)
+    }
+    qualified.select(col("a_id"), col("b_id"), col("shared"),
+      jac.as("jaccard"))
   }
 
   /** SimHash near-dup pairs (shared by the simhash gate query and the
@@ -244,21 +307,40 @@ object LlmQueries {
     //    same function both engines — any collision affects both
     //    identically): the pair join runs on integers, not gram strings.
     sql("llm_dedup_ngram_jaccard",
+      // The oracle ENCODES the df-cap contract (not just the uncapped
+      // ideal): qualify on full-set Jaccard AND capped-set Jaccard, where
+      // the capped sets drop grams with document frequency > NgramDfCap.
+      // On corpora with no viral gram (every df ≤ cap) the capped CTEs
+      // are the identity and this reduces to the plain exact form.
       s"""WITH $ShingleCtes, ghd AS (
         |  SELECT DISTINCT doc_id, g FROM gh
         |), sizes AS (
         |  SELECT doc_id, count(*) AS n FROM ghd GROUP BY doc_id
+        |), ghd_c AS (
+        |  SELECT doc_id, g FROM ghd
+        |  WHERE g NOT IN (SELECT g FROM ghd GROUP BY g
+        |                  HAVING count(*) > $NgramDfCap)
+        |), sizes_c AS (
+        |  SELECT doc_id, count(*) AS n FROM ghd_c GROUP BY doc_id
         |), shared AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
         |  FROM ghd a JOIN ghd b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2
+        |), shared_c AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared_c
+        |  FROM ghd_c a JOIN ghd_c b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
         |)
-        |SELECT a_id, b_id, CAST(shared AS BIGINT) AS shared,
-        |       CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
-        |FROM shared JOIN sizes sa ON sa.doc_id = a_id
-        |            JOIN sizes sb ON sb.doc_id = b_id
-        |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
-        |ORDER BY a_id, b_id""")(
+        |SELECT s.a_id, s.b_id, CAST(s.shared AS BIGINT) AS shared,
+        |       CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) AS jaccard
+        |FROM shared s JOIN sizes sa ON sa.doc_id = s.a_id
+        |              JOIN sizes sb ON sb.doc_id = s.b_id
+        |              JOIN shared_c c ON c.a_id = s.a_id AND c.b_id = s.b_id
+        |              JOIN sizes_c ca ON ca.doc_id = s.a_id
+        |              JOIN sizes_c cb ON cb.doc_id = s.b_id
+        |WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5
+        |  AND CAST(c.shared_c AS DOUBLE) / (ca.n + cb.n - c.shared_c) >= 0.5
+        |ORDER BY s.a_id, s.b_id""")(
       (s, d) => {
         // Distributed postings equi-join — no driver-side state, no
         // corpus broadcast. (1) candidate pairs come from a self-join of
@@ -286,20 +368,7 @@ object LlmQueries {
         // surviving pair.)
         val viral = gramSetRows(s, d).groupBy("g").agg(count(lit(1)).as("df"))
           .filter(col("df") > NgramDfCap).select("g")
-        val cand = ngramCandidates(stats, viral)
-        val jac = col("shared").cast("double") /
-          (col("na") + col("nb") - col("shared"))
-        cand.hint("shuffle_hash")
-          .join(stats.select(col("doc_id").as("a_id"), col("gs").as("gs_a"),
-            col("n").as("na")), "a_id")
-          .hint("shuffle_hash")
-          .join(stats.select(col("doc_id").as("b_id"), col("gs").as("gs_b"),
-            col("n").as("nb")), "b_id")
-          .withColumn("shared",
-            size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
-          .filter(jac >= 0.5)
-          .select(col("a_id"), col("b_id"), col("shared"), jac.as("jaccard"))
-          .orderBy("a_id", "b_id")
+        ngramJaccardPairs(stats, viral).orderBy("a_id", "b_id")
       }),
 
     // ── MinHash + LSH near-dup detection: one-pass signature aggregate,

@@ -166,6 +166,26 @@ class PolicyLoaderSpec extends SparkSpec {
       ttl = java.time.Duration.ZERO) == p1)
   }
 
+  test("loadCached key includes the fieldMap: tables sharing an objectType never swap policies") {
+    PolicyLoader.invalidateCache()
+    val user = PolicyLoader.UserContext("u", Set("g"))
+    val c = constraintsDf(
+      ("c1", "asset",
+        """[{"field":"databaseId","operator":"equals","value":"db1"}]""",
+        null, null, """[{"groupId":"g","permission":"GET"}]""", null))
+    val pA = PolicyLoader.loadCached(c, user, "GET", "asset")
+    assert(pA.allow == Seq(Seq(Abac.Criterion("databaseId", "equals", "db1"))))
+    // same (user, roles, action, objectType) but a different column
+    // mapping must compile its own policy within the TTL — not be handed
+    // the identity-mapped table's predicate (whose field name could
+    // happen to exist on this table and silently filter the wrong column)
+    val pB = PolicyLoader.loadCached(c, user, "GET", "asset",
+      Map("databaseId" -> "str_databaseid").withDefault(identity))
+    assert(pB.allow == Seq(Seq(Abac.Criterion("str_databaseid", "equals", "db1"))))
+    // and the identity-mapped entry is still cached, unchanged
+    assert(PolicyLoader.loadCached(c, user, "GET", "asset") == pA)
+  }
+
   test("loader wires into auto-injection: governed reads are filtered") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pl").toString
     docs.write.mode("overwrite").parquet(dir)

@@ -65,6 +65,29 @@ class AbacInjectionSpec extends SparkSpec {
     }
   }
 
+  test("nested governance: the most specific governed prefix wins, registration-order-free") {
+    val parent = sf()
+    val rootPolicy = Abac.Policy(
+      allow = Seq(Seq(Abac.Criterion("c_mktsegment", "is_one_of",
+        values = Seq("BUILDING")))),
+      deny = Nil)
+    val expectNested = Abac.enforce(spark.read.parquet(path), policy).count()
+    val expectRoot = Abac.enforce(spark.read.parquet(path), rootPolicy).count()
+    assert(expectNested != expectRoot) // non-vacuous: the policies differ
+    AbacInjection.install(spark)
+    try {
+      AbacInjection.govern(parent, rootPolicy)
+      AbacInjection.govern(path, policy)
+      assert(spark.read.parquet(path).count() === expectNested)
+      AbacInjection.clear()
+      // reversed registration order must pick the same (longest) prefix —
+      // map iteration order never decides which policy applies
+      AbacInjection.govern(path, policy)
+      AbacInjection.govern(parent, rootPolicy)
+      assert(spark.read.parquet(path).count() === expectNested)
+    } finally AbacInjection.clear()
+  }
+
   test("ungoverned tables are untouched") {
     val other = sf() + "/nation.parquet"
     val base = spark.read.parquet(other).count()

@@ -85,6 +85,52 @@ class NgramCandidateSpec extends SparkSpec {
     assert(missed.isEmpty, s"capped-set qualifying pairs pruned: $missed")
   }
 
+  test("ngramJaccardPairs under an active cap: qualify on full AND capped sets, exact values") {
+    // viral gram 0 in every doc; one doc is ONLY the viral gram (its
+    // capped set is empty — it must never qualify, and never divide by 0)
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 25).map { i =>
+      val s = randomSet(rnd, 30, 6).filter(_ != 0)
+      (i.toLong, (0 +: s).distinct)
+    }
+    val docs = base ++ Seq((25L, base.head._2), (26L, Seq(0)))
+    val expected = (for {
+      (ia, sa0) <- docs; (ib, sb0) <- docs
+      if ia < ib
+      saF = sa0.toSet; sbF = sb0.toSet
+      sharedF = saF.intersect(sbF).size
+      jacF = sharedF.toDouble / (saF.size + sbF.size - sharedF)
+      sa = saF - 0; sb = sbF - 0
+      sharedC = sa.intersect(sb).size
+      denomC = sa.size + sb.size - sharedC
+      if jacF >= 0.5 && denomC > 0 && sharedC.toDouble / denomC >= 0.5
+    } yield ((ia, ib), (sharedF.toLong, jacF))).toMap
+    assert(expected.nonEmpty)
+    val stats = docs.toDF("doc_id", "gs")
+      .withColumn("gs", sort_array(col("gs")))
+      .withColumn("n", size(col("gs")).cast("long"))
+    val got = LlmQueries.ngramJaccardPairs(stats, Seq(0).toDF("g"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (a, b, sh, j) => ((a, b), (sh, j)) }.toMap
+    assert(got.keySet == expected.keySet,
+      s"extra=${got.keySet -- expected.keySet} missing=${expected.keySet -- got.keySet}")
+    expected.foreach { case (k, (sh, j)) =>
+      assert(got(k)._1 == sh && math.abs(got(k)._2 - j) < 1e-12, s"pair $k")
+    }
+  }
+
+  test("ngramJaccardPairs with no viral grams matches the plain exact form") {
+    val docs = Seq(
+      (1L, Seq(1, 2, 3, 4)), (2L, Seq(1, 2, 3, 5)), // J = 3/5 >= 0.5
+      (3L, Seq(7, 8)), (4L, Seq(8, 9)))             // J = 1/3 < 0.5
+    val stats = docs.toDF("doc_id", "gs")
+      .withColumn("gs", sort_array(col("gs")))
+      .withColumn("n", size(col("gs")).cast("long"))
+    val got = LlmQueries.ngramJaccardPairs(stats, Seq.empty[Int].toDF("g"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 3L, 0.6)))
+  }
+
   test("identical single-element sets are found (smallest edge case)") {
     val stats = Seq((1L, Seq(7)), (2L, Seq(7)), (3L, Seq(9)))
       .toDF("doc_id", "gs")
