@@ -15,6 +15,7 @@ run / fork := true
 // sbt's "[success] Total time..." trailer would otherwise land after it and
 // break the parser reading the final line.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by commands, not tasks
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -16,7 +16,8 @@ object SparkEntry {
   private def all: Seq[QueryDef] =
     CoreQueries.defs ++ JoinAggQueries.defs ++ GraphQueries.defs ++
       StreamQueries.defs ++ LlmQueries.defs ++ ApiQueries.defs ++
-      CoverageQueries.defs ++ MoreQueries.defs ++ SurfaceQueries.defs
+      CoverageQueries.defs ++ MoreQueries.defs ++ SurfaceQueries.defs ++
+      PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the J1 document-enrichment join (fact ⋈ broadcast dims ⋈ detail agg). */

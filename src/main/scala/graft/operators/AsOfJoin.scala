@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join: each left row picks up the most recent
+  * right-side row with the same key at-or-before the left row's time —
+  * the temporal join every event-attribution / slowly-changing-dimension
+  * query needs (the reference resolves "state as of an event" by
+  * re-reading the item per event, e.g. the version lookups in
+  * `backend/backend/handlers/assets/assetService.py`; as a set
+  * operation this is one as-of join).
+  *
+  * ALGORITHM (union-merge, not a range join): tag both inputs, union
+  * them, sort within each key partition by (time, side), and carry the
+  * latest right payload forward with a running `last(ignoreNulls)`
+  * window. ONE shuffle on the join key, linear work per partition —
+  * the plan a streaming engine's temporal join compiles to. The naive
+  * alternatives die at scale: an inequality join `l.t >= r.t` is a
+  * per-pair range join (O(n·m) off the equi-key), and a
+  * "max-per-group then re-join" pays three shuffles.
+  *
+  * SEMANTICS: at equal timestamps the right row sorts FIRST, so a left
+  * row sees a right row with exactly its timestamp (at-or-BEFORE).
+  * Ties among right rows at the same (key, time) resolve by
+  * `rightTiebreak` — the largest wins, deterministically. Left rows
+  * with no prior right row get nulls (left-outer).
+  */
+object AsOfJoin {
+
+  /** @param rightPayload output-name → right-side column to carry
+    * @param rightTiebreak breaks (key, time) ties on the right; the
+    *        MAX tiebreak row wins */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: Column, rightTime: Column,
+      rightPayload: Seq[(String, Column)],
+      rightTiebreak: Column): DataFrame = {
+    val rStruct = struct(rightPayload.map { case (n, c) => c.as(n) }: _*)
+    val lStruct = struct(left.columns.map(col): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(rightTime.as("__t"), lit(1).as("__side"),
+        rightTiebreak.as("__tb"), rStruct.as("__r")): _*)
+    val rType = r.schema("__r").dataType
+    val lFull = left.select(
+      keys.map(col) ++ Seq(leftTime.as("__t"), lit(0).as("__side"),
+        lit(null).cast(r.schema("__tb").dataType).as("__tb"),
+        lit(null).cast(rType).as("__r"), lStruct.as("__l")): _*)
+    val rFull = r.withColumn("__l", lit(null).cast(lFull.schema("__l").dataType))
+    val merged = rFull.unionByName(lFull)
+    // right before left at equal __t (>= semantics); among right rows at
+    // the same instant the largest tiebreak is LAST, so last() picks it
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").desc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = merged
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+    val leftOut = left.columns.map(c => col("__l").getField(c).as(c))
+    val rightOut = rightPayload.map { case (n, _) => col("__m").getField(n).as(n) }
+    matched.select(leftOut ++ rightOut: _*)
+  }
+}

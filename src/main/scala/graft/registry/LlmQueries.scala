@@ -34,7 +34,7 @@ object LlmQueries {
 
   /** Shared oracle CTE prefix: tokens → distinct 3-gram shingles → 60-bit
     * hashes in [0, 2^31-1). */
-  private val ShingleCtes =
+  private[registry] val ShingleCtes =
     """toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
       |  FROM documents
@@ -83,7 +83,7 @@ object LlmQueries {
     * join + array_intersect. At 100 TB the equivalent is a bucketed
     * side table; the pair-verify stays a narrow map-side operation
     * either way. */
-  private def docGramStats(s: SparkSession, d: String): DataFrame = {
+  private[registry] def docGramStats(s: SparkSession, d: String): DataFrame = {
     // gram hashes are < 2^31-1 by construction → the per-doc sets store
     // as array<int>, HALVING the bytes of the cache and of every verify
     // join that ships gram sets across an exchange (sort order and
@@ -101,7 +101,7 @@ object LlmQueries {
   /** Distinct (doc_id, g) rows for pair generation — a NARROW explode of
     * the cached per-doc sets (no distinct exchange; the set was already
     * deduped inside docGramStats' aggregation). */
-  private def gramSetRows(s: SparkSession, d: String): DataFrame =
+  private[registry] def gramSetRows(s: SparkSession, d: String): DataFrame =
     docGramStats(s, d).select(col("doc_id"), explode(col("gs")).as("g"))
 
   /** Candidate pairs for exact Jaccard ≥ 0.5 over per-doc SORTED gram

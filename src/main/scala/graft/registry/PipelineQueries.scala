@@ -1,0 +1,257 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llmops.Text
+import graft.operators.AsOfJoin
+import graft.sources.Bucketing
+
+/** Round-3 additions: the training-data-pipeline operators a 100 TB
+  * corpus build runs between dedup and training — sequence packing,
+  * chunking, eval-set contamination, split assignment — plus two
+  * whole-operator scale demonstrations (as-of join, bucketed co-located
+  * join). Every query is oracle-gated.
+  */
+object PipelineQueries {
+  import QueryDef.sql
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** Context-window length for sequence packing (tokens). */
+  val PackLen = 512
+  /** Chunk window / stride (tokens) for overlapping chunking. */
+  val ChunkLen = 64
+  val ChunkStride = 48
+
+  /** Whitespace token count with the empty-document guard (same formula
+    * as `llm_text_tokens`' n_ws — split of "" yields [""], not []). */
+  private def nTokens(text: org.apache.spark.sql.Column) =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+"))).cast("long")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── As-of (point-in-time) join: each purchase event picks up the
+    //    same user's most recent signup at-or-before it. The Spark side
+    //    is the union-merge temporal join (ONE shuffle on user_id,
+    //    linear per partition — see AsOfJoin); the oracle states the
+    //    same semantics as the quadratic inequality-join + QUALIFY,
+    //    which only an oracle-scale engine can afford.
+    sql("ev1_asof_attribution",
+      """SELECT p.event_id, p.user_id,
+        |       strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |       p.value,
+        |       s.event_id AS signup_event_id,
+        |       epoch_us(CAST(s.ts AS TIMESTAMP)) AS signup_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON s.user_id = p.user_id
+        | AND CAST(s.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |QUALIFY row_number() OVER (PARTITION BY p.event_id
+        |  ORDER BY s.ts DESC, s.event_id DESC) = 1
+        |ORDER BY p.event_id""")(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        val signups = ev.filter(col("event_type") === "signup")
+        AsOfJoin.asOf(purchases, signups, keys = Seq("user_id"),
+            leftTime = col("ts"), rightTime = col("ts"),
+            rightPayload = Seq(
+              "signup_event_id" -> col("event_id"),
+              "signup_us" -> unix_micros(col("ts"))),
+            rightTiebreak = col("event_id"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+            col("value"), col("signup_event_id"), col("signup_us"))
+          .orderBy("event_id")
+      }),
+
+    // ── Sequence packing: assign each document its span of fixed-length
+    //    context windows in the concatenated token stream. Packing is
+    //    SHARDED BY SOURCE — each shard packs independently (the window
+    //    partitions by source), which is the only shape that scales: a
+    //    corpus-global running total would serialize 100 TB through one
+    //    partition. Real pipelines pack per input shard for exactly this
+    //    reason.
+    sql("llm_pack_windows",
+      s"""WITH toks AS (
+        |  SELECT doc_id, source,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+        |           AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), packed AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND 1 PRECEDING), 0) AS cum_before
+        |  FROM toks WHERE n_tokens > 0
+        |)
+        |SELECT doc_id, source, n_tokens,
+        |       cum_before // $PackLen AS window_start,
+        |       (cum_before + n_tokens - 1) // $PackLen AS window_end,
+        |       (cum_before + n_tokens - 1) // $PackLen
+        |         - cum_before // $PackLen + 1 AS n_windows
+        |FROM packed ORDER BY doc_id""")(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            nTokens(col("text")).as("n_tokens"))
+          .filter(col("n_tokens") > 0)
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs
+          .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            expr(s"cum_before DIV $PackLen").as("window_start"),
+            expr(s"(cum_before + n_tokens - 1) DIV $PackLen").as("window_end"),
+            expr(s"(cum_before + n_tokens - 1) DIV $PackLen" +
+              s" - cum_before DIV $PackLen + 1").as("n_windows"))
+          .orderBy("doc_id")
+      }),
+
+    // ── Overlapping chunking: split each document into ChunkLen-token
+    //    windows every ChunkStride tokens (RAG / long-context
+    //    preprocessing). Perfectly narrow — chunk count and content are
+    //    per-row expressions, no shuffle anywhere; the chunk text rides
+    //    as an md5 so the output stays compact.
+    sql("llm_chunk_overlap",
+      s"""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), sized AS (
+        |  SELECT doc_id, tk, len(tk) AS n FROM toks
+        |), chunks AS (
+        |  SELECT doc_id, n, tk,
+        |         unnest(generate_series(0,
+        |           CASE WHEN n > $ChunkLen
+        |                THEN (n - $ChunkLen + $ChunkStride - 1) // $ChunkStride
+        |                ELSE 0 END)) AS chunk_idx
+        |  FROM sized
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       CAST(chunk_idx * $ChunkStride AS BIGINT) AS start_tok,
+        |       CAST(least($ChunkLen, n - chunk_idx * $ChunkStride) AS BIGINT)
+        |         AS chunk_len,
+        |       md5(array_to_string(
+        |         tk[chunk_idx * $ChunkStride + 1 :
+        |            chunk_idx * $ChunkStride + $ChunkLen], ' ')) AS chunk_md5
+        |FROM chunks ORDER BY doc_id, chunk_idx""")(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+          .withColumn("n", size(col("tk")).cast("long"))
+        docs
+          .withColumn("chunk_idx", explode(sequence(lit(0L),
+            expr(s"CASE WHEN n > $ChunkLen THEN " +
+              s"(n - $ChunkLen + $ChunkStride - 1) DIV $ChunkStride " +
+              "ELSE 0 END"))))
+          .select(col("doc_id"), col("chunk_idx"),
+            (col("chunk_idx") * ChunkStride).as("start_tok"),
+            least(lit(ChunkLen),
+              col("n") - col("chunk_idx") * ChunkStride).as("chunk_len"),
+            md5(concat_ws(" ",
+              slice(col("tk"),
+                (col("chunk_idx") * ChunkStride + 1).cast("int"),
+                lit(ChunkLen)))).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      }),
+
+    // ── Eval-set contamination: for each held-out document (doc_id
+    //    divisible by 50), the fraction of its shingles that appear
+    //    anywhere in the training split. Scale shape: the train
+    //    VOCABULARY (distinct grams, map-side combined) semi-joins the
+    //    eval postings on the gram hash — no pairwise doc×doc work at
+    //    all, unlike per-pair overlap. Reuses the cached gram stats the
+    //    dedup family builds.
+    sql("llm_contamination",
+      s"""WITH ${LlmQueries.ShingleCtes}, ghd AS (
+        |  SELECT DISTINCT doc_id, g FROM gh
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM ghd GROUP BY doc_id
+        |), tv AS (
+        |  SELECT DISTINCT g FROM ghd WHERE doc_id % 50 <> 0
+        |), hits AS (
+        |  SELECT doc_id, count(*) AS n_hit FROM ghd
+        |  WHERE doc_id % 50 = 0 AND g IN (SELECT g FROM tv)
+        |  GROUP BY doc_id
+        |)
+        |SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_grams,
+        |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / s.n AS contamination
+        |FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+        |WHERE s.doc_id % 50 = 0
+        |ORDER BY s.doc_id""")(
+      (s, d) => {
+        val rows = LlmQueries.gramSetRows(s, d)
+        val trainVocab = rows.filter(col("doc_id") % 50 =!= 0)
+          .select("g").distinct()
+        val hits = rows.filter(col("doc_id") % 50 === 0)
+          .join(trainVocab, Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        LlmQueries.docGramStats(s, d)
+          .filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id"), col("n").as("n_grams"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
+              .as("contamination"))
+          .orderBy("doc_id")
+      }),
+
+    // ── Deterministic stratified split assignment: a content-free,
+    //    coordination-free train/val/test split from a stable hash of
+    //    the key — every engine that re-derives it gets the same answer
+    //    (no RNG, no state), and proportions hold within every stratum
+    //    in expectation. Narrow per-row expressions; trivially 100 TB.
+    sql("llm_split_assign",
+      """SELECT doc_id, lang,
+        |       CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |            AS BIGINT) % 2147483647 AS bucket,
+        |       CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |                 AS BIGINT) % 2147483647 < 0.9 * 2147483647 THEN 'train'
+        |            WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |                 AS BIGINT) % 2147483647 < 0.95 * 2147483647 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""")(
+      (s, d) => {
+        val bucket = Text.hash60(col("doc_id").cast("string"))
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+            bucket.as("bucket"),
+            when(bucket < 0.9 * 2147483647L, "train")
+              .when(bucket < 0.95 * 2147483647L, "val")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      }),
+
+    // ── Bucketed co-located join: orders ⋈ customer on custkey over
+    //    tables WRITTEN bucketed by the key — the join and the
+    //    aggregation both run exchange-free (BucketingSpec pins zero
+    //    ShuffleExchange in the plan). The oracle is the plain join:
+    //    identical rows, different physics.
+    sql("bk1_bucketed_join",
+      """SELECT c.c_custkey, c.c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_spend
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY c_custkey""")(
+      (s, d) => {
+        val (oT, cT) = Bucketing.colocatedOrdersCustomer(s, d)
+        val o = s.table(oT)
+        val c = s.table(cT)
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .groupBy(c("c_custkey"), c("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total_spend"))
+          .orderBy("c_custkey")
+      })
+  )
+}
