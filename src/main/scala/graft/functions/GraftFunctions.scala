@@ -148,6 +148,36 @@ object GraftFunctions {
       copy(a, b, c)
   }
 
+  /** Cosine similarity DIRECTLY on int8 code arrays (array<tinyint>) —
+    * the fused quantized kernel. Under symmetric per-vector scaling
+    * (graft.llmops.Quantize) the scales cancel out of cosine:
+    * (s_a·a)·(s_b·b) / (|s_a·a||s_b·b|) = a·b / (|a||b|) — so the
+    * similarity of the CODES equals the similarity of the dequantized
+    * vectors, with the dot products computed in exact integer
+    * arithmetic (long accumulators: 127²·dim ≪ 2⁶³). No dequantize
+    * pass, no double multiplies in the hot loop — this is why int8
+    * storage also WINS compute, not just footprint. */
+  case class CosineSimQ8Expr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val la = a.numElements(); val lb = b.numElements()
+      val n = math.min(la, lb)
+      var dot = 0L; var na = 0L; var nb = 0L
+      var i = 0
+      while (i < n) { dot += a.getByte(i).toLong * b.getByte(i); i += 1 }
+      i = 0
+      while (i < la) { val x = a.getByte(i).toLong; na += x * x; i += 1 }
+      i = 0
+      while (i < lb) { val x = b.getByte(i).toLong; nb += x * x; i += 1 }
+      dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): CosineSimQ8Expr = copy(l, r)
+  }
+
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -155,6 +185,8 @@ object GraftFunctions {
       es => LshBucketsExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine",
       es => CosineSimExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cosine_q8",
+      es => CosineSimQ8Expr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot",
       es => DotExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_nearest_centroids",

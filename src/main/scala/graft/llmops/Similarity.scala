@@ -52,6 +52,31 @@ object Similarity {
       .select("q_id", "rank", "cand_id", "sim")
   }
 
+  /** Exact top-k over QUANTIZED embeddings with NO dequantize pass:
+    * symmetric per-vector scales cancel out of cosine, so scoring runs
+    * exact integer dot products directly on the int8 code arrays
+    * (`graft_cosine_q8`). At 100 TB this is the full int8 win — 4× less
+    * to read AND an integer hot loop — where dequantize-then-float
+    * would pay the storage saving back in compute. */
+  def bruteForceTopKQ8(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    def codes(df: DataFrame, idName: String, vName: String) = df.select(
+      col("vec_id").as(idName),
+      graft.llmops.Quantize.quantize(asDouble(col("embedding")))
+        .getField("q").as(vName))
+    val q = codes(queries, "q_id", "q_vec")
+    val c = codes(candidates, "cand_id", "c_vec")
+    val scored = c.join(broadcast(q), col("q_id") =!= col("cand_id"))
+      .withColumn("sim",
+        call_function("graft_cosine_q8", col("q_vec"), col("c_vec")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id").asc)))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "cand_id", "sim")
+  }
+
   /** Multi-table random-hyperplane LSH: `LshTables` independent tables of
     * `LshBits` sign bits each. For neighbors at cosine θ, one-bit
     * agreement is 1-θ/π; recall ≈ 1-(1-p^bits)^tables — 10×6 gives

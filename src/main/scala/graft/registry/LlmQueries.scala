@@ -598,14 +598,11 @@ object LlmQueries {
     //    float32 exact top-k is bounded in LlmOpsSpec.
     rowsOnly("llm_sim_topk_q8")(
       (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        val stored = t(s, d, "embeddings")
-          .select(col("vec_id"),
-            graft.llmops.Quantize.quantize(
-              Similarity.asDouble(col("embedding"))).as("qv"))
-          .select(col("vec_id"),
-            graft.llmops.Quantize.dequantize(col("qv")).as("embedding"))
-        Similarity.bruteForceTopK(stored.filter(col("vec_id") < 10), stored, k = 5)
+        // fused int8 path: quantize once (the storage write), then score
+        // integer dots on the codes — symmetric scales cancel in cosine,
+        // so no dequantize pass exists at all (see bruteForceTopKQ8)
+        val e = t(s, d, "embeddings")
+        Similarity.bruteForceTopKQ8(e.filter(col("vec_id") < 10), e, k = 5)
           .orderBy("q_id", "rank")
       }),
 
