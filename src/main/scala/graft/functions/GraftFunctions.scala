@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -178,6 +179,46 @@ object GraftFunctions {
         l: Expression, r: Expression): CosineSimQ8Expr = copy(l, r)
   }
 
+  /** One-pass symmetric int8 quantization: array<double> →
+    * struct(scale double, q array<tinyint>), scale = max|x|/127,
+    * codes = round_half_up(x/scale) (zero vectors → scale 0, zero
+    * codes — same contract as the column form it replaces). A single
+    * O(dim) pass per row; the HOF formulation re-derived the scale
+    * (itself an O(dim) array_max) INSIDE the per-element lambda once
+    * Catalyst inlined it — O(dim²) per row, and the reason the
+    * quantized search initially cost more than float32. */
+  case class QuantizeExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("scale", DoubleType, nullable = false),
+      StructField("q", ArrayType(ByteType, containsNull = false),
+        nullable = false)))
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      var maxAbs = 0.0
+      var i = 0
+      while (i < n) {
+        val x = math.abs(a.getDouble(i)); if (x > maxAbs) maxAbs = x; i += 1
+      }
+      val scale = maxAbs / 127.0
+      val out = new Array[Byte](n)
+      if (scale != 0.0) {
+        i = 0
+        while (i < n) {
+          val v = a.getDouble(i) / scale
+          // HALF_UP away from zero, matching functions.round's BigDecimal
+          // semantics on the values this sees (|v| ≤ 127)
+          out(i) = (math.signum(v) * math.round(math.abs(v))).toByte
+          i += 1
+        }
+      }
+      InternalRow(scale, new GenericArrayData(out))
+    }
+    override protected def withNewChildInternal(c: Expression): QuantizeExpr =
+      copy(c)
+  }
+
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -187,6 +228,8 @@ object GraftFunctions {
       es => CosineSimExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine_q8",
       es => CosineSimQ8Expr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_quantize",
+      es => QuantizeExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot",
       es => DotExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_nearest_centroids",

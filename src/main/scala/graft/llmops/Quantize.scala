@@ -14,15 +14,17 @@ object Quantize {
 
   /** array<double> → struct(scale double, q array<tinyint>);
     * scale = max|x| / 127, values = round(x / scale). Zero vectors get
-    * scale 0 and all-zero codes. */
+    * scale 0 and all-zero codes.
+    *
+    * Implemented as the one-pass [[graft.functions.GraftFunctions.QuantizeExpr]]
+    * kernel: the HOF form re-derived the O(dim) scale inside the
+    * per-element lambda after Catalyst inlined it (struct-field staging
+    * is undone by SimplifyExtractValueOps), turning quantization into
+    * O(dim²) per row. */
   def quantize(vec: Column): Column = {
-    val scale = array_max(transform(vec, x => abs(x))) / 127.0
-    struct(
-      scale.as("scale"),
-      transform(vec, x =>
-        when(scale === 0.0, lit(0))
-          .otherwise(round(x / scale))
-          .cast("tinyint")).as("q"))
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    call_function("graft_quantize", vec)
   }
 
   /** Inverse: struct(scale, q) → array<double>. */
