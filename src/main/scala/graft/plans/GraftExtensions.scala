@@ -191,9 +191,12 @@ object AbacInjection {
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` — registers the
-  * ABAC injection rule (and is the mount point for future custom
-  * strategies/expressions) at session build time. */
+  * ABAC injection and text-index-selection rules (and is the mount
+  * point for future custom strategies/expressions) at session build
+  * time. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(AbacInjection.Rule0)
+    ext.injectOptimizerRule(TextIndexRewrite.Rule0)
+  }
 }

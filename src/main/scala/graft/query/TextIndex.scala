@@ -97,6 +97,24 @@ object TextIndex {
     pattern.toLowerCase.split("[*?]").filter(_.length >= 3)
       .flatMap(seg => seg.sliding(3)).toSet
 
+  /** Candidate files of the table at `path` that can contain a match of
+    * `pattern` on `textCol` — files whose postings hold EVERY required
+    * trigram. None ⇒ the pattern has no literal segment ≥ 3 chars and
+    * cannot prune. Only the file LIST reaches the driver, never rows —
+    * the same driver-side footprint as partition pruning. */
+  def candidateFiles(spark: SparkSession, path: String, textCol: String,
+      pattern: String): Option[Array[String]] = {
+    val required = requiredTrigrams(pattern)
+    if (required.isEmpty) None
+    else Some(postings(spark, path, textCol)
+      .filter(col("tri").isin(required.toSeq: _*))
+      .groupBy("file")
+      .agg(countDistinct(col("tri")).as("hits"))
+      .filter(col("hits") === required.size)
+      .select("file")
+      .collect().map(_.getString(0)))
+  }
+
   /** Substring/wildcard search over `textCol` of the parquet table at
     * `path`, reading only files whose postings contain every required
     * trigram. Result is identical to filtering the full table with
@@ -104,19 +122,11 @@ object TextIndex {
   def prunedSearch(spark: SparkSession, path: String, textCol: String,
       pattern: String): DataFrame = {
     val full = spark.read.parquet(path)
-    val required = requiredTrigrams(pattern)
     val pred = QueryCompiler.wildcard(col(textCol), pattern)
-    if (required.isEmpty) full.filter(pred)
-    else {
-      val files = postings(spark, path, textCol)
-        .filter(col("tri").isin(required.toSeq: _*))
-        .groupBy("file")
-        .agg(countDistinct(col("tri")).as("hits"))
-        .filter(col("hits") === required.size)
-        .select("file")
-        .collect().map(_.getString(0)) // file LIST only — never row data
-      if (files.isEmpty) full.filter(lit(false))
-      else {
+    candidateFiles(spark, path, textCol, pattern) match {
+      case None => full.filter(pred)
+      case Some(files) if files.isEmpty => full.filter(lit(false))
+      case Some(files) =>
         // basePath restores hive-partition columns when the table is
         // partitioned — without it an explicit file list reads partition
         // columns as null and the "identical to the full scan" contract
@@ -134,7 +144,6 @@ object TextIndex {
           else spark.read
         reader.schema(full.schema).parquet(files.toIndexedSeq: _*)
           .filter(pred)
-      }
     }
   }
 }
