@@ -74,9 +74,33 @@ object Bench {
       System.gc()
       p
     }
+    // The driver records only the LAST 2000 chars of output and parses the
+    // JSON line out of that tail — a full per-query map (85 queries ×
+    // full-precision doubles) overflows it, which is how BENCH_r02..r04
+    // ended up with parsed:null. So: full detail goes on an early line
+    // (readable in logs, allowed to be cut from the tail), and the final
+    // line is a compact JSON capped under the tail budget, keeping the
+    // slowest queries (the ones perf grading needs) and counting the rest
+    // in queries_omitted. 3-decimal locale-fixed formatting throughout.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val results = ordered.map { case (n, _) => n -> passes.map(_(n)).min }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    println(s"""# per-query detail (full): $detail""")
+    // chars for the queries map in the final line: the whole line must stay
+    // well under the 2000-char tail even if the harness appends a trailing
+    // "[success] Total time: ..." line after it (as sbt-run rounds do)
+    val budget = 1300
+    val bySlowest = results.sortBy(-_._2)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    bySlowest.foreach { case (k, v) =>
+      val ent = "\"" + k + "\":" + f3(v)
+      if (used + ent.length + 1 <= budget) { kept += ent; used += ent.length + 1 }
+    }
+    val qs = kept.mkString("{", ",", "}")
+    val omitted = results.size - kept.size
     val total = results.map(_._2).sum
     // oracle_value: subtotal over queries that HAVE a DuckDB oracle —
     // the apples-to-apples number against the oracle-runtime baseline
@@ -88,11 +112,12 @@ object Bench {
     // regression (single-run totals vary up to 2× on shared VMs).
     // warm_dir makes the numbers interpretable: warmup at the target dir
     // (no sf0.001 sibling) means the suite ran once untimed at full SF.
-    val passTotals = passes.map(_.values.sum)
-      .map(v => String.format(java.util.Locale.ROOT, "%.3f",
-        Double.box(v))) // locale-fixed: a comma decimal would corrupt the JSON
-      .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","oracle_value":$oracleTotal,"queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","pass_totals":$passTotals}""")
+    val passTotals = passes.map(p => f3(p.values.sum)).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","oracle_value":${f3(oracleTotal)},"n_queries":${results.size},"queries_omitted":$omitted,"queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","pass_totals":$passTotals}"""
+    // hard guarantee: the line the driver must parse fits its 2000-char tail
+    // with ~150 chars of slack for any trailing harness output
+    assert(line.length < 1850, s"bench JSON line too long: ${line.length}")
+    println(line)
     spark.stop()
   }
 }

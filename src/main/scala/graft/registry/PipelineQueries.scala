@@ -86,9 +86,11 @@ object PipelineQueries {
         |  FROM documents
         |), packed AS (
         |  SELECT doc_id, source, n_tokens,
-        |         COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |         -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which pandas
+        |         -- renders as float64 and fails the driver's hash compare
+        |         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
         |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-        |           AND 1 PRECEDING), 0) AS cum_before
+        |           AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         |  FROM toks WHERE n_tokens > 0
         |)
         |SELECT doc_id, source, n_tokens,
