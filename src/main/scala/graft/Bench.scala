@@ -50,7 +50,12 @@ object Bench {
         sibling.getPath
       else sfDir
     }
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // optional trailing names restrict the suite (local iteration only;
+    // the driver's no-arg invocation always benches everything)
+    val only = args.toSet
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+    selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
@@ -62,7 +67,7 @@ object Bench {
     // report the repeatable cost. The cache is cleared between passes so
     // each pass pays the same cold data work (intra-pass cache sharing
     // between queries is part of the engine design and kept).
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = selected.toSeq.sortBy(_._1)
     def timedPass(): Map[String, Double] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

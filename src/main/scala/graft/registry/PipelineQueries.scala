@@ -190,11 +190,24 @@ object PipelineQueries {
         |WHERE s.doc_id % 50 = 0
         |ORDER BY s.doc_id""")(
       (s, d) => {
+        // ONE full shuffle on the gram hash (pure codegen'd max
+        // aggregates with map-side partials — no list state, nothing to
+        // spill), folding each gram to train/eval presence flags. The
+        // semi-join that follows ships only the grams present in BOTH
+        // splits plus the eval rows (~2% of docs) — replacing the
+        // previous plan's full train-vocab DISTINCT exchange. At sf0.1
+        // the three shapes bench equal (the time is docGramStats'
+        // shared materialization); this one has the best 100 TB
+        // properties.
         val rows = LlmQueries.gramSetRows(s, d)
-        val trainVocab = rows.filter(col("doc_id") % 50 =!= 0)
-          .select("g").distinct()
-        val hits = rows.filter(col("doc_id") % 50 === 0)
-          .join(trainVocab, Seq("g"), "left_semi")
+        val isEval = col("doc_id") % 50 === 0
+        val sharedGrams = rows.groupBy("g").agg(
+            max(when(!isEval, 1).otherwise(0)).as("in_train"),
+            max(when(isEval, 1).otherwise(0)).as("in_eval"))
+          .filter(col("in_train") === 1 && col("in_eval") === 1)
+          .select("g")
+        val hits = rows.filter(isEval)
+          .join(sharedGrams, Seq("g"), "left_semi")
           .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
         LlmQueries.docGramStats(s, d)
           .filter(col("doc_id") % 50 === 0)
