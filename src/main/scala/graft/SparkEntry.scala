@@ -17,7 +17,7 @@ object SparkEntry {
     CoreQueries.defs ++ JoinAggQueries.defs ++ GraphQueries.defs ++
       StreamQueries.defs ++ LlmQueries.defs ++ ApiQueries.defs ++
       CoverageQueries.defs ++ MoreQueries.defs ++ SurfaceQueries.defs ++
-      PipelineQueries.defs
+      PipelineQueries.defs ++ CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the J1 document-enrichment join (fact ⋈ broadcast dims ⋈ detail agg). */

@@ -1,0 +1,86 @@
+package graft.llmops
+
+import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Bounded top-k as a one-pass typed aggregate — the 100 TB shape for
+  * "smallest k (key, id) pairs per group".
+  *
+  * The naive per-group head is a window (`row_number() OVER (PARTITION BY
+  * stratum ORDER BY key)`), which shuffles EVERY row of every stratum to
+  * one task before discarding all but k. This aggregate keeps a bounded
+  * buffer of k pairs per partial, so map-side combine runs before the
+  * exchange and shuffle volume is ≤ k pairs per (partition × group) — at
+  * 100 TB the window shape moves the corpus, this moves k rows per
+  * stratum per input split.
+  *
+  * Ordering is lexicographic on (key, id) — ties on the key are broken by
+  * the id, which makes the result deterministic and lets a SQL oracle
+  * state the same semantics as a plain `row_number()` window at oracle
+  * scale.
+  *
+  * The buffer is a flat packed Array[Long] `[key0,id0,key1,id1,...]` kept
+  * sorted; k is small (sampling heads), so insertion is O(k) on the
+  * already-sorted array and merge is a linear merge of two sorted runs.
+  */
+object TopK {
+
+  private final class SmallestK(k: Int)
+      extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
+
+    private def lt(k1: Long, i1: Long, k2: Long, i2: Long): Boolean =
+      k1 < k2 || (k1 == k2 && i1 < i2)
+
+    def zero: Array[Long] = Array.emptyLongArray
+
+    def reduce(buf: Array[Long], in: (Long, Long)): Array[Long] = {
+      val (key, id) = in
+      val n = buf.length / 2
+      if (n == k && !lt(key, id, buf(2 * n - 2), buf(2 * n - 1))) buf
+      else {
+        // binary search for the insertion point among packed pairs
+        var lo = 0
+        var hi = n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (lt(buf(2 * mid), buf(2 * mid + 1), key, id)) lo = mid + 1
+          else hi = mid
+        }
+        val outN = math.min(n + 1, k)
+        val out = new Array[Long](2 * outN)
+        System.arraycopy(buf, 0, out, 0, 2 * lo)
+        out(2 * lo) = key
+        out(2 * lo + 1) = id
+        System.arraycopy(buf, 2 * lo, out, 2 * lo + 2,
+          2 * (outN - lo - 1))
+        out
+      }
+    }
+
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      val outN = math.min((x.length + y.length) / 2, k)
+      val out = new Array[Long](2 * outN)
+      var (i, j, o) = (0, 0, 0)
+      while (o < outN) {
+        val takeX = j >= y.length / 2 || (i < x.length / 2 &&
+          lt(x(2 * i), x(2 * i + 1), y(2 * j), y(2 * j + 1)))
+        if (takeX) { out(2 * o) = x(2 * i); out(2 * o + 1) = x(2 * i + 1); i += 1 }
+        else { out(2 * o) = y(2 * j); out(2 * o + 1) = y(2 * j + 1); j += 1 }
+        o += 1
+      }
+      out
+    }
+
+    def finish(r: Array[Long]): Array[Long] = r
+
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** `smallestK(k)(key, id)` — aggregate to the packed sorted array of the
+    * k lexicographically-smallest (key, id) pairs. */
+  def smallestK(k: Int): UserDefinedFunction =
+    udaf(new SmallestK(k), Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+}

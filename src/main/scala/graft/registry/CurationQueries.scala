@@ -1,0 +1,395 @@
+package graft.registry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llmops.{Text, TopK}
+
+/** Round-5 additions: corpus-curation operators a training-data build
+  * runs between quality filtering and epoch planning — repetition
+  * quality gates (Gopher-style), deterministic source mixing, exact
+  * per-stratum sampling heads, token-budget epoch planning, and tf-idf
+  * term extraction. Every query is oracle-gated; every double in an
+  * oracle-gated result is produced by bit-identical IEEE arithmetic on
+  * both engines (integer-derived divisions only — no transcendentals,
+  * no cross-row float sums).
+  */
+object CurationQueries {
+  import QueryDef.sql
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** Per-stratum sampling head size. */
+  val StratumK = 50
+  /** Global token budget for the epoch plan (tokens). */
+  val TokenBudget = 1000000L
+
+  /** Whitespace token count (empty-document guard — split of "" is [""]). */
+  private def nTokens(text: Column): Column =
+    when(length(trim(text)) === 0, 0L)
+      .otherwise(size(split(trim(lower(text)), "\\s+")).cast("long"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Repetition quality gate (the Gopher-rule family): per-document
+    //    word-bigram repetition stats — top-gram fraction and the
+    //    fraction of occurrences belonging to repeated grams. The Spark
+    //    side is a ZERO-SHUFFLE narrow pass: sort the bigram array, find
+    //    run boundaries, derive run lengths — all codegen'd higher-order
+    //    functions on the row, no explode, no groupBy. The oracle states
+    //    the same semantics the relational way (unnest → count → agg),
+    //    which is what any oracle-scale engine can afford at sf0.1.
+    sql("llm_quality_repetition",
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), occ AS (
+        |  SELECT doc_id,
+        |         unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+        |  FROM tk WHERE len(t) >= 2
+        |), cnt AS (
+        |  SELECT doc_id, g, count(*) AS c FROM occ GROUP BY doc_id, g
+        |)
+        |SELECT doc_id,
+        |       CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |       CAST(count(*) AS BIGINT) AS n_distinct,
+        |       CAST(max(c) AS DOUBLE) / sum(c) AS top_frac,
+        |       CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+        |         / sum(c) AS dup_frac
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""")(
+      (s, d) => {
+        val toks = Text.tokens(col("text"))
+        val docs = t(s, d, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), toks.as("tk"))
+          .filter(size(col("tk")) >= 2)
+        val bg = transform(sequence(lit(1), size(col("tk")) - 1), i =>
+          concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1)))
+        // ONE fold over the sorted bigrams computes run count (=
+        // distinct grams), longest run (= top gram count) and singleton
+        // runs in a single pass. HOFs don't whole-stage-codegen, and
+        // CollapseProject INLINES a projection per reference — a
+        // boundaries/zip_with formulation that references intermediate
+        // arrays 2-3× each multiplies the sort work per added reference
+        // (measured: a downstream filter referencing the outputs turned
+        // 1 s into 10 min). The fold keeps every upstream expression
+        // single-reference, so each output column costs exactly one
+        // sort + one pass.
+        val zero = struct(
+          lit(null).cast("string").as("prev"), lit(0L).as("run"),
+          lit(0L).as("best"), lit(0L).as("nruns"), lit(0L).as("singles"))
+        val folded = aggregate(array_sort(bg), zero,
+          (st, x) => {
+            val same = x <=> st.getField("prev")
+            val run2 = when(same, st.getField("run") + 1L).otherwise(lit(1L))
+            struct(
+              x.as("prev"), run2.as("run"),
+              greatest(st.getField("best"), run2).as("best"),
+              (st.getField("nruns") + when(same, 0L).otherwise(1L)).as("nruns"),
+              (st.getField("singles") +
+                when(!same && st.getField("run") === 1L, 1L).otherwise(0L))
+                .as("singles"))
+          },
+          st => struct(
+            st.getField("best").as("best"),
+            st.getField("nruns").as("nruns"),
+            (st.getField("singles") +
+              when(st.getField("run") === 1L, 1L).otherwise(0L)).as("singles")))
+        docs
+          .select(col("doc_id"), (size(col("tk")) - 1).cast("long").as("n"),
+            folded.as("f"))
+          .select(
+            col("doc_id"),
+            col("n").as("n_bigrams"),
+            col("f.nruns").as("n_distinct"),
+            (col("f.best").cast("double") / col("n")).as("top_frac"),
+            ((col("n") - col("f.singles")).cast("double") / col("n"))
+              .as("dup_frac"))
+          .orderBy("doc_id")
+      }),
+
+    // ── Deterministic source-weighted mixing: each source keeps a
+    //    configured fraction of its documents, selected by a stable
+    //    content-free hash — every engine (and every rerun) keeps the
+    //    same docs, no RNG state to coordinate across 1000 executors.
+    //    One narrow scan + one partial-aggregated groupBy on source.
+    sql("llm_mix_weighted",
+      """WITH d AS (
+        |  SELECT source, n_chars,
+        |         CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |              AS BIGINT) % 2147483647 AS h,
+        |         CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.75
+        |              WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25
+        |              ELSE 0.1 END AS rate
+        |  FROM documents
+        |)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN h < rate * 2147483647 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN h < rate * 2147483647 THEN n_chars ELSE 0 END)
+        |            AS BIGINT) AS chars_kept,
+        |       CAST(sum(CASE WHEN h < rate * 2147483647 THEN 1 ELSE 0 END)
+        |            AS DOUBLE) / count(*) AS realized_rate
+        |FROM d GROUP BY source ORDER BY source""")(
+      (s, d) => {
+        val h = Text.hash60(concat(lit("mix:"), col("doc_id").cast("string")))
+        val rate = when(col("source") === "src0", 1.0)
+          .when(col("source") === "src1", 0.75)
+          .when(col("source") === "src2", 0.5)
+          .when(col("source") === "src3", 0.25)
+          .otherwise(0.1)
+        val kept = (h < rate * lit(2147483647L)).cast("long")
+        t(s, d, "documents")
+          .select(col("source"), col("n_chars"), kept.as("kept"))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("kept")).as("n_kept"),
+            sum(col("n_chars") * col("kept")).as("chars_kept"))
+          .withColumn("realized_rate",
+            col("n_kept").cast("double") / col("n_docs"))
+          .orderBy("source")
+      }),
+
+    // ── Exact per-stratum sampling head: the k hash-smallest documents
+    //    of every language. The Spark side uses the bounded top-k
+    //    AGGREGATE (TopK.smallestK): map-side combine caps shuffle volume
+    //    at k pairs per (partition × stratum), where the textbook window
+    //    (`row_number() ... <= k` — the oracle's phrasing) shuffles every
+    //    row of the corpus into one task per stratum first.
+    sql("llm_sample_stratified",
+      s"""WITH h AS (
+        |  SELECT lang, doc_id,
+        |         CAST(('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |              AS BIGINT) % 2147483647 AS bucket
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |       CAST(row_number() OVER (PARTITION BY lang
+        |         ORDER BY bucket, doc_id) AS BIGINT) AS rank,
+        |       doc_id, bucket
+        |FROM h QUALIFY rank <= $StratumK
+        |ORDER BY lang, rank""")(
+      (s, d) => {
+        val h = Text.hash60(concat(lit("strat:"), col("doc_id").cast("string")))
+        val packed = t(s, d, "documents")
+          .select(col("lang"), h.as("bucket"), col("doc_id"))
+          .groupBy("lang")
+          .agg(TopK.smallestK(StratumK)(col("bucket"), col("doc_id")).as("p"))
+        packed
+          .select(col("lang"), explode(transform(
+            sequence(lit(1), (size(col("p")) / lit(2)).cast("int")), i =>
+              struct(i.cast("long").as("rank"),
+                element_at(col("p"), i * 2).as("doc_id"),
+                element_at(col("p"), i * 2 - 1).as("bucket")))).as("e"))
+          .select(col("lang"), col("e.rank").as("rank"),
+            col("e.doc_id").as("doc_id"), col("e.bucket").as("bucket"))
+          .orderBy("lang", "rank")
+      }),
+
+    // ── Token-budget epoch planning: allocate a global token budget
+    //    across sources by integer weight, convert each source's share
+    //    into an epoch (repeat) factor capped at 4.0 — the standard
+    //    data-mixture planning step before training. Integer weights
+    //    keep every derived double a single division/product of exact
+    //    integers (cross-row float sums are NOT cross-engine stable;
+    //    integer sums are).
+    sql("llm_token_budget",
+      s"""WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+        |             END) AS toks,
+        |         CASE source WHEN 'src0' THEN 40 WHEN 'src1' THEN 30
+        |              WHEN 'src2' THEN 20 WHEN 'src3' THEN 10
+        |              ELSE 5 END AS w
+        |  FROM documents GROUP BY source
+        |), tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM s)
+        |SELECT source,
+        |       CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(toks AS BIGINT) AS source_tokens,
+        |       CAST(w AS DOUBLE) / tw AS share,
+        |       $TokenBudget * (CAST(w AS DOUBLE) / tw) AS target_tokens,
+        |       least(4.0, $TokenBudget * (CAST(w AS DOUBLE) / tw) / toks)
+        |         AS epochs,
+        |       least(4.0, $TokenBudget * (CAST(w AS DOUBLE) / tw) / toks)
+        |         * toks AS planned_tokens
+        |FROM s, tot ORDER BY source""")(
+      (s, d) => {
+        val w = when(col("source") === "src0", 40L)
+          .when(col("source") === "src1", 30L)
+          .when(col("source") === "src2", 20L)
+          .when(col("source") === "src3", 10L)
+          .otherwise(5L)
+        val bySource = t(s, d, "documents")
+          .select(col("source"), nTokens(col("text")).as("nt"))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"), sum("nt").as("source_tokens"))
+          .withColumn("w", w)
+        // total weight: an unpartitioned window over #sources rows — the
+        // frame at this point is one row per source, not corpus-sized
+        val share = col("w").cast("double") /
+          sum("w").over(Window.partitionBy())
+        val target = lit(TokenBudget) * share
+        val epochs = least(lit(4.0), target / col("source_tokens"))
+        bySource.select(col("source"), col("n_docs"), col("source_tokens"),
+            share.as("share"), target.as("target_tokens"),
+            epochs.as("epochs"),
+            (epochs * col("source_tokens")).as("planned_tokens"))
+          .orderBy("source")
+      }),
+
+    // ── The composed corpus build — the full curation funnel as ONE
+    //    declarative plan: quality gate → exact-dup keep (min doc id
+    //    per content hash among quality passers) → near-dup drop
+    //    (simhash connected components, full-corpus canonical labels) →
+    //    split assignment, with per-(source, stage) doc/token
+    //    accounting. Each doc lands in exactly one stage: the first
+    //    filter that rejects it, or its split. This is what a user of
+    //    the reference would run nightly; every constituent operator is
+    //    also individually oracle-gated above/in LlmQueries. Stage
+    //    order is part of the contract; near-dup canonicals are
+    //    computed on the FULL corpus (quality-failed docs still anchor
+    //    a component) — the conservative convention, documented.
+    sql("llm_curate_pipeline",
+      s"""WITH RECURSIVE ${LlmQueries.ShingleCtes}, ${LlmQueries.SimhashPairCtes},
+        |dup AS (
+        |  SELECT a_id, b_id FROM pairs
+        |  WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        |), edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM dup
+        |  UNION ALL SELECT b_id, a_id FROM dup
+        |), closure(src, dst) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT c.src, e.v FROM closure c JOIN edges e ON c.dst = e.u
+        |), canon AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS comp
+        |  FROM closure GROUP BY src
+        |), base AS (
+        |  SELECT doc_id, source, text,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+        |              END AS n_tokens,
+        |         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+        |             x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop,
+        |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |              AS BIGINT) % 2147483647 AS bucket
+        |  FROM documents
+        |), flagged AS (
+        |  SELECT *, (n_tokens >= 20 AND
+        |             CAST(n_stop AS DOUBLE) / n_tokens >= 0.02) AS q_pass
+        |  FROM base
+        |), exact AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS exact_min
+        |  FROM flagged WHERE q_pass
+        |), staged AS (
+        |  SELECT f.source, f.n_tokens,
+        |         CASE WHEN NOT f.q_pass THEN 'quality_fail'
+        |              WHEN f.doc_id <> e.exact_min THEN 'exact_dup'
+        |              WHEN COALESCE(c.comp, f.doc_id) <> f.doc_id THEN 'near_dup'
+        |              WHEN f.bucket < 0.9 * 2147483647 THEN 'train'
+        |              WHEN f.bucket < 0.95 * 2147483647 THEN 'val'
+        |              ELSE 'test' END AS stage
+        |  FROM flagged f
+        |  LEFT JOIN exact e USING (doc_id)
+        |  LEFT JOIN canon c USING (doc_id)
+        |)
+        |SELECT source, stage,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM staged GROUP BY source, stage ORDER BY source, stage""")(
+      (s, d) => {
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+        val tk = Text.tokens(col("text"))
+        val base = t(s, d, "documents").select(
+          col("doc_id"), col("source"), col("text"),
+          nTokens(col("text")).as("n_tokens"),
+          size(filter(tk, x => x.isInCollection(stops)))
+            .cast("long").as("n_stop"),
+          Text.hash60(col("doc_id").cast("string")).as("bucket"))
+        val flagged = base.withColumn("q_pass",
+          col("n_tokens") >= 20 &&
+            col("n_stop").cast("double") / col("n_tokens") >= 0.02)
+        // exact-dup keep: min doc id per content hash, quality passers
+        // only (hashing the text keeps the exchange narrow — equal texts
+        // hash equal, collisions only merge groups identically on both
+        // engines since the oracle groups on the same md5)
+        val exactMin = flagged.filter(col("q_pass"))
+          .withColumn("exact_min",
+            min("doc_id").over(Window.partitionBy(md5(col("text")))))
+          .select("doc_id", "exact_min")
+        // near-dup canonicals: full-corpus simhash pair graph → min-label
+        // components (tiny, localCheckpointed ⇒ broadcast-joined back)
+        val canon = LlmQueries
+          .componentLabels(s, LlmQueries.simhashPairs(s, d))
+          .select(col("node").as("doc_id"), col("comp"))
+        flagged
+          .join(exactMin, Seq("doc_id"), "left")
+          .join(canon, Seq("doc_id"), "left")
+          .withColumn("stage",
+            when(!col("q_pass"), "quality_fail")
+              .when(col("doc_id") =!= col("exact_min"), "exact_dup")
+              .when(coalesce(col("comp"), col("doc_id")) =!= col("doc_id"),
+                "near_dup")
+              .when(col("bucket") < 0.9 * 2147483647L, "train")
+              .when(col("bucket") < 0.95 * 2147483647L, "val")
+              .otherwise("test"))
+          .groupBy("source", "stage").agg(
+            count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+          .orderBy("source", "stage")
+      }),
+
+    // ── Corpus tf-idf top terms per document (keyword extraction for
+    //    curation/search). idf is the RATIONAL form N/df — a monotone
+    //    proxy for ln(N/df) at fixed tf that both engines compute
+    //    bit-identically (ln is libm-dependent and would break the hash
+    //    gate; ranking within a document differs only where ln's
+    //    compression reorders mixed (tf, df) pairs, which the contract
+    //    documents). Shape: tokens explode → (doc, term, tf) partial-agg
+    //    → df partial-agg on term → join on term → per-doc top-3. The
+    //    1-row corpus count joins as a broadcast literal, not an action.
+    sql("llm_text_tfidf",
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), tf AS (
+        |  SELECT doc_id, unnest(t) AS term FROM tk
+        |), tfc AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tf GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY term
+        |), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM tk)
+        |SELECT doc_id,
+        |       CAST(row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY tf * (CAST(n_docs AS DOUBLE) / df) DESC, term)
+        |         AS BIGINT) AS rank,
+        |       term, tf,
+        |       tf * (CAST(n_docs AS DOUBLE) / df) AS score
+        |FROM tfc JOIN df USING (term) CROSS JOIN n
+        |QUALIFY rank <= 3
+        |ORDER BY doc_id, rank""")(
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+        val nDocs = tk.agg(count(lit(1)).as("n_docs"))
+        val tf = tk.select(col("doc_id"), explode(col("t")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val scored = tf.join(df, "term").crossJoin(broadcast(nDocs))
+          .withColumn("score",
+            col("tf") * (col("n_docs").cast("double") / col("df")))
+        scored
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("score").desc, col("term"))).cast("long"))
+          .filter(col("rank") <= 3)
+          .select("doc_id", "rank", "term", "tf", "score")
+          .orderBy("doc_id", "rank")
+      })
+  )
+}

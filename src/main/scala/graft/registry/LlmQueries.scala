@@ -231,7 +231,7 @@ object LlmQueries {
   /** SimHash near-dup pairs (shared by the simhash gate query and the
     * component clustering): vote-aggregate fingerprint, pigeonhole
     * chunk equi-join, hamming ≤ 3 verify. */
-  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[registry] def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val fp = gramHashes(s, d).groupBy("doc_id")
       .agg(SimHash.simhash(col("g")).as("sim_sig")).persist()
     fp.count()
@@ -259,10 +259,63 @@ object LlmQueries {
         hamming.cast("long").as("hamming"))
   }
 
+  /** Min-label connected components over a near-dup pair set
+    * `(a_id, b_id)` → labels `(node, comp)` with comp = min doc id of
+    * the component. Shared by the components query and the curation
+    * pipeline's near-dup stage.
+    *
+    * The pair graph is ≪ corpus by construction (near-dup pairs survive
+    * the hamming cut), so the iterative joins/aggs must NOT run at the
+    * corpus-sized session shuffle width — that makes every iteration a
+    * fleet of empty tasks. Size the iteration shuffles from the MEASURED
+    * edge count (the deterministic form of AQE's coalesce, without its
+    * per-stage replan latency), then restore the session width for
+    * whatever runs after. Each iteration localCheckpoints (eager): that
+    * both materializes it AND truncates lineage — with plain persist the
+    * analyzer re-walks a plan that deepens every iteration. Labels only
+    * ever decrease → equal sum-checksum across iterations ⇒ fixpoint;
+    * the driver sees ONE scalar per iteration, never rows (sum over zero
+    * rows is NULL → 0: an empty pair graph converges immediately to the
+    * empty result, like the oracle).
+    */
+  private[registry] def componentLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val dup = pairs.select("a_id", "b_id")
+    val edges = dup.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionByName(dup.select(col("b_id").as("u"), col("a_id").as("v")))
+      .persist()
+    val nEdges = edges.count()
+    val sessParts = s.conf.get("spark.sql.shuffle.partitions")
+    val iterParts = math.max(1L,
+      math.min(sessParts.toLong, nEdges / 50000L + 1L)).toString
+    s.conf.set("spark.sql.shuffle.partitions", iterParts)
+    try {
+      var labels = edges.select(col("u").as("node")).distinct()
+        .withColumn("comp", col("node")).localCheckpoint(true)
+      def checksumOf(df: DataFrame): Long =
+        Option(df.agg(sum("comp")).head.getAs[java.lang.Long](0))
+          .map(_.toLong).getOrElse(0L)
+      var checksum = checksumOf(labels)
+      var converged = false
+      while (!converged) {
+        val next = labels.join(edges, labels("node") === edges("u"))
+          .select(col("v").as("node"), col("comp"))
+          .unionByName(labels.select("node", "comp"))
+          .groupBy("node").agg(min("comp").as("comp"))
+          .localCheckpoint(true)
+        val s1 = checksumOf(next)
+        labels = next
+        converged = s1 == checksum
+        checksum = s1
+      }
+      edges.unpersist(false)
+      labels
+    } finally s.conf.set("spark.sql.shuffle.partitions", sessParts)
+  }
+
   /** SQL body of the simhash pair pipeline (the CTE chain after
     * ShingleCtes), shared by the simhash oracle and the components
     * oracle. */
-  private val SimhashPairCtes =
+  private[registry] val SimhashPairCtes =
     """votes AS (
       |  SELECT doc_id, b,
       |         SUM(CASE WHEN (g >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
@@ -503,59 +556,12 @@ object LlmQueries {
         |       CAST(count(DISTINCT dst) AS BIGINT) AS component_size
         |FROM closure GROUP BY src ORDER BY doc_id""")(
       (s, d) => {
-        val dup = simhashPairs(s, d).select("a_id", "b_id")
-        val edges0 = dup.select(col("a_id").as("u"), col("b_id").as("v"))
-          .unionByName(dup.select(col("b_id").as("u"), col("a_id").as("v")))
-          .persist()
-        // The pair graph is ≪ corpus by construction (near-dup pairs
-        // survive the hamming cut), so the iterative joins/aggs must NOT
-        // run at the corpus-sized session shuffle width — that makes
-        // every iteration a fleet of empty tasks. Size the iteration
-        // shuffles from the MEASURED edge count (the deterministic form
-        // of AQE's coalesce, without its per-stage replan latency), then
-        // restore the session width for whatever runs after.
-        val nEdges = edges0.count()
-        val sessParts = s.conf.get("spark.sql.shuffle.partitions")
-        val iterParts = math.max(1L,
-          math.min(sessParts.toLong, nEdges / 50000L + 1L)).toString
-        s.conf.set("spark.sql.shuffle.partitions", iterParts)
-        try {
-          val edges = edges0
-          var labels = edges.select(col("u").as("node")).distinct()
-            .withColumn("comp", col("node")).localCheckpoint(true)
-          // labels only ever decrease → equal checksum across iterations
-          // ⇒ fixpoint; the driver sees ONE scalar per iteration, never
-          // rows (sum over zero rows is NULL → 0: an empty pair graph
-          // converges immediately to the empty result, like the oracle)
-          def checksumOf(df: DataFrame): Long =
-            Option(df.agg(sum("comp")).head.getAs[java.lang.Long](0))
-              .map(_.toLong).getOrElse(0L)
-          var checksum = checksumOf(labels)
-          var converged = false
-          while (!converged) {
-            // localCheckpoint (eager) both materializes the iteration AND
-            // truncates lineage — with plain persist the analyzer re-walks
-            // a plan that deepens every iteration
-            val next = labels.join(edges, labels("node") === edges("u"))
-              .select(col("v").as("node"), col("comp"))
-              .unionByName(labels.select("node", "comp"))
-              .groupBy("node").agg(min("comp").as("comp"))
-              .localCheckpoint(true)
-            val s1 = checksumOf(next)
-            labels = next
-            converged = s1 == checksum
-            checksum = s1
-          }
-          edges0.unpersist(false)
-          val sizes = labels.groupBy("comp").agg(count(lit(1)).as("component_size"))
-          // materialize the assembly under the iteration-sized shuffle
-          // width too; only the final orderBy runs at session width
-          labels.join(sizes, "comp")
-            .select(col("node").as("doc_id"), col("comp").as("component_id"),
-              col("component_size"))
-            .localCheckpoint(true)
-            .orderBy("doc_id")
-        } finally s.conf.set("spark.sql.shuffle.partitions", sessParts)
+        val labels = componentLabels(s, simhashPairs(s, d))
+        val sizes = labels.groupBy("comp").agg(count(lit(1)).as("component_size"))
+        labels.join(sizes, "comp")
+          .select(col("node").as("doc_id"), col("comp").as("component_id"),
+            col("component_size"))
+          .orderBy("doc_id")
       }),
 
     // ── Brute-force cosine top-k (exact ANN baseline); queries broadcast,

@@ -1,0 +1,132 @@
+package graft.registry
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.llmops.TopK
+
+/** Invariants and plan shapes of the curation operators that the
+  * value-exact oracles can't express: bounded-top-k aggregate
+  * equivalence with the window phrasing, zero-shuffle repetition pass,
+  * mixing-rate realization, budget conservation.
+  */
+class CurationQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TopK.smallestK equals sort-take on random pairs across partitions") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(5000)((rnd.nextLong(1000), rnd.nextLong(100000)))
+      .map { case (g, k) => (s"g${g % 13}", k, rnd.nextLong(1 << 30)) }
+    val df = pairs.toDF("grp", "key", "id").repartition(7)
+    val got = df.groupBy("grp")
+      .agg(TopK.smallestK(9)(col("key"), col("id")).as("p"))
+      .select(col("grp"), col("p"))
+      .as[(String, Array[Long])].collect().toMap
+    val want = pairs.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(x => (x._2, x._3)).sorted.take(9)
+        .flatMap(t => Seq(t._1, t._2)).toArray
+    }
+    assert(got.keySet == want.keySet)
+    for (g <- want.keySet)
+      assert(got(g).toSeq == want(g).toSeq, s"group $g")
+  }
+
+  test("stratified sample equals the window phrasing and partial-aggregates") {
+    val df = graft.SparkEntry.queries("llm_sample_stratified")(spark, sf())
+    val viaWindow = {
+      val h = graft.llmops.Text.hash60(
+        concat(lit("strat:"), col("doc_id").cast("string")))
+      spark.read.parquet(sf() + "/documents.parquet")
+        .select(col("lang"), col("doc_id"), h.as("bucket"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy("bucket", "doc_id")).cast("long"))
+        .filter(col("rank") <= CurationQueries.StratumK)
+        .select("lang", "rank", "doc_id", "bucket")
+    }
+    assert(df.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(df).isEmpty)
+    // the aggregate must combine map-side: a partial ObjectHashAggregate
+    // below the exchange, so shuffle volume is <= k pairs per partition
+    // per stratum rather than the whole corpus
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert("partial_smallestk|ObjectHashAggregate.*partial".r
+      .findFirstIn(plan.toLowerCase).isDefined, plan.take(2000))
+  }
+
+  test("repetition stats are a narrow pass: only the final sort exchanges") {
+    val df = graft.SparkEntry.queries("llm_quality_repetition")(spark, sf())
+    val exchanges = "Exchange".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(exchanges == 1, s"expected only the orderBy exchange, got $exchanges")
+    // cache before the invariant filter: its conditions reference the
+    // HOF-derived columns several times, and each uncached reference
+    // re-inlines the fold via CollapseProject
+    df.cache()
+    val bad = df.filter(
+      col("n_distinct") > col("n_bigrams") ||
+        col("top_frac") <= 0 || col("top_frac") > 1 ||
+        col("dup_frac") < 0 || col("dup_frac") > 1 ||
+        (col("n_distinct") === col("n_bigrams") && col("dup_frac") =!= 0.0))
+    assert(bad.isEmpty)
+    df.unpersist()
+  }
+
+  test("mixing realizes the configured per-source rates") {
+    val rates = Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5,
+      "src3" -> 0.25)
+    val got = graft.SparkEntry.queries("llm_mix_weighted")(spark, sf("sf0.01"))
+      .select("source", "realized_rate").as[(String, Double)].collect().toMap
+    for ((src, want) <- rates; have <- got.get(src))
+      assert(math.abs(have - want) < 0.12, s"$src realized $have want $want")
+    // src0 keeps everything: the hash is always < 1.0 * P
+    assert(got("src0") == 1.0)
+  }
+
+  test("token budget plan conserves shares and respects the epoch cap") {
+    val rows = graft.SparkEntry.queries("llm_token_budget")(spark, sf())
+      .select("share", "target_tokens", "epochs", "planned_tokens",
+        "source_tokens")
+      .as[(Double, Double, Double, Double, Long)].collect()
+    assert(math.abs(rows.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_._2).sum - CurationQueries.TokenBudget) < 1e-6)
+    rows.foreach { case (_, target, epochs, planned, srcToks) =>
+      assert(epochs <= 4.0 + 1e-12)
+      assert(planned <= target + 1e-6) // capped sources plan under target
+      assert(math.abs(planned - math.min(4.0, target / srcToks) * srcToks) < 1e-6)
+    }
+  }
+
+  test("curation funnel conserves documents and uses only known stages") {
+    val df = graft.SparkEntry.queries("llm_curate_pipeline")(spark, sf("sf0.01"))
+      .cache()
+    val perSource = df.groupBy("source").agg(sum("n_docs").as("n"))
+      .select("n").as[Long].collect()
+    assert(perSource.length == 20 && perSource.forall(_ == 25L),
+      s"every sf0.01 source holds 25 docs; got ${perSource.toSeq}")
+    val stages = df.select("stage").distinct().as[String].collect().toSet
+    assert(stages.subsetOf(Set("quality_fail", "exact_dup", "near_dup",
+      "train", "val", "test")), stages.toString)
+    // the funnel actually fires: some docs gated, most reach a split
+    val byStage = df.groupBy("stage").agg(sum("n_docs").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(byStage.getOrElse("quality_fail", 0L) > 0)
+    assert(byStage.getOrElse("train", 0L) > 300)
+    df.unpersist()
+  }
+
+  test("tfidf ranks are contiguous with non-increasing scores per doc") {
+    val df = graft.SparkEntry.queries("llm_text_tfidf")(spark, sf()).cache()
+    val w = Window.partitionBy("doc_id").orderBy("rank")
+    val bad = df
+      .withColumn("prev_score", lag("score", 1).over(w))
+      .withColumn("prev_rank", lag("rank", 1).over(w))
+      .filter(
+        col("rank") > 3 || col("rank") < 1 ||
+          (col("prev_rank").isNotNull && col("rank") =!= col("prev_rank") + 1) ||
+          (col("prev_score").isNotNull && col("score") > col("prev_score")))
+    assert(bad.isEmpty)
+    assert(df.groupBy("doc_id").count().filter(col("count") > 3).isEmpty)
+    df.unpersist()
+  }
+}
