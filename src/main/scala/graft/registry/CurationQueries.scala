@@ -342,6 +342,47 @@ object CurationQueries {
           .orderBy("source", "stage")
       }),
 
+    // ── Cross-source duplication matrix: which sources mirror each
+    //    other — the provenance question a dedup run answers for corpus
+    //    ops (drop a mirrored source wholesale vs pair-by-pair). Joins
+    //    the (small) near-dup pair set to per-doc provenance with the
+    //    pair side as the shuffled-hash build — the same
+    //    never-broadcast-the-corpus shape as the MinHash verify stage.
+    sql("llm_dup_source_matrix",
+      s"""WITH ${LlmQueries.ShingleCtes}, ${LlmQueries.SimhashPairCtes},
+        |dup AS (
+        |  SELECT a_id, b_id,
+        |         CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+        |  FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        |), j AS (
+        |  SELECT least(da.source, db.source) AS source_a,
+        |         greatest(da.source, db.source) AS source_b,
+        |         d.hamming
+        |  FROM dup d
+        |  JOIN documents da ON da.doc_id = d.a_id
+        |  JOIN documents db ON db.doc_id = d.b_id
+        |)
+        |SELECT source_a, source_b,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       min(hamming) AS min_hamming
+        |FROM j GROUP BY source_a, source_b ORDER BY source_a, source_b""")(
+      (s, d) => {
+        val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+        val dup = LlmQueries.simhashPairs(s, d)
+          .select(col("a_id"), col("b_id"), col("hamming"))
+        dup.hint("shuffle_hash")
+          .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")),
+            "a_id")
+          .hint("shuffle_hash")
+          .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")),
+            "b_id")
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"), col("hamming"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"), min("hamming").as("min_hamming"))
+          .orderBy("source_a", "source_b")
+      }),
+
     // ── Corpus tf-idf top terms per document (keyword extraction for
     //    curation/search). idf is the RATIONAL form N/df — a monotone
     //    proxy for ln(N/df) at fixed tf that both engines compute
