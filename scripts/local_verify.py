@@ -43,9 +43,17 @@ def normalize(df):
     # unquoted identifiers; search_advanced's _docId passes the real gate)
     df = df.rename(columns={c: c.lower() for c in df.columns})
     df = df[sorted(df.columns)]
-    # sort rows by the string form of every column for a stable multiset order
+    # sort rows by the string form of every column for a stable multiset
+    # order; float columns sort by a ROUNDED rendering so values equal
+    # within the compare tolerance cannot land at different positions on
+    # the two sides (0.3 vs 0.30000000000000004 must share a sort key)
     if len(df) > 0:
-        key = df.astype(str).apply(lambda r: "\x00".join(r), axis=1)
+        def col_key(s):
+            if s.dtype.kind == "f":
+                return s.map(lambda v: "nan" if pd.isna(v) else f"{v:.9g}")
+            return s.astype(str)
+        key = pd.concat([col_key(df[c]) for c in df.columns], axis=1) \
+            .apply(lambda r: "\x00".join(r), axis=1)
         df = df.iloc[np.argsort(key.values, kind="stable")].reset_index(drop=True)
     return df
 
@@ -91,6 +99,11 @@ def main():
     only = set(sys.argv[3:])
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle_sql = json.load(f)
+    unknown = only - set(oracle_sql)
+    if unknown:
+        # a typo'd selective run must not exit green with 0 checks
+        print(f"ERROR: not in oracle_sql.json: {sorted(unknown)}")
+        sys.exit(2)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

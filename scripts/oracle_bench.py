@@ -45,9 +45,11 @@ def main():
             best = dt if best is None else min(best, dt)
         times[name] = best
         print(f"{best:8.3f}  {name}")
-    total = sum(v for v in times.values() if v > 0)
-    print(f"\nTOTAL {total:.3f}s over {len(times)} queries")
-    print(json.dumps({k: round(v, 3) for k, v in times.items()}))
+    ok = {k: v for k, v in times.items() if v >= 0}
+    errs = sorted(k for k, v in times.items() if v < 0)
+    print(f"\nTOTAL {sum(ok.values()):.3f}s over {len(ok)} queries"
+          + (f" ({len(errs)} ERRORED: {errs})" if errs else ""))
+    print(json.dumps({k: round(v, 3) for k, v in ok.items()}))
 
 
 if __name__ == "__main__":

@@ -51,8 +51,12 @@ object Bench {
       else sfDir
     }
     // optional trailing names restrict the suite (local iteration only;
-    // the driver's no-arg invocation always benches everything)
+    // the driver's no-arg invocation always benches everything). Unknown
+    // names fail fast — a typo'd run must not print a plausible empty
+    // JSON.
     val only = args.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.toSeq.sorted}")
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
     selected.foreach { case (_, fn) =>

@@ -7,8 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional trailing names restrict the dump (local iteration);
-    // the driver's 2-arg invocation always dumps everything
+    // the driver's 2-arg invocation always dumps everything. Unknown
+    // names fail fast — a typo'd selective run must not exit green.
     val only = args.drop(2).toSet
+    require((only -- SparkEntry.queries.keySet).isEmpty,
+      s"unknown queries: ${(only -- SparkEntry.queries.keySet).toSeq.sorted}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

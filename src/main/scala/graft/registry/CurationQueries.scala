@@ -116,10 +116,9 @@ object CurationQueries {
     //    same docs, no RNG state to coordinate across 1000 executors.
     //    One narrow scan + one partial-aggregated groupBy on source.
     sql("llm_mix_weighted",
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT source, n_chars,
-        |         CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
-        |              AS BIGINT) % 2147483647 AS h,
+        |         ${QueryDef.hashBucketSql("'mix:' || CAST(doc_id AS VARCHAR)")} AS h,
         |         CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.75
         |              WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25
         |              ELSE 0.1 END AS rate
@@ -162,8 +161,7 @@ object CurationQueries {
     sql("llm_sample_stratified",
       s"""WITH h AS (
         |  SELECT lang, doc_id,
-        |         CAST(('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))
-        |              AS BIGINT) % 2147483647 AS bucket
+        |         ${QueryDef.hashBucketSql("'strat:' || CAST(doc_id AS VARCHAR)")} AS bucket
         |  FROM documents
         |)
         |SELECT lang,
@@ -275,8 +273,7 @@ object CurationQueries {
         |              END AS n_tokens,
         |         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
         |             x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop,
-        |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-        |              AS BIGINT) % 2147483647 AS bucket
+        |         ${QueryDef.hashBucketSql("CAST(doc_id AS VARCHAR)")} AS bucket
         |  FROM documents
         |), flagged AS (
         |  SELECT *, (n_tokens >= 20 AND
@@ -303,13 +300,19 @@ object CurationQueries {
         |FROM staged GROUP BY source, stage ORDER BY source, stage""")(
       (s, d) => {
         val stops = Seq("the", "a", "of", "and", "to", "in", "is")
-        val tk = Text.tokens(col("text"))
-        val base = t(s, d, "documents").select(
-          col("doc_id"), col("source"), col("text"),
-          nTokens(col("text")).as("n_tokens"),
-          size(filter(tk, x => x.isInCollection(stops)))
-            .cast("long").as("n_stop"),
-          Text.hash60(col("doc_id").cast("string")).as("bucket"))
+        // n_tokens and n_stop derive from one shared tk subtree — after
+        // CollapseProject both references inline, but sharing the exact
+        // subtree lets codegen subexpression elimination evaluate the
+        // split once per row (split of "" is [""], hence the guard)
+        val base = t(s, d, "documents")
+          .withColumn("tk", Text.tokens(col("text")))
+          .select(
+            col("doc_id"), col("source"), col("text"),
+            when(length(trim(col("text"))) === 0, 0L)
+              .otherwise(size(col("tk")).cast("long")).as("n_tokens"),
+            size(filter(col("tk"), x => x.isInCollection(stops)))
+              .cast("long").as("n_stop"),
+            Text.hash60(col("doc_id").cast("string")).as("bucket"))
         val flagged = base.withColumn("q_pass",
           col("n_tokens") >= 20 &&
             col("n_stop").cast("double") / col("n_tokens") >= 0.02)

@@ -277,39 +277,51 @@ object LlmQueries {
     * the driver sees ONE scalar per iteration, never rows (sum over zero
     * rows is NULL → 0: an empty pair graph converges immediately to the
     * empty result, like the oracle).
+    *
+    * CONCURRENCY SCOPE: the iteration temporarily narrows the
+    * session-global `spark.sql.shuffle.partitions` (restored in a
+    * finally), so calls are serialized per SparkSession via the lock
+    * below. Callers running corpus-scale queries CONCURRENTLY on the
+    * SAME session object should isolate with `session.newSession()`
+    * (separate conf, shared state/cache) — the standard multi-tenant
+    * session pattern. Iteration checkpoint blocks are tiny (pair-graph
+    * label rows) and are released by the ContextCleaner on GC, same as
+    * [[graft.llmops.Similarity]]'s lshCollisionPairs.
     */
-  private[registry] def componentLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
+  private[registry] def componentLabels(s: SparkSession, pairs: DataFrame): DataFrame =
+    s.synchronized {
     val dup = pairs.select("a_id", "b_id")
     val edges = dup.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionByName(dup.select(col("b_id").as("u"), col("a_id").as("v")))
       .persist()
-    val nEdges = edges.count()
-    val sessParts = s.conf.get("spark.sql.shuffle.partitions")
-    val iterParts = math.max(1L,
-      math.min(sessParts.toLong, nEdges / 50000L + 1L)).toString
-    s.conf.set("spark.sql.shuffle.partitions", iterParts)
     try {
-      var labels = edges.select(col("u").as("node")).distinct()
-        .withColumn("comp", col("node")).localCheckpoint(true)
-      def checksumOf(df: DataFrame): Long =
-        Option(df.agg(sum("comp")).head.getAs[java.lang.Long](0))
-          .map(_.toLong).getOrElse(0L)
-      var checksum = checksumOf(labels)
-      var converged = false
-      while (!converged) {
-        val next = labels.join(edges, labels("node") === edges("u"))
-          .select(col("v").as("node"), col("comp"))
-          .unionByName(labels.select("node", "comp"))
-          .groupBy("node").agg(min("comp").as("comp"))
-          .localCheckpoint(true)
-        val s1 = checksumOf(next)
-        labels = next
-        converged = s1 == checksum
-        checksum = s1
-      }
-      edges.unpersist(false)
-      labels
-    } finally s.conf.set("spark.sql.shuffle.partitions", sessParts)
+      val nEdges = edges.count()
+      val sessParts = s.conf.get("spark.sql.shuffle.partitions")
+      val iterParts = math.max(1L,
+        math.min(sessParts.toLong, nEdges / 50000L + 1L)).toString
+      s.conf.set("spark.sql.shuffle.partitions", iterParts)
+      try {
+        var labels = edges.select(col("u").as("node")).distinct()
+          .withColumn("comp", col("node")).localCheckpoint(true)
+        def checksumOf(df: DataFrame): Long =
+          Option(df.agg(sum("comp")).head.getAs[java.lang.Long](0))
+            .map(_.toLong).getOrElse(0L)
+        var checksum = checksumOf(labels)
+        var converged = false
+        while (!converged) {
+          val next = labels.join(edges, labels("node") === edges("u"))
+            .select(col("v").as("node"), col("comp"))
+            .unionByName(labels.select("node", "comp"))
+            .groupBy("node").agg(min("comp").as("comp"))
+            .localCheckpoint(true)
+          val s1 = checksumOf(next)
+          labels = next
+          converged = s1 == checksum
+          checksum = s1
+        }
+        labels
+      } finally s.conf.set("spark.sql.shuffle.partitions", sessParts)
+    } finally edges.unpersist(false)
   }
 
   /** SQL body of the simhash pair pipeline (the CTE chain after

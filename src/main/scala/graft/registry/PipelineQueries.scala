@@ -226,13 +226,12 @@ object PipelineQueries {
     //    (no RNG, no state), and proportions hold within every stratum
     //    in expectation. Narrow per-row expressions; trivially 100 TB.
     sql("llm_split_assign",
-      """SELECT doc_id, lang,
-        |       CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-        |            AS BIGINT) % 2147483647 AS bucket,
-        |       CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-        |                 AS BIGINT) % 2147483647 < 0.9 * 2147483647 THEN 'train'
-        |            WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-        |                 AS BIGINT) % 2147483647 < 0.95 * 2147483647 THEN 'val'
+      s"""SELECT doc_id, lang,
+        |       ${QueryDef.hashBucketSql("CAST(doc_id AS VARCHAR)")} AS bucket,
+        |       CASE WHEN ${QueryDef.hashBucketSql("CAST(doc_id AS VARCHAR)")}
+        |                 < 0.9 * 2147483647 THEN 'train'
+        |            WHEN ${QueryDef.hashBucketSql("CAST(doc_id AS VARCHAR)")}
+        |                 < 0.95 * 2147483647 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""")(
       (s, d) => {
