@@ -54,4 +54,53 @@ object Layout {
 
   def decodeToken(token: String): String =
     new String(Base64.getUrlDecoder.decode(token), StandardCharsets.UTF_8)
+
+  /** Small-file compaction for a hive-partitioned parquet table — the
+    * maintenance pass every incremental-merge table needs at 100 TB:
+    * each micro-batch's dynamic-partition overwrite leaves
+    * shuffle-width-many small files per touched partition, and scan cost
+    * degrades with file count (task-per-file scheduling, footer reads,
+    * no row-group coalescing across files).
+    *
+    * Per partition directory (driver sees only directory METADATA, never
+    * rows): if the file count exceeds what `targetBytes` sizing needs,
+    * rewrite that partition's rows into ceil(bytes/targetBytes) files.
+    * Untouched partitions' files are not read, not rewritten. Rewrites
+    * run per partition (the OPTIMIZE/file-group convention) — a narrow
+    * coalesce, no shuffle; localCheckpoint breaks the read-from lineage
+    * so overwriting the directory being read is legal (same pattern as
+    * [[graft.streaming.DocMaintenance.mergeDocsIncremental]]).
+    *
+    * Not transactional: a reader listing the partition mid-rewrite can
+    * see partial state — production tables layer Delta/Iceberg OPTIMIZE
+    * for snapshot isolation; the per-partition I/O shape is the same.
+    *
+    * Returns the partition directory names that were compacted. */
+  def compactPartitions(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, partitionCol: String,
+      targetBytes: Long = 128L * 1024 * 1024): Seq[String] = {
+    val hPath = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath)) return Seq.empty
+    val partDirs = fs.listStatus(hPath).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith(s"$partitionCol="))
+    val compacted = partDirs.flatMap { pd =>
+      val files = fs.listStatus(pd)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val bytes = files.map(_.getLen).sum
+      val targetN = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (files.length <= targetN) None
+      else {
+        // reading the partition DIRECTORY yields the data columns only
+        // (no partition column) — exactly what its rewritten files must
+        // contain under hive layout
+        val rows = spark.read.parquet(pd.toString)
+          .coalesce(targetN).localCheckpoint()
+        rows.write.mode("overwrite").parquet(pd.toString)
+        Some(pd.getName)
+      }
+    }
+    compacted.toSeq.sorted
+  }
 }

@@ -152,6 +152,53 @@ object CurationQueries {
           .orderBy("source")
       }),
 
+    // ── Quality-weighted sampling: keep probability = the document's
+    //    quality score (the llm_text_quality formula), decided by the
+    //    same stable content-free hash as the other sampling operators —
+    //    deterministic, coordination-free, and biased toward cleaner
+    //    text the way curation pipelines down-weight low-quality docs.
+    //    Every derived double is a division/product of exact integers.
+    sql("llm_mix_quality",
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |         length(text) AS n_chars,
+        |         len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens,
+        |         len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+        |         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+        |             x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop,
+        |         ${QueryDef.hashBucketSql("'qmix:' || CAST(doc_id AS VARCHAR)")} AS h
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), q AS (
+        |  SELECT doc_id, h,
+        |         0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+        |           + 0.5 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars) AS quality
+        |  FROM f
+        |)
+        |SELECT doc_id, quality, h < quality * 2147483647 AS kept
+        |FROM q ORDER BY doc_id""")(
+      (s, d) => {
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+        val f = t(s, d, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), col("text"),
+            Text.tokens(col("text")).as("tk"),
+            Text.hash60(concat(lit("qmix:"), col("doc_id").cast("string")))
+              .as("h"))
+          .select(col("doc_id"), col("h"),
+            length(col("text")).cast("long").as("n_chars"),
+            size(col("tk")).cast("long").as("n_tokens"),
+            regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("long")
+              .as("n_punct"),
+            size(filter(col("tk"), x => x.isInCollection(stops)))
+              .cast("long").as("n_stop"))
+        val quality =
+          lit(0.5) * (col("n_stop").cast("double") / col("n_tokens")) +
+            lit(0.5) * (lit(1.0) - col("n_punct").cast("double") / col("n_chars"))
+        f.select(col("doc_id"), quality.as("quality"),
+            (col("h") < quality * lit(2147483647L)).as("kept"))
+          .orderBy("doc_id")
+      }),
+
     // ── Exact per-stratum sampling head: the k hash-smallest documents
     //    of every language. The Spark side uses the bounded top-k
     //    AGGREGATE (TopK.smallestK): map-side combine caps shuffle volume

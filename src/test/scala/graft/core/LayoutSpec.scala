@@ -47,6 +47,34 @@ class LayoutSpec extends SparkSpec {
     assert(plan.contains("_salt"), plan.take(1500))
   }
 
+  test("compaction rewrites only over-filed partitions and preserves rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // partition a: 10 small files; partition b: already 1 file
+    val a = (1 to 1000).map(i => ("a", i.toLong, s"row$i")).toDF("p", "id", "v")
+    val b = (1 to 500).map(i => ("b", i.toLong, s"row$i")).toDF("p", "id", "v")
+    a.repartition(10).write.partitionBy("p").mode("append").parquet(dir)
+    b.coalesce(1).write.partitionBy("p").mode("append").parquet(dir)
+    def files(part: String): Set[String] = {
+      val d = new java.io.File(s"$dir/p=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    val before = spark.read.parquet(dir).orderBy("p", "id")
+      .as[(Long, String, String)].collect().toSeq
+    val bFilesBefore = files("b")
+    assert(files("a").size == 10 && bFilesBefore.size == 1)
+
+    val compacted = Layout.compactPartitions(spark, dir, "p",
+      targetBytes = 1L << 30)
+    assert(compacted == Seq("p=a"), compacted.toString)
+    assert(files("a").size == 1)
+    assert(files("b") == bFilesBefore) // untouched partition: same files
+    val after = spark.read.parquet(dir).orderBy("p", "id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(after == before)
+    // idempotent: a second pass finds nothing to do
+    assert(Layout.compactPartitions(spark, dir, "p", 1L << 30).isEmpty)
+  }
+
   test("page tokens round-trip arbitrary keys") {
     val keys = Seq("a1", "db:asset:path/with/slashes", "ключ-😀", "")
     keys.foreach { k =>
