@@ -286,6 +286,66 @@ object CurationQueries {
           .orderBy("source")
       }),
 
+    // ── Corpus profiling: per-source token-count distribution (the
+    //    stats sheet every corpus build publishes). Exact interpolated
+    //    percentiles — both engines implement the standard
+    //    h = (n-1)·q linear interpolation over sorted values, and the
+    //    interpolation arithmetic on integer token counts is the same
+    //    IEEE ops on the same operands, so the gate stays cell-exact.
+    //    One shuffle on source with map-side partial aggregation; the
+    //    sketch-based scale path (approx_percentile / t-digest) is the
+    //    spec-bounded variant below — exact percentile state is
+    //    per-group O(values), fine for per-source groups, not for
+    //    per-document ones.
+    sql("llm_profile_tokens",
+      """WITH f AS (
+        |  SELECT source,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |              END AS nt
+        |  FROM documents
+        |)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(min(nt) AS BIGINT) AS min_tokens,
+        |       CAST(max(nt) AS BIGINT) AS max_tokens,
+        |       CAST(sum(nt) AS DOUBLE) / count(*) AS mean_tokens,
+        |       quantile_cont(nt, 0.5) AS p50,
+        |       quantile_cont(nt, 0.9) AS p90,
+        |       quantile_cont(nt, 0.99) AS p99
+        |FROM f GROUP BY source ORDER BY source""")(
+      (s, d) => {
+        val f = t(s, d, "documents")
+          .select(col("source"), nTokens(col("text")).as("nt"))
+        f.groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            min("nt").as("min_tokens"),
+            max("nt").as("max_tokens"),
+            (sum("nt").cast("double") / count(lit(1))).as("mean_tokens"),
+            percentile(col("nt"), lit(0.5)).as("p50"),
+            percentile(col("nt"), lit(0.9)).as("p90"),
+            percentile(col("nt"), lit(0.99)).as("p99"))
+          .orderBy("source")
+      }),
+
+    // ── The sketch path for the same profile: approx_percentile
+    //    (Greenwald-Khanna) keeps bounded state per group regardless of
+    //    group size — the variant that survives percentiles OVER a
+    //    column with billions of values per group. No SQL oracle
+    //    (sketch internals are engine-side); the spec bounds its error
+    //    against the exact percentiles.
+    QueryDef.rowsOnly("llm_profile_tokens_approx")(
+      (s, d) => {
+        val f = t(s, d, "documents")
+          .select(col("source"), nTokens(col("text")).as("nt"))
+        f.groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            approx_percentile(col("nt"), lit(0.5), lit(10000)).as("p50"),
+            approx_percentile(col("nt"), lit(0.9), lit(10000)).as("p90"),
+            approx_percentile(col("nt"), lit(0.99), lit(10000)).as("p99"))
+          .orderBy("source")
+      }),
+
     // ── The composed corpus build — the full curation funnel as ONE
     //    declarative plan: quality gate → exact-dup keep (min doc id
     //    per content hash among quality passers) → near-dup drop

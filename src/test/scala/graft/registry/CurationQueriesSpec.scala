@@ -145,6 +145,27 @@ class CurationQueriesSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("approx token percentiles track the exact profile") {
+    val exact = graft.SparkEntry.queries("llm_profile_tokens")(spark, sf("sf0.01"))
+      .select("source", "p50", "p90", "p99")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val approx = graft.SparkEntry.queries("llm_profile_tokens_approx")(
+        spark, sf("sf0.01"))
+      .select("source", "p50", "p90", "p99")
+      .as[(String, Long, Long, Long)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (src, a50, a90, a99) =>
+      val (e50, e90, e99) = exact(src)
+      // GK at accuracy 10000 over ≤10k-value groups is rank-exact; the
+      // residual difference is interpolation (exact) vs nearest-rank
+      // (sketch) — bounded by one inter-value gap, ≈15% here
+      assert(math.abs(a50 - e50) <= math.max(2.0, 0.15 * e50), s"$src p50 $a50 vs $e50")
+      assert(math.abs(a90 - e90) <= math.max(2.0, 0.15 * e90), s"$src p90 $a90 vs $e90")
+      assert(math.abs(a99 - e99) <= math.max(2.0, 0.15 * e99), s"$src p99 $a99 vs $e99")
+    }
+  }
+
   test("tfidf ranks are contiguous with non-increasing scores per doc") {
     val df = graft.SparkEntry.queries("llm_text_tfidf")(spark, sf()).cache()
     val w = Window.partitionBy("doc_id").orderBy("rank")
