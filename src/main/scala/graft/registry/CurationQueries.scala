@@ -346,6 +346,108 @@ object CurationQueries {
           .orderBy("source")
       }),
 
+    // ── Corpus novelty profile: what fraction of each document's
+    //    distinct 3-gram shingles appear in at least one OTHER document.
+    //    The boilerplate/memorization-risk sheet a corpus build reads
+    //    before dedup threshold tuning. Shape: the cached (doc_id, g)
+    //    postings get gram document-frequency via ONE window over a
+    //    hash-partition on g (no self-join — the count(*) frame needs no
+    //    ordering beyond the partition sort), then re-aggregate on
+    //    doc_id: two shuffles total, both on high-cardinality keys, no
+    //    broadcast of anything corpus-sized (gram vocabulary GROWS with
+    //    the corpus — unlike tf-idf's unigram table it must never be a
+    //    broadcast side).
+    sql("llm_profile_novelty",
+      s"""WITH ${LlmQueries.ShingleCtes}, ghd AS (
+        |  SELECT DISTINCT doc_id, g FROM gh
+        |), df AS (
+        |  SELECT g, count(*) AS df FROM ghd GROUP BY g
+        |)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_shared,
+        |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS shared_frac,
+        |       CAST(max(df) AS BIGINT) AS max_df
+        |FROM ghd JOIN df USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""")(
+      (s, d) => {
+        val rows = LlmQueries.gramSetRows(s, d)
+        // df >= 2 ⇔ the gram occurs in another doc: the postings are
+        // distinct per (doc, gram) by construction
+        val withDf = rows.withColumn("df",
+          count(lit(1)).over(Window.partitionBy("g")))
+        val shared1 = sum(when(col("df") >= 2, 1L).otherwise(0L))
+        withDf.groupBy("doc_id").agg(
+            count(lit(1)).as("n_grams"),
+            shared1.as("n_shared"),
+            (shared1.cast("double") / count(lit(1))).as("shared_frac"),
+            max("df").as("max_df"))
+          .orderBy("doc_id")
+      }),
+
+    // ── Containment near-dup pairs: |A∩B| / min(|A|,|B|) — the
+    //    ASYMMETRIC overlap that catches a small document embedded in a
+    //    larger one, which resemblance (Jaccard) structurally misses
+    //    (a 50-gram doc inside a 500-gram doc has J ≈ 0.1 but
+    //    containment 1.0). Candidates come from bottom-8 fingerprint
+    //    collisions (the winnow sketch — per-doc bottom-k of the global
+    //    gram-hash order, a ZERO-shuffle slice of the cached sorted
+    //    sets); the sketch is deterministic, so the oracle encodes the
+    //    same two-part contract the MinHash gate uses: qualify iff the
+    //    sketches collide AND full-set containment ≥ 0.8. Verify joins
+    //    ship the candidate side as the shuffled-hash build — never a
+    //    corpus broadcast.
+    sql("llm_dedup_containment",
+      s"""WITH ${LlmQueries.ShingleCtes}, ghd AS (
+        |  SELECT DISTINCT doc_id, g FROM gh
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM ghd GROUP BY doc_id
+        |), bot AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, g,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY g) AS r
+        |    FROM ghd) WHERE r <= 8
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bot a JOIN bot b ON a.g = b.g AND a.doc_id < b.doc_id
+        |), shared AS (
+        |  SELECT c.a_id, c.b_id, count(*) AS shared
+        |  FROM cand c JOIN ghd ga ON ga.doc_id = c.a_id
+        |              JOIN ghd gb ON gb.doc_id = c.b_id AND gb.g = ga.g
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s.a_id, s.b_id, CAST(s.shared AS BIGINT) AS shared,
+        |       CAST(s.shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+        |FROM shared s JOIN sizes sa ON sa.doc_id = s.a_id
+        |              JOIN sizes sb ON sb.doc_id = s.b_id
+        |WHERE CAST(s.shared AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+        |ORDER BY s.a_id, s.b_id""")(
+      (s, d) => {
+        val stats = LlmQueries.docGramStats(s, d)
+        // gs is sorted ascending — bottom-8 is a narrow slice
+        val bot = stats.select(col("doc_id"),
+          explode(slice(col("gs"), 1, 8)).as("g"))
+        val cand = bot.as("x").hint("shuffle_hash").join(bot.as("y"),
+            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        val cont = col("shared").cast("double") / least(col("na"), col("nb"))
+        cand.hint("shuffle_hash")
+          .join(stats.select(col("doc_id").as("a_id"), col("gs").as("gs_a"),
+            col("n").as("na")), "a_id")
+          .hint("shuffle_hash")
+          .join(stats.select(col("doc_id").as("b_id"), col("gs").as("gs_b"),
+            col("n").as("nb")), "b_id")
+          .withColumn("shared",
+            size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+          .filter(cont >= 0.8)
+          .select(col("a_id"), col("b_id"), col("shared"),
+            cont.as("containment"))
+          .orderBy("a_id", "b_id")
+      }),
+
     // ── The composed corpus build — the full curation funnel as ONE
     //    declarative plan: quality gate → exact-dup keep (min doc id
     //    per content hash among quality passers) → near-dup drop

@@ -166,6 +166,54 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("novelty profile is bounded and covers every shingled doc") {
+    val df = graft.SparkEntry.queries("llm_profile_novelty")(spark, sf("sf0.01"))
+      .cache()
+    val bad = df.filter(
+      col("n_shared") > col("n_grams") || col("n_shared") < 0 ||
+        col("shared_frac") < 0 || col("shared_frac") > 1 ||
+        col("max_df") < 1 ||
+        // a doc with any shared gram must see that gram's df >= 2
+        (col("n_shared") > 0 && col("max_df") < 2))
+    assert(bad.isEmpty)
+    // every doc with >= 3 tokens emits a profile row
+    val nDocs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+      .filter(size(split(trim(lower(col("text"))), "\\s+")) >= 3).count()
+    assert(df.count() == nDocs)
+    df.unpersist()
+  }
+
+  test("containment pairs equal a brute-force evaluation of the contract") {
+    val got = graft.SparkEntry.queries("llm_dedup_containment")(
+        spark, sf("sf0.01"))
+      .select("a_id", "b_id", "shared", "containment")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // brute force over all doc pairs (500 docs at sf0.01): qualify iff
+    // the bottom-8 sketches intersect AND full-set containment >= 0.8 —
+    // the exact two-part contract the distributed plan implements
+    val sets = LlmQueries.docGramStats(spark, sf("sf0.01"))
+      .select(col("doc_id"), col("gs"))
+      .as[(Long, Array[Int])].collect().sortBy(_._1)
+    val want = (for {
+      i <- sets.indices.iterator
+      j <- (i + 1) until sets.length
+      (aId, a) = sets(i); (bId, b) = sets(j)
+      if a.take(8).toSet.intersect(b.take(8).toSet).nonEmpty
+      shared = a.toSet.intersect(b.toSet).size.toLong
+      cont = shared.toDouble / math.min(a.length, b.length)
+      if cont >= 0.8
+    } yield (aId, bId) -> (shared, cont)).toMap
+    assert(want.nonEmpty, "fixture must contain contained near-duplicates")
+    assert(got.keySet == want.keySet,
+      s"missed=${(want.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- want.keySet).take(5)}")
+    for ((k, (sh, c)) <- want) {
+      assert(got(k)._1 == sh, s"pair $k shared")
+      assert(got(k)._2 == c, s"pair $k containment")
+    }
+  }
+
   test("tfidf ranks are contiguous with non-increasing scores per doc") {
     val df = graft.SparkEntry.queries("llm_text_tfidf")(spark, sf()).cache()
     val w = Window.partitionBy("doc_id").orderBy("rank")
