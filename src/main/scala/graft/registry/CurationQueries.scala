@@ -448,6 +448,112 @@ object CurationQueries {
           .orderBy("a_id", "b_id")
       }),
 
+    // ── Vocabulary profile per source: distinct 3-gram count, posting
+    //    count, and the posting-per-gram reuse ratio — the Heaps-law
+    //    sheet that sizes dedup/index side tables before a corpus run.
+    //    The postings arrive hash-partitioned on doc_id from the shared
+    //    gram cache, so attaching provenance shuffles only the 2-column
+    //    documents projection; the multi-distinct aggregate expands
+    //    rows 3× inside one exchange (exact path — the HLL variant
+    //    below is the bounded-state scale path).
+    sql("llm_profile_vocab",
+      s"""WITH ${LlmQueries.ShingleCtes}, ghd AS (
+        |  SELECT DISTINCT doc_id, g FROM gh
+        |)
+        |SELECT d.source,
+        |       CAST(count(DISTINCT ghd.doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_postings,
+        |       CAST(count(DISTINCT ghd.g) AS BIGINT) AS n_grams,
+        |       CAST(count(*) AS DOUBLE) / count(DISTINCT ghd.g)
+        |         AS reuse_ratio
+        |FROM ghd JOIN documents d ON d.doc_id = ghd.doc_id
+        |GROUP BY d.source ORDER BY d.source""")(
+      (s, d) => {
+        val rows = LlmQueries.gramSetRows(s, d)
+        val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+        rows.join(src, "doc_id")
+          .groupBy("source").agg(
+            countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_postings"),
+            countDistinct(col("g")).as("n_grams"),
+            (count(lit(1)).cast("double") / countDistinct(col("g")))
+              .as("reuse_ratio"))
+          .orderBy("source")
+      }),
+
+    // ── The HLL scale path for the vocabulary profile: sketch state is
+    //    constant per group where the exact expand-distinct holds every
+    //    distinct gram hash in the aggregation — the variant that
+    //    survives a source with billions of distinct grams. No SQL
+    //    oracle (sketch internals are engine-side); the spec bounds the
+    //    relative error against the exact profile.
+    QueryDef.rowsOnly("llm_profile_vocab_approx")(
+      (s, d) => {
+        val rows = LlmQueries.gramSetRows(s, d)
+        val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+        rows.join(src, "doc_id")
+          .groupBy("source").agg(
+            approx_count_distinct(col("doc_id"), 0.02).as("n_docs"),
+            count(lit(1)).as("n_postings"),
+            approx_count_distinct(col("g"), 0.02).as("n_grams"))
+          .orderBy("source")
+      }),
+
+    // ── Dedup impact sheet: near-dup cluster size histogram plus the
+    //    singleton mass — how many docs each dedup pass keeps/drops at
+    //    each cluster size. Components come from the same min-label
+    //    propagation the components query uses (pair-graph-sized, tiny
+    //    next to the corpus); the histogram is two map-side-combined
+    //    aggregations over it, and the singleton row derives from two
+    //    1-row counts joined as broadcast literals.
+    sql("llm_dedup_cluster_stats",
+      s"""WITH RECURSIVE ${LlmQueries.ShingleCtes},
+        |${LlmQueries.SimhashPairCtes}, dup AS (
+        |  SELECT a_id, b_id FROM pairs
+        |  WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        |), edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM dup
+        |  UNION ALL SELECT b_id, a_id FROM dup
+        |), closure(src, dst) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT c.src, e.v FROM closure c JOIN edges e ON c.dst = e.u
+        |), comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS comp
+        |  FROM closure GROUP BY src
+        |), csize AS (
+        |  SELECT comp, count(*) AS sz FROM comp GROUP BY comp
+        |), hist AS (
+        |  SELECT sz, count(*) AS n_clusters FROM csize GROUP BY sz
+        |), counts AS (
+        |  SELECT (SELECT count(*) FROM documents)
+        |           - (SELECT count(*) FROM comp) AS n1
+        |)
+        |SELECT CAST(sz AS BIGINT) AS cluster_size,
+        |       CAST(n_clusters AS BIGINT) AS n_clusters,
+        |       CAST(sz * n_clusters AS BIGINT) AS n_docs,
+        |       CAST((sz - 1) * n_clusters AS BIGINT) AS n_dropped
+        |FROM (SELECT 1 AS sz, n1 AS n_clusters FROM counts
+        |      UNION ALL SELECT sz, n_clusters FROM hist)
+        |ORDER BY cluster_size""")(
+      (s, d) => {
+        val labels = LlmQueries
+          .componentLabels(s, LlmQueries.simhashPairs(s, d))
+        val hist = labels.groupBy("comp").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        val nDocs = t(s, d, "documents").agg(count(lit(1)).as("nd"))
+        val nClustered = labels.agg(count(lit(1)).as("nc"))
+        val singles = nDocs.crossJoin(nClustered)
+          .select(lit(1L).as("sz"), (col("nd") - col("nc")).as("n_clusters"))
+        singles.unionByName(hist)
+          .select(col("sz").cast("long").as("cluster_size"),
+            col("n_clusters").cast("long").as("n_clusters"),
+            (col("sz") * col("n_clusters")).cast("long").as("n_docs"),
+            ((col("sz") - 1) * col("n_clusters")).cast("long")
+              .as("n_dropped"))
+          .orderBy("cluster_size")
+      }),
+
     // ── The composed corpus build — the full curation funnel as ONE
     //    declarative plan: quality gate → exact-dup keep (min doc id
     //    per content hash among quality passers) → near-dup drop

@@ -214,6 +214,46 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("approx vocabulary counts track the exact profile within HLL bounds") {
+    val exact = graft.SparkEntry.queries("llm_profile_vocab")(spark, sf("sf0.01"))
+      .select("source", "n_docs", "n_grams")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val approx = graft.SparkEntry.queries("llm_profile_vocab_approx")(
+        spark, sf("sf0.01"))
+      .select("source", "n_docs", "n_grams")
+      .as[(String, Long, Long)].collect()
+    assert(approx.length == exact.size && approx.nonEmpty)
+    approx.foreach { case (srcName, aDocs, aGrams) =>
+      val (eDocs, eGrams) = exact(srcName)
+      // rsd 0.02; 4 sigma keeps the assertion deterministic-in-practice
+      assert(math.abs(aDocs - eDocs) <= math.max(2.0, 0.08 * eDocs),
+        s"$srcName docs $aDocs vs $eDocs")
+      assert(math.abs(aGrams - eGrams) <= math.max(2.0, 0.08 * eGrams),
+        s"$srcName grams $aGrams vs $eGrams")
+    }
+  }
+
+  test("cluster stats conserve the corpus and agree with the components") {
+    val stats = graft.SparkEntry.queries("llm_dedup_cluster_stats")(
+        spark, sf("sf0.01")).cache()
+    val nDocs = spark.read.parquet(sf("sf0.01") + "/documents.parquet").count()
+    assert(stats.agg(sum("n_docs")).as[Long].head() == nDocs)
+    // n_dropped per row is definitionally (sz-1) clusters' worth
+    assert(stats.filter(
+      col("n_dropped") =!= (col("cluster_size") - 1) * col("n_clusters"))
+      .isEmpty)
+    // multi-doc rows must reproduce the components query's size profile
+    val fromComponents = graft.SparkEntry.queries("llm_dedup_components")(
+        spark, sf("sf0.01"))
+      .groupBy("component_id").agg(count(lit(1)).cast("long").as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .as[(Long, Long)].collect().toMap
+    val multi = stats.filter(col("cluster_size") >= 2)
+      .select("cluster_size", "n_clusters").as[(Long, Long)].collect().toMap
+    assert(multi == fromComponents, s"$multi vs $fromComponents")
+    stats.unpersist()
+  }
+
   test("tfidf ranks are contiguous with non-increasing scores per doc") {
     val df = graft.SparkEntry.queries("llm_text_tfidf")(spark, sf()).cache()
     val w = Window.partitionBy("doc_id").orderBy("rank")
