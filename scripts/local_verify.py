@@ -132,7 +132,15 @@ def main():
             n_pass += 1
             print(f"ok    {name}")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} skip")
-    sys.exit(1 if n_fail else 0)
+    # A FULL run (no selective names) with missing dumps means a query
+    # crashed at runtime in graft.Verify or the outDir is stale — that
+    # must not read as a green gate. Selective runs skip by design.
+    if n_fail:
+        sys.exit(1)
+    if not only and n_skip:
+        print(f"ERROR: {n_skip} queries have no spark dump in a full run")
+        sys.exit(1)
+    sys.exit(0)
 
 
 if __name__ == "__main__":

@@ -67,13 +67,19 @@ object Layout {
     * rewrite that partition's rows into ceil(bytes/targetBytes) files.
     * Untouched partitions' files are not read, not rewritten. Rewrites
     * run per partition (the OPTIMIZE/file-group convention) — a narrow
-    * coalesce, no shuffle; localCheckpoint breaks the read-from lineage
-    * so overwriting the directory being read is legal (same pattern as
-    * [[graft.streaming.DocMaintenance.mergeDocsIncremental]]).
+    * coalesce, no shuffle. The compacted copy is written to a hidden
+    * temp directory FIRST (source files stay intact and re-readable for
+    * the whole job), then swapped in via delete+rename: a writer
+    * failure before the swap leaves the partition untouched, and a
+    * failure between the delete and the rename leaves the full
+    * compacted copy recoverable in the temp directory — there is no
+    * window where the only copy of the rows is non-fault-tolerant
+    * executor state.
     *
-    * Not transactional: a reader listing the partition mid-rewrite can
-    * see partial state — production tables layer Delta/Iceberg OPTIMIZE
-    * for snapshot isolation; the per-partition I/O shape is the same.
+    * Not transactional for READERS: one listing the partition during
+    * the metadata swap can see partial state — production tables layer
+    * Delta/Iceberg OPTIMIZE for snapshot isolation; the per-partition
+    * I/O shape is the same.
     *
     * Returns the partition directory names that were compacted. */
   def compactPartitions(spark: org.apache.spark.sql.SparkSession,
@@ -94,10 +100,16 @@ object Layout {
       else {
         // reading the partition DIRECTORY yields the data columns only
         // (no partition column) — exactly what its rewritten files must
-        // contain under hive layout
-        val rows = spark.read.parquet(pd.toString)
-          .coalesce(targetN).localCheckpoint()
-        rows.write.mode("overwrite").parquet(pd.toString)
+        // contain under hive layout. The dot-prefixed temp dir is
+        // invisible to parquet listings of the table root.
+        val tmp = new org.apache.hadoop.fs.Path(hPath,
+          s".compact_tmp_${pd.getName}")
+        spark.read.parquet(pd.toString).coalesce(targetN)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(pd, true)
+        if (!fs.rename(tmp, pd))
+          throw new java.io.IOException(
+            s"compaction swap failed: compacted copy preserved at $tmp")
         Some(pd.getName)
       }
     }

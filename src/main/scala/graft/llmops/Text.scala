@@ -14,6 +14,13 @@ object Text {
   /** Whitespace tokens of the lower-cased, trimmed text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** Whitespace token COUNT with the empty-document guard (split of ""
+    * yields [""], not []) — the one definition every query family's
+    * token accounting shares. */
+  def nTokens(text: Column): Column =
+    when(length(trim(text)) === 0, 0L)
+      .otherwise(size(tokens(text)).cast("long"))
+
   /** Distinct word n-gram shingles; empty array for docs shorter than n. */
   def shingles(toks: Column, n: Int = 3): Column =
     when(size(toks) >= n,

@@ -26,10 +26,7 @@ object CurationQueries {
   /** Global token budget for the epoch plan (tokens). */
   val TokenBudget = 1000000L
 
-  /** Whitespace token count (empty-document guard — split of "" is [""]). */
-  private def nTokens(text: Column): Column =
-    when(length(trim(text)) === 0, 0L)
-      .otherwise(size(split(trim(lower(text)), "\\s+")).cast("long"))
+  private def nTokens(text: Column): Column = Text.nTokens(text)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -508,20 +505,7 @@ object CurationQueries {
     //    1-row counts joined as broadcast literals.
     sql("llm_dedup_cluster_stats",
       s"""WITH RECURSIVE ${LlmQueries.ShingleCtes},
-        |${LlmQueries.SimhashPairCtes}, dup AS (
-        |  SELECT a_id, b_id FROM pairs
-        |  WHERE bit_count(xor(sig_a, sig_b)) <= 3
-        |), edges AS (
-        |  SELECT a_id AS u, b_id AS v FROM dup
-        |  UNION ALL SELECT b_id, a_id FROM dup
-        |), closure(src, dst) AS (
-        |  SELECT u, v FROM edges
-        |  UNION
-        |  SELECT c.src, e.v FROM closure c JOIN edges e ON c.dst = e.u
-        |), comp AS (
-        |  SELECT src AS doc_id, least(src, min(dst)) AS comp
-        |  FROM closure GROUP BY src
-        |), csize AS (
+        |${LlmQueries.SimhashPairCtes}, ${LlmQueries.ComponentCtes}, csize AS (
         |  SELECT comp, count(*) AS sz FROM comp GROUP BY comp
         |), hist AS (
         |  SELECT sz, count(*) AS n_clusters FROM csize GROUP BY sz
@@ -568,20 +552,7 @@ object CurationQueries {
     //    a component) — the conservative convention, documented.
     sql("llm_curate_pipeline",
       s"""WITH RECURSIVE ${LlmQueries.ShingleCtes}, ${LlmQueries.SimhashPairCtes},
-        |dup AS (
-        |  SELECT a_id, b_id FROM pairs
-        |  WHERE bit_count(xor(sig_a, sig_b)) <= 3
-        |), edges AS (
-        |  SELECT a_id AS u, b_id AS v FROM dup
-        |  UNION ALL SELECT b_id, a_id FROM dup
-        |), closure(src, dst) AS (
-        |  SELECT u, v FROM edges
-        |  UNION
-        |  SELECT c.src, e.v FROM closure c JOIN edges e ON c.dst = e.u
-        |), canon AS (
-        |  SELECT src AS doc_id, least(src, min(dst)) AS comp
-        |  FROM closure GROUP BY src
-        |), base AS (
+        |${LlmQueries.ComponentCtes}, base AS (
         |  SELECT doc_id, source, text,
         |         CASE WHEN length(trim(text)) = 0 THEN 0
         |              ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
@@ -607,7 +578,7 @@ object CurationQueries {
         |              ELSE 'test' END AS stage
         |  FROM flagged f
         |  LEFT JOIN exact e USING (doc_id)
-        |  LEFT JOIN canon c USING (doc_id)
+        |  LEFT JOIN comp c USING (doc_id)
         |)
         |SELECT source, stage,
         |       CAST(count(*) AS BIGINT) AS n_docs,
@@ -667,12 +638,8 @@ object CurationQueries {
     //    pair side as the shuffled-hash build — the same
     //    never-broadcast-the-corpus shape as the MinHash verify stage.
     sql("llm_dup_source_matrix",
-      s"""WITH ${LlmQueries.ShingleCtes}, ${LlmQueries.SimhashPairCtes},
-        |dup AS (
-        |  SELECT a_id, b_id,
-        |         CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
-        |  FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
-        |), j AS (
+      s"""WITH RECURSIVE ${LlmQueries.ShingleCtes}, ${LlmQueries.SimhashPairCtes},
+        |${LlmQueries.ComponentCtes}, j AS (
         |  SELECT least(da.source, db.source) AS source_a,
         |         greatest(da.source, db.source) AS source_b,
         |         d.hamming

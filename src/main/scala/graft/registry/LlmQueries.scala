@@ -269,37 +269,36 @@ object LlmQueries {
     * corpus-sized session shuffle width — that makes every iteration a
     * fleet of empty tasks. Size the iteration shuffles from the MEASURED
     * edge count (the deterministic form of AQE's coalesce, without its
-    * per-stage replan latency), then restore the session width for
-    * whatever runs after. Each iteration localCheckpoints (eager): that
+    * per-stage replan latency) via EXPLICIT repartition of the iterated
+    * frames — never by mutating the session-global shuffle width, which
+    * would leak a narrowed conf into concurrent queries on the same
+    * session. Edges are bucketed on u once; label frames keep
+    * hashpartitioning(node) through localCheckpoint (LogicalRDD
+    * preserves outputPartitioning), so each iteration pays exactly one
+    * explicit exchange — the post-union re-bucket — at the measured
+    * width. Each iteration localCheckpoints (eager): that
     * both materializes it AND truncates lineage — with plain persist the
     * analyzer re-walks a plan that deepens every iteration. Labels only
     * ever decrease → equal sum-checksum across iterations ⇒ fixpoint;
     * the driver sees ONE scalar per iteration, never rows (sum over zero
     * rows is NULL → 0: an empty pair graph converges immediately to the
-    * empty result, like the oracle).
-    *
-    * CONCURRENCY SCOPE: the iteration temporarily narrows the
-    * session-global `spark.sql.shuffle.partitions` (restored in a
-    * finally), so calls are serialized per SparkSession via the lock
-    * below. Callers running corpus-scale queries CONCURRENTLY on the
-    * SAME session object should isolate with `session.newSession()`
-    * (separate conf, shared state/cache) — the standard multi-tenant
-    * session pattern. Iteration checkpoint blocks are tiny (pair-graph
-    * label rows) and are released by the ContextCleaner on GC, same as
-    * [[graft.llmops.Similarity]]'s lshCollisionPairs.
+    * empty result, like the oracle). Session conf is only READ here, so
+    * concurrent callers on one session are safe. Iteration checkpoint
+    * blocks are tiny (pair-graph label rows) and are released by the
+    * ContextCleaner on GC, same as [[graft.llmops.Similarity]]'s
+    * lshCollisionPairs.
     */
-  private[registry] def componentLabels(s: SparkSession, pairs: DataFrame): DataFrame =
-    s.synchronized {
+  private[registry] def componentLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
     val dup = pairs.select("a_id", "b_id")
-    val edges = dup.select(col("a_id").as("u"), col("b_id").as("v"))
+    val edgesRaw = dup.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionByName(dup.select(col("b_id").as("u"), col("a_id").as("v")))
       .persist()
     try {
-      val nEdges = edges.count()
-      val sessParts = s.conf.get("spark.sql.shuffle.partitions")
+      val nEdges = edgesRaw.count()
+      val sessParts = s.conf.get("spark.sql.shuffle.partitions").toLong
       val iterParts = math.max(1L,
-        math.min(sessParts.toLong, nEdges / 50000L + 1L)).toString
-      s.conf.set("spark.sql.shuffle.partitions", iterParts)
+        math.min(sessParts, nEdges / 50000L + 1L)).toInt
+      val edges = edgesRaw.repartition(iterParts, col("u")).persist()
       try {
         var labels = edges.select(col("u").as("node")).distinct()
           .withColumn("comp", col("node")).localCheckpoint(true)
@@ -312,6 +311,7 @@ object LlmQueries {
           val next = labels.join(edges, labels("node") === edges("u"))
             .select(col("v").as("node"), col("comp"))
             .unionByName(labels.select("node", "comp"))
+            .repartition(iterParts, col("node"))
             .groupBy("node").agg(min("comp").as("comp"))
             .localCheckpoint(true)
           val s1 = checksumOf(next)
@@ -320,8 +320,8 @@ object LlmQueries {
           checksum = s1
         }
         labels
-      } finally s.conf.set("spark.sql.shuffle.partitions", sessParts)
-    } finally edges.unpersist(false)
+      } finally edges.unpersist(false)
+    } finally edgesRaw.unpersist(false)
   }
 
   /** SQL body of the simhash pair pipeline (the CTE chain after
@@ -350,6 +350,30 @@ object LlmQueries {
       |         a.sim_sig AS sig_a, b.sim_sig AS sig_b
       |  FROM chunks a JOIN chunks b
       |    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+      |)"""
+
+  /** SQL of the near-dup component chain after [[SimhashPairCtes]]:
+    * hamming cut → doubled edge list → recursive transitive closure →
+    * min-label canonical per member. The enclosing query must say
+    * `WITH RECURSIVE`. One definition serves every oracle that clusters
+    * near-dups (components, cluster stats, curation funnel, source
+    * matrix) so the hamming threshold — like the Spark twin's single
+    * filter in [[simhashPairs]] — lives in exactly one place. */
+  private[registry] val ComponentCtes =
+    """dup AS (
+      |  SELECT a_id, b_id,
+      |         CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+      |  FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+      |), edges AS (
+      |  SELECT a_id AS u, b_id AS v FROM dup
+      |  UNION ALL SELECT b_id, a_id FROM dup
+      |), closure(src, dst) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT c.src, e.v FROM closure c JOIN edges e ON c.dst = e.u
+      |), comp AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS comp
+      |  FROM closure GROUP BY src
       |)"""
 
   val defs: Seq[QueryDef] = Seq(
@@ -551,18 +575,7 @@ object LlmQueries {
     //    convergence checksum). Oracle: recursive transitive closure —
     //    feasible exactly because components are small.
     sql("llm_dedup_components",
-      s"""WITH RECURSIVE $ShingleCtes, $SimhashPairCtes, dup AS (
-        |  SELECT a_id, b_id FROM pairs
-        |  WHERE bit_count(xor(sig_a, sig_b)) <= 3
-        |), edges AS (
-        |  SELECT a_id AS u, b_id AS v FROM dup
-        |  UNION ALL
-        |  SELECT b_id, a_id FROM dup
-        |), closure(src, dst) AS (
-        |  SELECT u, v FROM edges
-        |  UNION
-        |  SELECT c.src, e.v FROM closure c JOIN edges e ON c.dst = e.u
-        |)
+      s"""WITH RECURSIVE $ShingleCtes, $SimhashPairCtes, $ComponentCtes
         |SELECT src AS doc_id,
         |       CAST(least(src, min(dst)) AS BIGINT) AS component_id,
         |       CAST(count(DISTINCT dst) AS BIGINT) AS component_size

@@ -27,10 +27,9 @@ object PipelineQueries {
   val ChunkStride = 48
 
   /** Whitespace token count with the empty-document guard (same formula
-    * as `llm_text_tokens`' n_ws — split of "" yields [""], not []). */
+    * as `llm_text_tokens`' n_ws). */
   private def nTokens(text: org.apache.spark.sql.Column) =
-    when(length(trim(text)) === 0, 0)
-      .otherwise(size(split(trim(text), "\\s+"))).cast("long")
+    graft.llmops.Text.nTokens(text)
 
   val defs: Seq[QueryDef] = Seq(
 

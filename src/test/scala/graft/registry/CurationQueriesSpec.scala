@@ -50,7 +50,7 @@ class CurationQueriesSpec extends SparkSpec {
       .writeStream.outputMode("complete")
       .format("memory").queryName("topk_stream_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream did not finish within 60s")
     val streamed = spark.table("topk_stream_out")
       .as[(String, Array[Long])].collect().toMap
     val batch = docs.groupBy("lang")
