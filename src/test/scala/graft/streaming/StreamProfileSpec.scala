@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The incremental profile must equal the batch recompute on the exact
+  * counters, estimate the true vocabulary within HLL error, and treat
+  * redelivery as a no-op. (The estimate is deliberately NOT compared
+  * bit-for-bit against a one-shot sketch: at small cardinalities the
+  * one-shot sketch is still in exact sparse mode while the streamed
+  * union has promoted to dense HLL.)
+  */
+class StreamProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    .select("doc_id", "source", "text")
+
+  test("streamed profile equals the batch recompute after every prefix") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sprof").toString
+    val batches = (0 until 4).map(i => docs.filter(col("doc_id") % 4 === i))
+    var streamed: org.apache.spark.sql.DataFrame = null
+    batches.foreach(b => streamed = StreamProfile.processBatch(spark, b, dir))
+    val got = streamed.as[(String, Long, Long, Long)].collect().toSeq
+    val exactProfile = graft.SparkEntry.queries("llm_profile_vocab")(
+        spark, sf("sf0.01"))
+      .select("source", "n_docs", "n_postings", "n_grams")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.nonEmpty && got.size == exactProfile.size)
+    got.foreach { case (src, nDocs, nPostings, est) =>
+      val (eDocs, ePostings, eGrams) = exactProfile(src)
+      assert(nDocs == eDocs, s"$src n_docs $nDocs vs $eDocs")
+      assert(nPostings == ePostings, s"$src n_postings $nPostings vs $ePostings")
+      // lgK 12 HLL: ~1.6% relative standard error; 3 sigma
+      assert(math.abs(est - eGrams) <= math.max(3.0, 0.05 * eGrams),
+        s"$src n_grams est $est vs exact $eGrams")
+    }
+  }
+
+  test("redelivered batches change nothing (ledger + set semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sprof2").toString
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    StreamProfile.processBatch(spark, b0, dir)
+    val after = StreamProfile.processBatch(spark, b1, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val replayed = StreamProfile.processBatch(spark, b0, dir) // redelivery
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(replayed == after)
+  }
+}
