@@ -538,6 +538,44 @@ object CurationQueries {
           .orderBy("cluster_size")
       }),
 
+    // ── Leakage-safe split assignment: hash on the near-dup FAMILY
+    //    (component canonical, falling back to the doc id for
+    //    singletons) instead of the doc id, so two near-duplicate
+    //    documents can never land in different splits — the standard
+    //    guard against train→eval leakage that plain per-doc hashing
+    //    (llm_split_assign) does not give. The family table is
+    //    pair-graph-sized (≪ corpus), so the corpus-side join
+    //    broadcasts it; thresholds match llm_split_assign's 90/5/5.
+    sql("llm_split_leakage_safe",
+      s"""WITH RECURSIVE ${LlmQueries.ShingleCtes},
+        |${LlmQueries.SimhashPairCtes}, ${LlmQueries.ComponentCtes},
+        |assigned AS (
+        |  SELECT d.doc_id,
+        |         CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS family,
+        |         ${QueryDef.hashBucketSql(
+                     "CAST(COALESCE(c.comp, d.doc_id) AS VARCHAR)")} AS h
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)
+        |)
+        |SELECT doc_id, family,
+        |       CASE WHEN h < 0.9 * 2147483647 THEN 'train'
+        |            WHEN h < 0.95 * 2147483647 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM assigned ORDER BY doc_id""")(
+      (s, d) => {
+        val canon = LlmQueries
+          .componentLabels(s, LlmQueries.simhashPairs(s, d))
+          .select(col("node").as("doc_id"), col("comp"))
+        val family = coalesce(col("comp"), col("doc_id"))
+        val h = Text.hash60(family.cast("string"))
+        t(s, d, "documents").select(col("doc_id"))
+          .join(broadcast(canon), Seq("doc_id"), "left")
+          .select(col("doc_id"), family.as("family"),
+            when(h < 0.9 * 2147483647L, "train")
+              .when(h < 0.95 * 2147483647L, "val")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      }),
+
     // ── The composed corpus build — the full curation funnel as ONE
     //    declarative plan: quality gate → exact-dup keep (min doc id
     //    per content hash among quality passers) → near-dup drop

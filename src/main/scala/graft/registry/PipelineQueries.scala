@@ -69,6 +69,42 @@ object PipelineQueries {
           .orderBy("event_id")
       }),
 
+    // ── Retention cohorts: users grouped by first-activity day, counted
+    //    on each later activity day — the product-analytics matrix every
+    //    event warehouse serves. Shape: one map-side-combined groupBy on
+    //    user for the cohort day, a join back on user_id (first-day
+    //    table is user-count-sized, co-partitioned with the event scan's
+    //    shuffle), distinct (cohort, day, user), then a tiny final agg —
+    //    (cohort, offset) determines the day, so count(*) over the
+    //    distinct rows IS the distinct-user count, no second expand.
+    sql("ev2_retention_cohorts",
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        |  FROM events
+        |), firstday AS (
+        |  SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id
+        |), act AS (
+        |  SELECT DISTINCT f.cohort, e.day, e.user_id
+        |  FROM e JOIN firstday f USING (user_id)
+        |)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |       CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM act GROUP BY cohort, date_diff('day', cohort, day)
+        |ORDER BY cohort_day, day_offset""")(
+      (s, d) => {
+        val e = t(s, d, "events")
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        val firstday = e.groupBy("user_id").agg(min("day").as("cohort"))
+        e.join(firstday, "user_id")
+          .select("cohort", "day", "user_id").distinct()
+          .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+            datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+          .groupBy("cohort_day", "day_offset")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_day", "day_offset")
+      }),
+
     // ── Sequence packing: assign each document its span of fixed-length
     //    context windows in the concatenated token stream. Packing is
     //    SHARDED BY SOURCE — each shard packs independently (the window

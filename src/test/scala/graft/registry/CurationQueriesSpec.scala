@@ -254,6 +254,27 @@ class CurationQueriesSpec extends SparkSpec {
     stats.unpersist()
   }
 
+  test("leakage-safe split keeps every near-dup pair in one split") {
+    val split = graft.SparkEntry.queries("llm_split_leakage_safe")(
+        spark, sf("sf0.01")).cache()
+    // THE leakage property: both ends of every near-dup pair share a
+    // split (plain per-doc hashing violates this whenever a component
+    // straddles a threshold)
+    val pairs = graft.SparkEntry.queries("llm_dedup_simhash")(spark, sf("sf0.01"))
+      .select("a_id", "b_id")
+    val sa = split.select(col("doc_id").as("a_id"), col("split").as("split_a"))
+    val sb = split.select(col("doc_id").as("b_id"), col("split").as("split_b"))
+    val leaked = pairs.join(sa, "a_id").join(sb, "b_id")
+      .filter(col("split_a") =!= col("split_b"))
+    assert(leaked.isEmpty)
+    // families are split-atomic and the corpus is fully assigned
+    assert(split.groupBy("family")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1).isEmpty)
+    val nDocs = spark.read.parquet(sf("sf0.01") + "/documents.parquet").count()
+    assert(split.count() == nDocs)
+    split.unpersist()
+  }
+
   test("tfidf ranks are contiguous with non-increasing scores per doc") {
     val df = graft.SparkEntry.queries("llm_text_tfidf")(spark, sf()).cache()
     val w = Window.partitionBy("doc_id").orderBy("rank")
