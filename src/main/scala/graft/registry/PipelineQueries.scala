@@ -105,6 +105,71 @@ object PipelineQueries {
           .orderBy("cohort_day", "day_offset")
       }),
 
+    // ── Funnel conversion: users progressing view → click → purchase
+    //    with STRICTLY later timestamps at each step (first-touch
+    //    chaining: the first view, the first click after it, the first
+    //    purchase after that). Each stage is one map-side-combined
+    //    groupBy on user_id plus a join that reuses the same hash
+    //    partitioning; the final frame is three literal rows derived
+    //    from 1-row counts. Timestamp comparisons happen at microsecond
+    //    grain on BOTH engines (DuckDB's CAST(ns AS TIMESTAMP) and the
+    //    engine's nanos→micros load are the same truncation).
+    sql("ev3_funnel_conversion",
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+        |), n AS (
+        |  SELECT (SELECT count(*) FROM s1) AS n1,
+        |         (SELECT count(*) FROM s2) AS n2,
+        |         (SELECT count(*) FROM s3) AS n3
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+        |         CAST(n1 AS BIGINT) AS n_users, 1.0 AS conversion FROM n
+        |  UNION ALL
+        |  SELECT 2, 'click', CAST(n2 AS BIGINT), CAST(n2 AS DOUBLE) / n1 FROM n
+        |  UNION ALL
+        |  SELECT 3, 'purchase', CAST(n3 AS BIGINT), CAST(n3 AS DOUBLE) / n1
+        |  FROM n)
+        |ORDER BY stage""")(
+      (s, d) => {
+        val e = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val s1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+          .filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+          .filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        val n = s1.agg(count(lit(1)).as("n1"))
+          .crossJoin(s2.agg(count(lit(1)).as("n2")))
+          .crossJoin(s3.agg(count(lit(1)).as("n3")))
+        n.select(explode(array(
+            struct(lit(1L).as("stage"), lit("view").as("step"),
+              col("n1").as("n_users"), lit(1.0).as("conversion")),
+            struct(lit(2L).as("stage"), lit("click").as("step"),
+              col("n2").as("n_users"),
+              (col("n2").cast("double") / col("n1")).as("conversion")),
+            struct(lit(3L).as("stage"), lit("purchase").as("step"),
+              col("n3").as("n_users"),
+              (col("n3").cast("double") / col("n1")).as("conversion"))))
+            .as("r"))
+          .select(col("r.stage").as("stage"), col("r.step").as("step"),
+            col("r.n_users").as("n_users"), col("r.conversion").as("conversion"))
+          .orderBy("stage")
+      }),
+
     // ── Sequence packing: assign each document its span of fixed-length
     //    context windows in the concatenated token stream. Packing is
     //    SHARDED BY SOURCE — each shard packs independently (the window

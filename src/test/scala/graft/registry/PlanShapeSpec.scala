@@ -94,6 +94,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("MapPartitions"), p.take(2000))
   }
 
+  test("containment dedup shuffle-joins its verify stage (no corpus broadcast)") {
+    assert(broadcastsOfCorpusStats("llm_dedup_containment").isEmpty,
+      s"corpus stats broadcast: ${broadcastsOfCorpusStats("llm_dedup_containment")}")
+    assert(shuffledHashJoins("llm_dedup_containment") >= 3) // sketch join + 2 verify
+  }
+
+  test("novelty profile never broadcasts the gram df table") {
+    // the gram vocabulary grows with the corpus: df must attach via a
+    // window over a hash-partition on g, not a broadcast join
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val qe = graft.SparkEntry.queries("llm_profile_novelty")(spark, sf())
+      .queryExecution
+    assert(qe.sparkPlan.collect {
+      case b: BroadcastExchangeExec => b }.isEmpty)
+    assert(qe.executedPlan.toString.contains("Window"), "df via window")
+  }
+
   test("embed-lsh dedup shuffle-joins vectors to candidates (no corpus broadcast)") {
     assert(broadcastsOfCorpusStats("llm_dedup_embed_lsh").isEmpty,
       s"corpus vectors broadcast: ${broadcastsOfCorpusStats("llm_dedup_embed_lsh")}")
