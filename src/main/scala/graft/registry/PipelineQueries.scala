@@ -136,9 +136,11 @@ object PipelineQueries {
         |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
         |         CAST(n1 AS BIGINT) AS n_users, 1.0 AS conversion FROM n
         |  UNION ALL
-        |  SELECT 2, 'click', CAST(n2 AS BIGINT), CAST(n2 AS DOUBLE) / n1 FROM n
+        |  SELECT 2, 'click', CAST(n2 AS BIGINT),
+        |         CAST(n2 AS DOUBLE) / nullif(n1, 0) FROM n
         |  UNION ALL
-        |  SELECT 3, 'purchase', CAST(n3 AS BIGINT), CAST(n3 AS DOUBLE) / n1
+        |  SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+        |         CAST(n3 AS DOUBLE) / nullif(n1, 0)
         |  FROM n)
         |ORDER BY stage""")(
       (s, d) => {
@@ -158,12 +160,17 @@ object PipelineQueries {
         n.select(explode(array(
             struct(lit(1L).as("stage"), lit("view").as("step"),
               col("n1").as("n_users"), lit(1.0).as("conversion")),
+            // nullif guard: Spark's Divide yields NULL on a zero
+            // divisor where DuckDB's IEEE mode yields NaN — pin both
+            // engines to NULL for the no-view-users corpus
             struct(lit(2L).as("stage"), lit("click").as("step"),
               col("n2").as("n_users"),
-              (col("n2").cast("double") / col("n1")).as("conversion")),
+              (col("n2").cast("double") / nullif(col("n1"), lit(0)))
+                .as("conversion")),
             struct(lit(3L).as("stage"), lit("purchase").as("step"),
               col("n3").as("n_users"),
-              (col("n3").cast("double") / col("n1")).as("conversion"))))
+              (col("n3").cast("double") / nullif(col("n1"), lit(0)))
+                .as("conversion"))))
             .as("r"))
           .select(col("r.stage").as("stage"), col("r.step").as("step"),
             col("r.n_users").as("n_users"), col("r.conversion").as("conversion"))

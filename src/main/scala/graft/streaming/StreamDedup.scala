@@ -60,11 +60,8 @@ object StreamDedup {
 
   private def indexPath(stateDir: String) = s"$stateDir/band_index"
 
-  private def readIndex(spark: SparkSession, stateDir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(indexPath(stateDir))
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(indexPath(stateDir))) else None
-  }
+  private def readIndex(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    StreamState.readIfExists(spark, indexPath(stateDir))
 
   /** Process one micro-batch of (doc_id, text): emit the near-dup
     * candidate pairs this batch uncovers (new↔seen and new↔new), then

@@ -26,79 +26,96 @@ import graft.llmops.Text
   * sparse mode where the union has promoted to dense HLL); both sit
   * within the standard HLL error of the true vocabulary, which is what
   * `StreamProfileSpec` asserts. Doc/posting counters are exact longs
-  * and match the batch recompute exactly; at-least-once
-  * redelivery is made exactly-once by a doc-id ledger anti-join (the
-  * compact 1-column table, same pattern as [[StreamDedup]]'s index).
+  * and match the batch recompute exactly. Like `llm_profile_vocab`,
+  * a document with no shingles (under 3 tokens) is NOT part of the
+  * profile — both sides count shingled docs only.
   *
-  * Per micro-batch (drive from `foreachBatch`):
-  *  1. drop already-profiled docs (anti-join on the doc-id ledger);
-  *  2. aggregate the batch: per source n_docs, n_postings (distinct
-  *     grams per doc, summed) and the batch's gram HLL sketch;
-  *  3. merge into standing state: counters add, sketches
-  *     `hll_union_agg` — one row per source, a broadcast-sized table;
-  *  4. append the batch's doc ids to the ledger.
+  * STATE = an APPEND-ONLY delta log, never an overwrite: per processed
+  * batch one row per source `(batch_id, source, n_docs, n_postings,
+  * gram_sketch)`, plus a doc-id ledger `(batch_id, doc_id)`. The
+  * profile is merge-on-read (counters sum, sketches `hll_union_agg` —
+  * a Delta-style log + compaction-free merge; sources × batches rows,
+  * trivially re-foldable offline if the log ever gets long). This
+  * makes the commit protocol crash-safe without a transaction layer:
   *
-  * State size: profile = O(sources) rows × (2 longs + ~2 KB sketch);
-  * ledger = one long per doc ever seen. Nothing re-reads historical
-  * text.
+  *  - exactly-once across batches: docs seen under OTHER batch ids are
+  *    anti-joined away; within-batch redelivery is dropped by a
+  *    `dropDuplicates(doc_id)`;
+  *  - idempotent retry of the SAME batch id (foreachBatch redelivery):
+  *    the ledger filter EXCLUDES the current batch id, so a retry
+  *    re-derives the same delta; the delta append is skipped when the
+  *    batch id is already logged. A crash between the ledger append
+  *    and the delta append therefore re-runs cleanly — duplicate
+  *    ledger rows are harmless (set-membership semantics), and the
+  *    delta lands exactly once;
+  *  - no overwrite ⇒ no window where the standing profile's only copy
+  *    is mid-rewrite or in non-fault-tolerant executor state.
   */
 object StreamProfile {
 
-  private def profilePath(stateDir: String) = s"$stateDir/profile"
+  private def deltaPath(stateDir: String) = s"$stateDir/profile_deltas"
   private def ledgerPath(stateDir: String) = s"$stateDir/doc_ledger"
 
-  private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
-  }
-
   /** Per-source (source, n_docs, n_postings, gram_sketch) of one
-    * (doc_id, source, text) frame. Docs with fewer than 3 tokens have
-    * an empty shingle set: they count as docs, contribute no postings,
-    * and leave the sketch untouched (explode_outer's null gram is
-    * ignored by count and sketch alike). */
-  def batchProfile(docs: DataFrame): DataFrame =
-    docs
+    * (doc_id, source, text) frame; docs with no shingles emit nothing
+    * (the llm_profile_vocab convention). The shingle arrays are
+    * persisted BEFORE the explode — `Generate(explode(<HOF expr>))`
+    * re-evaluates the higher-order shingle expression per OUTPUT row
+    * (the measured 55× blowup documented at LlmQueries.gramHashes);
+    * exploding a materialized array column is linear. */
+  def batchProfile(docs: DataFrame): DataFrame = {
+    val arrays = docs
       .select(col("source"), col("doc_id"),
         Text.shingles(Text.tokens(col("text"))).as("grams"))
-      .select(col("source"), col("doc_id"),
-        explode_outer(col("grams")).as("gram"))
+      .filter(size(col("grams")) > 0)
+      .persist()
+    arrays.count()
+    arrays
+      .select(col("source"), col("doc_id"), explode(col("grams")).as("gram"))
       .withColumn("g", Text.hash60(col("gram")))
       .groupBy("source").agg(
         count_distinct(col("doc_id")).as("n_docs"),
         count(col("g")).as("n_postings"),
         hll_sketch_agg(col("g")).as("gram_sketch"))
+  }
 
-  /** Fold one micro-batch of (doc_id, source, text) into the standing
-    * profile; returns the updated profile with the vocabulary estimate
-    * materialized: (source, n_docs, n_postings, n_grams_est). */
-  def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String): DataFrame = {
-    val fresh = (readIfExists(spark, ledgerPath(stateDir)) match {
-      case Some(ledger) => batch.join(ledger, Seq("doc_id"), "left_anti")
-      case None => batch
-    }).persist()
-    val delta = batchProfile(fresh)
-    val merged = (readIfExists(spark, profilePath(stateDir)) match {
-      case Some(prev) => prev.unionByName(delta)
-      case None => delta
-    })
+  /** Fold one micro-batch of (doc_id, source, text) into the delta log
+    * (drive from `foreachBatch(batch, batchId)`); returns the merged
+    * standing profile. Safe to re-invoke with the same batchId. */
+  def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
+      batchId: Long): DataFrame = {
+    val ledger = StreamState.readIfExists(spark, ledgerPath(stateDir))
+    val deltas = StreamState.readIfExists(spark, deltaPath(stateDir))
+    val alreadyLogged = deltas.exists(d =>
+      !d.filter(col("batch_id") === batchId).isEmpty)
+    if (!alreadyLogged) {
+      // exclude the CURRENT batch id from the dedup ledger: a retry of
+      // this batch must re-derive the same delta, not an empty one
+      val fresh = (ledger match {
+        case Some(l) => batch.join(
+          l.filter(col("batch_id") =!= batchId).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        case None => batch
+      }).dropDuplicates("doc_id").persist()
+      fresh.select(lit(batchId).as("batch_id"), col("doc_id"))
+        .write.mode("append").parquet(ledgerPath(stateDir))
+      batchProfile(fresh)
+        .select(lit(batchId).as("batch_id"), col("source"),
+          col("n_docs"), col("n_postings"), col("gram_sketch"))
+        .write.mode("append").parquet(deltaPath(stateDir))
+      fresh.unpersist()
+    }
+    readProfile(spark, stateDir)
+  }
+
+  /** Merge-on-read of the delta log, with the vocabulary estimate
+    * evaluated: (source, n_docs, n_postings, n_grams_est). */
+  def readProfile(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(deltaPath(stateDir))
       .groupBy("source").agg(
         sum("n_docs").as("n_docs"),
         sum("n_postings").as("n_postings"),
         hll_union_agg(col("gram_sketch")).as("gram_sketch"))
-    // sever lineage before overwriting the state the plan reads (same
-    // re-bind hazard as StreamDedup.processBatch)
-    val out = merged.localCheckpoint(true)
-    out.write.mode("overwrite").parquet(profilePath(stateDir))
-    fresh.select("doc_id").write.mode("append").parquet(ledgerPath(stateDir))
-    fresh.unpersist()
-    readProfile(spark, stateDir)
-  }
-
-  /** The standing profile with the vocabulary estimate evaluated. */
-  def readProfile(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(profilePath(stateDir))
       .select(col("source"), col("n_docs"), col("n_postings"),
         hll_sketch_estimate(col("gram_sketch")).as("n_grams_est"))
       .orderBy("source")

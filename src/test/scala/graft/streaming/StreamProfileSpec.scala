@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** The incremental profile must equal the batch recompute on the exact
-  * counters, estimate the true vocabulary within HLL error, and treat
-  * redelivery as a no-op. (The estimate is deliberately NOT compared
-  * bit-for-bit against a one-shot sketch: at small cardinalities the
-  * one-shot sketch is still in exact sparse mode while the streamed
-  * union has promoted to dense HLL.)
+  * counters AFTER EVERY PREFIX of batches, estimate the true vocabulary
+  * within HLL error, and treat both cross-batch redelivery and
+  * same-batch-id retries as no-ops. (The estimate is deliberately NOT
+  * compared bit-for-bit against a one-shot sketch: at small
+  * cardinalities the one-shot sketch is still in exact sparse mode
+  * while the streamed union has promoted to dense HLL.)
   */
 class StreamProfileSpec extends SparkSpec {
   import spark.implicits._
@@ -17,12 +18,23 @@ class StreamProfileSpec extends SparkSpec {
   private def docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     .select("doc_id", "source", "text")
 
+  private def counters(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+    df.select("source", "n_docs", "n_postings")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+
   test("streamed profile equals the batch recompute after every prefix") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sprof").toString
     val batches = (0 until 4).map(i => docs.filter(col("doc_id") % 4 === i))
-    var streamed: org.apache.spark.sql.DataFrame = null
-    batches.foreach(b => streamed = StreamProfile.processBatch(spark, b, dir))
-    val got = streamed.as[(String, Long, Long, Long)].collect().toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val streamed = StreamProfile.processBatch(spark, b, dir, i.toLong)
+      val prefix = docs.filter(col("doc_id") % 4 <= i)
+      assert(counters(streamed) == counters(StreamProfile.batchProfile(prefix)),
+        s"prefix through batch $i")
+    }
+    // after all batches: counters match the oracle-gated exact profile
+    // and the estimate is a real estimate of the exact vocabulary
+    val got = StreamProfile.readProfile(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
     val exactProfile = graft.SparkEntry.queries("llm_profile_vocab")(
         spark, sf("sf0.01"))
       .select("source", "n_docs", "n_postings", "n_grams")
@@ -39,15 +51,17 @@ class StreamProfileSpec extends SparkSpec {
     }
   }
 
-  test("redelivered batches change nothing (ledger + set semantics)") {
+  test("redelivery changes nothing: same batch id, new batch id, in-batch dups") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sprof2").toString
     val b0 = docs.filter(col("doc_id") % 2 === 0)
     val b1 = docs.filter(col("doc_id") % 2 === 1)
-    StreamProfile.processBatch(spark, b0, dir)
-    val after = StreamProfile.processBatch(spark, b1, dir)
-      .as[(String, Long, Long, Long)].collect().toSeq
-    val replayed = StreamProfile.processBatch(spark, b0, dir) // redelivery
-      .as[(String, Long, Long, Long)].collect().toSeq
-    assert(replayed == after)
+    // within-batch duplicate delivery must not inflate the counters
+    StreamProfile.processBatch(spark, b0.unionAll(b0), dir, 0L)
+    val after = counters(StreamProfile.processBatch(spark, b1, dir, 1L))
+    assert(after == counters(StreamProfile.batchProfile(docs)))
+    // foreachBatch retry: SAME batch id re-sent (crash-recovery path)
+    assert(counters(StreamProfile.processBatch(spark, b1, dir, 1L)) == after)
+    // at-least-once across batches: old docs under a NEW batch id
+    assert(counters(StreamProfile.processBatch(spark, b0, dir, 2L)) == after)
   }
 }
