@@ -538,6 +538,28 @@ object CurationQueries {
           .orderBy("cluster_size")
       }),
 
+    // ── Length-distribution histogram per source: documents binned by
+    //    character count (64-char integer-division buckets — exact on
+    //    both engines, no float binning). One map-side-combined groupBy
+    //    over a 2-column scan; completes the profiling sheet family
+    //    (percentiles → summary, histogram → shape).
+    sql("llm_profile_length_hist",
+      """SELECT source,
+        |       CAST(n_chars // 64 AS BIGINT) AS bin,
+        |       CAST(min(n_chars) AS BIGINT) AS lo,
+        |       CAST(max(n_chars) AS BIGINT) AS hi,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |FROM documents GROUP BY source, n_chars // 64
+        |ORDER BY source, bin""")(
+      (s, d) => t(s, d, "documents")
+        .groupBy(col("source"), floor(col("n_chars") / 64).as("bin"))
+        .agg(min("n_chars").as("lo"), max("n_chars").as("hi"),
+          count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_total"))
+        .select(col("source"), col("bin"), col("lo"), col("hi"),
+          col("n_docs"), col("n_chars_total"))
+        .orderBy("source", "bin")),
+
     // ── Leakage-safe split assignment: hash on the near-dup FAMILY
     //    (component canonical, falling back to the doc id for
     //    singletons) instead of the doc id, so two near-duplicate
