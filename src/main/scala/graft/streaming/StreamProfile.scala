@@ -56,14 +56,13 @@ object StreamProfile {
   private def deltaPath(stateDir: String) = s"$stateDir/profile_deltas"
   private def ledgerPath(stateDir: String) = s"$stateDir/doc_ledger"
 
-  /** Per-source (source, n_docs, n_postings, gram_sketch) of one
-    * (doc_id, source, text) frame; docs with no shingles emit nothing
-    * (the llm_profile_vocab convention). The shingle arrays are
-    * persisted BEFORE the explode — `Generate(explode(<HOF expr>))`
-    * re-evaluates the higher-order shingle expression per OUTPUT row
-    * (the measured 55× blowup documented at LlmQueries.gramHashes);
-    * exploding a materialized array column is linear. */
-  def batchProfile(docs: DataFrame): DataFrame = {
+  /** The materialized (source, doc_id, grams) frame — persisted and
+    * eagerly built BEFORE any explode, because
+    * `Generate(explode(<HOF expr>))` re-evaluates the higher-order
+    * shingle expression per OUTPUT row (the measured 55× blowup
+    * documented at LlmQueries.gramHashes); exploding a materialized
+    * array column is linear. The CALLER owns the unpersist. */
+  private def shingleArrays(docs: DataFrame): DataFrame = {
     val arrays = docs
       .select(col("source"), col("doc_id"),
         Text.shingles(Text.tokens(col("text"))).as("grams"))
@@ -71,13 +70,31 @@ object StreamProfile {
       .persist()
     arrays.count()
     arrays
+  }
+
+  private def profileOf(arrays: DataFrame): DataFrame =
+    arrays
       .select(col("source"), col("doc_id"), explode(col("grams")).as("gram"))
       .withColumn("g", Text.hash60(col("gram")))
       .groupBy("source").agg(
         count_distinct(col("doc_id")).as("n_docs"),
         count(col("g")).as("n_postings"),
         hll_sketch_agg(col("g")).as("gram_sketch"))
+
+  /** Per-source (source, n_docs, n_postings, gram_sketch) of one
+    * (doc_id, source, text) frame; docs with no shingles emit nothing
+    * (the llm_profile_vocab convention). Runs `body` while the shingle
+    * arrays are pinned, then releases them — repeated micro-batches
+    * must not accumulate cache entries. */
+  def withBatchProfile[A](docs: DataFrame)(body: DataFrame => A): A = {
+    val arrays = shingleArrays(docs)
+    try body(profileOf(arrays)) finally arrays.unpersist(false)
   }
+
+  /** Spec/batch-mode convenience: the profile with the arrays cache
+    * left to the ContextCleaner (fine for one-shot use; streaming uses
+    * [[withBatchProfile]] for deterministic release). */
+  def batchProfile(docs: DataFrame): DataFrame = profileOf(shingleArrays(docs))
 
   /** Fold one micro-batch of (doc_id, source, text) into the delta log
     * (drive from `foreachBatch(batch, batchId)`); returns the merged
@@ -99,10 +116,12 @@ object StreamProfile {
       }).dropDuplicates("doc_id").persist()
       fresh.select(lit(batchId).as("batch_id"), col("doc_id"))
         .write.mode("append").parquet(ledgerPath(stateDir))
-      batchProfile(fresh)
-        .select(lit(batchId).as("batch_id"), col("source"),
-          col("n_docs"), col("n_postings"), col("gram_sketch"))
-        .write.mode("append").parquet(deltaPath(stateDir))
+      withBatchProfile(fresh) { profile =>
+        profile
+          .select(lit(batchId).as("batch_id"), col("source"),
+            col("n_docs"), col("n_postings"), col("gram_sketch"))
+          .write.mode("append").parquet(deltaPath(stateDir))
+      }
       fresh.unpersist()
     }
     readProfile(spark, stateDir)
