@@ -44,15 +44,20 @@ def normalize(df):
     df = df.rename(columns={c: c.lower() for c in df.columns})
     df = df[sorted(df.columns)]
     # sort rows by the string form of every column for a stable multiset
-    # order; float columns sort by a ROUNDED rendering so values equal
-    # within the compare tolerance cannot land at different positions on
-    # the two sides (0.3 vs 0.30000000000000004 must share a sort key)
+    # order. Float columns go LAST in the key and render COARSER (6 sig
+    # digits) than the 1e-9 compare tolerance, so near-equal values that
+    # the value compare would accept can never land at different sorted
+    # positions on the two sides (at 9 digits, values differing right at
+    # the tolerance boundary could straddle a rendering step). Every
+    # registered query orders/dedups on non-float keys, so the non-float
+    # prefix of the key is already discriminating.
     if len(df) > 0:
         def col_key(s):
             if s.dtype.kind == "f":
-                return s.map(lambda v: "nan" if pd.isna(v) else f"{v:.9g}")
+                return s.map(lambda v: "nan" if pd.isna(v) else f"{v:.6g}")
             return s.astype(str)
-        key = pd.concat([col_key(df[c]) for c in df.columns], axis=1) \
+        cols = sorted(df.columns, key=lambda c: df[c].dtype.kind == "f")
+        key = pd.concat([col_key(df[c]) for c in cols], axis=1) \
             .apply(lambda r: "\x00".join(r), axis=1)
         df = df.iloc[np.argsort(key.values, kind="stable")].reset_index(drop=True)
     return df

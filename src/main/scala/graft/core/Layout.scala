@@ -81,10 +81,24 @@ object Layout {
     * Delta/Iceberg OPTIMIZE for snapshot isolation; the per-partition
     * I/O shape is the same.
     *
+    * Writer safety: the partition's file listing is snapshotted before
+    * the compacted copy is written and re-checked immediately before
+    * the delete. If a concurrent writer (e.g. the incremental-merge
+    * micro-batch this maintains) added or replaced files in between,
+    * the swap is ABORTED for that partition — the temp copy is removed,
+    * the live files are untouched, and the partition is simply reported
+    * as not compacted (the next compaction pass picks it up). For
+    * stronger guarantees use the transaction-log table
+    * ([[graft.sources.TxLog]]), whose commit protocol rejects lost
+    * updates instead of detecting them.
+    *
     * Returns the partition directory names that were compacted. */
   def compactPartitions(spark: org.apache.spark.sql.SparkSession,
       tablePath: String, partitionCol: String,
-      targetBytes: Long = 128L * 1024 * 1024): Seq[String] = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      // test seam: runs after the compacted copy is written and before
+      // the pre-swap re-listing, where a concurrent write would race
+      afterCopy: String => Unit = _ => ()): Seq[String] = {
     val hPath = new org.apache.hadoop.fs.Path(tablePath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(hPath)) return Seq.empty
@@ -104,13 +118,29 @@ object Layout {
         // invisible to parquet listings of the table root.
         val tmp = new org.apache.hadoop.fs.Path(hPath,
           s".compact_tmp_${pd.getName}")
+        // snapshot of (name, length, mtime) the compacted copy is built
+        // from — compared against a fresh listing right before the swap
+        def listing() = fs.listStatus(pd)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+          .toSet
+        val before = listing()
         spark.read.parquet(pd.toString).coalesce(targetN)
           .write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(pd, true)
-        if (!fs.rename(tmp, pd))
-          throw new java.io.IOException(
-            s"compaction swap failed: compacted copy preserved at $tmp")
-        Some(pd.getName)
+        afterCopy(pd.getName)
+        if (listing() != before) {
+          // a concurrent writer touched the partition while the copy was
+          // being built — swapping would silently drop its files. Abort:
+          // the live partition is intact, only the temp copy is discarded.
+          fs.delete(tmp, true)
+          None
+        } else {
+          fs.delete(pd, true)
+          if (!fs.rename(tmp, pd))
+            throw new java.io.IOException(
+              s"compaction swap failed: compacted copy preserved at $tmp")
+          Some(pd.getName)
+        }
       }
     }
     compacted.toSeq.sorted

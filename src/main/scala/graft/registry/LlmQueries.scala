@@ -78,11 +78,11 @@ object LlmQueries {
     * duplicate-insensitive, so no separate distinct exchange exists at
     * all: sorted gram-hash set, cardinality, and the 64-slot signature
     * come out of ONE shuffle on doc_id. ~docs × (set + 64) longs —
-    * small enough to BROADCAST, which turns every "attach sizes /
-    * exact-verify a candidate pair" step into a shuffle-free broadcast
-    * join + array_intersect. At 100 TB the equivalent is a bucketed
-    * side table; the pair-verify stays a narrow map-side operation
-    * either way. */
+    * small relative to the corpus but NOT broadcast: the verify joins
+    * hint `shuffle_hash` with the (far smaller) candidate side as the
+    * build, keeping memory bounded while skipping the sort. At 100 TB
+    * the equivalent is a bucketed side table; the pair-verify stays a
+    * hash-probe + array_intersect either way. */
   private[registry] def docGramStats(s: SparkSession, d: String): DataFrame = {
     // gram hashes are < 2^31-1 by construction → the per-doc sets store
     // as array<int>, HALVING the bytes of the cache and of every verify
@@ -303,8 +303,18 @@ object LlmQueries {
         var labels = edges.select(col("u").as("node")).distinct()
           .withColumn("comp", col("node")).localCheckpoint(true)
         def checksumOf(df: DataFrame): Long =
-          Option(df.agg(sum("comp")).head.getAs[java.lang.Long](0))
+          Option(df.agg(sum("comp")).head().getAs[java.lang.Long](0))
             .map(_.toLong).getOrElse(0L)
+        // the fixpoint only ever needs the LATEST labels frame: once
+        // `next` is materialized (eager localCheckpoint), the previous
+        // iteration's checkpoint blocks are dead — release them now
+        // instead of waiting for the ContextCleaner to GC the frame,
+        // so a long session running the component family repeatedly
+        // doesn't accumulate checkpoint storage between GCs
+        def chkRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+          df.queryExecution.analyzed.collectFirst {
+            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+          }
         var checksum = checksumOf(labels)
         var converged = false
         while (!converged) {
@@ -315,6 +325,7 @@ object LlmQueries {
             .groupBy("node").agg(min("comp").as("comp"))
             .localCheckpoint(true)
           val s1 = checksumOf(next)
+          chkRdd(labels).foreach(_.unpersist(false))
           labels = next
           converged = s1 == checksum
           checksum = s1

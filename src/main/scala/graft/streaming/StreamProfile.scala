@@ -128,9 +128,14 @@ object StreamProfile {
   }
 
   /** Merge-on-read of the delta log, with the vocabulary estimate
-    * evaluated: (source, n_docs, n_postings, n_grams_est). */
+    * evaluated: (source, n_docs, n_postings, n_grams_est). Before any
+    * batch has committed a delta the log path does not exist; that is a
+    * valid empty profile, not an error (same guard as StreamDedup). */
   def readProfile(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(deltaPath(stateDir))
+    StreamState.readIfExists(spark, deltaPath(stateDir)).getOrElse(
+      spark.range(0).select(lit("").as("source"),
+        lit(0L).as("n_docs"), lit(0L).as("n_postings"),
+        lit(Array.emptyByteArray).as("gram_sketch")))
       .groupBy("source").agg(
         sum("n_docs").as("n_docs"),
         sum("n_postings").as("n_postings"),

@@ -75,6 +75,30 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.compactPartitions(spark, dir, "p", 1L << 30).isEmpty)
   }
 
+  test("compaction aborts a partition a concurrent writer touched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-race").toString
+    val a = (1 to 1000).map(i => ("a", i.toLong, s"row$i")).toDF("p", "id", "v")
+    a.repartition(10).write.partitionBy("p").mode("append").parquet(dir)
+    // a writer appends to the partition between the compacted-copy write
+    // and the swap: the swap must ABORT (no files lost), not clobber
+    val concurrent = Seq(("a", 9999L, "late")).toDF("p", "id", "v")
+    val compacted = Layout.compactPartitions(spark, dir, "p",
+      targetBytes = 1L << 30,
+      afterCopy = _ => concurrent.coalesce(1)
+        .write.partitionBy("p").mode("append").parquet(dir))
+    assert(compacted.isEmpty, s"swap should have aborted: $compacted")
+    // every row — including the concurrently written one — is readable
+    assert(spark.read.parquet(dir).count() === 1001)
+    assert(spark.read.parquet(dir).filter(col("id") === 9999L).count() === 1)
+    // no leftover temp directory
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".compact_tmp")))
+    // with no racing writer the next pass compacts normally
+    val second = Layout.compactPartitions(spark, dir, "p", 1L << 30)
+    assert(second == Seq("p=a"))
+    assert(spark.read.parquet(dir).count() === 1001)
+  }
+
   test("page tokens round-trip arbitrary keys") {
     val keys = Seq("a1", "db:asset:path/with/slashes", "ключ-😀", "")
     keys.foreach { k =>

@@ -22,6 +22,14 @@ class StreamProfileSpec extends SparkSpec {
     df.select("source", "n_docs", "n_postings")
       .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
 
+  test("readProfile before any batch is an empty profile, not an error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sprof0").toString
+    val empty = StreamProfile.readProfile(spark, dir)
+    assert(empty.columns.toSeq ==
+      Seq("source", "n_docs", "n_postings", "n_grams_est"))
+    assert(empty.count() === 0L)
+  }
+
   test("streamed profile equals the batch recompute after every prefix") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sprof").toString
     val batches = (0 until 4).map(i => docs.filter(col("doc_id") % 4 === i))
