@@ -94,18 +94,65 @@ object Bench {
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val results = ordered.map { case (n, _) => n -> passes.map(_(n)).min }
-    val detail = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    println(s"""# per-query detail (full): $detail""")
+    // Per-query DuckDB oracle times, measured back-to-back with the Spark
+    // passes on the same host so host-load swings hit both engines (the
+    // r4→r5 "regression" was load that only the Spark side recorded).
+    // Shells out to the dev-tooling script; any failure (no python, no
+    // duckdb — e.g. a bare production host) degrades to spark-only output.
+    val oracleTimes: Map[String, Double] = {
+      val script = new java.io.File("scripts/oracle_bench.py")
+      if (!script.isFile) Map.empty
+      else try {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bench-oracle")
+        def esc(s: String) = s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        }
+        val json = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+          .mkString("{", ",", "}")
+        java.nio.file.Files.write(tmp.resolve("oracle_sql.json"),
+          json.getBytes("UTF-8"))
+        val out = scala.sys.process.Process(
+          Seq("python3", script.getPath, sfDir, tmp.toString, "2")).!!
+        val line = out.linesIterator.toSeq.reverse
+          .find(l => l.startsWith("{") && l.endsWith("}"))
+          .getOrElse("{}")
+        // {"name":1.234,...} — flat string→double map, parsed by hand to
+        // keep the bench main dependency-free
+        """"([^"]+)":\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(line)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Exception => Map.empty }
+    }
+    val detail = results.map { case (k, v) =>
+      "\"" + k + "\":" + (oracleTimes.get(k) match {
+        case Some(o) => "[" + f3(v) + "," + f3(o) + "]"
+        case None => f3(v)
+      })
+    }.mkString("{", ",", "}")
+    println(s"""# per-query detail (full, [spark_s, oracle_s]): $detail""")
+    // full per-query pairs as a FILE, out of the driver's 2k-tail budget
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      (s"""{"sf":"$sfDir","pairs":$detail}""" + "\n").getBytes("UTF-8"))
+    catch { case _: Exception => () }
     // chars for the queries map in the final line: the whole line must stay
     // well under the 2000-char tail even if the harness appends a trailing
     // "[success] Total time: ..." line after it (as sbt-run rounds do)
-    val budget = 1300
+    val budget = 1100
     val bySlowest = results.sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     bySlowest.foreach { case (k, v) =>
-      val ent = "\"" + k + "\":" + f3(v)
+      val ent = "\"" + k + "\":" + (oracleTimes.get(k) match {
+        case Some(o) => "[" + f3(v) + "," + f3(o) + "]"
+        case None => f3(v)
+      })
       if (used + ent.length + 1 <= budget) { kept += ent; used += ent.length + 1 }
     }
     val qs = kept.mkString("{", ",", "}")
@@ -116,13 +163,29 @@ object Bench {
     // (rows-only operators like the ANN scale paths have no DuckDB twin)
     val oracleKeys = SparkEntry.oracleSql.keySet
     val oracleTotal = results.collect { case (k, v) if oracleKeys(k) => v }.sum
+    // duck_total: the measured back-to-back DuckDB runtime over the same
+    // oracle-gated queries — the denominator of the headline ratio.
+    // over2x: per-query outliers the aggregate gate cannot see. A query
+    // is an outlier when spark > 2×oracle PLUS 0.25 s absolute slack:
+    // sub-100 ms queries pay fixed Spark scheduling/codegen overhead that
+    // no plan change removes and that vanishes in any real-scale run.
+    val duckTotal = oracleTimes.filter(_._2 >= 0).values.sum
+    val over2xAll = results.collect {
+      case (k, v) if oracleTimes.get(k).exists(o => o >= 0 && v > 2 * o + 0.25) =>
+        "\"" + k + "\":[" + f3(v) + "," + f3(oracleTimes(k)) + "]"
+    }
+    // bounded so a pathological run cannot blow the tail budget; the
+    // full pair list is always in bench_detail.json
+    val over2x = (if (over2xAll.size > 8)
+      over2xAll.take(8) :+ s""""_more":${over2xAll.size - 8}"""
+    else over2xAll).mkString("{", ",", "}")
     // pass_totals expose scheduling noise directly in the artifact: a
     // wide spread across passes means machine contention, not a
     // regression (single-run totals vary up to 2× on shared VMs).
     // warm_dir makes the numbers interpretable: warmup at the target dir
     // (no sf0.001 sibling) means the suite ran once untimed at full SF.
     val passTotals = passes.map(p => f3(p.values.sum)).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","oracle_value":${f3(oracleTotal)},"n_queries":${results.size},"queries_omitted":$omitted,"queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","pass_totals":$passTotals}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","oracle_value":${f3(oracleTotal)},"duck_total":${f3(duckTotal)},"over2x":$over2x,"n_queries":${results.size},"queries_omitted":$omitted,"queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","pass_totals":$passTotals}"""
     // hard guarantee: the line the driver must parse fits its 2000-char tail
     // with ~150 chars of slack for any trailing harness output
     assert(line.length < 1850, s"bench JSON line too long: ${line.length}")

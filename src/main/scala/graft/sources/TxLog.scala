@@ -1,0 +1,346 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Minimal transaction-log table format — Delta-style ACID on plain
+  * parquet, with optimistic concurrency control.
+  *
+  * Why it exists: the reference's indexer upsert is atomic per doc
+  * (`backend/backend/handlers/indexing/assetIndexer.py:534-596` — a
+  * DynamoDB put_item). The parquet-lake equivalent of that guarantee is
+  * a transactional table format; Delta/Iceberg are the production
+  * choices, but neither ships in this environment, so the commit
+  * protocol they rely on is implemented here directly (the same design
+  * as the Delta transaction log: an ordered directory of commit files,
+  * each atomically published, every reader resolving a snapshot from
+  * committed metadata only — Armbrust et al., "Delta Lake: High-
+  * Performance ACID Table Storage over Cloud Object Stores", VLDB 2020).
+  *
+  * Layout:
+  * {{{
+  * table/
+  *   _txlog/00000000000000000000.json   commit 0: {"adds":[...],"removes":[...]}
+  *   _txlog/00000000000000000005.checkpoint.json   full snapshot at v5
+  *   str_databaseid=db1/part-<uuid>.parquet        data files
+  * }}}
+  *
+  * Guarantees:
+  *  - ATOMIC commits: a commit is one log file published via
+  *    write-to-temp + rename-without-overwrite. Readers list the log,
+  *    not the data directory, so data files are invisible until the
+  *    commit that references them lands; a writer crash before commit
+  *    leaves only unreferenced files (removed by [[vacuum]]).
+  *  - SNAPSHOT ISOLATION for readers: the file set is resolved once per
+  *    read from committed versions; concurrent commits cannot make a
+  *    running scan see half a merge.
+  *  - OPTIMISTIC writers: a commit names the version it expects to
+  *    create. Losing the race (rename fails because the version exists)
+  *    re-reads the log and RETRIES if the winning commits touched
+  *    disjoint partitions, else rebuilds the merge from the new
+  *    snapshot — lost updates are impossible, not just unlikely (vs
+  *    [[graft.core.Layout.compactPartitions]], which detects-and-aborts).
+  *
+  * Scale notes: the log holds file METADATA only (path, partition, row
+  * count) — driver-sized by design, same as Delta's; checkpoints every
+  * [[CheckpointInterval]] commits bound log replay to O(interval) small
+  * reads. Partition pruning happens against the log before any parquet
+  * footer is opened. Rename-without-overwrite is atomic on HDFS and
+  * local filesystems; object stores without atomic rename need a commit
+  * coordinator (as Delta's S3 LogStore documents) — same caveat, same
+  * seam.
+  */
+object TxLog {
+
+  /** One committed data file. `partition` is the RAW partition value
+    * (unescaped); `path` is relative to the table root. */
+  case class AddFile(path: String, partition: String, rows: Long)
+
+  /** Resolved table state: committed version + live file set. */
+  case class Snapshot(version: Long, files: Seq[AddFile])
+
+  val CheckpointInterval = 10
+
+  private def logDir(table: Path) = new Path(table, "_txlog")
+  private def commitPath(table: Path, v: Long) =
+    new Path(logDir(table), f"$v%020d.json")
+  private def checkpointPath(table: Path, v: Long) =
+    new Path(logDir(table), f"$v%020d.checkpoint.json")
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** True iff `path` has a transaction log (≥1 committed version). */
+  def isTable(spark: SparkSession, path: String): Boolean = {
+    val t = new Path(path)
+    val fs = fsOf(spark, t)
+    fs.exists(logDir(t)) && latestVersion(fs, t) >= 0
+  }
+
+  private def listLog(fs: FileSystem, table: Path): Seq[Path] = {
+    val dir = logDir(table)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".json")).toSeq
+  }
+
+  private def latestVersion(fs: FileSystem, table: Path): Long = {
+    val vs = listLog(fs, table).map(_.getName)
+      .filter(!_.contains("checkpoint"))
+      .map(_.stripSuffix(".json").toLong)
+    if (vs.isEmpty) -1L else vs.max
+  }
+
+  // ---- commit (de)serialization ------------------------------------
+
+  private def renderFiles(files: Seq[AddFile]): JValue =
+    JArray(files.map(f => JObject(
+      "path" -> JString(f.path),
+      "partition" -> JString(f.partition),
+      "rows" -> JLong(f.rows))).toList)
+
+  private def parseFiles(j: JValue): Seq[AddFile] = j match {
+    case JArray(items) => items.collect { case it: JObject =>
+      AddFile(
+        (it \ "path").values.toString,
+        (it \ "partition").values.toString,
+        (it \ "rows").values.toString.toLong)
+    }
+    case _ => Seq.empty
+  }
+
+  /** Serializes the exists-check + rename publish within this JVM.
+    * HDFS rename already refuses an existing destination; the LOCAL
+    * filesystem's File.renameTo overwrites, so same-JVM racers (the
+    * only kind local tests can produce) must not interleave. Multi-JVM
+    * writers on a non-atomic store need a commit coordinator, exactly
+    * as Delta documents for S3. */
+  private val commitLock = new Object
+
+  private def writeAtomic(fs: FileSystem, dest: Path, body: String): Boolean = {
+    val tmp = new Path(dest.getParent,
+      s".${dest.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    // rename-without-overwrite is the atomic publish: exactly one writer
+    // of a given version wins; the loser's temp file is removed
+    val ok = commitLock.synchronized {
+      !fs.exists(dest) && fs.rename(tmp, dest)
+    }
+    if (!ok) fs.delete(tmp, false)
+    ok
+  }
+
+  private def readJson(fs: FileSystem, p: Path): JValue = {
+    val in = fs.open(p)
+    try JsonMethods.parse(new java.io.InputStreamReader(in, "UTF-8"))
+    finally in.close()
+  }
+
+  // ---- snapshot resolution ------------------------------------------
+
+  /** Resolve the current committed snapshot: newest checkpoint (if any)
+    * plus the commits after it, applied in version order. Missing table
+    * → version -1, empty file set. */
+  def snapshot(spark: SparkSession, path: String): Snapshot = {
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    val names = listLog(fs, table).map(_.getName)
+    if (names.isEmpty) return Snapshot(-1L, Seq.empty)
+    val ckVersions = names.filter(_.endsWith(".checkpoint.json"))
+      .map(_.stripSuffix(".checkpoint.json").toLong)
+    val fromCk = if (ckVersions.isEmpty) -1L else ckVersions.max
+    var files = if (fromCk < 0) Map.empty[String, AddFile]
+    else parseFiles(readJson(fs, checkpointPath(table, fromCk)) \ "files")
+      .map(f => f.path -> f).toMap
+    val commits = names.filter(!_.contains("checkpoint"))
+      .map(_.stripSuffix(".json").toLong).filter(_ > fromCk).sorted
+    var v = fromCk
+    commits.foreach { cv =>
+      val j = readJson(fs, commitPath(table, cv))
+      parseFiles(j \ "removes").foreach(f => files -= f.path)
+      // removes may also arrive as plain path strings
+      (j \ "removes") match {
+        case JArray(items) => items.foreach {
+          case JString(p) => files -= p
+          case _ => ()
+        }
+        case _ => ()
+      }
+      parseFiles(j \ "adds").foreach(f => files += (f.path -> f))
+      v = cv
+    }
+    Snapshot(v, files.values.toSeq.sortBy(_.path))
+  }
+
+  /** Read the table (optionally pruned to `partitions`) at a consistent
+    * snapshot. Pruning is LOG-level: files of other partitions are never
+    * opened, the 100 TB analogue of Delta's data skipping. */
+  def read(spark: SparkSession, path: String,
+      partitions: Option[Set[String]] = None,
+      partitionCol: String = "str_databaseid"): DataFrame = {
+    val snap = snapshot(spark, path)
+    val live = partitions match {
+      case Some(ps) => snap.files.filter(f => ps(f.partition))
+      case None => snap.files
+    }
+    if (live.isEmpty) {
+      // typed empty frame is impossible without a schema source; an
+      // empty table read is only meaningful for counts — callers that
+      // need schema should bootstrap with a first commit
+      spark.emptyDataFrame
+    } else
+      spark.read.option("basePath", path)
+        .parquet(live.map(f => s"$path/${f.path}"): _*)
+  }
+
+  /** Write `df`'s rows as new UNCOMMITTED data files under the table
+    * root (hive-partitioned by `partitionCol`), returning their AddFile
+    * records. Files are invisible to readers until a commit references
+    * them. */
+  def stageData(spark: SparkSession, path: String, df: DataFrame,
+      partitionCol: String): Seq[AddFile] = {
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    val stage = new Path(table, s"_staged-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(stage.toString)
+    val adds = fs.listStatus(stage).filter(_.isDirectory).flatMap { pd =>
+      val escaped = pd.getPath.getName // partitionCol=escapedValue
+      val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(escaped.substring(escaped.indexOf('=') + 1))
+      val destDir = new Path(table, escaped)
+      fs.mkdirs(destDir)
+      fs.listStatus(pd.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map { f =>
+          // job-UUID file names are globally unique — no rename clash
+          val dest = new Path(destDir, f.getPath.getName)
+          if (!fs.rename(f.getPath, dest))
+            throw new java.io.IOException(s"stage move failed: $dest")
+          AddFile(s"$escaped/${dest.getName}", raw, -1L)
+        }
+    }.toSeq
+    fs.delete(stage, true)
+    adds
+  }
+
+  /** Attempt to publish one commit at `version`. Returns false when the
+    * version was taken by a concurrent writer (caller re-reads and
+    * retries). Writes a checkpoint every [[CheckpointInterval]] commits
+    * (best-effort — a checkpoint failure never fails the commit). */
+  def tryCommit(spark: SparkSession, path: String, version: Long,
+      adds: Seq[AddFile], removes: Seq[AddFile]): Boolean = {
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    fs.mkdirs(logDir(table))
+    val body = JsonMethods.compact(JsonMethods.render(JObject(
+      "version" -> JLong(version),
+      "adds" -> renderFiles(adds),
+      "removes" -> renderFiles(removes))))
+    val ok = writeAtomic(fs, commitPath(table, version), body)
+    if (ok && version > 0 && version % CheckpointInterval == 0) {
+      try {
+        val snap = snapshot(spark, path)
+        if (snap.version >= version)
+          writeAtomic(fs, checkpointPath(table, snap.version),
+            JsonMethods.compact(JsonMethods.render(
+              JObject("files" -> renderFiles(snap.files)))))
+      } catch { case _: Exception => () }
+    }
+    ok
+  }
+
+  /** MERGE INTO with last-writer-wins semantics, keyed on `keyCol`:
+    * rows of `updates` replace current rows with the same key;
+    * `removedKeys` (nullable) are deleted. Only partitions present in
+    * the batch are read or rewritten. Retries on commit conflict:
+    * partition-disjoint concurrent commits are re-applied verbatim
+    * (their base did not change); overlapping ones rebuild the merge
+    * from the fresh snapshot. Every retry path re-derives from committed
+    * state, so the result is as if the merges ran serially. */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+      removedKeys: DataFrame = null, keyCol: String = "_docId",
+      partitionCol: String = "str_databaseid",
+      maxAttempts: Int = 20): Unit = {
+    val removedWithPart = Option(removedKeys).map(
+      _.withColumn(partitionCol, split(col(keyCol), "#").getItem(0)))
+    val touched: Set[String] = (
+      updates.select(partitionCol).distinct() +:
+        removedWithPart.map(_.select(partitionCol).distinct()).toSeq)
+      .reduce(_.unionByName(_)).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) return
+    // micro-batch inputs are re-read on every retry; pin them once
+    val up = updates.localCheckpoint()
+    val rm = Option(removedKeys).map(_.select(keyCol).localCheckpoint())
+    var attempt = 0
+    var done = false
+    var staged: Seq[AddFile] = Seq.empty
+    while (!done) {
+      attempt += 1
+      require(attempt <= maxAttempts, s"merge: $maxAttempts commit conflicts")
+      val snap = snapshot(spark, path)
+      val oldFiles = snap.files.filter(f => touched(f.partition))
+      val current =
+        if (oldFiles.isEmpty) null
+        else spark.read.option("basePath", path)
+          .parquet(oldFiles.map(f => s"$path/${f.path}"): _*)
+          .withColumn(partitionCol, col(partitionCol).cast("string"))
+      val merged = current match {
+        case null => up
+        case cur =>
+          val afterRemove = rm match {
+            case Some(r) => cur.join(r, Seq(keyCol), "left_anti")
+            case None => cur
+          }
+          afterRemove
+            .join(up.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+            .unionByName(up)
+      }
+      // stage once per BASE: a partition-disjoint conflict re-commits the
+      // same files; an overlapping conflict restages from the new base
+      if (staged.isEmpty) staged = stageData(spark, path, merged, partitionCol)
+      if (tryCommit(spark, path, snap.version + 1, staged, oldFiles)) done = true
+      else {
+        val fresh = snapshot(spark, path)
+        val conflicting = fresh.files.filter(f => touched(f.partition))
+          .toSet != oldFiles.toSet
+        if (conflicting) staged = Seq.empty // rebuild from new base
+        // else: same base files still live — retry commit at new version
+      }
+    }
+  }
+
+  /** Remove data files no committed version references and stale staging
+    * directories, `olderThanMs` old (grace for in-flight writers). */
+  def vacuum(spark: SparkSession, path: String,
+      olderThanMs: Long = 3600L * 1000): Seq[String] = {
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    if (!fs.exists(table)) return Seq.empty
+    val live = snapshot(spark, path).files.map(_.path).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(table).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("_staged-")) {
+        if (st.getModificationTime < cutoff) {
+          fs.delete(st.getPath, true); removed += name
+        }
+      } else if (st.isDirectory && name.contains("=")) {
+        fs.listStatus(st.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            val rel = s"$name/${f.getPath.getName}"
+            if (!live(rel) && f.getModificationTime < cutoff) {
+              fs.delete(f.getPath, false); removed += rel
+            }
+          }
+      }
+    }
+    removed.toSeq
+  }
+}

@@ -104,9 +104,13 @@ object DocMaintenance {
     *     (dynamic overwrite only replaces partitions present in the
     *     written data — an emptied partition would otherwise go stale).
     *
-    * A transactional table format (Delta/Iceberg MERGE INTO) adds ACID
-    * and concurrent-writer safety on top; the partition-scoped I/O shape
-    * is the same. */
+    * NOT ACID: correct single-writer, but a concurrent reader can see a
+    * partition mid-swap. The transactional shape is [[mergeDocsTx]] over
+    * a [[graft.sources.TxLog]] table (the in-repo Delta-equivalent),
+    * which gives readers snapshot isolation and writers optimistic
+    * conflict resolution; use that for any table with concurrent
+    * readers. This path remains for plain-parquet layouts that external
+    * engines must read directly. */
   def mergeDocsIncremental(spark: SparkSession, tablePath: String,
       updates: DataFrame, removedDocIds: DataFrame = null): Unit = {
     // Hadoop FS, not java.io.File: the table lives on the lake (s3a/hdfs)
@@ -159,6 +163,18 @@ object DocMaintenance {
       if (fs.exists(pd)) fs.delete(pd, true)
     }
   }
+
+  /** ST3/S9, ACID — the same partition-scoped last-writer-wins merge as
+    * [[mergeDocsIncremental]], executed as a [[graft.sources.TxLog]]
+    * MERGE INTO: one atomic commit per micro-batch, snapshot-isolated
+    * readers (never a partition mid-swap), optimistic retry under
+    * concurrent writers. This is the production doc-table path; the
+    * reference's per-doc-atomic upsert (`assetIndexer.py:534-596`) is
+    * the per-item special case of this per-batch transaction. */
+  def mergeDocsTx(spark: SparkSession, tablePath: String,
+      updates: DataFrame, removedDocIds: DataFrame = null): Unit =
+    graft.sources.TxLog.merge(spark, tablePath, updates, removedDocIds,
+      keyCol = "_docId", partitionCol = DocPartitionCol)
 
   /** ST7/S8 — S3-eventual-consistency reconciliation: objects that arrive
     * for unknown assets get the asset auto-created (get-or-create,
