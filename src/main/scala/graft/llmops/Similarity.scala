@@ -196,7 +196,8 @@ object Similarity {
     * (vec_id, table, bucket) triples shuffle for the equi-join; each
     * (table, bucket) cell is a small local pair problem — the corpus
     * vectors themselves never re-partition here. */
-  def lshCollisionPairs(vecs: DataFrame): DataFrame = {
+  def lshCollisionPairs(vecs: DataFrame,
+      maxCell: Int = SkewGuard.MaxCellSize): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     // materialize bucket arrays before exploding (Generate re-evaluates
     // computed expressions per output row — see lshTopK). persist(), not
@@ -208,17 +209,19 @@ object Similarity {
       .persist()
     arr.count()
     val tb = arr.select(col("vec_id"), posexplode(col("tbs")).as(Seq("t", "b")))
-    tb.as("x").join(tb.as("y"),
-        col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("keep_id"), col("y.vec_id").as("dup_id"))
+    // per-(table, bucket) size guard: a degenerate bucket (mass-duplicated
+    // vector, the all-zeros region) emits a star instead of a k² cell —
+    // see SkewGuard for the contract and recall effect
+    SkewGuard.cellPairs(tb, Seq("t", "b"), "vec_id", maxCell)
+      .select(col("a_id").as("keep_id"), col("b_id").as("dup_id"))
       .distinct()
   }
 
   /** Approximate NN: candidates = any-table bucket collision (equi-join
     * on (table, bucket) — at 100 TB this shuffles only (id, bucket) pairs
     * and each bucket is a small local problem), exact cosine re-rank. */
-  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      maxCell: Int = SkewGuard.MaxCellSize): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col("vec_id").as("q_id"),
@@ -233,8 +236,18 @@ object Similarity {
     cbArr.count()
     val qb = q.select(col("q_id"),
       posexplode(lshBucketArray(col("q_vec"))).as(Seq("t", "b")))
+    // per-(table, bucket) candidate cap: an oversized bucket keeps its
+    // first `maxCell` members (deterministic by id). For top-k search a
+    // bucket that big is mass duplication or a collapsed region — the
+    // kept members are interchangeable candidates for any query probing
+    // it, so recall@k is unaffected in the degenerate case the cap
+    // exists for; a diverse 1024+ cell would lose tail candidates, the
+    // same trade SkewGuard.cellPairs documents.
     val cb = cbArr.select(col("cand_id"),
-      posexplode(col("tbs")).as(Seq("t", "b")))
+        posexplode(col("tbs")).as(Seq("t", "b")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("t", "b").orderBy(col("cand_id"))))
+      .filter(col("_rn") <= maxCell).drop("_rn")
     val pairs = qb.join(cb, Seq("t", "b"))
       .filter(col("q_id") =!= col("cand_id"))
       .select("q_id", "cand_id").distinct()

@@ -406,10 +406,8 @@ object CurationQueries {
         |    SELECT doc_id, g,
         |           row_number() OVER (PARTITION BY doc_id ORDER BY g) AS r
         |    FROM ghd) WHERE r <= 8
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM bot a JOIN bot b ON a.g = b.g AND a.doc_id < b.doc_id
-        |), shared AS (
+        |), ${graft.llmops.SkewGuard.oracleCandSql(
+             "bot", Seq("g"), "doc_id", "a_id", "b_id")}, shared AS (
         |  SELECT c.a_id, c.b_id, count(*) AS shared
         |  FROM cand c JOIN ghd ga ON ga.doc_id = c.a_id
         |              JOIN ghd gb ON gb.doc_id = c.b_id AND gb.g = ga.g
@@ -426,9 +424,11 @@ object CurationQueries {
         // gs is sorted ascending — bottom-8 is a narrow slice
         val bot = stats.select(col("doc_id"),
           explode(slice(col("gs"), 1, 8)).as("g"))
-        val cand = bot.as("x").hint("shuffle_hash").join(bot.as("y"),
-            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        // per-bottom-gram size guard (SkewGuard contract, mirrored in
+        // the oracle): a boilerplate gram in 10⁴ documents' bottom-8
+        // emits a star, not a k² cell
+        val cand = graft.llmops.SkewGuard
+          .cellPairs(bot, Seq("g"), "doc_id")
           .distinct()
         val cont = col("shared").cast("double") / least(col("na"), col("nb"))
         cand.hint("shuffle_hash")

@@ -486,11 +486,8 @@ object LlmQueries {
         |  SELECT doc_id, j // 4 AS band,
         |         string_agg(CAST(h AS VARCHAR), '_' ORDER BY j) AS bkey
         |  FROM sig GROUP BY doc_id, j // 4
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-        |), est AS (
+        |), ${graft.llmops.SkewGuard.oracleCandSql(
+             "bands", Seq("band", "bkey"), "doc_id", "a_id", "b_id")}, est AS (
         |  SELECT c.a_id, c.b_id,
         |         CAST(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS BIGINT)
         |           AS n_match
@@ -531,10 +528,11 @@ object LlmQueries {
         }: _*)
         val bands = sig.select(col("doc_id"), explode(bandStructs).as("b"))
           .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        // per-band-key size guard (SkewGuard contract, mirrored in the
+        // oracle's _sized/cand CTEs): a band key shared by 10⁴ exact
+        // duplicates emits a star, not a k² cell
+        val cand = graft.llmops.SkewGuard
+          .cellPairs(bands, Seq("band", "bkey"), "doc_id")
           .distinct()
         // Verify stage: attach each candidate's signature + gram set via
         // SHUFFLE joins keyed on doc id — the stats table is corpus-sized

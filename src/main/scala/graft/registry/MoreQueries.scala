@@ -444,7 +444,7 @@ object MoreQueries {
     //    pairs ever shuffle; exact re-rank joins fetch vectors for the
     //    candidate pairs only, candidate side as shuffle-hash build.
     sql("llm_dedup_embed_lsh",
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |proj AS (
         |  SELECT vec_id, i // 6 AS t,
         |         SUM(CASE WHEN list_dot_product(e,
@@ -453,11 +453,8 @@ object MoreQueries {
         |             THEN CAST(1 AS BIGINT) << (i % 6) ELSE 0 END) AS bucket
         |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i)
         |  GROUP BY 1, 2
-        |), cand AS (
-        |  SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
-        |  FROM proj a JOIN proj b
-        |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |), p AS (
+        |), ${graft.llmops.SkewGuard.oracleCandSql(
+             "proj", Seq("t", "bucket"), "vec_id", "keep_id", "dup_id")}, p AS (
         |  SELECT c.keep_id, c.dup_id,
         |         list_dot_product(va.e, vb.e) /
         |           (sqrt(list_dot_product(va.e, va.e)) *
