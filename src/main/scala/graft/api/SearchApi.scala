@@ -25,6 +25,57 @@ object SearchApi {
   final case class SearchResult(
       hits: DataFrame, facets: DataFrame, total: () => Long)
 
+  /** Thrown by [[searchEnforced]] when the API-level gate denies the
+    * call — the 403-before-any-query of the reference
+    * (`search.py:1949-1951`). */
+  final class AccessDeniedException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Everything the façade needs to authorize a caller: identity +
+    * the constraints table both gates read their policies from. */
+  final case class Caller(
+      user: graft.authz.PolicyLoader.UserContext,
+      constraints: DataFrame,
+      trustedCrossCall: Boolean = false)
+
+  /** Criterion-field → doc-column mapping for the asset/file doc
+    * tables (constraints speak entity names, docs speak column names). */
+  val DocFieldMap: Map[String, String] = Map(
+    "databaseId" -> "str_databaseid",
+    "assetName" -> "str_assetname",
+    "assetType" -> "str_assettype",
+    "tags" -> "list_tags")
+
+  /** The GOVERNED search entry point — both of the reference's gates, in
+    * its order (`search.py:1944-1991`):
+    *
+    *  1. API-level: is `method routePath` allowed for this caller at
+    *     all? Checked BEFORE any query compilation or scan; denial
+    *     throws [[AccessDeniedException]] and Spark never sees a plan.
+    *  2. Row-level: the caller's "GET" policy for the doc object type
+    *     compiles into the scan predicate via [[search]]'s `policy`
+    *     hook (pushed down, not post-filtered).
+    *
+    * Both policies come from the same constraints table, so one grant
+    * surface drives both decisions, like the reference's single Casbin
+    * enforcer. */
+  def searchEnforced(
+      docs: DataFrame,
+      req: graft.query.SearchRequest,
+      caller: Caller,
+      routePath: String = "/search",
+      method: String = "POST",
+      rowObjectType: String = "asset"): SearchResult = {
+    import graft.authz.PolicyLoader
+    if (!PolicyLoader.enforceApi(caller.constraints, caller.user, method,
+        routePath, caller.trustedCrossCall))
+      throw new AccessDeniedException(
+        s"${caller.user.userId}: $method $routePath not authorized")
+    val rowPolicy = PolicyLoader.loadCached(caller.constraints, caller.user,
+      "GET", rowObjectType, f => DocFieldMap.getOrElse(f, f))
+    search(docs, req, Some(rowPolicy))
+  }
+
   /** Text-searchable fields of the doc tables, with O3 score weights. */
   val ScoredFields: Seq[(String, Double)] = Seq(
     "str_assetname" -> 3.0, "str_description" -> 2.0, "str_assetid" -> 1.0,

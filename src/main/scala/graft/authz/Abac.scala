@@ -84,6 +84,38 @@ object Abac {
   /** Apply as a pushed-down filter. */
   def enforce(df: DataFrame, p: Policy): DataFrame = df.filter(compile(df, p))
 
+  // ── Driver-side scalar evaluation (API-level authorization) ────────
+
+  /** Evaluate one criterion against an in-memory attribute map — the
+    * driver-side twin of [[criterionOf]], used where the "row" is a
+    * request object (`{object__type, route__path}`), not table data.
+    * A missing field matches nothing, like the reference's Casbin
+    * matcher on an absent object attribute: an allow rule on a missing
+    * field grants nothing, a deny rule on one denies nothing. */
+  def evalCriterion(obj: Map[String, String], c: Criterion): Boolean =
+    obj.get(c.field) match {
+      case None => false
+      case Some(v) => c.operator match {
+        case "equals"           => v == c.value
+        case "contains"         => v.contains(c.value)
+        case "does_not_contain" => !v.contains(c.value)
+        case "starts_with"      => v.startsWith(c.value)
+        case "ends_with"        => v.endsWith(c.value)
+        case "is_one_of"        => c.values.contains(v)
+        case "is_not_one_of"    => !c.values.contains(v)
+        case op => throw new IllegalArgumentException(s"unknown criterion op $op")
+      }
+    }
+
+  /** Scalar policy decision with the same effect resolution as
+    * [[compile]]: `some(allow) && !some(deny)`; an empty allow set
+    * denies. */
+  def evaluate(p: Policy, obj: Map[String, String]): Boolean = {
+    def matches(rules: Seq[Seq[Criterion]]): Boolean =
+      rules.exists(r => r.nonEmpty && r.forall(evalCriterion(obj, _)))
+    matches(p.allow) && !matches(p.deny)
+  }
+
   // ── Catalyst-Expression compiler (used by the auto-injection rule,
   // where the predicate must drop into an already-analyzed plan — the
   // Column DSL builds name-resolved UnresolvedFunctions, which never

@@ -228,6 +228,24 @@ object PolicyLoader {
   /** Drop all cached policies (e.g. after a constraint-table write). */
   def invalidateCache(): Unit = policyCache.clear()
 
+  /** API-LEVEL authorization (the reference's `enforceAPI`,
+    * `authz/__init__.py:120-162`): before any query compiles or any
+    * scan runs, the CALL itself must be allowed — the user's policy for
+    * `objectType = "api"` is evaluated against the request object
+    * `{object__type: "api", route__path: <path>}` with the HTTP method
+    * as the action. This is a separate gate from row-level ABAC: a user
+    * can hold row grants yet be denied the API route, and vice versa
+    * (`search.py:1944-1951` returns 403 before building any query).
+    *
+    * `trustedCrossCall` mirrors the reference's lambda-cross-call
+    * bypass: an already-authenticated internal caller is auto-approved
+    * (`authz/__init__.py:124-133`). */
+  def enforceApi(constraints: DataFrame, user: UserContext, method: String,
+      routePath: String, trustedCrossCall: Boolean = false): Boolean =
+    trustedCrossCall || Abac.evaluate(
+      loadCached(constraints, user, method, "api"),
+      Map("object__type" -> "api", "route__path" -> routePath))
+
   /** One-call wiring: load the user's policy from the constraints table
     * and govern `path` with it (auto-injected row security for every
     * subsequent read of that table). */

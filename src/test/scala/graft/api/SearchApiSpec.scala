@@ -105,4 +105,73 @@ class SearchApiSpec extends SparkSpec {
     assert(SearchApi.search(assetDocs,
       SearchRequest(from = 8000, size = 2000)).total() >= 0)
   }
+
+  // ── API-level authorization (enforceAPI twin) ──────────────────────
+
+  private val constraintCols = Seq("constraintId", "objectType",
+    "criteriaAnd", "criteriaOr", "criteria", "groupPermissions",
+    "userPermissions")
+
+  // one constraints table drives BOTH gates: POST on /search* routes for
+  // the searchers group, plus a db1-only row grant for the same group
+  private lazy val constraints = Seq(
+    ("api1#group#searchers", "api",
+      """[{"field":"route__path","operator":"starts_with","value":"/search"}]""",
+      null: String, null: String,
+      """[{"groupId":"searchers","permission":"POST","permissionType":"allow"}]""",
+      """[]"""),
+    ("api2#group#searchers", "api",
+      """[{"field":"route__path","operator":"equals","value":"/search/forbidden"}]""",
+      null: String, null: String,
+      """[{"groupId":"searchers","permission":"POST","permissionType":"deny"}]""",
+      """[]"""),
+    ("row1#group#searchers", "asset",
+      """[{"field":"databaseId","operator":"equals","value":"db1"}]""",
+      null: String, null: String,
+      """[{"groupId":"searchers","permission":"GET","permissionType":"allow"}]""",
+      """[]"""))
+    .toDF(constraintCols: _*)
+
+  private def caller(userId: String, roles: Set[String] = Set("searchers")) =
+    SearchApi.Caller(
+      graft.authz.PolicyLoader.UserContext(userId, roles), constraints)
+
+  test("searchEnforced denies an unauthorized operation before any query compiles") {
+    graft.authz.PolicyLoader.invalidateCache()
+    // wrong method on an allowed route
+    val e1 = intercept[SearchApi.AccessDeniedException] {
+      SearchApi.searchEnforced(assetDocs, SearchRequest(),
+        caller("u-api-1"), method = "DELETE")
+    }
+    assert(e1.getMessage.contains("DELETE"))
+    // unknown route for a user with no matching api rule
+    intercept[SearchApi.AccessDeniedException] {
+      SearchApi.searchEnforced(assetDocs, SearchRequest(),
+        caller("u-api-2", roles = Set("strangers")), routePath = "/search")
+    }
+    // deny overrides the prefix allow on the specific route
+    intercept[SearchApi.AccessDeniedException] {
+      SearchApi.searchEnforced(assetDocs, SearchRequest(),
+        caller("u-api-3"), routePath = "/search/forbidden")
+    }
+  }
+
+  test("searchEnforced: allowed call applies the caller's row policy from the same table") {
+    graft.authz.PolicyLoader.invalidateCache()
+    val res = SearchApi.searchEnforced(assetDocs, SearchRequest(),
+      caller("u-api-4"))
+    // the asset-object row grant (db1 only) reached the scan predicate
+    assert(res.hits.select("str_databaseid").as[String].collect().toSet ==
+      Set("db1"))
+  }
+
+  test("searchEnforced: trusted cross-call bypasses the API gate, not the row gate") {
+    graft.authz.PolicyLoader.invalidateCache()
+    val c = caller("u-api-5").copy(trustedCrossCall = true)
+    // route that would be denied — cross-call is auto-approved
+    val res = SearchApi.searchEnforced(assetDocs, SearchRequest(),
+      c, routePath = "/search/forbidden")
+    assert(res.hits.select("str_databaseid").as[String].collect().toSet ==
+      Set("db1")) // row policy still enforced
+  }
 }
