@@ -328,18 +328,47 @@ object CurationQueries {
     // ── The sketch path for the same profile: approx_percentile
     //    (Greenwald-Khanna) keeps bounded state per group regardless of
     //    group size — the variant that survives percentiles OVER a
-    //    column with billions of values per group. No SQL oracle
-    //    (sketch internals are engine-side); the spec bounds its error
-    //    against the exact percentiles.
-    QueryDef.rowsOnly("llm_profile_tokens_approx")(
+    //    column with billions of values per group. The sketch's answer
+    //    is engine-specific (discrete rank rules differ), so the query
+    //    is SELF-CHECKING instead of rows-only: each approximate
+    //    percentile must land on an order statistic within ±1 rank of
+    //    its target — checked against the group's sorted values, which
+    //    exist ONLY as the in-harness oracle (the sketch alone is the
+    //    scale path). The oracle recomputes n_docs and expects
+    //    sketch_ok = TRUE; GK is deterministic for a given input, so
+    //    the gate is stable, and the tighter error bound stays in the
+    //    spec suite.
+    sql("llm_profile_tokens_approx",
+      """WITH f AS (
+        |  SELECT source,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |              END AS nt
+        |  FROM documents
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       TRUE AS sketch_ok
+        |FROM f GROUP BY source ORDER BY source""")(
       (s, d) => {
         val f = t(s, d, "documents")
           .select(col("source"), nTokens(col("text")).as("nt"))
+        val n = size(col("vs"))
+        def okAt(a: Column, p: Double): Column = {
+          val r = least(greatest(ceil(lit(p) * n).cast("int"), lit(1)), n)
+          (a === element_at(col("vs"), r)) ||
+            (a === element_at(col("vs"), greatest(r - 1, lit(1)))) ||
+            (a === element_at(col("vs"), least(r + 1, n)))
+        }
         f.groupBy("source").agg(
             count(lit(1)).as("n_docs"),
-            approx_percentile(col("nt"), lit(0.5), lit(10000)).as("p50"),
-            approx_percentile(col("nt"), lit(0.9), lit(10000)).as("p90"),
-            approx_percentile(col("nt"), lit(0.99), lit(10000)).as("p99"))
+            approx_percentile(col("nt"), lit(0.5), lit(10000)).as("a50"),
+            approx_percentile(col("nt"), lit(0.9), lit(10000)).as("a90"),
+            approx_percentile(col("nt"), lit(0.99), lit(10000)).as("a99"),
+            sort_array(collect_list(col("nt"))).as("vs"))
+          .withColumn("sketch_ok",
+            okAt(col("a50"), 0.5) && okAt(col("a90"), 0.9) &&
+              okAt(col("a99"), 0.99))
+          .select(col("source"), col("n_docs"), col("sketch_ok"))
           .orderBy("source")
       }),
 
@@ -481,18 +510,38 @@ object CurationQueries {
     // ── The HLL scale path for the vocabulary profile: sketch state is
     //    constant per group where the exact expand-distinct holds every
     //    distinct gram hash in the aggregation — the variant that
-    //    survives a source with billions of distinct grams. No SQL
-    //    oracle (sketch internals are engine-side); the spec bounds the
-    //    relative error against the exact profile.
-    QueryDef.rowsOnly("llm_profile_vocab_approx")(
+    //    survives a source with billions of distinct grams. SELF-
+    //    CHECKING like the other sketch twins: exact distinct counts
+    //    ride along as the in-harness oracle and the emitted `docs_ok` /
+    //    `grams_ok` flags assert the estimates within 3σ of rsd=0.02;
+    //    the oracle recomputes n_postings exactly and expects TRUE/TRUE
+    //    (HLL++ is deterministic per input — a stable gate, with the
+    //    tight error bound in the spec suite).
+    sql("llm_profile_vocab_approx",
+      s"""WITH ${LlmQueries.ShingleCtes}, ghd AS (
+        |  SELECT DISTINCT doc_id, g FROM gh
+        |)
+        |SELECT d.source,
+        |       CAST(count(*) AS BIGINT) AS n_postings,
+        |       TRUE AS docs_ok, TRUE AS grams_ok
+        |FROM ghd JOIN documents d ON d.doc_id = ghd.doc_id
+        |GROUP BY d.source ORDER BY d.source""")(
       (s, d) => {
         val rows = LlmQueries.gramSetRows(s, d)
         val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+        def within3Sigma(est: Column, exact: Column): Column =
+          abs(est - exact).cast("double") <=
+            greatest(lit(3.0), lit(0.06) * exact)
         rows.join(src, "doc_id")
           .groupBy("source").agg(
-            approx_count_distinct(col("doc_id"), 0.02).as("n_docs"),
+            approx_count_distinct(col("doc_id"), 0.02).as("est_docs"),
+            countDistinct(col("doc_id")).as("x_docs"),
             count(lit(1)).as("n_postings"),
-            approx_count_distinct(col("g"), 0.02).as("n_grams"))
+            approx_count_distinct(col("g"), 0.02).as("est_grams"),
+            countDistinct(col("g")).as("x_grams"))
+          .select(col("source"), col("n_postings"),
+            within3Sigma(col("est_docs"), col("x_docs")).as("docs_ok"),
+            within3Sigma(col("est_grams"), col("x_grams")).as("grams_ok"))
           .orderBy("source")
       }),
 

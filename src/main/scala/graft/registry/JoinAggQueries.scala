@@ -74,15 +74,30 @@ object JoinAggQueries {
     // ── A1 at scale: sketch-based distinct counts (SURVEY §7.5.7 —
     //    "facets via sketches when buckets explode"). HyperLogLog++
     //    partial-aggregates map-side to a fixed-size sketch per bucket,
-    //    so a facet over billions of rows shuffles KBs. No SQL oracle
-    //    (sketch internals are engine-specific); the spec bounds the
-    //    error against the exact count.
-    QueryDef.rowsOnly("a1_facets_sketch")(
+    //    so a facet over billions of rows shuffles KBs. The sketch
+    //    internals are engine-specific, so the estimate itself cannot be
+    //    a hash-compared column — instead the query is SELF-CHECKING:
+    //    it computes the exact count alongside the sketch and emits
+    //    `sketch_ok` = |estimate − exact| within 3σ of the configured
+    //    rsd. The oracle recomputes the exact count and expects TRUE, so
+    //    a drifting sketch fails the hash gate machine-checked (HLL is
+    //    deterministic for a given input, so this is a stable contract,
+    //    not a flaky bound). The exact twin rides along only as the
+    //    check harness; the sketch alone is the scale path.
+    sql("a1_facets_sketch",
+      """SELECT o_orderpriority AS facet_value,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |       TRUE AS sketch_ok
+        |FROM orders GROUP BY 1 ORDER BY facet_value""")(
       (s, d) => t(s, d, "orders")
         .groupBy(col("o_orderpriority").as("facet_value"))
-        .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02)
-          .as("approx_customers"))
-        .orderBy(col("approx_customers").desc, col("facet_value"))),
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          approx_count_distinct(col("o_custkey"), rsd = 0.02).as("est"))
+        .withColumn("sketch_ok",
+          abs(col("est") - col("n_customers")).cast("double") <=
+            greatest(lit(3.0), lit(0.06) * col("n_customers")))
+        .select("facet_value", "n_customers", "sketch_ok")
+        .orderBy("facet_value")),
 
     // ── A3+A5: aggregation totals / count endpoints (search.py:1750-1762,
     //    assetCount.py).
