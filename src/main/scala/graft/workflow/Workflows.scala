@@ -42,18 +42,34 @@ object Workflows {
       workflowId: String, executionStatus: String,
       startedAtMs: Long, stoppedAtMs: Long, failedPipeline: String)
 
-  /** DRIVER-LOCAL orchestrator state, by design: workflow/pipeline
-    * definitions and execution records are control-plane metadata (the
-    * reference keeps them in admin-sized DynamoDB tables), mutated only
-    * by the single orchestrating driver. Data-plane state never lives
-    * here — executions materialize to DataFrames ([[executionsDf]]) for
-    * the J9/W3 query surfaces, and a multi-driver deployment would back
-    * this class with the table itself. */
-  final class Registry {
+  /** Orchestrator state. Definitions (pipelines/workflows) are CODE and
+    * re-register on start, like the reference's deployed lambdas; the
+    * RUNTIME state — execution records and pending callback tokens — is
+    * what must survive a driver restart (the reference persists both:
+    * executions in DynamoDB, suspended state as Step Functions task
+    * tokens, `stepfunctions_builder.py:316-513`).
+    *
+    * Pass `durableDir` to back that runtime state with storage:
+    *  - every [[ExecutionRecord]] transition appends to
+    *    `<dir>/executions` (tiny control-plane parquet; last state wins
+    *    by record sequence on read);
+    *  - a suspended execution persists its intermediate FRAME to
+    *    `<dir>/pending/<executionId>/data` and a JSON descriptor
+    *    (workflow, remaining stages, identity) beside it — the task
+    *    token is re-deliverable after a restart via [[Workflows.recover]];
+    *  - tokens stay single-use: the descriptor is removed when the
+    *    resumed execution records its final state, so a crash MID-resume
+    *    leaves the token deliverable again (at-least-once, the Step
+    *    Functions contract), while a completed one cannot be replayed.
+    * Without `durableDir` the registry is driver-local (tests, ad-hoc
+    * sessions) with identical semantics minus restart survival. */
+  final class Registry(
+      durableDir: Option[(SparkSession, String)] = None) {
     private val pipelines = mutable.LinkedHashMap[String, Pipeline]()
     private val workflows = mutable.LinkedHashMap[String, Workflow]()
     private val executions = mutable.ArrayBuffer[ExecutionRecord]()
     private var seq = 0
+    private var recSeq = 0L
 
     def registerPipeline(p: Pipeline): Unit = pipelines(p.pipelineId) = p
     def registerWorkflow(w: Workflow): Unit = {
@@ -66,11 +82,108 @@ object Workflows {
 
     /** W6 — suspended execution awaiting its callback token: the
       * pending-callback state table (the Step-Functions task-token
-      * equivalent, stepfunctions_builder.py:316-513). */
+      * equivalent, stepfunctions_builder.py:316-513). `current` is a
+      * thunk: in-memory mode it closes over the live frame; in durable
+      * mode (and after recovery) it reads the persisted intermediate. */
     private final case class PendingCallback(
         databaseId: String, assetId: String, workflowId: String,
-        remaining: Seq[String], current: DataFrame, startedAtMs: Long)
+        remaining: Seq[String], current: () => DataFrame, startedAtMs: Long)
     private val pending = mutable.LinkedHashMap[String, PendingCallback]()
+
+    // ── durable-state plumbing ─────────────────────────────────────────
+    private def fsAnd(path: String) = durableDir.map { case (s, _) =>
+      val p = new org.apache.hadoop.fs.Path(path)
+      (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+    }
+    private def execLogDir = durableDir.map(_._2 + "/executions")
+    private def pendingDir(execId: String) =
+      durableDir.map(_._2 + s"/pending/$execId")
+
+    private[workflow] def persistPending(execId: String,
+        p: PendingCallback): Unit = pendingDir(execId).foreach { dir =>
+      val (spark, _) = durableDir.get
+      // versioned data dir: a resume that suspends AGAIN writes its new
+      // intermediate while the old one is still the read source of the
+      // running plan — never overwrite in place
+      val dataPath = s"$dir/data-${java.util.UUID.randomUUID().toString.take(8)}"
+      p.current().write.mode("overwrite").parquet(dataPath)
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val desc = JsonMethods.compact(JsonMethods.render(JObject(
+        "databaseId" -> JString(p.databaseId),
+        "assetId" -> JString(p.assetId),
+        "workflowId" -> JString(p.workflowId),
+        "remaining" -> JArray(p.remaining.map(JString(_)).toList),
+        "startedAtMs" -> JLong(p.startedAtMs),
+        "dataPath" -> JString(dataPath))))
+      val (fs, d) = fsAnd(dir).get
+      val out = fs.create(new org.apache.hadoop.fs.Path(d, "descriptor.json"), true)
+      try out.write(desc.getBytes("UTF-8")) finally out.close()
+      // thunk now reads the persisted copy — restart-equivalent even in
+      // the same process
+      pending(execId) = p.copy(current = () => spark.read.parquet(dataPath))
+    }
+
+    private def dropPending(execId: String): Unit = {
+      pendingDir(execId).foreach { dir =>
+        fsAnd(dir).foreach { case (fs, d) => fs.delete(d, true) }
+      }
+    }
+
+    /** Re-hydrate runtime state from `durableDir` (crash/restart path):
+      * executions reload from the log, pending tokens from their
+      * descriptors; `seq` resumes past every recovered execution id.
+      * Pipelines/workflows must be re-registered by the caller first —
+      * they are code, not state. */
+    private[workflow] def rehydrate(): Unit = durableDir.foreach { case (spark, dir) =>
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val (fs, root) = fsAnd(dir).get
+      execLogDir.filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+        .foreach { d =>
+          import spark.implicits._
+          val rows = spark.read.parquet(d)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("executionId")).orderBy(col("recSeq").desc)
+          val latest = rows.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn", "recSeq")
+            .as[ExecutionRecord].collect()
+          executions.clear()
+          executions ++= latest.sortBy(_.startedAtMs)
+          recSeq = Option(rows.agg(max("recSeq")).head().get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
+          seq = executions.map(_.executionId)
+            .collect { case s if s.startsWith("exec-") =>
+              Try(s.stripPrefix("exec-").toInt).getOrElse(0) }
+            .foldLeft(0)(math.max)
+        }
+      val pendRoot = new org.apache.hadoop.fs.Path(root, "pending")
+      if (fs.exists(pendRoot)) fs.listStatus(pendRoot).filter(_.isDirectory)
+        .foreach { st =>
+          val execId = st.getPath.getName
+          val descPath = new org.apache.hadoop.fs.Path(st.getPath, "descriptor.json")
+          if (fs.exists(descPath)) {
+            val in = fs.open(descPath)
+            val j = try JsonMethods.parse(
+              new java.io.InputStreamReader(in, "UTF-8")) finally in.close()
+            val remaining = (j \ "remaining") match {
+              case JArray(items) => items.collect { case JString(s) => s }
+              case _ => Nil
+            }
+            val dataDir = (j \ "dataPath").values.toString
+            pending(execId) = PendingCallback(
+              (j \ "databaseId").values.toString,
+              (j \ "assetId").values.toString,
+              (j \ "workflowId").values.toString,
+              remaining,
+              () => spark.read.parquet(dataDir),
+              (j \ "startedAtMs").values.toString.toLong)
+          }
+        }
+    }
+
+    /** Pending callback tokens (execution ids awaiting delivery). */
+    def pendingCallbacks: Seq[String] = pending.keys.toSeq
 
     /** W3/W4 — run a workflow over an input frame (the reference passes
       * the asset + file + simplified metadata KV; here the input frame
@@ -109,11 +222,23 @@ object Workflows {
         }.getOrElse("")
         record(executionId, p.databaseId, p.assetId, p.workflowId, "FAILED",
           p.startedAtMs, failedPipeline)
+        dropPending(executionId)
         Failure(new RuntimeException(
           s"callback failure for $executionId: $reason"))
       } else {
-        val (_, r) = runStages(executionId, p.databaseId, p.assetId,
-          p.workflowId, p.remaining, p.current, p.startedAtMs)
+        val (_, r0) = runStages(executionId, p.databaseId, p.assetId,
+          p.workflowId, p.remaining, p.current(), p.startedAtMs)
+        // single-use: the durable token goes away only once the resumed
+        // run recorded its outcome (a crash mid-resume keeps it
+        // deliverable — at-least-once, as with SFN task tokens); if the
+        // resume SUSPENDED again (another waitForCallback stage), the
+        // fresh descriptor was just written and must survive. Before the
+        // persisted intermediate is deleted, the result is materialized
+        // (eager localCheckpoint) so the frame handed to the caller does
+        // not dangle on removed files.
+        val r = if (durableDir.isDefined && !pending.contains(executionId))
+          r0.map(_.localCheckpoint()) else r0
+        if (!pending.contains(executionId)) dropPending(executionId)
         r
       }
     }
@@ -132,8 +257,11 @@ object Workflows {
           current = pipelines(pid).transform(current)
           idx += 1
           if (pipelines(pid).waitForCallback) {
-            pending(execId) = PendingCallback(databaseId, assetId, workflowId,
-              stages.drop(idx), current, startedAtMs)
+            val frame = current
+            val pc = PendingCallback(databaseId, assetId, workflowId,
+              stages.drop(idx), () => frame, startedAtMs)
+            pending(execId) = pc
+            persistPending(execId, pc) // durable mode: frame + descriptor
             record(execId, databaseId, assetId, workflowId,
               "PENDING_CALLBACK", startedAtMs, pid)
             return (execId, Success(current))
@@ -154,8 +282,18 @@ object Workflows {
         workflowId: String, status: String, startedAtMs: Long,
         failedPipeline: String): Unit = {
       executions.filterInPlace(_.executionId != execId)
-      executions += ExecutionRecord(databaseId, assetId, execId, workflowId,
+      val rec = ExecutionRecord(databaseId, assetId, execId, workflowId,
         status, startedAtMs, System.currentTimeMillis(), failedPipeline)
+      executions += rec
+      // durable mode: append the transition to the log (control-plane
+      // sized — one tiny file per state change; last recSeq wins on read)
+      execLogDir.foreach { d =>
+        val (spark, _) = durableDir.get
+        import spark.implicits._
+        recSeq += 1
+        Seq(rec).toDF().withColumn("recSeq", lit(recSeq))
+          .coalesce(1).write.mode("append").parquet(d)
+      }
     }
 
     /** J9 — execution listing as a DataFrame. */
@@ -163,6 +301,21 @@ object Workflows {
       import spark.implicits._
       executions.toSeq.toDF()
     }
+  }
+
+  /** Rebuild a durable [[Registry]] after a driver restart: re-register
+    * the (code-defined) pipelines and workflows, then re-hydrate
+    * executions and pending callback tokens from `stateDir`. A
+    * `waitForCallback` pipeline suspended before the crash can have its
+    * token delivered on the recovered registry and resumes from the
+    * persisted intermediate frame. */
+  def recover(spark: SparkSession, stateDir: String,
+      pipelines: Seq[Pipeline], workflows: Seq[Workflow]): Registry = {
+    val r = new Registry(Some((spark, stateDir)))
+    pipelines.foreach(r.registerPipeline)
+    workflows.foreach(r.registerWorkflow)
+    r.rehydrate()
+    r
   }
 
   /** W5 — sidecar metadata ingestion: parse `_metadata.json`-style columns

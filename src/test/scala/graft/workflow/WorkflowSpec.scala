@@ -79,6 +79,45 @@ class WorkflowSpec extends SparkSpec {
     assert(rec.getAs[String]("executionStatus") == "FAILED")
   }
 
+  test("durable registry: restart mid-callback recovers tokens and resumes (W6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wfstate").toString
+    def pipes = Seq(
+      Pipeline("double", df => df.withColumn("v", col("v") * 2)),
+      Pipeline("callout", df => df.withColumn("v", col("v") * 10),
+        executionType = "SQS", waitForCallback = true),
+      Pipeline("inc", df => df.withColumn("v", col("v") + 1)))
+    val wf = Workflow("wfd", Seq("double", "callout", "inc"))
+    val r1 = new Registry(Some((spark, dir)))
+    pipes.foreach(r1.registerPipeline)
+    r1.registerWorkflow(wf)
+    val (execId, partial) = r1.execute("wfd", "db1", "a1", Seq(1, 2).toDF("v"))
+    assert(partial.isSuccess && r1.pendingCallbacks == Seq(execId))
+
+    // "driver restart": a FRESH registry re-hydrated from the state dir
+    // (r1 is abandoned — nothing in memory carries over)
+    val r2 = Workflows.recover(spark, dir, pipes, Seq(wf))
+    assert(r2.pendingCallbacks == Seq(execId))
+    assert(r2.executionTable(spark).filter(col("executionId") === execId)
+      .head().getAs[String]("executionStatus") == "PENDING_CALLBACK")
+    // the resumed run continues from the PERSISTED intermediate frame
+    val resumed = r2.deliverCallback(execId)
+    assert(resumed.get.select("v").as[Int].collect().sorted.toSeq == Seq(21, 41))
+    assert(r2.executionTable(spark).filter(col("executionId") === execId)
+      .head().getAs[String]("executionStatus") == "SUCCEEDED")
+    // single-use token — on the recovered registry too
+    intercept[IllegalArgumentException] { r2.deliverCallback(execId) }
+
+    // a third recovery sees the terminal state, no pending token, and
+    // continues the execution-id sequence without collision
+    val r3 = Workflows.recover(spark, dir, pipes, Seq(wf))
+    assert(r3.pendingCallbacks.isEmpty)
+    assert(r3.executionTable(spark).filter(col("executionId") === execId)
+      .head().getAs[String]("executionStatus") == "SUCCEEDED")
+    val (execId2, _) = r3.execute("wfd", "db1", "a2", Seq(3).toDF("v"))
+    assert(execId2 != execId)
+    assert(r3.executionTable(spark).select("executionId").distinct().count() == 2)
+  }
+
   test("sidecar ingestion expands JSON to typed metadata rows (W5)") {
     val sidecars = Seq(
       ("db1", "a1", "/out.gltf", """{"polyCount":"1200","author":"alice"}"""))
