@@ -51,12 +51,79 @@ object TextIndex {
     java.lang.management.ManagementFactory.getRuntimeMXBean.getName
       .replaceAll("[^A-Za-z0-9]", "-")
 
-  /** Drop the cached postings for a table (call after rewriting it —
-    * the side table is maintained incrementally by the writer in
-    * production; in-session it is built once per (path, column) and
-    * does NOT observe later writes to the table). */
+  /** Drop the cached postings for a table — the full-rebuild fallback.
+    * Writers that know WHICH files changed should use [[addFiles]] /
+    * [[removeFiles]] instead: they update the side table incrementally,
+    * so the next search pays a lookup join, not a corpus rebuild. */
   def invalidate(path: String, textCol: String): Unit =
     cache.remove(s"$path:$textCol")
+
+  /** Pin the postings side table of (path, textCol) to a MANAGED
+    * location (the production shape: the table's writer owns both the
+    * data files and the postings dir, and maintains the latter with
+    * [[addFiles]]/[[removeFiles]] as it writes). Existing postings at
+    * `location` are adopted as-is — a restarted driver re-attaches
+    * without rebuilding; an empty location builds once. */
+  def manage(spark: SparkSession, path: String, textCol: String,
+      location: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(location)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath) || !fs.listStatus(hPath)
+        .exists(_.getPath.getName.endsWith(".parquet")))
+      buildTo(spark, path, textCol, location)
+    cache.put(s"$path:$textCol", location)
+  }
+
+  /** Incremental APPEND: index `newFiles` (paths of data files just
+    * added to the table) into the existing postings side table — one
+    * narrow pass over the new files only, appended to the postings
+    * parquet. Duplicate delivery is harmless: the candidate check
+    * counts DISTINCT trigrams per file. No-op (beyond a build) if the
+    * postings don't exist yet — the build indexes everything anyway. */
+  def addFiles(spark: SparkSession, path: String, textCol: String,
+      newFiles: Seq[String]): Unit = {
+    val key = s"$path:$textCol"
+    val loc = cache.get(key)
+    if (loc == null) { postings(spark, path, textCol); return }
+    if (newFiles.isEmpty) return
+    spark.read.schema(spark.read.parquet(path).schema)
+      .parquet(newFiles: _*)
+      .select(input_file_name().as("file"), trigrams(col(textCol)).as("ts"))
+      .select(col("file"), explode(col("ts")).as("tri"))
+      .distinct()
+      .write.mode("append").parquet(loc)
+  }
+
+  /** Incremental DELETE: drop the postings of removed data files. The
+    * postings parquet is immutable, so this is a filter-rewrite into a
+    * fresh versioned dir + an atomic (in-JVM) location swap; the old
+    * dir is removed afterwards. Searches remain CORRECT even before
+    * this runs — [[candidateFiles]] intersects with the table's live
+    * file listing, so a stale posting row can never resurrect a deleted
+    * file into a scan; removal is hygiene that keeps the side table
+    * proportional to the live corpus. (Multi-writer postings would sit
+    * on a [[graft.sources.TxLog]] table instead of a swap.) */
+  def removeFiles(spark: SparkSession, path: String, textCol: String,
+      removed: Seq[String]): Unit = {
+    val key = s"$path:$textCol"
+    val loc = cache.get(key)
+    if (loc == null || removed.isEmpty) return
+    val next = s"$loc-v${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.read.parquet(loc)
+      .filter(!col("file").isin(removed: _*))
+      .write.mode("overwrite").parquet(next)
+    cache.put(key, next)
+    val old = new org.apache.hadoop.fs.Path(loc)
+    old.getFileSystem(spark.sessionState.newHadoopConf()).delete(old, true)
+  }
+
+  private def buildTo(spark: SparkSession, path: String, textCol: String,
+      out: String): Unit =
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"), trigrams(col(textCol)).as("ts"))
+      .select(col("file"), explode(col("ts")).as("tri"))
+      .distinct()
+      .write.mode("overwrite").parquet(out)
 
   /** Distinct lowercase trigrams of a string column. Strings shorter
     * than 3 chars yield an empty array (a naive sequence(1, n-2) would
@@ -80,11 +147,7 @@ object TextIndex {
       val out = new java.io.File(
         System.getProperty("java.io.tmpdir"),
         s"graft-triidx-$digest-$processScope").getPath
-      spark.read.parquet(path)
-        .select(input_file_name().as("file"), trigrams(col(textCol)).as("ts"))
-        .select(col("file"), explode(col("ts")).as("tri"))
-        .distinct()
-        .write.mode("overwrite").parquet(out)
+      buildTo(spark, path, textCol, out)
       out
     })
     spark.read.parquet(loc)
@@ -106,13 +169,20 @@ object TextIndex {
       pattern: String): Option[Array[String]] = {
     val required = requiredTrigrams(pattern)
     if (required.isEmpty) None
-    else Some(postings(spark, path, textCol)
-      .filter(col("tri").isin(required.toSeq: _*))
-      .groupBy("file")
-      .agg(countDistinct(col("tri")).as("hits"))
-      .filter(col("hits") === required.size)
-      .select("file")
-      .collect().map(_.getString(0)))
+    else {
+      val fromIndex = postings(spark, path, textCol)
+        .filter(col("tri").isin(required.toSeq: _*))
+        .groupBy("file")
+        .agg(countDistinct(col("tri")).as("hits"))
+        .filter(col("hits") === required.size)
+        .select("file")
+        .collect().map(_.getString(0))
+      // intersect with the table's LIVE listing: postings of a deleted
+      // file (not yet cleaned by removeFiles) must never steer the scan
+      // onto a missing path — staleness degrades to hygiene, not errors
+      val live = spark.read.parquet(path).inputFiles.toSet
+      Some(fromIndex.filter(live))
+    }
   }
 
   /** Substring/wildcard search over `textCol` of the parquet table at

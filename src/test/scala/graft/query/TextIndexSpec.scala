@@ -81,6 +81,64 @@ class TextIndexSpec extends SparkSpec {
     assert(tris == Set("abc", "bcd"), tris.toString)
   }
 
+  test("incremental maintenance: append indexes only the new file; delete swaps without rebuild") {
+    import spark.implicits._
+    val tdir = java.nio.file.Files.createTempDirectory("graft-tinc").toString
+    val pdir = java.nio.file.Files.createTempDirectory("graft-tinc-idx").toString
+    Seq((1L, "alpha bravo charlie"), (2L, "delta echo foxtrot"))
+      .toDF("id", "text").repartition(2)
+      .write.mode("overwrite").parquet(tdir)
+    // managed location: the writer owns the postings dir
+    TextIndex.manage(spark, tdir, "text", pdir)
+    def idxFiles() = new java.io.File(pdir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length).toMap
+    val builtFiles = idxFiles()
+    assert(builtFiles.nonEmpty)
+    def hits(p: String) = TextIndex.prunedSearch(spark, tdir, "text", p)
+      .select("id").as[Long].collect().toSet
+
+    // a new data file arrives; the stale index cannot see it yet
+    val before = new java.io.File(tdir).listFiles().map(_.getName).toSet
+    Seq((3L, "golf hotel zebrafish")).toDF("id", "text").coalesce(1)
+      .write.mode("append").parquet(tdir)
+    val appended = new java.io.File(tdir).listFiles().map(_.getName).toSet
+      .diff(before).filter(_.endsWith(".parquet"))
+      .map(n => s"$tdir/$n").toSeq
+    assert(appended.size == 1)
+    assert(hits("zebrafish").isEmpty, "stale index should miss the new file")
+
+    // incremental append: only the new file is indexed, old postings
+    // files are untouched (no rebuild)
+    TextIndex.addFiles(spark, tdir, "text", appended)
+    assert(hits("zebrafish") == Set(3L))
+    val afterAdd = idxFiles()
+    assert(builtFiles.toSet.subsetOf(afterAdd.toSet),
+      "append rewrote the existing postings")
+    assert(afterAdd.size > builtFiles.size)
+
+    // duplicate delivery is harmless
+    TextIndex.addFiles(spark, tdir, "text", appended)
+    assert(hits("zebrafish") == Set(3L))
+
+    // delete the file from the table; candidate intersection keeps the
+    // search correct even BEFORE the postings are cleaned...
+    appended.foreach(f => new java.io.File(f).delete())
+    val crcs = appended.map(f => new java.io.File(
+      new java.io.File(f).getParent, "." + new java.io.File(f).getName + ".crc"))
+    crcs.foreach(c => if (c.exists()) c.delete())
+    assert(hits("zebrafish").isEmpty)
+    // ...and removeFiles is the hygiene pass that drops the stale rows
+    val liveUri = spark.read.parquet(tdir).inputFiles.toSet
+    val stale = TextIndex.postings(spark, tdir, "text")
+      .select("file").distinct().as[String].collect().filterNot(liveUri)
+    assert(stale.nonEmpty)
+    TextIndex.removeFiles(spark, tdir, "text", stale.toSeq)
+    val remaining = TextIndex.postings(spark, tdir, "text")
+      .select("file").distinct().as[String].collect().toSet
+    assert(remaining.subsetOf(liveUri))
+    assert(hits("alpha") == Set(1L)) // searches still work after the swap
+  }
+
   test("requiredTrigrams: segments under 3 chars contribute nothing") {
     assert(TextIndex.requiredTrigrams("ab*cd") == Set.empty[String])
     assert(TextIndex.requiredTrigrams("*scan?batch*") ==
