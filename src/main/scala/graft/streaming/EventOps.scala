@@ -99,6 +99,40 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
 
+  // ── Watermarked streaming entry points (ST5) ─────────────────────────
+  //
+  // The late-row POLICY is part of the operator surface, not a spec-only
+  // convention: in Append mode a window emits exactly once, when the
+  // event-time watermark (max event time seen − `delay`) passes its end,
+  // and a row older than the watermark is DROPPED — it can never re-open
+  // an emitted window. This is the bounded-state dual of the reference's
+  // last-writer-wins re-read (SURVEY ST5): the indexer can always re-read
+  // current truth because its state IS the table; a windowed stream's
+  // state would grow forever without an expiry line, and the watermark is
+  // that line. Choose `delay` = the delivery tail you must absorb; rows
+  // later than that are late by CONTRACT, observable (and tested) via the
+  // dropped-row behavior below.
+
+  /** [[tumbling]] over a streaming frame with a `delay` watermark. */
+  def tumblingStream(stream: DataFrame, tsCol: String, delay: String,
+      duration: String, keys: Column*): DataFrame =
+    tumbling(stream.withWatermark(tsCol, delay), col(tsCol), duration, keys: _*)
+
+  /** [[sliding]] over a streaming frame with a `delay` watermark. */
+  def slidingStream(stream: DataFrame, tsCol: String, delay: String,
+      duration: String, slide: String, keys: Column*): DataFrame =
+    sliding(stream.withWatermark(tsCol, delay), col(tsCol), duration, slide,
+      keys: _*)
+
+  /** [[sessionAgg]] over a streaming frame with a `delay` watermark:
+    * sessions merge while open, emit once the watermark passes
+    * `last event + gap`, and their state expires — the canonical
+    * unbounded-stream sessionization. Late rows drop rather than
+    * re-opening a closed session. */
+  def sessionAggStream(stream: DataFrame, tsCol: String, delay: String,
+      key: Column, gap: String): DataFrame =
+    sessionAgg(stream.withWatermark(tsCol, delay), key, col(tsCol), gap)
+
   /** ST3 — idempotent last-writer-wins upsert compaction: latest record
     * per key (the batch equivalent of the `MERGE` the streaming
     * foreachBatch applies; deterministic tiebreak). */

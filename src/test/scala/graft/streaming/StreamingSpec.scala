@@ -73,6 +73,74 @@ class StreamingSpec extends SparkSpec {
     assert(rows.get("01:00").contains(3L), rows.toString)
   }
 
+  test("watermarked session windows: merge while open, emit on close, drop late (MemoryStream)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+    val agg = EventOps.sessionAggStream(events, "ts", "10 minutes",
+      col("user_id"), "30 minutes")
+      .select(col("user_id"),
+        date_format(col("sw.start"), "HH:mm").as("ss"), col("n_events"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_wm").start()
+    try {
+      // one session for user 1: two events 10 min apart (same 30-min gap
+      // session); nothing can emit yet — the session is open
+      mem.addData((1L, ts("2024-01-01 01:00:00"), 1.0),
+        (1L, ts("2024-01-01 01:10:00"), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_wm").count() == 0, "open session emitted early")
+      // an event far in the future closes it: watermark (max − 10 min)
+      // passes 01:40 = last + gap
+      mem.addData((2L, ts("2024-01-01 04:00:00"), 1.0))
+      q.processAllAvailable()
+      // a LATE event that would have extended the closed session (01:20,
+      // far behind the ~03:50 watermark) must be dropped, not merged and
+      // not re-emitted as its own session
+      mem.addData((1L, ts("2024-01-01 01:20:00"), 99.0))
+      q.processAllAvailable()
+      mem.addData((2L, ts("2024-01-01 06:00:00"), 1.0)) // flush batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val user1 = spark.table("sess_wm").filter(col("user_id") === 1)
+      .as[(Long, String, Long)].collect().toSeq
+    // exactly one closed session, with exactly the two ON-TIME events
+    assert(user1 == Seq((1L, "01:00", 2L)), user1.toString)
+  }
+
+  test("watermarked sliding windows drop late rows from every overlapping window") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+    val agg = EventOps.slidingStream(events, "ts", "10 minutes",
+      "1 hour", "30 minutes")
+      .select(date_format(col("window.start"), "HH:mm").as("ws"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("slide_wm").start()
+    try {
+      // 01:05 lands in sliding windows [00:30,01:30) and [01:00,02:00)
+      mem.addData((1L, ts("2024-01-01 01:05:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 05:00:00"), 1.0)) // advance watermark
+      q.processAllAvailable()
+      // late row for the same windows — dropped from BOTH
+      mem.addData((1L, ts("2024-01-01 01:06:00"), 99.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 08:00:00"), 1.0)) // flush
+      q.processAllAvailable()
+    } finally q.stop()
+    val byWindow = spark.table("slide_wm").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(byWindow.get("00:30").contains(1L), byWindow.toString)
+    assert(byWindow.get("01:00").contains(1L), byWindow.toString)
+  }
+
   test("built-in session_window aggregates match the window-function sessionization") {
     val gapMin = 30
     val ev = Tables.events(spark, sf())
