@@ -113,7 +113,9 @@ object Bench {
           case c if c < ' ' => f"\\u${c.toInt}%04x"
           case c => c.toString
         }
-        val json = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+        val json = SparkEntry.oracleSql
+          .filter { case (k, _) => only.isEmpty || only(k) }
+          .toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
           .mkString("{", ",", "}")
         java.nio.file.Files.write(tmp.resolve("oracle_sql.json"),

@@ -808,20 +808,31 @@ object CurationQueries {
         |QUALIFY rank <= 3
         |ORDER BY doc_id, rank""")(
       (s, d) => {
+        // single-file table ⇒ one input split: spread the tokenize work
+        // across the session width before the explode (same rationale as
+        // gramHashes); hashpartitioning(doc_id) then satisfies BOTH the
+        // (doc_id, term) grouping and the per-doc rank window, so the tf
+        // aggregation and the window pay no further exchange
+        val width = s.conf.get("spark.sql.shuffle.partitions").toInt
         val tk = t(s, d, "documents")
           .filter(length(trim(col("text"))) > 0)
           .select(col("doc_id"), Text.tokens(col("text")).as("t"))
-        val nDocs = tk.agg(count(lit(1)).as("n_docs"))
-        // tf feeds TWO plan branches (the df aggregation and the join
-        // probe) — Catalyst does not CSE plan subtrees, so without a
-        // persist the tokenize+explode+aggregate runs twice (measured
-        // 1.2 s vs 0.9 s at sf0.1). Eager count per the documented
-        // multi-consumer-cache race pitfall; MEMORY_AND_DISK default
-        // spills rather than OOMs at corpus scale.
+          .repartition(width, col("doc_id"))
+        // tf feeds THREE plan branches (n_docs, the df aggregation, the
+        // join probe) — Catalyst does not CSE plan subtrees, so without
+        // a persist the tokenize+explode+aggregate runs per branch
+        // (measured 1.2 s vs 0.9 s at sf0.1). The branches materialize
+        // SEQUENTIALLY (df must finish before its broadcast, before the
+        // probe), so lazy persist suffices — no eager count job.
+        // MEMORY_AND_DISK default spills rather than OOMs at corpus
+        // scale.
         val tf = tk.select(col("doc_id"), explode(col("t")).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
           .persist()
-        tf.count()
+        // a trimmed-nonempty text always splits to ≥1 token, so "docs
+        // with text" ≡ "docs with ≥1 tf row" — counted off the CACHE,
+        // never a second tokenize pass over the corpus
+        val nDocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
         // df is VOCABULARY-sized (distinct terms ≪ corpus rows) and is
         // re-attached to every (doc, term) row — broadcast it rather
         // than sort-merge-shuffling the tf side on the low-cardinality

@@ -60,7 +60,20 @@ object LlmQueries {
     * across the minhash/simhash/ngram queries (same logical plan →
     * same cache entry). */
   private def gramHashes(s: SparkSession, d: String): DataFrame = {
+    // The documents table is a single small parquet file at bench SFs —
+    // ONE input split — so without an explicit spread the whole
+    // tokenize→shingle→md5 pipeline (the dominant cost of the entire
+    // dedup/profile family) runs on one core while the oracle engine
+    // parallelizes. Hash-repartition on doc_id to session width BEFORE
+    // the heavy per-row work: the 600 KB text shuffle is noise, the
+    // downstream win is structural — every doc_id-keyed aggregation
+    // (docGramStats' fused pass, contamination's eval grouping) REUSES
+    // hashpartitioning(doc_id) and drops its own exchange. At 100 TB the
+    // table arrives in thousands of splits and the repartition is a
+    // cheap width normalizer.
+    val width = s.conf.get("spark.sql.shuffle.partitions").toInt
     val arrays = t(s, d, "documents")
+      .repartition(width, col("doc_id"))
       .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
       .select(col("doc_id"), Text.shingles(col("tk")).as("grams"))
       .persist()
