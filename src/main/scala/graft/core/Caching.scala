@@ -1,0 +1,82 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Idempotent persist/materialize helpers for shared derived frames.
+  *
+  * Registry helpers re-derive shared frames (gram caches, vocabulary
+  * tables, signature sets) on every call; `Dataset.storageLevel`
+  * consults the session CacheManager by CANONICALIZED plan, so a
+  * repeat derivation of an already-cached frame can skip both the
+  * persist call (which would only log an "already cached" warning)
+  * and — for the eagerly-materialized frames — the marker count job.
+  * Without the guard, a query that chains several shared helpers pays
+  * one cached-scan job per helper per call (~50 ms each on local[32]),
+  * which is pure overhead on every bench pass after the first
+  * consumer. After an external clearCache/unpersist the next call
+  * transparently re-persists (and re-counts).
+  */
+object Caching {
+  /** Persist lazily, once per cache generation. */
+  def persistOnce(df: DataFrame): DataFrame = {
+    if (df.storageLevel == StorageLevel.NONE) df.persist()
+    df
+  }
+
+  /** Persist AND materialize (count), once per cache generation — for
+    * frames whose consumers fan into multiple plan branches in the
+    * SAME job, where lazy materialization would recompute the subtree
+    * per branch (Catalyst does not CSE plan subtrees). */
+  def matOnce(df: DataFrame): DataFrame = {
+    if (df.storageLevel == StorageLevel.NONE) { df.persist(); df.count() }
+    df
+  }
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Memoize a derived frame's CONSTRUCTION per (session, key).
+    *
+    * Dataset construction is not free: every transformation runs the
+    * Analyzer over the whole subtree, so a helper that rebuilds a deep
+    * shared pipeline (e.g. a 64-slot signature aggregate) costs real
+    * driver time on every call — measured ~0.9 s per query invocation
+    * for the dedup family's chain, with execution fully cached. The
+    * memo returns the SAME analyzed Dataset object, and the
+    * [[persistOnce]] guard at the access point (not inside the build)
+    * keeps re-persist-after-clearCache working: `Dataset.storageLevel`
+    * consults the CacheManager live, so a cleared cache is re-marked
+    * on the next access and rebuilt by the next action.
+    *
+    * Entries hold analyzed plans only (no data; the data lives in the
+    * session cache) and are keyed by session — a long-lived service
+    * holds one entry per (helper, table dir). */
+  def memoDf(s: SparkSession, key: String, eager: Boolean = false)(
+      build: => DataFrame): DataFrame = {
+    val df = memo.computeIfAbsent((s, key), _ => build)
+    if (eager) matOnce(df) else persistOnce(df)
+  }
+
+  /** Memoize a derived frame whose RESULT (not just its construction)
+    * should be computed once per cache generation — e.g. an iterative
+    * fixpoint whose output lives in checkpoint blocks rather than the
+    * session cache, where [[memoDf]]'s storage-level guard cannot see a
+    * `clearCache`. Validity is tied to a tiny persisted MARKER frame:
+    * while the marker is live in the session cache the memoized result
+    * is returned as-is; once the cache is cleared the marker drops out,
+    * the entry is rebuilt, and the marker is re-persisted — so
+    * consumers inside one cache generation share one computation, and
+    * an explicit cache clear restores from-scratch semantics (the
+    * superseded result's blocks are released by the ContextCleaner
+    * when the old frame is dropped). */
+  def memoDfEpoch(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val marker = s.range(1).select(lit(key).as("memo_epoch_key"))
+    if (marker.storageLevel == StorageLevel.NONE) {
+      memo.remove((s, key))
+      marker.persist().count()
+    }
+    memo.computeIfAbsent((s, key), _ => build)
+  }
+}

@@ -571,7 +571,7 @@ object CurationQueries {
         |ORDER BY cluster_size""")(
       (s, d) => {
         val labels = LlmQueries
-          .componentLabels(s, LlmQueries.simhashPairs(s, d))
+          .simhashComponents(s, d)
         val hist = labels.groupBy("comp").agg(count(lit(1)).as("sz"))
           .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
         val nDocs = t(s, d, "documents").agg(count(lit(1)).as("nd"))
@@ -634,7 +634,7 @@ object CurationQueries {
         |FROM assigned ORDER BY doc_id""")(
       (s, d) => {
         val canon = LlmQueries
-          .componentLabels(s, LlmQueries.simhashPairs(s, d))
+          .simhashComponents(s, d)
           .select(col("node").as("doc_id"), col("comp"))
         val family = coalesce(col("comp"), col("doc_id"))
         val h = Text.hash60(family.cast("string"))
@@ -722,7 +722,7 @@ object CurationQueries {
         // near-dup canonicals: full-corpus simhash pair graph → min-label
         // components (tiny, localCheckpointed ⇒ broadcast-joined back)
         val canon = LlmQueries
-          .componentLabels(s, LlmQueries.simhashPairs(s, d))
+          .simhashComponents(s, d)
           .select(col("node").as("doc_id"), col("comp"))
         flagged
           .join(exactMin, Seq("doc_id"), "left")
@@ -813,22 +813,29 @@ object CurationQueries {
         // gramHashes); hashpartitioning(doc_id) then satisfies BOTH the
         // (doc_id, term) grouping and the per-doc rank window, so the tf
         // aggregation and the window pay no further exchange
-        val width = s.conf.get("spark.sql.shuffle.partitions").toInt
-        val tk = t(s, d, "documents")
-          .filter(length(trim(col("text"))) > 0)
-          .select(col("doc_id"), Text.tokens(col("text")).as("t"))
-          .repartition(width, col("doc_id"))
         // tf feeds THREE plan branches (n_docs, the df aggregation, the
         // join probe) — Catalyst does not CSE plan subtrees, so without
         // a persist the tokenize+explode+aggregate runs per branch
         // (measured 1.2 s vs 0.9 s at sf0.1). The branches materialize
         // SEQUENTIALLY (df must finish before its broadcast, before the
-        // probe), so lazy persist suffices — no eager count job.
+        // probe), so lazy persist suffices — no eager count job. The
+        // construction is memoized per (session, dir) like the gram
+        // caches (repeat invocations pay a map lookup, not re-analysis).
         // MEMORY_AND_DISK default spills rather than OOMs at corpus
         // scale.
-        val tf = tk.select(col("doc_id"), explode(col("t")).as("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-          .persist()
+        val tf = graft.core.Caching.memoDf(s, s"tfidfTf:$d") {
+          val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+          t(s, d, "documents")
+            .filter(length(trim(col("text"))) > 0)
+            .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+            // spread the single-split table across the session width
+            // before the explode (same rationale as gramHashes);
+            // hashpartitioning(doc_id) then satisfies BOTH the
+            // (doc_id, term) grouping and the per-doc rank window
+            .repartition(width, col("doc_id"))
+            .select(col("doc_id"), explode(col("t")).as("term"))
+            .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        }
         // a trimmed-nonempty text always splits to ≥1 token, so "docs
         // with text" ≡ "docs with ≥1 tf row" — counted off the CACHE,
         // never a second tokenize pass over the corpus

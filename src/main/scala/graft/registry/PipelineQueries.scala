@@ -307,10 +307,11 @@ object PipelineQueries {
         // shared materialization); this one has the best 100 TB
         // properties.
         val rows = LlmQueries.gramSetRows(s, d)
-        val isEval = col("doc_id") % 50 === 0
-        val sharedGrams = rows.groupBy("g").agg(
-            max(when(!isEval, 1).otherwise(0)).as("in_train"),
-            max(when(isEval, 1).otherwise(0)).as("in_eval"))
+        val isEval = LlmQueries.isEvalDoc
+        // the flag aggregation is the SHARED per-gram vocabulary cache
+        // (LlmQueries.gramDfFlags) — the same persisted frame serves the
+        // ngram dedup's viral-df cap, so the suite pays this shuffle once
+        val sharedGrams = LlmQueries.gramDfFlags(s, d)
           .filter(col("in_train") === 1 && col("in_eval") === 1)
           .select("g")
         val hits = rows.filter(isEval)
