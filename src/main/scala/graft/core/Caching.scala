@@ -36,6 +36,24 @@ object Caching {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** get-then-putIfAbsent, NOT computeIfAbsent: a memoized build may
+    * itself derive other memoized frames (docGramStats → gramHashes),
+    * and a nested computeIfAbsent on the same ConcurrentHashMap throws
+    * `IllegalStateException: Recursive update` when the keys share a
+    * bin. A lost race builds twice and keeps the winner — benign for
+    * immutable plans. */
+  private def getOrBuild(s: SparkSession, key: String)(
+      build: => DataFrame): DataFrame = {
+    val k = (s, key)
+    val existing = memo.get(k)
+    if (existing != null) existing
+    else {
+      val built = build
+      val prev = memo.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
+  }
+
   /** Memoize a derived frame's CONSTRUCTION per (session, key).
     *
     * Dataset construction is not free: every transformation runs the
@@ -54,7 +72,7 @@ object Caching {
     * holds one entry per (helper, table dir). */
   def memoDf(s: SparkSession, key: String, eager: Boolean = false)(
       build: => DataFrame): DataFrame = {
-    val df = memo.computeIfAbsent((s, key), _ => build)
+    val df = getOrBuild(s, key)(build)
     if (eager) matOnce(df) else persistOnce(df)
   }
 
@@ -77,6 +95,6 @@ object Caching {
       memo.remove((s, key))
       marker.persist().count()
     }
-    memo.computeIfAbsent((s, key), _ => build)
+    getOrBuild(s, key)(build)
   }
 }

@@ -145,19 +145,44 @@ object TxLog {
   /** Resolve the current committed snapshot: newest checkpoint (if any)
     * plus the commits after it, applied in version order. Missing table
     * → version -1, empty file set. */
-  def snapshot(spark: SparkSession, path: String): Snapshot = {
+  def snapshot(spark: SparkSession, path: String): Snapshot =
+    resolveSnapshot(spark, path, None)
+
+  /** TIME TRAVEL: the snapshot as of a past `version` — the newest
+    * checkpoint ≤ version plus the commits up to and including it. The
+    * log is append-only, so a pinned version is immutable; the DATA
+    * files of superseded versions survive until a [[vacuum]] older than
+    * its grace window removes them (the grace window IS the time-travel
+    * retention, same contract as Delta's `VACUUM ... RETAIN`). Throws
+    * if `version` exceeds the committed head. */
+  def snapshotAt(spark: SparkSession, path: String, version: Long): Snapshot =
+    resolveSnapshot(spark, path, Some(version))
+
+  private def resolveSnapshot(spark: SparkSession, path: String,
+      asOf: Option[Long]): Snapshot = {
     val table = new Path(path)
     val fs = fsOf(spark, table)
     val names = listLog(fs, table).map(_.getName)
-    if (names.isEmpty) return Snapshot(-1L, Seq.empty)
+    if (names.isEmpty) {
+      require(asOf.isEmpty, s"time travel to v$asOf on a table with no log")
+      return Snapshot(-1L, Seq.empty)
+    }
+    val commitVersions = names.filter(!_.contains("checkpoint"))
+      .map(_.stripSuffix(".json").toLong)
+    asOf.foreach { v =>
+      require(v >= 0 && commitVersions.nonEmpty && v <= commitVersions.max,
+        s"time travel to v$v but committed head is " +
+          (if (commitVersions.isEmpty) "empty" else s"v${commitVersions.max}"))
+    }
     val ckVersions = names.filter(_.endsWith(".checkpoint.json"))
       .map(_.stripSuffix(".checkpoint.json").toLong)
+      .filter(cv => asOf.forall(cv <= _))
     val fromCk = if (ckVersions.isEmpty) -1L else ckVersions.max
     var files = if (fromCk < 0) Map.empty[String, AddFile]
     else parseFiles(readJson(fs, checkpointPath(table, fromCk)) \ "files")
       .map(f => f.path -> f).toMap
-    val commits = names.filter(!_.contains("checkpoint"))
-      .map(_.stripSuffix(".json").toLong).filter(_ > fromCk).sorted
+    val commits = commitVersions
+      .filter(cv => cv > fromCk && asOf.forall(cv <= _)).sorted
     var v = fromCk
     commits.foreach { cv =>
       val j = readJson(fs, commitPath(table, cv))
@@ -177,12 +202,19 @@ object TxLog {
   }
 
   /** Read the table (optionally pruned to `partitions`) at a consistent
-    * snapshot. Pruning is LOG-level: files of other partitions are never
-    * opened, the 100 TB analogue of Delta's data skipping. */
+    * snapshot — the committed head, or a pinned past version when
+    * `asOfVersion` is set (time travel; see [[snapshotAt]] for the
+    * retention contract). Pruning is LOG-level: files of other
+    * partitions are never opened, the 100 TB analogue of Delta's data
+    * skipping. */
   def read(spark: SparkSession, path: String,
       partitions: Option[Set[String]] = None,
-      partitionCol: String = "str_databaseid"): DataFrame = {
-    val snap = snapshot(spark, path)
+      partitionCol: String = "str_databaseid",
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val snap = asOfVersion match {
+      case Some(v) => snapshotAt(spark, path, v)
+      case None => snapshot(spark, path)
+    }
     val live = partitions match {
       case Some(ps) => snap.files.filter(f => ps(f.partition))
       case None => snap.files

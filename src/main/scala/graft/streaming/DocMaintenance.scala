@@ -218,4 +218,21 @@ object DocMaintenance {
         applyBatch(rebuildChanged(changed, assets, buckets, metadata, versions, links))
       }
       .start()
+
+  /** The PRODUCTION wiring of [[streamMaintain]]: each micro-batch's
+    * rebuilt docs merge into a [[graft.sources.TxLog]] table through
+    * [[mergeDocsTx]] — one atomic commit per micro-batch, so a reader
+    * concurrent with the stream always sees a complete snapshot
+    * (either before or after a batch, never a partition mid-swap), and
+    * Structured Streaming's at-least-once redelivery re-commits an
+    * identical LWW merge (idempotent by ST3). Read the maintained
+    * table with `TxLog.read`. */
+  def streamMaintainTx(
+      spark: SparkSession,
+      tablePath: String,
+      cdc: DataFrame, // streaming DF with CdcColumns
+      snapshot: () => (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamMaintain(cdc, snapshot,
+      rebuilt => mergeDocsTx(spark, tablePath, rebuilt))
 }

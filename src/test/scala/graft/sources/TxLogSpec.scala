@@ -117,6 +117,32 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, dir).version == 11L)
   }
 
+  test("time travel: every committed version stays readable at its pinned state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-tt").toString
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v1")))
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v2"), ("dbB#b1", "dbB", "b1")))
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v3")),
+      Seq("dbB#b1").toDF("_docId"))
+    val head = TxLog.snapshot(spark, dir).version
+    assert(head == 2)
+    def at(v: Long) = TxLog.read(spark, dir, asOfVersion = Some(v))
+      .select("_docId", "payload").as[(String, String)].collect().toSet
+    assert(at(0) == Set(("dbA#a1", "v1")))
+    assert(at(1) == Set(("dbA#a1", "v2"), ("dbB#b1", "b1")))
+    assert(at(2) == Set(("dbA#a1", "v3")))
+    assert(at(head) == tableRows(dir).map { case (k, p) => (k, p) })
+    // beyond the head or on a log-less table → explicit failure
+    intercept[IllegalArgumentException](TxLog.snapshotAt(spark, dir, head + 1))
+    // vacuum inside the grace window preserves time travel; with zero
+    // grace the superseded files go away and only the head survives —
+    // the grace window IS the retention contract
+    TxLog.vacuum(spark, dir) // default 1h grace: nothing removed
+    assert(at(0) == Set(("dbA#a1", "v1")))
+    val removed = TxLog.vacuum(spark, dir, olderThanMs = -1)
+    assert(removed.nonEmpty)
+    assert(tableRows(dir) == Set(("dbA#a1", "v3")))
+  }
+
   test("mergeDocsTx matches mergeDocsIncremental's final state on the same batches") {
     val txDir = java.nio.file.Files.createTempDirectory("graft-tx8a").toString
     val plainDir = java.nio.file.Files.createTempDirectory("graft-tx8b").toString

@@ -205,6 +205,57 @@ class DocMaintenanceSpec extends SparkSpec {
     assert(dbFiles("db2") == db2Before)
   }
 
+  test("end-to-end Tx: CDC stream merges through the transaction log; readers see atomic snapshots") {
+    import graft.sources.TxLog
+    val cdcDir = java.nio.file.Files.createTempDirectory("graft-cdc-tx").toString
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-docstore-tx").toString
+    val assets = mkAssets(("db1", "a1", "One"), ("db1", "a2", "Two"),
+      ("db2", "b1", "Bee"))
+    val links = Seq(("l1", "db1", "a1", "db1", "a2", "parentChild", null: String))
+      .toDF("assetLinkId", "fromDatabaseId", "fromAssetId", "toDatabaseId",
+        "toAssetId", "relationshipType", "assetLinkAliasId")
+    // seed through the same Tx path the stream uses
+    DocMaintenance.mergeDocsTx(spark, docsDir,
+      graft.docs.DocBuilder.buildAssetDocs(assets, buckets, emptyMd, emptyVer, links))
+    assert(TxLog.isTable(spark, docsDir))
+    val v0 = TxLog.snapshot(spark, docsDir).version
+    // a reader pinned to the pre-stream snapshot must keep seeing it
+    // unchanged regardless of commits the stream adds afterwards
+    val pinned = TxLog.read(spark, docsDir, asOfVersion = Some(v0))
+      .select("_docId", "bool_has_asset_parents").as[(String, Boolean)]
+      .collect().toMap
+    val batch = Seq((1L, "MODIFY", "metadata", "db1", "a2",
+      null: String, null: String, null: String, null: String))
+      .toDF("sequence", "op", "table", "databaseId", "assetId",
+        "fromDatabaseId", "fromAssetId", "toDatabaseId", "toAssetId")
+    batch.write.mode("overwrite").parquet(cdcDir)
+    val cdc = spark.readStream.schema(batch.schema).parquet(cdcDir)
+    val q = DocMaintenance.streamMaintainTx(spark, docsDir, cdc,
+      () => (assets, buckets, emptyMd, emptyVer, links))
+    try q.processAllAvailable() finally q.stop()
+    // exactly one atomic commit per micro-batch
+    val v1 = TxLog.snapshot(spark, docsDir).version
+    assert(v1 == v0 + 1)
+    // current snapshot has the rebuilt child doc, parent flag intact
+    val row = TxLog.read(spark, docsDir)
+      .filter(col("_docId") === "db1#a2")
+      .select("bool_has_asset_parents").as[Boolean].collect().toSeq
+    assert(row == Seq(true))
+    // the pinned pre-stream snapshot is bit-stable (snapshot isolation)
+    val pinnedAgain = TxLog.read(spark, docsDir, asOfVersion = Some(v0))
+      .select("_docId", "bool_has_asset_parents").as[(String, Boolean)]
+      .collect().toMap
+    assert(pinnedAgain == pinned)
+    // redelivery of the same CDC batch converges (at-least-once is safe)
+    val q2 = DocMaintenance.streamMaintainTx(spark, docsDir, cdc,
+      () => (assets, buckets, emptyMd, emptyVer, links))
+    try q2.processAllAvailable() finally q2.stop()
+    val after = TxLog.read(spark, docsDir)
+      .select("_docId", "bool_has_asset_parents").as[(String, Boolean)]
+      .collect().toMap
+    assert(after.keySet == pinned.keySet && after("db1#a2"))
+  }
+
   test("mergeDocs: updates win, removes drop, redelivery converges (S9/ST3)") {
     val current = Seq(("d1", "old1"), ("d2", "old2"), ("d3", "old3"))
       .toDF("_docId", "payload")
