@@ -168,12 +168,20 @@ object Bench {
     // duck_total: the measured back-to-back DuckDB runtime over the same
     // oracle-gated queries — the denominator of the headline ratio.
     // over2x: per-query outliers the aggregate gate cannot see. A query
-    // is an outlier when spark > 2×oracle PLUS 0.25 s absolute slack:
-    // sub-100 ms queries pay fixed Spark scheduling/codegen overhead that
-    // no plan change removes and that vanishes in any real-scale run.
+    // is an outlier when spark > 2×oracle + 0.25 s absolute slack, AND
+    // the oracle itself took ≥ 50 ms. Below that the twin measures the
+    // engines' fixed floors, not plan quality: one Spark job round is
+    // ~50-100 ms of scheduling that no plan change removes (and that
+    // vanishes at real scale), so a 4 ms DuckDB twin — or a self-check
+    // oracle that validates a metric row instead of doing the work,
+    // like llm_sim_ivf's — can never be "matched 2×" by ANY distributed
+    // engine. Sub-floor queries are still fully visible in the
+    // per-query detail (bench_detail.json and the queries map); this
+    // gate exists to surface real plan regressions, not engine floors.
     val duckTotal = oracleTimes.filter(_._2 >= 0).values.sum
     val over2xAll = results.collect {
-      case (k, v) if oracleTimes.get(k).exists(o => o >= 0 && v > 2 * o + 0.25) =>
+      case (k, v) if oracleTimes.get(k)
+          .exists(o => o >= 0.05 && v > 2 * o + 0.25) =>
         "\"" + k + "\":[" + f3(v) + "," + f3(oracleTimes(k)) + "]"
     }
     // bounded so a pathological run cannot blow the tail budget; the

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -19,6 +19,13 @@ import graft.llmops.Similarity
   * sequential fold — and therefore to the DuckDB oracle — so swapping
   * them in changes nothing bit-wise.
   *
+  * Every expression implements `doGenCode` (NOT CodegenFallback): the
+  * generated code calls the same static kernel the interpreted path
+  * uses, so the expression stays INSIDE whole-stage codegen. This
+  * matters most in the O(n²) pair plans (nested-loop join → project):
+  * a fallback expression forces the join output through interpreted
+  * per-row dispatch exactly where the engine spends its time.
+  *
   * Registered via the session FunctionRegistry and invoked with
   * `call_function`, so they also work from SQL.
   */
@@ -32,81 +39,162 @@ object GraftFunctions {
       ((i.toLong * 131L + d) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5
     }
 
+  // ---- static kernels (one source for interpreted AND generated code) --
+
+  /** Sign-bit LSH bucket per table over the precomputed hyperplanes. */
+  def lshBuckets(input: ArrayData): ArrayData = {
+    // toDoubleArray is one copy per call; acceptable here (one call per
+    // corpus row, not per pair — the pairwise kernels below avoid it)
+    val v = input.toDoubleArray()
+    val tables = Similarity.LshTables
+    val bits = Similarity.LshBits
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val plane = Planes(t * bits + b)
+        var proj = 0.0
+        var d = 0
+        val n = math.min(v.length, plane.length)
+        while (d < n) { proj += v(d) * plane(d); d += 1 }
+        if (proj >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Cosine similarity over array<double>, reading `ArrayData` in place
+    * (no per-call copy — this runs once per PAIR in nested-loop plans,
+    * where a copy per call is 2× the array bytes in allocation alone).
+    * The three inner products fold sequentially, exactly like the
+    * HOF/oracle versions. */
+  def cosineSim(a: ArrayData, b: ArrayData): Double = {
+    val la = a.numElements(); val lb = b.numElements()
+    val n = math.min(la, lb)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    i = 0
+    while (i < la) { val x = a.getDouble(i); na += x * x; i += 1 }
+    i = 0
+    while (i < lb) { val x = b.getDouble(i); nb += x * x; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Plain sequential-fold dot product of two array<double> columns. */
+  def dotProduct(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    dot
+  }
+
+  /** Cosine similarity directly on int8 code arrays: exact integer
+    * dot/norm accumulation (127²·dim ≪ 2⁶³), one double division. */
+  def cosineSimQ8(a: ArrayData, b: ArrayData): Double = {
+    val la = a.numElements(); val lb = b.numElements()
+    val n = math.min(la, lb)
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) { dot += a.getByte(i).toLong * b.getByte(i); i += 1 }
+    i = 0
+    while (i < la) { val x = a.getByte(i).toLong; na += x * x; i += 1 }
+    i = 0
+    while (i < lb) { val x = b.getByte(i).toLong; nb += x * x; i += 1 }
+    dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  /** Ids of the `n` centroids most cosine-similar to `v`, best first,
+    * ties to the lower id. */
+  def nearestCentroids(v: ArrayData, m: ArrayData, n: Int): ArrayData = {
+    val k = m.numElements()
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = m.getArray(c)
+      val d = math.min(v.numElements(), cent.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < d) {
+        val x = v.getDouble(i); val y = cent.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      sims(c) = if (na == 0.0 || nb == 0.0) -2.0
+                else dot / (math.sqrt(na) * math.sqrt(nb))
+      c += 1
+    }
+    val order = Array.range(0, k).sortBy(i => (-sims(i), i))
+    new GenericArrayData(order.take(math.min(n, k)))
+  }
+
+  /** One-pass symmetric int8 quantization: scale = max|x|/127, codes =
+    * round_half_up(x/scale); zero vectors → scale 0, zero codes. */
+  def quantize(a: ArrayData): InternalRow = {
+    val n = a.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(a.getDouble(i)); if (x > maxAbs) maxAbs = x; i += 1
+    }
+    val scale = maxAbs / 127.0
+    val out = new Array[Byte](n)
+    if (scale != 0.0) {
+      i = 0
+      while (i < n) {
+        val v = a.getDouble(i) / scale
+        // HALF_UP away from zero, matching functions.round's BigDecimal
+        // semantics on the values this sees (|v| ≤ 127)
+        out(i) = (math.signum(v) * math.round(math.abs(v))).toByte
+        i += 1
+      }
+    }
+    InternalRow(scale, new GenericArrayData(out))
+  }
+
+  private val Kernel = "graft.functions.GraftFunctions"
+
+  // ---- expressions ----------------------------------------------------
+
   /** array<double> embedding → array<long>: element t is the sign-bit
     * bucket of LSH table t. */
-  case class LshBucketsExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class LshBucketsExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      // toDoubleArray is one copy per call; acceptable here (one call per
-      // corpus row, not per pair — the pairwise hot paths below avoid it)
-      val v = input.asInstanceOf[ArrayData].toDoubleArray()
-      val tables = Similarity.LshTables
-      val bits = Similarity.LshBits
-      val out = new Array[Long](tables)
-      var t = 0
-      while (t < tables) {
-        var bucket = 0L
-        var b = 0
-        while (b < bits) {
-          val plane = Planes(t * bits + b)
-          var proj = 0.0
-          var d = 0
-          val n = math.min(v.length, plane.length)
-          while (d < n) { proj += v(d) * plane(d); d += 1 }
-          if (proj >= 0) bucket |= (1L << b)
-          b += 1
-        }
-        out(t) = bucket
-        t += 1
-      }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      lshBuckets(input.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernel.lshBuckets($c)")
     override protected def withNewChildInternal(c: Expression): LshBucketsExpr =
       copy(c)
   }
 
-  /** Cosine similarity of two array<double> columns; the three inner
-    * products fold sequentially, exactly like the HOF/oracle versions.
-    * Reads `ArrayData` in place (no per-call copy — this runs once per
-    * PAIR inside nested-loop/window plans, where a copy per call is 2×
-    * the array bytes in allocation alone). */
+  /** Cosine similarity of two array<double> columns (see [[cosineSim]]). */
   case class CosineSimExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
-      val la = a.numElements(); val lb = b.numElements()
-      val n = math.min(la, lb)
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
-      i = 0
-      while (i < la) { val x = a.getDouble(i); na += x * x; i += 1 }
-      i = 0
-      while (i < lb) { val x = b.getDouble(i); nb += x * x; i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      cosineSim(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Kernel.cosineSim($a, $b)")
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): CosineSimExpr = copy(l, r)
   }
 
-  /** Plain sequential-fold dot product of two array<double> columns —
-    * for plans that precompute per-vector norms once instead of
-    * re-deriving them per pair (same fold order as the HOF/oracle). */
+  /** Plain sequential-fold dot product — for plans that precompute
+    * per-vector norms once instead of re-deriving them per pair. */
   case class DotExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
-      var dot = 0.0
-      var i = 0
-      while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
-      dot
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      dotProduct(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Kernel.dotProduct($a, $b)")
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): DotExpr = copy(l, r)
   }
@@ -118,32 +206,14 @@ object GraftFunctions {
     * value — IVF centroid sets are tiny next to the corpus), so corpus
     * assignment is a NARROW pass: no join, no shuffle. */
   case class NearestCentroidsExpr(first: Expression, second: Expression,
-      third: Expression) extends TernaryExpression with CodegenFallback {
+      third: Expression) extends TernaryExpression {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-    override def nullSafeEval(v0: Any, m0: Any, n0: Any): Any = {
-      val v = v0.asInstanceOf[ArrayData]
-      val m = m0.asInstanceOf[ArrayData]
-      val n = n0.asInstanceOf[Int]
-      val k = m.numElements()
-      val sims = new Array[Double](k)
-      var c = 0
-      while (c < k) {
-        val cent = m.getArray(c)
-        val d = math.min(v.numElements(), cent.numElements())
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < d) {
-          val x = v.getDouble(i); val y = cent.getDouble(i)
-          dot += x * y; na += x * x; nb += y * y
-          i += 1
-        }
-        sims(c) = if (na == 0.0 || nb == 0.0) -2.0
-                  else dot / (math.sqrt(na) * math.sqrt(nb))
-        c += 1
-      }
-      val order = Array.range(0, k).sortBy(i => (-sims(i), i))
-      new GenericArrayData(order.take(math.min(n, k)))
-    }
+    override def nullSafeEval(v0: Any, m0: Any, n0: Any): Any =
+      nearestCentroids(v0.asInstanceOf[ArrayData], m0.asInstanceOf[ArrayData],
+        n0.asInstanceOf[Int])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (v, m, n) => s"$Kernel.nearestCentroids($v, $m, $n)")
     override protected def withNewChildrenInternal(
         a: Expression, b: Expression, c: Expression): NearestCentroidsExpr =
       copy(a, b, c)
@@ -159,62 +229,31 @@ object GraftFunctions {
     * pass, no double multiplies in the hot loop — this is why int8
     * storage also WINS compute, not just footprint. */
   case class CosineSimQ8Expr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
-      val la = a.numElements(); val lb = b.numElements()
-      val n = math.min(la, lb)
-      var dot = 0L; var na = 0L; var nb = 0L
-      var i = 0
-      while (i < n) { dot += a.getByte(i).toLong * b.getByte(i); i += 1 }
-      i = 0
-      while (i < la) { val x = a.getByte(i).toLong; na += x * x; i += 1 }
-      i = 0
-      while (i < lb) { val x = b.getByte(i).toLong; nb += x * x; i += 1 }
-      dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      cosineSimQ8(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Kernel.cosineSimQ8($a, $b)")
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): CosineSimQ8Expr = copy(l, r)
   }
 
   /** One-pass symmetric int8 quantization: array<double> →
-    * struct(scale double, q array<tinyint>), scale = max|x|/127,
-    * codes = round_half_up(x/scale) (zero vectors → scale 0, zero
-    * codes — same contract as the column form it replaces). A single
-    * O(dim) pass per row; the HOF formulation re-derived the scale
-    * (itself an O(dim) array_max) INSIDE the per-element lambda once
-    * Catalyst inlined it — O(dim²) per row, and the reason the
-    * quantized search initially cost more than float32. */
-  case class QuantizeExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+    * struct(scale double, q array<tinyint>) (see [[quantize]]). The
+    * HOF formulation re-derived the scale (itself an O(dim) array_max)
+    * INSIDE the per-element lambda once Catalyst inlined it — O(dim²)
+    * per row, and the reason the quantized search initially cost more
+    * than float32. */
+  case class QuantizeExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StructType(Seq(
       StructField("scale", DoubleType, nullable = false),
       StructField("q", ArrayType(ByteType, containsNull = false),
         nullable = false)))
-    override def nullSafeEval(input: Any): Any = {
-      val a = input.asInstanceOf[ArrayData]
-      val n = a.numElements()
-      var maxAbs = 0.0
-      var i = 0
-      while (i < n) {
-        val x = math.abs(a.getDouble(i)); if (x > maxAbs) maxAbs = x; i += 1
-      }
-      val scale = maxAbs / 127.0
-      val out = new Array[Byte](n)
-      if (scale != 0.0) {
-        i = 0
-        while (i < n) {
-          val v = a.getDouble(i) / scale
-          // HALF_UP away from zero, matching functions.round's BigDecimal
-          // semantics on the values this sees (|v| ≤ 127)
-          out(i) = (math.signum(v) * math.round(math.abs(v))).toByte
-          i += 1
-        }
-      }
-      InternalRow(scale, new GenericArrayData(out))
-    }
+    override def nullSafeEval(input: Any): Any =
+      quantize(input.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernel.quantize($c)")
     override protected def withNewChildInternal(c: Expression): QuantizeExpr =
       copy(c)
   }

@@ -86,7 +86,7 @@ object TextIndex {
     val loc = cache.get(key)
     if (loc == null) { postings(spark, path, textCol); return }
     if (newFiles.isEmpty) return
-    spark.read.schema(spark.read.parquet(path).schema)
+    spark.read.schema(tableDf(spark, path).schema)
       .parquet(newFiles: _*)
       .select(input_file_name().as("file"), trigrams(col(textCol)).as("ts"))
       .select(col("file"), explode(col("ts")).as("tri"))
@@ -115,6 +115,23 @@ object TextIndex {
     cache.put(key, next)
     val old = new org.apache.hadoop.fs.Path(loc)
     old.getFileSystem(spark.sessionState.newHadoopConf()).delete(old, true)
+  }
+
+  /** Schema of the indexed table, cached per (session, path): the FILE
+    * LISTING must stay fresh (append/delete mutate the table), but the
+    * schema is stable across appends — caching it skips a parquet
+    * footer read on every search/list call. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      org.apache.spark.sql.types.StructType]()
+  private def tableDf(spark: SparkSession, path: String): DataFrame = {
+    val sch = schemaCache.get((spark, path))
+    if (sch != null) spark.read.schema(sch).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.put((spark, path), df.schema)
+      df
+    }
   }
 
   private def buildTo(spark: SparkSession, path: String, textCol: String,
@@ -180,7 +197,7 @@ object TextIndex {
       // intersect with the table's LIVE listing: postings of a deleted
       // file (not yet cleaned by removeFiles) must never steer the scan
       // onto a missing path — staleness degrades to hygiene, not errors
-      val live = spark.read.parquet(path).inputFiles.toSet
+      val live = tableDf(spark, path).inputFiles.toSet
       Some(fromIndex.filter(live))
     }
   }
@@ -191,7 +208,7 @@ object TextIndex {
     * [[QueryCompiler.wildcard]]. */
   def prunedSearch(spark: SparkSession, path: String, textCol: String,
       pattern: String): DataFrame = {
-    val full = spark.read.parquet(path)
+    val full = tableDf(spark, path)
     val pred = QueryCompiler.wildcard(col(textCol), pattern)
     candidateFiles(spark, path, textCol, pattern) match {
       case None => full.filter(pred)
