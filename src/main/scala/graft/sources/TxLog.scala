@@ -229,6 +229,62 @@ object TxLog {
         .parquet(live.map(f => s"$path/${f.path}"): _*)
   }
 
+  /** CHANGE FEED between two committed versions (Delta CDF analogue):
+    * row-level inserts, deletes, and update pre/post-images keyed on
+    * `keyCol`, derived from the two pinned snapshots. Only the files
+    * that CHANGED between the versions are read — the merge rewrites
+    * whole partitions, so unchanged partitions' files are shared by
+    * both snapshots and never opened; rows carried over unchanged
+    * inside a rewritten partition are detected by full-row comparison
+    * and not emitted. Output schema = table schema + `_change_type` ∈
+    * insert | delete | update_preimage | update_postimage, aggregated
+    * over the (from, to] range (net effect, not per-commit replay).
+    * An incremental consumer (e.g. the search-doc indexer's CDC
+    * contract, ST1) polls `snapshot().version` and feeds
+    * `changes(lastSeen, head)` into its micro-batch. Same retention
+    * contract as [[snapshotAt]]. */
+  def changes(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long, keyCol: String = "_docId"): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changes: from v$fromVersion > to v$toVersion")
+    val fromS = snapshotAt(spark, path, fromVersion)
+    val toS = snapshotAt(spark, path, toVersion)
+    val fromPaths = fromS.files.map(_.path).toSet
+    val toPaths = toS.files.map(_.path).toSet
+    val removed = fromS.files.filterNot(f => toPaths(f.path))
+    val added = toS.files.filterNot(f => fromPaths(f.path))
+    def readFiles(fs: Seq[AddFile]): Option[DataFrame] =
+      if (fs.isEmpty) None
+      else Some(spark.read.option("basePath", path)
+        .parquet(fs.map(f => s"$path/${f.path}"): _*))
+    (readFiles(removed), readFiles(added)) match {
+      case (None, None) => spark.emptyDataFrame
+      case (None, Some(a)) => a.withColumn("_change_type", lit("insert"))
+      case (Some(b), None) => b.withColumn("_change_type", lit("delete"))
+      case (Some(b), Some(a)) =>
+        val cols = a.columns.toSeq
+        def keyed(df: DataFrame) = df.select(col(keyCol).as("_k"),
+          struct(cols.map(col): _*).as("_row"))
+        val chType = org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ct",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("r", a.schema))))
+        keyed(b).as("b")
+          .join(keyed(a).as("a"), col("b._k") === col("a._k"), "full_outer")
+          .select(explode(
+            when(col("b._k").isNull,
+              array(struct(lit("insert").as("ct"), col("a._row").as("r"))))
+            .when(col("a._k").isNull,
+              array(struct(lit("delete").as("ct"), col("b._row").as("r"))))
+            .when(col("a._row") =!= col("b._row"), array(
+              struct(lit("update_preimage").as("ct"), col("b._row").as("r")),
+              struct(lit("update_postimage").as("ct"), col("a._row").as("r"))))
+            .otherwise(array().cast(chType))).as("c"))
+          .select(col("c.r.*"), col("c.ct").as("_change_type"))
+    }
+  }
+
   /** Write `df`'s rows as new UNCOMMITTED data files under the table
     * root (hive-partitioned by `partitionCol`), returning their AddFile
     * records. Files are invisible to readers until a commit references

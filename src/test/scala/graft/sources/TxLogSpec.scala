@@ -143,6 +143,30 @@ class TxLogSpec extends SparkSpec {
     assert(tableRows(dir) == Set(("dbA#a1", "v3")))
   }
 
+  test("change feed classifies inserts, updates (pre+post), deletes; carried rows silent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-cdf").toString
+    // v0: two docs in dbA (same partition file), one in dbB
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "a1v1"),
+      ("dbA#a2", "dbA", "keep"), ("dbB#b1", "dbB", "b1")))
+    // v1: update a1, delete b1, insert dbC#c1; a2 carried unchanged
+    // inside dbA's rewritten partition
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "a1v2"), ("dbC#c1", "dbC", "c1")),
+      Seq("dbB#b1").toDF("_docId"))
+    val ch = TxLog.changes(spark, dir, 0, 1)
+      .select("_docId", "payload", "_change_type")
+      .as[(String, String, String)].collect().toSet
+    assert(ch == Set(
+      ("dbA#a1", "a1v1", "update_preimage"),
+      ("dbA#a1", "a1v2", "update_postimage"),
+      ("dbB#b1", "b1", "delete"),
+      ("dbC#c1", "c1", "insert")))
+    // the carried row dbA#a2 produced NO change row, and dbB's file was
+    // the only extra one opened (dbA rewritten, dbC added)
+    assert(!ch.exists(_._1 == "dbA#a2"))
+    // empty range → no changes
+    assert(TxLog.changes(spark, dir, 1, 1).isEmpty)
+  }
+
   test("mergeDocsTx matches mergeDocsIncremental's final state on the same batches") {
     val txDir = java.nio.file.Files.createTempDirectory("graft-tx8a").toString
     val plainDir = java.nio.file.Files.createTempDirectory("graft-tx8b").toString
