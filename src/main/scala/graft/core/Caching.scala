@@ -89,12 +89,19 @@ object Caching {
     * superseded result's blocks are released by the ContextCleaner
     * when the old frame is dropped). */
   def memoDfEpoch(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    epochGate(s, key)
+    getOrBuild(s, key)(build)
+  }
+
+  /** The epoch marker of [[memoDfEpoch]]: drops the entry when the
+    * session cache no longer holds the key's marker frame (i.e. after
+    * a clearCache), then re-persists it. */
+  private def epochGate(s: SparkSession, key: String): Unit = {
     import org.apache.spark.sql.functions.lit
     val marker = s.range(1).select(lit(key).as("memo_epoch_key"))
     if (marker.storageLevel == StorageLevel.NONE) {
       memo.remove((s, key))
       marker.persist().count()
     }
-    getOrBuild(s, key)(build)
   }
 }

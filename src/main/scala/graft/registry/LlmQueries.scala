@@ -737,8 +737,11 @@ object LlmQueries {
         |ORDER BY q_id, rank""")(
       (s, d) => {
         val e = t(s, d, "embeddings")
-        Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
-          .orderBy("q_id", "rank")
+        // shared with llm_sim_ivf's recall baseline — one computation
+        // per cache generation
+        Caching.memoDf(s, s"bruteTopk5:$d") {
+          Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
+        }.orderBy("q_id", "rank")
       }),
 
     // ── LSH-bucketed ANN (the scale path). FULLY oracle-gated: the
@@ -890,9 +893,13 @@ object LlmQueries {
       (s, d) => {
         val e = t(s, d, "embeddings")
         val q = e.filter(col("vec_id") < 10)
+        // brute baseline shared with llm_sim_topk (one computation per
+        // cache generation)
         val ivf = Similarity.ivfTopK(q, e, k = 5)
           .select("q_id", "cand_id").withColumn("hit", lit(1L))
-        Similarity.bruteForceTopK(q, e, k = 5)
+        Caching.memoDf(s, s"bruteTopk5:$d") {
+          Similarity.bruteForceTopK(q, e, k = 5)
+        }
           .select("q_id", "cand_id")
           .join(ivf, Seq("q_id", "cand_id"), "left")
           .agg(countDistinct(col("q_id")).as("n_queries"),

@@ -402,6 +402,45 @@ object TxLog {
     }
   }
 
+  /** OPTIMIZE: rewrite each multi-file partition's live files into one
+    * compacted file, as an ordinary optimistic COMMIT (adds the
+    * compacted file, removes the inputs). This is the transactional
+    * answer to small-file buildup from per-batch merges — and, unlike a
+    * filesystem-level rewrite ([[graft.core.Layout.compactPartitions]]
+    * on plain layouts, which can only detect-and-abort around
+    * concurrent writers), a concurrent merge here CONFLICTS at commit
+    * time: whoever loses the version race re-reads the log; a
+    * compaction whose inputs were replaced restarts from the fresh
+    * snapshot, so no concurrent writer's file is ever silently
+    * dropped. Row-identical by construction; superseded files remain
+    * for time travel until [[vacuum]]'s grace window passes. Returns
+    * the number of partitions compacted. */
+  def compact(spark: SparkSession, path: String,
+      partitionCol: String = "str_databaseid", maxAttempts: Int = 20): Int = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= maxAttempts, s"compact: $maxAttempts commit conflicts")
+      val snap = snapshot(spark, path)
+      val multi = snap.files.groupBy(_.partition).filter(_._2.size > 1)
+      if (multi.isEmpty) return 0
+      val inputs = multi.values.flatten.toSeq
+      val compacted = spark.read.option("basePath", path)
+        .parquet(inputs.map(f => s"$path/${f.path}"): _*)
+        .withColumn(partitionCol, col(partitionCol).cast("string"))
+        // one output file per partition: the write is partitioned by
+        // the column, so coalesce(1) yields one file per live partition
+        .coalesce(1)
+      val staged = stageData(spark, path, compacted, partitionCol)
+      if (tryCommit(spark, path, snap.version + 1, staged, inputs))
+        return multi.size
+      // conflict: a writer landed first — its commit may have replaced
+      // some of our inputs; restart from the fresh snapshot (our staged
+      // files stay unreferenced and are reclaimed by vacuum)
+    }
+    0
+  }
+
   /** Remove data files no committed version references and stale staging
     * directories, `olderThanMs` old (grace for in-flight writers). */
   def vacuum(spark: SparkSession, path: String,

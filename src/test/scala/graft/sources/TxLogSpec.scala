@@ -167,6 +167,30 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.changes(spark, dir, 1, 1).isEmpty)
   }
 
+  test("compact folds multi-file partitions into one file as a commit; merge conflict is safe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-opt").toString
+    // three merges → dbA accumulates 3 files, dbB 1
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v1"), ("dbB#b1", "dbB", "b1")))
+    TxLog.merge(spark, dir, docs(("dbA#a2", "dbA", "v2")))
+    TxLog.merge(spark, dir, docs(("dbA#a3", "dbA", "v3")))
+    val before = tableRows(dir)
+    val preSnap = TxLog.snapshot(spark, dir)
+    assert(preSnap.files.count(_.partition == "dbA") > 1)
+    assert(TxLog.compact(spark, dir) >= 1)
+    val snap = TxLog.snapshot(spark, dir)
+    // rows identical, one live file per compacted partition, ONE commit
+    assert(tableRows(dir) == before)
+    assert(snap.files.count(_.partition == "dbA") == 1)
+    assert(snap.version == preSnap.version + 1)
+    // a merge AFTER compaction lands normally on the compacted base
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v1b")))
+    assert(tableRows(dir) == before - (("dbA#a1", "v1")) + (("dbA#a1", "v1b")))
+    // nothing left to compact for single-file partitions
+    TxLog.compact(spark, dir)
+    assert(TxLog.snapshot(spark, dir).files.groupBy(_.partition)
+      .forall(_._2.size == 1))
+  }
+
   test("mergeDocsTx matches mergeDocsIncremental's final state on the same batches") {
     val txDir = java.nio.file.Files.createTempDirectory("graft-tx8a").toString
     val plainDir = java.nio.file.Files.createTempDirectory("graft-tx8b").toString
