@@ -167,6 +167,31 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.changes(spark, dir, 1, 1).isEmpty)
   }
 
+  test("compaction racing concurrent merges loses no update and stays row-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-race").toString
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "seed"), ("dbB#b1", "dbB", "b1")))
+    TxLog.merge(spark, dir, docs(("dbA#a2", "dbA", "x")))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // merges and compactions interleave freely; every merge must
+    // survive and the table must stay consistent throughout
+    val writers = (1 to 3).map { i =>
+      Future(TxLog.merge(spark, dir, docs((s"dbA#m$i", "dbA", s"v$i"))))
+    }
+    val compactors = (1 to 2).map { _ => Future(TxLog.compact(spark, dir)) }
+    (writers ++ compactors).foreach(Await.result(_, 300.seconds))
+    TxLog.compact(spark, dir)
+    assert(tableRows(dir) == Set(("dbA#a1", "seed"), ("dbA#a2", "x"),
+      ("dbB#b1", "b1"), ("dbA#m1", "v1"), ("dbA#m2", "v2"), ("dbA#m3", "v3")))
+    assert(TxLog.snapshot(spark, dir).files.groupBy(_.partition)
+      .forall(_._2.size == 1))
+    // every committed version back to 0 still resolves (log replay is
+    // linear even through interleaved compactions)
+    val head = TxLog.snapshot(spark, dir).version
+    (0L to head).foreach(v => TxLog.snapshotAt(spark, dir, v))
+  }
+
   test("compact folds multi-file partitions into one file as a commit; merge conflict is safe") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tx-opt").toString
     // three merges → dbA accumulates 3 files, dbB 1
