@@ -140,4 +140,39 @@ class NgramCandidateSpec extends SparkSpec {
     assert(cand.contains((1L, 2L)))
     assert(!cand.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("candidate pipeline exchange discipline: one consumer-side exchange only") {
+    // the prefix postings are hash-partitioned on the gram ONCE and
+    // persisted — that exchange is paid at cache build, not per
+    // consumer — so the self-join reads two co-partitioned cache scans
+    // with NO exchange of its own; the collision rows repartition on
+    // a_id alone, which the pair aggregation reuses. The consumer plan
+    // must therefore contain exactly ONE shuffle (a_id). AQE is
+    // disabled for the assertion: its wrapper hides the physical nodes
+    // from collect() before execution.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val docs = (0 until 200).map { i =>
+      (i.toLong, (0 until 20).map(k => (i * 7 + k * 3) % 97).distinct.sorted)
+    }
+    val stats = docs.toDF("doc_id", "gs")
+      .withColumn("n", size(col("gs")).cast("long"))
+      .persist()
+    stats.count()
+    try {
+      val cand = LlmQueries.ngramCandidates(stats, Seq.empty[Int].toDF("g"))
+      cand.count() // materialize (also caches the prefix postings)
+      val plan = cand.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size == 1,
+        s"expected exactly 1 consumer-side exchange (a_id), got ${exchanges.size}:\n$plan")
+      assert(exchanges.head.outputPartitioning.toString.contains("a_id"), plan.toString)
+      assert(plan.toString.contains("ShuffledHashJoin"), plan.toString)
+    } finally {
+      stats.unpersist()
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+  }
 }
