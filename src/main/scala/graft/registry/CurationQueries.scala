@@ -823,17 +823,14 @@ object CurationQueries {
         // caches (repeat invocations pay a map lookup, not re-analysis).
         // MEMORY_AND_DISK default spills rather than OOMs at corpus
         // scale.
+        // the tokenize pass is the SHARED token-array cache
+        // (LlmQueries.tokenArrays — one corpus tokenize for the gram
+        // family and this query); its hashpartitioning(doc_id)
+        // satisfies the (doc_id, term) grouping AND the per-doc rank
+        // window, so neither pays an exchange
         val tf = graft.core.Caching.memoDf(s, s"tfidfTf:$d") {
-          val width = s.conf.get("spark.sql.shuffle.partitions").toInt
-          t(s, d, "documents")
-            .filter(length(trim(col("text"))) > 0)
-            .select(col("doc_id"), Text.tokens(col("text")).as("t"))
-            // spread the single-split table across the session width
-            // before the explode (same rationale as gramHashes);
-            // hashpartitioning(doc_id) then satisfies BOTH the
-            // (doc_id, term) grouping and the per-doc rank window
-            .repartition(width, col("doc_id"))
-            .select(col("doc_id"), explode(col("t")).as("term"))
+          LlmQueries.tokenArrays(s, d)
+            .select(col("doc_id"), explode(col("tk")).as("term"))
             .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         }
         // a trimmed-nonempty text always splits to ≥1 token, so "docs

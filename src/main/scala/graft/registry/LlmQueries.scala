@@ -71,24 +71,40 @@ object LlmQueries {
     // hashpartitioning(doc_id) and drops its own exchange. At 100 TB the
     // table arrives in thousands of splits and the repartition is a
     // cheap width normalizer.
-    // CASCADED guards: the per-doc gram ARRAYS are their own cache
-    // layer, touched on every call, so each cache generation re-erects
-    // the persist boundary between shingle construction and the
-    // explode+hash — without it CollapseProject would inline the
-    // tokenize split into every element_at of the shingle transform
-    // (the chained-HOF blowup; measured 20 s vs 1 s at sf0.1).
-    val arrays = Caching.memoDf(s, s"gramArrays:$d", eager = true) {
-      val width = s.conf.get("spark.sql.shuffle.partitions").toInt
-      t(s, d, "documents")
-        .repartition(width, col("doc_id"))
-        .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
-        .select(col("doc_id"), Text.shingles(col("tk")).as("grams"))
+    // CASCADED guards: the token arrays are their own cache layer,
+    // touched on every call, so each cache generation re-erects the
+    // persist boundary between tokenize and the downstream HOFs —
+    // without it CollapseProject would inline the tokenize split into
+    // every element_at of the shingle transform (the chained-HOF
+    // blowup; measured 20 s vs 1 s at sf0.1). Deriving shingles from
+    // the CACHED tk attribute removes that hazard structurally.
+    val toks = tokenArrays(s, d)
+    val arrays = Caching.memoDf(s, s"gramArrays:$d") {
+      toks.select(col("doc_id"), Text.shingles(col("tk")).as("grams"))
     }
     Caching.memoDf(s, s"gramHashes:$d") {
       arrays.select(col("doc_id"), explode(col("grams")).as("gram"))
         .withColumn("g", Text.hash60(col("gram")))
     }
   }
+
+  /** Per-doc whitespace token arrays — ONE tokenize pass over the
+    * corpus serving every token-level consumer (the shingle/gram
+    * family here, the tf-idf term aggregation in CurationQueries).
+    * Empty/whitespace-only docs are excluded: they tokenize to [""],
+    * which the gram path drops at the shingle explode anyway and the
+    * term path must never count. Spread across the session width
+    * BEFORE the per-row work (single-split table at bench SFs; cheap
+    * width normalizer at scale), and hashpartitioning(doc_id) is then
+    * reused by every doc-keyed aggregation downstream. */
+  private[registry] def tokenArrays(s: SparkSession, d: String): DataFrame =
+    Caching.memoDf(s, s"tokenArrays:$d", eager = true) {
+      val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+      t(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .repartition(width, col("doc_id"))
+        .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+    }
 
   /** Per-doc gram-set stats in ONE aggregation pass straight off the
     * gram-hash rows — the dedup that the oracle writes as DISTINCT
