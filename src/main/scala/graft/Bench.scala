@@ -195,7 +195,13 @@ object Bench {
     // warm_dir makes the numbers interpretable: warmup at the target dir
     // (no sf0.001 sibling) means the suite ran once untimed at full SF.
     val passTotals = passes.map(p => f3(p.values.sum)).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","oracle_value":${f3(oracleTotal)},"duck_total":${f3(duckTotal)},"over2x":$over2x,"n_queries":${results.size},"queries_omitted":$omitted,"queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","pass_totals":$passTotals}"""
+    // duck_n exposes how many queries the DuckDB side actually timed:
+    // oracle_bench.py drops a query that errors in DuckDB from its
+    // output, and a silent count mismatch would make the headline
+    // spark-vs-duck ratio compare different query sets. duck_n <
+    // oracle_n is a visible red flag in the artifact.
+    val oracleN = results.count { case (k, _) => oracleKeys(k) }
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","oracle_value":${f3(oracleTotal)},"oracle_n":$oracleN,"duck_total":${f3(duckTotal)},"duck_n":${oracleTimes.size},"over2x":$over2x,"n_queries":${results.size},"queries_omitted":$omitted,"queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","pass_totals":$passTotals}"""
     // hard guarantee: the line the driver must parse fits its 2000-char tail
     // with ~150 chars of slack for any trailing harness output
     assert(line.length < 1850, s"bench JSON line too long: ${line.length}")

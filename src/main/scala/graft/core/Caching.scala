@@ -69,7 +69,14 @@ object Caching {
     *
     * Entries hold analyzed plans only (no data; the data lives in the
     * session cache) and are keyed by session — a long-lived service
-    * holds one entry per (helper, table dir). */
+    * holds one entry per (helper, table dir).
+    *
+    * SOURCE MUTATION: a memoized plan pins its parquet file listing.
+    * The engine's table dirs are immutable by contract (mutation flows
+    * go through [[graft.sources.TxLog]] tables, which are read via the
+    * log, never memoized here) — but a caller that rewrites a plain
+    * dir in place must [[invalidate]] its keys, or the next access
+    * re-persists a plan over deleted files. */
   def memoDf(s: SparkSession, key: String, eager: Boolean = false)(
       build: => DataFrame): DataFrame = {
     val df = getOrBuild(s, key)(build)
@@ -88,6 +95,14 @@ object Caching {
     * an explicit cache clear restores from-scratch semantics (the
     * superseded result's blocks are released by the ContextCleaner
     * when the old frame is dropped). */
+  /** Drop a memo entry (and its live cache marking, if any) so the
+    * next access rebuilds the plan — required after rewriting a plain
+    * source dir in place (see the source-mutation note above). */
+  def invalidate(s: SparkSession, key: String): Unit = {
+    val df = memo.remove((s, key))
+    if (df != null && df.storageLevel != StorageLevel.NONE) df.unpersist()
+  }
+
   def memoDfEpoch(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     epochGate(s, key)
     getOrBuild(s, key)(build)

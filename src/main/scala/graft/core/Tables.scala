@@ -28,11 +28,6 @@ object Tables {
       if (name == "events") normalizeEventTs(df) else df
     })
 
-  /** Memoized read of an arbitrary parquet path — for callers outside
-    * the named-table set (e.g. the text index) that would otherwise pay
-    * schema discovery per invocation. */
-  def loadPath(spark: SparkSession, path: String): DataFrame =
-    cache.computeIfAbsent((spark, path), { case (s, p) => s.read.parquet(p) })
 
   /** The events table stores TIMESTAMP(NANOS) which Spark reads (with
     * `spark.sql.legacy.parquet.nanosAsLong=true`) as nano longs; convert

@@ -113,9 +113,23 @@ object TextIndex {
       .filter(!col("file").isin(removed: _*))
       .write.mode("overwrite").parquet(next)
     cache.put(key, next)
-    val old = new org.apache.hadoop.fs.Path(loc)
-    old.getFileSystem(spark.sessionState.newHadoopConf()).delete(old, true)
+    // GENERATIONAL retirement, not immediate deletion: a search that
+    // resolved the old location before this swap may still be
+    // executing its scan — deleting the directory under it would fail
+    // that read. Retiring one generation and deleting the generation
+    // before it bounds garbage to one superseded copy while giving
+    // in-flight readers (bounded by a search's runtime) their files.
+    val prior = retired.put(key, loc)
+    if (prior != null) {
+      val old = new org.apache.hadoop.fs.Path(prior)
+      old.getFileSystem(spark.sessionState.newHadoopConf()).delete(old, true)
+    }
   }
+
+  /** One superseded postings generation per key, deleted when the NEXT
+    * generation retires it (see [[removeFiles]]). */
+  private val retired =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Schema of the indexed table, cached per (session, path): the FILE
     * LISTING must stay fresh (append/delete mutate the table), but the

@@ -334,10 +334,16 @@ object CurationQueries {
     //    percentile must land on an order statistic within ±1 rank of
     //    its target — checked against the group's sorted values, which
     //    exist ONLY as the in-harness oracle (the sketch alone is the
-    //    scale path). The oracle recomputes n_docs and expects
-    //    sketch_ok = TRUE; GK is deterministic for a given input, so
-    //    the gate is stable, and the tighter error bound stays in the
-    //    spec suite.
+    //    scale path). The exact side is computed from the per-source
+    //    DISTINCT-VALUE histogram (token counts are a bounded integer
+    //    domain, so its state is value-domain-sized like the
+    //    length-hist query — NOT a collect of the group's rows, which
+    //    would reintroduce the unbounded state the sketch exists to
+    //    avoid): a cumulative sum over (source, nt, count) yields the
+    //    order statistics at ranks r−1, r, r+1, and the sketch's
+    //    answer must land inside that value window. GK is
+    //    deterministic for a given input, so the gate is stable; the
+    //    tighter error bound stays in the spec suite.
     sql("llm_profile_tokens_approx",
       """WITH f AS (
         |  SELECT source,
@@ -352,22 +358,31 @@ object CurationQueries {
       (s, d) => {
         val f = t(s, d, "documents")
           .select(col("source"), nTokens(col("text")).as("nt"))
-        val n = size(col("vs"))
-        def okAt(a: Column, p: Double): Column = {
-          val r = least(greatest(ceil(lit(p) * n).cast("int"), lit(1)), n)
-          (a === element_at(col("vs"), r)) ||
-            (a === element_at(col("vs"), greatest(r - 1, lit(1)))) ||
-            (a === element_at(col("vs"), least(r + 1, n)))
-        }
-        f.groupBy("source").agg(
-            count(lit(1)).as("n_docs"),
-            approx_percentile(col("nt"), lit(0.5), lit(10000)).as("a50"),
-            approx_percentile(col("nt"), lit(0.9), lit(10000)).as("a90"),
-            approx_percentile(col("nt"), lit(0.99), lit(10000)).as("a99"),
-            sort_array(collect_list(col("nt"))).as("vs"))
+        val sketch = f.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          approx_percentile(col("nt"), lit(0.5), lit(10000)).as("a50"),
+          approx_percentile(col("nt"), lit(0.9), lit(10000)).as("a90"),
+          approx_percentile(col("nt"), lit(0.99), lit(10000)).as("a99"))
+        // exact order statistics from the distinct-value histogram:
+        // rank r's value = min nt whose cumulative count reaches r
+        val hist = f.groupBy("source", "nt").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(
+            Window.partitionBy("source").orderBy("nt")))
+          .withColumn("n", sum("c").over(Window.partitionBy("source")))
+        def rankOf(p: Double): Column =
+          least(greatest(ceil(lit(p) * col("n")).cast("long"), lit(1L)), col("n"))
+        def valAt(p: Double, off: Int): Column =
+          min(when(col("cum") >=
+            least(greatest(rankOf(p) + off, lit(1L)), col("n")), col("nt")))
+        val exact = hist.groupBy("source").agg(
+          valAt(0.5, -1).as("lo50"), valAt(0.5, 1).as("hi50"),
+          valAt(0.9, -1).as("lo90"), valAt(0.9, 1).as("hi90"),
+          valAt(0.99, -1).as("lo99"), valAt(0.99, 1).as("hi99"))
+        sketch.join(exact, "source")
           .withColumn("sketch_ok",
-            okAt(col("a50"), 0.5) && okAt(col("a90"), 0.9) &&
-              okAt(col("a99"), 0.99))
+            col("a50").between(col("lo50"), col("hi50")) &&
+              col("a90").between(col("lo90"), col("hi90")) &&
+              col("a99").between(col("lo99"), col("hi99")))
           .select(col("source"), col("n_docs"), col("sketch_ok"))
           .orderBy("source")
       }),

@@ -258,7 +258,17 @@ object TxLog {
       else Some(spark.read.option("basePath", path)
         .parquet(fs.map(f => s"$path/${f.path}"): _*))
     (readFiles(removed), readFiles(added)) match {
-      case (None, None) => spark.emptyDataFrame
+      case (None, None) =>
+        // no files differ (idle poll, from == to): still honor the
+        // documented output schema so a CDC consumer's projections and
+        // filters resolve on the empty batch — derive it from any live
+        // file; a table with no files at all has no schema source and
+        // yields the 0-column frame (documented bootstrap edge)
+        readFiles(toS.files.take(1)).orElse(readFiles(fromS.files.take(1))) match {
+          case Some(any) => any.filter(lit(false))
+            .withColumn("_change_type", lit(""))
+          case None => spark.emptyDataFrame
+        }
       case (None, Some(a)) => a.withColumn("_change_type", lit("insert"))
       case (Some(b), None) => b.withColumn("_change_type", lit("delete"))
       case (Some(b), Some(a)) =>
@@ -344,7 +354,15 @@ object TxLog {
   /** MERGE INTO with last-writer-wins semantics, keyed on `keyCol`:
     * rows of `updates` replace current rows with the same key;
     * `removedKeys` (nullable) are deleted. Only partitions present in
-    * the batch are read or rewritten. Retries on commit conflict:
+    * the batch are read or rewritten.
+    *
+    * KEY SHAPE CONTRACT: a removed key's partition is derived from the
+    * key itself — everything before the first `#` (the engine's
+    * composite doc-id form, `databaseId#assetId[#path]`). Keys must
+    * embed the partition value as that prefix and partition values
+    * must not contain `#`, or the delete's partition is derived wrong
+    * and the removal silently misses its row. (Updates carry the
+    * partition column explicitly and are not affected.) Retries on commit conflict:
     * partition-disjoint concurrent commits are re-applied verbatim
     * (their base did not change); overlapping ones rebuild the merge
     * from the fresh snapshot. Every retry path re-derives from committed
@@ -367,38 +385,46 @@ object TxLog {
     var attempt = 0
     var done = false
     var staged: Seq[AddFile] = Seq.empty
+    // the BASE fileset the staged merge was computed from: staged files
+    // are valid to commit ONLY while the touched partitions' live files
+    // are exactly this set. Checked at LOOP TOP against the snapshot we
+    // are about to commit on — not merely after a failed commit —
+    // because between a non-conflicting failure and the retry another
+    // writer can rewrite a touched partition, and committing the stale
+    // staged files over it would silently drop that writer's rows.
+    var stagedBase: Set[AddFile] = Set.empty
     while (!done) {
       attempt += 1
       require(attempt <= maxAttempts, s"merge: $maxAttempts commit conflicts")
       val snap = snapshot(spark, path)
       val oldFiles = snap.files.filter(f => touched(f.partition))
-      val current =
-        if (oldFiles.isEmpty) null
-        else spark.read.option("basePath", path)
-          .parquet(oldFiles.map(f => s"$path/${f.path}"): _*)
-          .withColumn(partitionCol, col(partitionCol).cast("string"))
-      val merged = current match {
-        case null => up
-        case cur =>
-          val afterRemove = rm match {
-            case Some(r) => cur.join(r, Seq(keyCol), "left_anti")
-            case None => cur
-          }
-          afterRemove
-            .join(up.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-            .unionByName(up)
+      if (staged.nonEmpty && oldFiles.toSet != stagedBase)
+        staged = Seq.empty // base moved — restage from this snapshot
+      if (staged.isEmpty) {
+        val current =
+          if (oldFiles.isEmpty) null
+          else spark.read.option("basePath", path)
+            .parquet(oldFiles.map(f => s"$path/${f.path}"): _*)
+            .withColumn(partitionCol, col(partitionCol).cast("string"))
+        val merged = current match {
+          case null => up
+          case cur =>
+            val afterRemove = rm match {
+              case Some(r) => cur.join(r, Seq(keyCol), "left_anti")
+              case None => cur
+            }
+            afterRemove
+              .join(up.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+              .unionByName(up)
+        }
+        // stage once per BASE: a partition-disjoint conflict re-commits
+        // the same files; any movement of the base restages above
+        staged = stageData(spark, path, merged, partitionCol)
+        stagedBase = oldFiles.toSet
       }
-      // stage once per BASE: a partition-disjoint conflict re-commits the
-      // same files; an overlapping conflict restages from the new base
-      if (staged.isEmpty) staged = stageData(spark, path, merged, partitionCol)
       if (tryCommit(spark, path, snap.version + 1, staged, oldFiles)) done = true
-      else {
-        val fresh = snapshot(spark, path)
-        val conflicting = fresh.files.filter(f => touched(f.partition))
-          .toSet != oldFiles.toSet
-        if (conflicting) staged = Seq.empty // rebuild from new base
-        // else: same base files still live — retry commit at new version
-      }
+      // on failure: loop re-snapshots; the loop-top base check decides
+      // whether the staged files are still valid or must be rebuilt
     }
   }
 
