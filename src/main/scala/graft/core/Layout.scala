@@ -81,16 +81,25 @@ object Layout {
     * Delta/Iceberg OPTIMIZE for snapshot isolation; the per-partition
     * I/O shape is the same.
     *
-    * Writer safety: the partition's file listing is snapshotted before
-    * the compacted copy is written and re-checked immediately before
-    * the delete. If a concurrent writer (e.g. the incremental-merge
-    * micro-batch this maintains) added or replaced files in between,
-    * the swap is ABORTED for that partition — the temp copy is removed,
-    * the live files are untouched, and the partition is simply reported
-    * as not compacted (the next compaction pass picks it up). For
-    * stronger guarantees use the transaction-log table
-    * ([[graft.sources.TxLog]]), whose commit protocol rejects lost
-    * updates instead of detecting them.
+    * Writer safety — DETECT-AND-ABORT, not exclusion: the partition's
+    * file listing is snapshotted before the compacted copy is written
+    * and re-checked immediately before the delete. If a concurrent
+    * writer (e.g. the incremental-merge micro-batch this maintains)
+    * added or replaced files in between, the swap is ABORTED for that
+    * partition — the temp copy is removed, the live files are
+    * untouched, and the partition is simply reported as not compacted
+    * (the next compaction pass picks it up). Two windows REMAIN open
+    * on a plain filesystem and cannot be closed by re-listing: a write
+    * landing between the final re-list and the delete is lost with the
+    * directory, and a same-name same-length replacement within the
+    * filesystem's mtime granularity passes the listing compare. Plain
+    * layouts must therefore schedule compaction in the writer's
+    * maintenance window (single-writer discipline), which is the
+    * operating assumption of every plain-parquet maintainer here. When
+    * writers and compaction must genuinely overlap, use the
+    * transaction-log table's [[graft.sources.TxLog.compact]]: its
+    * commit protocol makes the conflict a version race that the loser
+    * RETRIES, so lost updates are impossible rather than detected.
     *
     * Returns the partition directory names that were compacted. */
   def compactPartitions(spark: org.apache.spark.sql.SparkSession,
