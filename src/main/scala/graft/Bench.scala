@@ -138,11 +138,14 @@ object Bench {
       })
     }.mkString("{", ",", "}")
     println(s"""# per-query detail (full, [spark_s, oracle_s]): $detail""")
-    // full per-query pairs as a FILE, out of the driver's 2k-tail budget
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_detail.json"),
-      (s"""{"sf":"$sfDir","pairs":$detail}""" + "\n").getBytes("UTF-8"))
-    catch { case _: Exception => () }
+    // full per-query pairs as a FILE, out of the driver's 2k-tail budget.
+    // Written only by FULL runs: a selective local iteration must not
+    // clobber the committed full-suite detail with a 2-query fragment.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_detail.json"),
+        (s"""{"sf":"$sfDir","pairs":$detail}""" + "\n").getBytes("UTF-8"))
+      catch { case _: Exception => () }
     // chars for the queries map in the final line: the whole line must stay
     // well under the 2000-char tail even if the harness appends a trailing
     // "[success] Total time: ..." line after it (as sbt-run rounds do)
