@@ -454,9 +454,13 @@ object TxLog {
       val compacted = spark.read.option("basePath", path)
         .parquet(inputs.map(f => s"$path/${f.path}"): _*)
         .withColumn(partitionCol, col(partitionCol).cast("string"))
-        // one output file per partition: the write is partitioned by
-        // the column, so coalesce(1) yields one file per live partition
-        .coalesce(1)
+        // one output file per partition, PARALLEL across partitions:
+        // clustering by the partition column puts each partition's rows
+        // in one task (the partitioned writer then emits one file per
+        // partition dir), while different partitions compact on
+        // different tasks — unlike coalesce(1), which would funnel the
+        // whole table's rewrite through a single task at scale
+        .repartition(col(partitionCol))
       val staged = stageData(spark, path, compacted, partitionCol)
       if (tryCommit(spark, path, snap.version + 1, staged, inputs))
         return multi.size
