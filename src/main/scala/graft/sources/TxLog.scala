@@ -59,8 +59,12 @@ object TxLog {
     * (unescaped); `path` is relative to the table root. */
   case class AddFile(path: String, partition: String, rows: Long)
 
-  /** Resolved table state: committed version + live file set. */
-  case class Snapshot(version: Long, files: Seq[AddFile])
+  /** Resolved table state: committed version + live file set + the
+    * table schema as of that version (DDL string; carried by commits
+    * so an EMPTIED table keeps its shape — absent only on logs written
+    * before schema tracking). */
+  case class Snapshot(version: Long, files: Seq[AddFile],
+      schemaDdl: Option[String] = None)
 
   val CheckpointInterval = 10
 
@@ -178,14 +182,22 @@ object TxLog {
       .map(_.stripSuffix(".checkpoint.json").toLong)
       .filter(cv => asOf.forall(cv <= _))
     val fromCk = if (ckVersions.isEmpty) -1L else ckVersions.max
+    var schema: Option[String] = None
     var files = if (fromCk < 0) Map.empty[String, AddFile]
-    else parseFiles(readJson(fs, checkpointPath(table, fromCk)) \ "files")
-      .map(f => f.path -> f).toMap
+    else {
+      val ck = readJson(fs, checkpointPath(table, fromCk))
+      schema = (ck \ "schema").toOption.collect { case JString(d) => d }
+      parseFiles(ck \ "files").map(f => f.path -> f).toMap
+    }
     val commits = commitVersions
       .filter(cv => cv > fromCk && asOf.forall(cv <= _)).sorted
     var v = fromCk
     commits.foreach { cv =>
       val j = readJson(fs, commitPath(table, cv))
+      (j \ "schema").toOption.foreach {
+        case JString(d) => schema = Some(d)
+        case _ => ()
+      }
       parseFiles(j \ "removes").foreach(f => files -= f.path)
       // removes may also arrive as plain path strings
       (j \ "removes") match {
@@ -198,7 +210,7 @@ object TxLog {
       parseFiles(j \ "adds").foreach(f => files += (f.path -> f))
       v = cv
     }
-    Snapshot(v, files.values.toSeq.sortBy(_.path))
+    Snapshot(v, files.values.toSeq.sortBy(_.path), schema)
   }
 
   /** Read the table (optionally pruned to `partitions`) at a consistent
@@ -220,10 +232,16 @@ object TxLog {
       case None => snap.files
     }
     if (live.isEmpty) {
-      // typed empty frame is impossible without a schema source; an
-      // empty table read is only meaningful for counts — callers that
-      // need schema should bootstrap with a first commit
-      spark.emptyDataFrame
+      // an emptied (or fully-pruned) table still reads with its full
+      // schema: commits carry the table DDL, so projections and
+      // filters on the empty frame resolve. Only a log written before
+      // schema tracking degrades to the 0-column frame.
+      snap.schemaDdl match {
+        case Some(ddl) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        case None => spark.emptyDataFrame
+      }
     } else
       spark.read.option("basePath", path)
         .parquet(live.map(f => s"$path/${f.path}"): _*)
@@ -261,10 +279,15 @@ object TxLog {
       case (None, None) =>
         // no files differ (idle poll, from == to): still honor the
         // documented output schema so a CDC consumer's projections and
-        // filters resolve on the empty batch — derive it from any live
-        // file; a table with no files at all has no schema source and
-        // yields the 0-column frame (documented bootstrap edge)
-        readFiles(toS.files.take(1)).orElse(readFiles(fromS.files.take(1))) match {
+        // filters resolve on the empty batch — from any live file, or
+        // (for an emptied table) the schema the commits carry; only a
+        // schema-tracking-free legacy log with no files yields the
+        // 0-column frame
+        readFiles(toS.files.take(1)).orElse(readFiles(fromS.files.take(1)))
+          .orElse(toS.schemaDdl.orElse(fromS.schemaDdl).map(ddl =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType.fromDDL(ddl)))) match {
           case Some(any) => any.filter(lit(false))
             .withColumn("_change_type", lit(""))
           case None => spark.emptyDataFrame
@@ -330,22 +353,27 @@ object TxLog {
     * retries). Writes a checkpoint every [[CheckpointInterval]] commits
     * (best-effort — a checkpoint failure never fails the commit). */
   def tryCommit(spark: SparkSession, path: String, version: Long,
-      adds: Seq[AddFile], removes: Seq[AddFile]): Boolean = {
+      adds: Seq[AddFile], removes: Seq[AddFile],
+      schemaDdl: Option[String] = None): Boolean = {
     val table = new Path(path)
     val fs = fsOf(spark, table)
     fs.mkdirs(logDir(table))
-    val body = JsonMethods.compact(JsonMethods.render(JObject(
-      "version" -> JLong(version),
+    val fields = List(
+      "version" -> (JLong(version): JValue),
       "adds" -> renderFiles(adds),
-      "removes" -> renderFiles(removes))))
+      "removes" -> renderFiles(removes)) ++
+      schemaDdl.map(d => "schema" -> (JString(d): JValue)).toList
+    val body = JsonMethods.compact(JsonMethods.render(JObject(fields: _*)))
     val ok = writeAtomic(fs, commitPath(table, version), body)
     if (ok && version > 0 && version % CheckpointInterval == 0) {
       try {
         val snap = snapshot(spark, path)
         if (snap.version >= version)
           writeAtomic(fs, checkpointPath(table, snap.version),
-            JsonMethods.compact(JsonMethods.render(
-              JObject("files" -> renderFiles(snap.files)))))
+            JsonMethods.compact(JsonMethods.render(JObject(
+              (List("files" -> renderFiles(snap.files)) ++
+                snap.schemaDdl.map(d =>
+                  "schema" -> (JString(d): JValue)).toList): _*))))
       } catch { case _: Exception => () }
     }
     ok
@@ -385,6 +413,7 @@ object TxLog {
     var attempt = 0
     var done = false
     var staged: Seq[AddFile] = Seq.empty
+    var stagedDdl: Option[String] = None
     // the BASE fileset the staged merge was computed from: staged files
     // are valid to commit ONLY while the touched partitions' live files
     // are exactly this set. Checked at LOOP TOP against the snapshot we
@@ -421,8 +450,15 @@ object TxLog {
         // the same files; any movement of the base restages above
         staged = stageData(spark, path, merged, partitionCol)
         stagedBase = oldFiles.toSet
+        // the commit carries the table schema (partition column last,
+        // mirroring the partitioned read's column order) so an emptied
+        // table keeps its shape
+        stagedDdl = Some(org.apache.spark.sql.types.StructType(
+          merged.schema.filter(_.name != partitionCol) ++
+            merged.schema.find(_.name == partitionCol)).toDDL)
       }
-      if (tryCommit(spark, path, snap.version + 1, staged, oldFiles)) done = true
+      if (tryCommit(spark, path, snap.version + 1, staged, oldFiles,
+        stagedDdl)) done = true
       // on failure: loop re-snapshots; the loop-top base check decides
       // whether the staged files are still valid or must be rebuilt
     }

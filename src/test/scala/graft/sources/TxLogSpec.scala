@@ -216,6 +216,24 @@ class TxLogSpec extends SparkSpec {
       .forall(_._2.size == 1))
   }
 
+  test("an emptied table keeps its schema: reads and change feeds stay typed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-empty").toString
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v1")))
+    // delete the only row — the live file set becomes empty
+    TxLog.merge(spark, dir,
+      docs(), Seq("dbA#a1").toDF("_docId"))
+    val emptied = TxLog.read(spark, dir)
+    assert(emptied.isEmpty)
+    // full schema survives (partition column last, like a partitioned
+    // read), so consumer projections resolve on the empty table
+    assert(emptied.columns.toSeq == Seq("_docId", "payload", "str_databaseid"))
+    assert(emptied.select("_docId", "payload").count() == 0)
+    // idle change feed is also schema-correct
+    val head = TxLog.snapshot(spark, dir).version
+    val idle = TxLog.changes(spark, dir, head, head)
+    assert(idle.columns.contains("_change_type") && idle.isEmpty)
+  }
+
   test("mergeDocsTx matches mergeDocsIncremental's final state on the same batches") {
     val txDir = java.nio.file.Files.createTempDirectory("graft-tx8a").toString
     val plainDir = java.nio.file.Files.createTempDirectory("graft-tx8b").toString
