@@ -51,27 +51,98 @@ object TextIndex {
     java.lang.management.ManagementFactory.getRuntimeMXBean.getName
       .replaceAll("[^A-Za-z0-9]", "-")
 
+  /** Managed-location roots (key → root dir). A managed root is NOT the
+    * postings parquet dir itself: it holds generation subdirs plus a
+    * `_CURRENT` pointer file naming the active one, so the active
+    * generation survives a driver restart (see [[manage]]). */
+  private val managedRoot = new ConcurrentHashMap[String, String]()
+
   /** Drop the cached postings for a table — the full-rebuild fallback.
     * Writers that know WHICH files changed should use [[addFiles]] /
     * [[removeFiles]] instead: they update the side table incrementally,
     * so the next search pays a lookup join, not a corpus rebuild. */
-  def invalidate(path: String, textCol: String): Unit =
+  def invalidate(path: String, textCol: String): Unit = {
     cache.remove(s"$path:$textCol")
+    managedRoot.remove(s"$path:$textCol")
+  }
+
+  /** Active postings directory of (path, textCol) in this process —
+    * None if nothing has been built or attached yet. Introspection for
+    * tests and operators; searches resolve it internally. */
+  def activeLocation(path: String, textCol: String): Option[String] =
+    Option(cache.get(s"$path:$textCol"))
+
+  private def currentPtr(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_CURRENT")
+
+  private def writeCurrent(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, genName: String): Unit = {
+    // tiny single-block overwrite of the pointer file; the referenced
+    // generation dir is immutable once named, so a reader that catches
+    // either pointer value reads a complete generation
+    val out = fs.create(currentPtr(root), true)
+    try out.write(genName.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readCurrent(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(currentPtr(root))) None
+    else {
+      val in = fs.open(currentPtr(root))
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+
+  private def freshGenName() =
+    s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
 
   /** Pin the postings side table of (path, textCol) to a MANAGED
     * location (the production shape: the table's writer owns both the
     * data files and the postings dir, and maintains the latter with
-    * [[addFiles]]/[[removeFiles]] as it writes). Existing postings at
-    * `location` are adopted as-is — a restarted driver re-attaches
-    * without rebuilding; an empty location builds once. */
+    * [[addFiles]]/[[removeFiles]] as it writes). The location is a ROOT
+    * holding generation subdirs and a `_CURRENT` pointer that
+    * [[removeFiles]] swaps ATOMICALLY on disk — a restarted driver
+    * re-attaches to the generation that was active at the swap, never a
+    * retired one (postings appended after a swap live in the current
+    * generation and survive re-attach). Legacy roots holding bare
+    * parquet postings are migrated into a first generation on attach;
+    * an empty root builds once. */
   def manage(spark: SparkSession, path: String, textCol: String,
       location: String): Unit = {
-    val hPath = new org.apache.hadoop.fs.Path(location)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(hPath) || !fs.listStatus(hPath)
-        .exists(_.getPath.getName.endsWith(".parquet")))
-      buildTo(spark, path, textCol, location)
-    cache.put(s"$path:$textCol", location)
+    val root = new org.apache.hadoop.fs.Path(location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val active: String = readCurrent(fs, root) match {
+      case Some(gen) if fs.exists(new org.apache.hadoop.fs.Path(root, gen)) =>
+        s"$location/$gen" // re-attach to the generation the pointer names
+      case _ =>
+        val gen = freshGenName()
+        val genDir = new org.apache.hadoop.fs.Path(root, gen)
+        val bare =
+          if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.Path]
+          else fs.listStatus(root).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+        if (bare.nonEmpty) {
+          // pre-pointer layout: adopt the existing postings by moving
+          // them into a named generation (no rebuild, no readers yet —
+          // attach happens before this process serves searches)
+          fs.mkdirs(genDir)
+          bare.foreach { f =>
+            if (!fs.rename(f, new org.apache.hadoop.fs.Path(genDir, f.getName)))
+              throw new java.io.IOException(s"postings migration failed: $f")
+          }
+        } else buildTo(spark, path, textCol, genDir.toString)
+        writeCurrent(fs, root, gen)
+        s"$location/$gen"
+    }
+    // generations the pointer does not name are leftovers of a previous
+    // process (retired copies, or a crashed mid-swap write) — nothing
+    // can reach them once this attach returns, so reclaim them now
+    val activeName = active.substring(location.length + 1)
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("gen-") && p.getName != activeName)
+      .foreach(p => fs.delete(p, true))
+    cache.put(s"$path:$textCol", active)
+    managedRoot.put(s"$path:$textCol", location)
   }
 
   /** Incremental APPEND: index `newFiles` (paths of data files just
@@ -108,10 +179,24 @@ object TextIndex {
     val key = s"$path:$textCol"
     val loc = cache.get(key)
     if (loc == null || removed.isEmpty) return
-    val next = s"$loc-v${java.util.UUID.randomUUID().toString.take(8)}"
+    val root = Option(managedRoot.get(key))
+    // managed: the new generation is a sibling under the root and the
+    // on-disk _CURRENT pointer moves with it, so a restarted driver
+    // re-attaches HERE (not to the retired generation — postings
+    // appended after this swap must survive re-attach). Unmanaged
+    // (tmpdir) postings keep the plain versioned-suffix swap.
+    val next = root match {
+      case Some(r) => s"$r/${freshGenName()}"
+      case None => s"$loc-v${java.util.UUID.randomUUID().toString.take(8)}"
+    }
     spark.read.parquet(loc)
       .filter(!col("file").isin(removed: _*))
       .write.mode("overwrite").parquet(next)
+    root.foreach { r =>
+      val rp = new org.apache.hadoop.fs.Path(r)
+      val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+      writeCurrent(fs, rp, next.substring(r.length + 1))
+    }
     cache.put(key, next)
     // GENERATIONAL retirement, not immediate deletion: a search that
     // resolved the old location before this swap may still be

@@ -45,19 +45,63 @@ import org.json4s.jackson.JsonMethods
   *    [[graft.core.Layout.compactPartitions]], which detects-and-aborts).
   *
   * Scale notes: the log holds file METADATA only (path, partition, row
-  * count) — driver-sized by design, same as Delta's; checkpoints every
-  * [[CheckpointInterval]] commits bound log replay to O(interval) small
-  * reads. Partition pruning happens against the log before any parquet
-  * footer is opened. Rename-without-overwrite is atomic on HDFS and
-  * local filesystems; object stores without atomic rename need a commit
-  * coordinator (as Delta's S3 LogStore documents) — same caveat, same
-  * seam.
+  * count, per-file key min/max) — driver-sized by design, same as
+  * Delta's; checkpoints every [[CheckpointInterval]] commits bound log
+  * replay to O(interval) small reads. Partition pruning AND stats-based
+  * key skipping both happen against the log before any parquet footer
+  * is opened. The atomic-publish step is pluggable per table
+  * ([[CommitCoordinator]]): rename-without-overwrite on HDFS/local by
+  * default; object stores without atomic rename register a
+  * conditional-put coordinator (as Delta's S3 LogStore documents).
   */
+/** Atomic publish of a single log file: exactly one concurrent caller
+  * per destination may return true (the losers return false and retry
+  * at the next version). This is THE seam that decides multi-writer
+  * safety per storage backend — HDFS/local get it from
+  * rename-without-overwrite ([[LocalAtomicCoordinator]]); an object
+  * store without atomic rename plugs in a conditional-put coordinator
+  * here (the same seam Delta's S3 LogStore documents), registered per
+  * table via [[TxLog.setCoordinator]]. Implementations must publish
+  * ALL-OR-NOTHING: `dest` may never be visible partially written
+  * (write-to-temp + rename, or a PUT that is atomic on the store) —
+  * concurrent readers list the log mid-commit. */
+trait CommitCoordinator {
+  def tryPublish(fs: FileSystem, dest: Path, body: String): Boolean
+}
+
+/** Default coordinator: write-to-temp + rename-without-overwrite.
+  * HDFS rename already refuses an existing destination; the LOCAL
+  * filesystem's File.renameTo overwrites, so same-JVM racers (the only
+  * kind local tests can produce) are serialized by a JVM-wide lock.
+  * Multi-JVM writers on a non-atomic store need a conditional-put
+  * coordinator instead — that's why this is a trait. */
+object LocalAtomicCoordinator extends CommitCoordinator {
+  private val commitLock = new Object
+  def tryPublish(fs: FileSystem, dest: Path, body: String): Boolean = {
+    val tmp = new Path(dest.getParent,
+      s".${dest.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    // rename-without-overwrite is the atomic publish: exactly one writer
+    // of a given version wins; the loser's temp file is removed
+    val ok = commitLock.synchronized {
+      !fs.exists(dest) && fs.rename(tmp, dest)
+    }
+    if (!ok) fs.delete(tmp, false)
+    ok
+  }
+}
+
 object TxLog {
 
-  /** One committed data file. `partition` is the RAW partition value
-    * (unescaped); `path` is relative to the table root. */
-  case class AddFile(path: String, partition: String, rows: Long)
+  /** One committed data file: `partition` is the RAW partition value
+    * (unescaped); `path` is relative to the table root; `rows` and the
+    * key min/max are per-file stats collected from the parquet footer
+    * at stage time (the Delta-style data-skipping inputs — `rows < 0`
+    * or `None` bounds mean "written before stats" and disable skipping
+    * for that file, never wrong results). */
+  case class AddFile(path: String, partition: String, rows: Long,
+      minKey: Option[String] = None, maxKey: Option[String] = None)
 
   /** Resolved table state: committed version + live file set + the
     * table schema as of that version (DDL string; carried by commits
@@ -88,7 +132,10 @@ object TxLog {
     val dir = logDir(table)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.endsWith(".json")).toSeq
+      // commits and checkpoints only — _vacuum.json and other
+      // underscore-prefixed control files are not part of the version chain
+      .filter(p => p.getName.endsWith(".json") && !p.getName.startsWith("_"))
+      .toSeq
   }
 
   private def latestVersion(fs: FileSystem, table: Path): Long = {
@@ -101,47 +148,74 @@ object TxLog {
   // ---- commit (de)serialization ------------------------------------
 
   private def renderFiles(files: Seq[AddFile]): JValue =
-    JArray(files.map(f => JObject(
-      "path" -> JString(f.path),
-      "partition" -> JString(f.partition),
-      "rows" -> JLong(f.rows))).toList)
+    JArray(files.map { f =>
+      val base = List(
+        "path" -> (JString(f.path): JValue),
+        "partition" -> (JString(f.partition): JValue),
+        "rows" -> (JLong(f.rows): JValue))
+      val stats = f.minKey.map(m => "minKey" -> (JString(m): JValue)).toList ++
+        f.maxKey.map(m => "maxKey" -> (JString(m): JValue)).toList
+      JObject(base ++ stats: _*)
+    }.toList)
 
   private def parseFiles(j: JValue): Seq[AddFile] = j match {
     case JArray(items) => items.collect { case it: JObject =>
+      def opt(k: String) = (it \ k).toOption.collect { case JString(s) => s }
       AddFile(
         (it \ "path").values.toString,
         (it \ "partition").values.toString,
-        (it \ "rows").values.toString.toLong)
+        (it \ "rows").values.toString.toLong,
+        opt("minKey"), opt("maxKey"))
     }
     case _ => Seq.empty
   }
 
-  /** Serializes the exists-check + rename publish within this JVM.
-    * HDFS rename already refuses an existing destination; the LOCAL
-    * filesystem's File.renameTo overwrites, so same-JVM racers (the
-    * only kind local tests can produce) must not interleave. Multi-JVM
-    * writers on a non-atomic store need a commit coordinator, exactly
-    * as Delta documents for S3. */
-  private val commitLock = new Object
+  /** Per-table commit coordinator override (see [[CommitCoordinator]]);
+    * tables without one use [[LocalAtomicCoordinator]]. */
+  private val coordinators =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitCoordinator]()
 
-  private def writeAtomic(fs: FileSystem, dest: Path, body: String): Boolean = {
-    val tmp = new Path(dest.getParent,
-      s".${dest.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    // rename-without-overwrite is the atomic publish: exactly one writer
-    // of a given version wins; the loser's temp file is removed
-    val ok = commitLock.synchronized {
-      !fs.exists(dest) && fs.rename(tmp, dest)
-    }
-    if (!ok) fs.delete(tmp, false)
-    ok
-  }
+  def setCoordinator(tablePath: String, c: CommitCoordinator): Unit =
+    coordinators.put(tablePath, c)
+  def clearCoordinator(tablePath: String): Unit =
+    coordinators.remove(tablePath)
+  private def coordinatorOf(tablePath: String): CommitCoordinator =
+    coordinators.getOrDefault(tablePath, LocalAtomicCoordinator)
 
   private def readJson(fs: FileSystem, p: Path): JValue = {
     val in = fs.open(p)
     try JsonMethods.parse(new java.io.InputStreamReader(in, "UTF-8"))
     finally in.close()
+  }
+
+  // ---- vacuum horizon ------------------------------------------------
+
+  private def horizonPath(table: Path) = new Path(logDir(table), "_vacuum.json")
+
+  /** Oldest version guaranteed fully readable after vacuums: [[vacuum]]
+    * records the head version whenever it deletes a committed-then-
+    * superseded data file, because any version below that head may now
+    * reference deleted files. -1 = never vacuumed. */
+  def vacuumHorizon(spark: SparkSession, path: String): Long = {
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    if (!fs.exists(horizonPath(table))) -1L
+    else (readJson(fs, horizonPath(table)) \ "horizon").values.toString.toLong
+  }
+
+  private def recordHorizon(fs: FileSystem, table: Path, version: Long): Unit = {
+    val prior =
+      if (!fs.exists(horizonPath(table))) -1L
+      else (readJson(fs, horizonPath(table)) \ "horizon").values.toString.toLong
+    if (version > prior) {
+      // plain overwrite, not the commit coordinator: the horizon is a
+      // monotonic watermark, not a versioned commit — a racing write
+      // loses nothing but a tighter bound, and the next vacuum restores it
+      val out = fs.create(horizonPath(table), true)
+      try out.write(JsonMethods.compact(JsonMethods.render(
+        JObject("horizon" -> JLong(version)))).getBytes("UTF-8"))
+      finally out.close()
+    }
   }
 
   // ---- snapshot resolution ------------------------------------------
@@ -177,6 +251,15 @@ object TxLog {
       require(v >= 0 && commitVersions.nonEmpty && v <= commitVersions.max,
         s"time travel to v$v but committed head is " +
           (if (commitVersions.isEmpty) "empty" else s"v${commitVersions.max}"))
+      // fail at RESOLVE time, not mid-scan: a vacuum past its grace
+      // window deletes the data files of superseded versions, so a read
+      // pinned below the recorded horizon would surface as a raw
+      // FileNotFoundException deep inside the scan. Diagnose it here.
+      val horizon = vacuumHorizon(spark, path)
+      if (v < horizon) throw new IllegalStateException(
+        s"version $v vacuumed (horizon $horizon): vacuum removed data " +
+          s"files of versions below v$horizon — the vacuum grace window " +
+          "is the time-travel retention")
     }
     val ckVersions = names.filter(_.endsWith(".checkpoint.json"))
       .map(_.stripSuffix(".checkpoint.json").toLong)
@@ -213,23 +296,50 @@ object TxLog {
     Snapshot(v, files.values.toSeq.sortBy(_.path), schema)
   }
 
-  /** Read the table (optionally pruned to `partitions`) at a consistent
-    * snapshot — the committed head, or a pinned past version when
-    * `asOfVersion` is set (time travel; see [[snapshotAt]] for the
-    * retention contract). Pruning is LOG-level: files of other
-    * partitions are never opened, the 100 TB analogue of Delta's data
-    * skipping. */
+  /** Unsigned lexicographic compare of UTF-8 bytes — the order parquet
+    * binary statistics are maintained in; key-skipping must compare the
+    * same way or a non-ASCII key could skip a file that holds it. */
+  private def cmpUtf8(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Read the table (optionally pruned to `partitions` and/or a key
+    * range) at a consistent snapshot — the committed head, or a pinned
+    * past version when `asOfVersion` is set (time travel; see
+    * [[snapshotAt]] for the retention contract). Pruning is LOG-level:
+    * files of other partitions, and files whose footer min/max key
+    * stats exclude `keyRange` (both bounds inclusive — a point lookup
+    * passes `(k, k)`), are never opened — the 100 TB analogue of
+    * Delta's stats-based data skipping. Files written before stats
+    * tracking have no bounds and are always read; key-skipping only
+    * drops files, so the caller still applies its row filter. */
   def read(spark: SparkSession, path: String,
       partitions: Option[Set[String]] = None,
-      partitionCol: String = "str_databaseid",
-      asOfVersion: Option[Long] = None): DataFrame = {
+      asOfVersion: Option[Long] = None,
+      keyRange: Option[(String, String)] = None): DataFrame = {
     val snap = asOfVersion match {
       case Some(v) => snapshotAt(spark, path, v)
       case None => snapshot(spark, path)
     }
-    val live = partitions match {
+    val byPart = partitions match {
       case Some(ps) => snap.files.filter(f => ps(f.partition))
       case None => snap.files
+    }
+    val live = keyRange match {
+      case Some((lo, hi)) => byPart.filter(f => (f.minKey, f.maxKey) match {
+        case (Some(mn), Some(mx)) =>
+          cmpUtf8(mx, lo) >= 0 && cmpUtf8(mn, hi) <= 0
+        case _ => true // no stats → cannot skip
+      })
+      case None => byPart
     }
     if (live.isEmpty) {
       // an emptied (or fully-pruned) table still reads with its full
@@ -318,14 +428,56 @@ object TxLog {
     }
   }
 
+  private val utf8Ordering: Ordering[String] =
+    (a: String, b: String) => cmpUtf8(a, b)
+
+  /** Row count and (when `statsCol` is a string column with complete
+    * row-group statistics) its min/max, from the parquet FOOTER only —
+    * no data pages are read, the same free-at-write-time stats Delta
+    * records per file. Bounds are claimed only when EVERY row group
+    * carries them: a partial bound could wrongly skip the file. */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+      file: Path, statsCol: Option[String])
+      : (Long, Option[String], Option[String]) = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val bounds = statsCol.toSeq.flatMap { colName =>
+        blocks.flatMap { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == colName)
+            .flatMap { c =>
+              val st: org.apache.parquet.column.statistics.Statistics[_] =
+                c.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue) None
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (mn: org.apache.parquet.io.api.Binary,
+                      mx: org.apache.parquet.io.api.Binary) =>
+                  Some((mn.toStringUsingUTF8, mx.toStringUsingUTF8))
+                case _ => None
+              }
+            }
+        }
+      }
+      if (statsCol.isEmpty || bounds.size != blocks.size) (rows, None, None)
+      else (rows, Some(bounds.map(_._1).min(utf8Ordering)),
+        Some(bounds.map(_._2).max(utf8Ordering)))
+    } finally reader.close()
+  }
+
   /** Write `df`'s rows as new UNCOMMITTED data files under the table
     * root (hive-partitioned by `partitionCol`), returning their AddFile
-    * records. Files are invisible to readers until a commit references
-    * them. */
+    * records — row count and, when `statsCol` is set, per-file key
+    * bounds, all read from parquet footers (metadata-only; one footer
+    * read per staged file, proportional to the batch, not the table).
+    * Files are invisible to readers until a commit references them. */
   def stageData(spark: SparkSession, path: String, df: DataFrame,
-      partitionCol: String): Seq[AddFile] = {
+      partitionCol: String, statsCol: Option[String] = None): Seq[AddFile] = {
     val table = new Path(path)
     val fs = fsOf(spark, table)
+    val conf = spark.sessionState.newHadoopConf()
     val stage = new Path(table, s"_staged-${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(stage.toString)
     val adds = fs.listStatus(stage).filter(_.isDirectory).flatMap { pd =>
@@ -341,7 +493,8 @@ object TxLog {
           val dest = new Path(destDir, f.getPath.getName)
           if (!fs.rename(f.getPath, dest))
             throw new java.io.IOException(s"stage move failed: $dest")
-          AddFile(s"$escaped/${dest.getName}", raw, -1L)
+          val (rows, mn, mx) = footerStats(conf, dest, statsCol)
+          AddFile(s"$escaped/${dest.getName}", raw, rows, mn, mx)
         }
     }.toSeq
     fs.delete(stage, true)
@@ -364,12 +517,13 @@ object TxLog {
       "removes" -> renderFiles(removes)) ++
       schemaDdl.map(d => "schema" -> (JString(d): JValue)).toList
     val body = JsonMethods.compact(JsonMethods.render(JObject(fields: _*)))
-    val ok = writeAtomic(fs, commitPath(table, version), body)
+    val coordinator = coordinatorOf(path)
+    val ok = coordinator.tryPublish(fs, commitPath(table, version), body)
     if (ok && version > 0 && version % CheckpointInterval == 0) {
       try {
         val snap = snapshot(spark, path)
         if (snap.version >= version)
-          writeAtomic(fs, checkpointPath(table, snap.version),
+          coordinator.tryPublish(fs, checkpointPath(table, snap.version),
             JsonMethods.compact(JsonMethods.render(JObject(
               (List("files" -> renderFiles(snap.files)) ++
                 snap.schemaDdl.map(d =>
@@ -384,13 +538,17 @@ object TxLog {
     * `removedKeys` (nullable) are deleted. Only partitions present in
     * the batch are read or rewritten.
     *
-    * KEY SHAPE CONTRACT: a removed key's partition is derived from the
-    * key itself — everything before the first `#` (the engine's
-    * composite doc-id form, `databaseId#assetId[#path]`). Keys must
-    * embed the partition value as that prefix and partition values
-    * must not contain `#`, or the delete's partition is derived wrong
-    * and the removal silently misses its row. (Updates carry the
-    * partition column explicitly and are not affected.) Retries on commit conflict:
+    * KEY SHAPE CONTRACT (ENFORCED): a removed key's partition is
+    * derived from the key itself — everything before the first `#`
+    * (the engine's composite doc-id form, `databaseId#assetId[#path]`).
+    * Keys must embed the partition value as that prefix and partition
+    * values must not contain `#`. Both are checked before any commit:
+    * a partition value containing `#`, or a delete key whose derived
+    * partition is neither committed nor present in the batch's updates,
+    * throws instead of silently missing its row (a silent no-op delete
+    * is indistinguishable from the mis-derivation, so both fail loud).
+    * (Updates carry the partition column explicitly and are not
+    * affected.) Retries on commit conflict:
     * partition-disjoint concurrent commits are re-applied verbatim
     * (their base did not change); overlapping ones rebuild the merge
     * from the fresh snapshot. Every retry path re-derives from committed
@@ -399,14 +557,21 @@ object TxLog {
       removedKeys: DataFrame = null, keyCol: String = "_docId",
       partitionCol: String = "str_databaseid",
       maxAttempts: Int = 20): Unit = {
-    val removedWithPart = Option(removedKeys).map(
-      _.withColumn(partitionCol, split(col(keyCol), "#").getItem(0)))
-    val touched: Set[String] = (
-      updates.select(partitionCol).distinct() +:
-        removedWithPart.map(_.select(partitionCol).distinct()).toSeq)
-      .reduce(_.unionByName(_)).distinct()
-      .collect().map(_.getString(0)).toSet
+    val updParts: Set[String] = updates.select(partitionCol).distinct()
+      .collect().map(_.getString(0)).filter(_ != null).toSet
+    val rmParts: Set[String] = Option(removedKeys)
+      .map(_.select(split(col(keyCol), "#").getItem(0)).distinct()
+        .collect().map(_.getString(0)).filter(_ != null).toSet)
+      .getOrElse(Set.empty)
+    val touched = updParts ++ rmParts
     if (touched.isEmpty) return
+    // KEY SHAPE CONTRACT, half 1: a `#` inside a partition value makes
+    // every later delete of that partition derive a wrong (prefix)
+    // partition — refuse to commit such values at all
+    updParts.foreach(p => require(!p.contains("#"),
+      s"merge: partition value '$p' contains '#' — delete keys derive " +
+        "their partition as the prefix before the first '#', so rows in " +
+        "this partition could never be deleted (KEY SHAPE CONTRACT)"))
     // micro-batch inputs are re-read on every retry; pin them once
     val up = updates.localCheckpoint()
     val rm = Option(removedKeys).map(_.select(keyCol).localCheckpoint())
@@ -426,6 +591,20 @@ object TxLog {
       attempt += 1
       require(attempt <= maxAttempts, s"merge: $maxAttempts commit conflicts")
       val snap = snapshot(spark, path)
+      if (attempt == 1) {
+        // KEY SHAPE CONTRACT, half 2: every delete key's derived
+        // partition must be committed or introduced by this batch's
+        // updates — anything else is either a mis-shaped key (the
+        // silent data-loss edge) or a delete of a row that cannot
+        // exist; both fail loud instead of silently dropping the delete
+        val known = updParts ++ snap.files.map(_.partition)
+        val unknown = rmParts -- known
+        require(unknown.isEmpty,
+          s"merge: delete keys derive partition(s) ${unknown.mkString(", ")} " +
+            s"not committed to the table and absent from the batch's " +
+            "updates — keys must be '<partition>#<id>' with a partition " +
+            "value free of '#' (KEY SHAPE CONTRACT)")
+      }
       val oldFiles = snap.files.filter(f => touched(f.partition))
       if (staged.nonEmpty && oldFiles.toSet != stagedBase)
         staged = Seq.empty // base moved — restage from this snapshot
@@ -448,7 +627,7 @@ object TxLog {
         }
         // stage once per BASE: a partition-disjoint conflict re-commits
         // the same files; any movement of the base restages above
-        staged = stageData(spark, path, merged, partitionCol)
+        staged = stageData(spark, path, merged, partitionCol, Some(keyCol))
         stagedBase = oldFiles.toSet
         // the commit carries the table schema (partition column last,
         // mirroring the partitioned read's column order) so an emptied
@@ -478,7 +657,8 @@ object TxLog {
     * for time travel until [[vacuum]]'s grace window passes. Returns
     * the number of partitions compacted. */
   def compact(spark: SparkSession, path: String,
-      partitionCol: String = "str_databaseid", maxAttempts: Int = 20): Int = {
+      partitionCol: String = "str_databaseid", keyCol: String = "_docId",
+      maxAttempts: Int = 20): Int = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -497,7 +677,8 @@ object TxLog {
         // different tasks — unlike coalesce(1), which would funnel the
         // whole table's rewrite through a single task at scale
         .repartition(col(partitionCol))
-      val staged = stageData(spark, path, compacted, partitionCol)
+      val staged = stageData(spark, path, compacted, partitionCol,
+        Some(keyCol).filter(compacted.columns.contains))
       if (tryCommit(spark, path, snap.version + 1, staged, inputs))
         return multi.size
       // conflict: a writer landed first — its commit may have replaced
@@ -508,15 +689,30 @@ object TxLog {
   }
 
   /** Remove data files no committed version references and stale staging
-    * directories, `olderThanMs` old (grace for in-flight writers). */
+    * directories, `olderThanMs` old (grace for in-flight writers). When
+    * a DATA file is removed, the current head version is recorded as
+    * the [[vacuumHorizon]]: versions below it may now reference deleted
+    * files, so [[snapshotAt]]/[[changes]] below the horizon fail with a
+    * clean diagnostic at resolve time instead of a FileNotFoundException
+    * mid-scan. (Staging-dir cleanup never moves the horizon — those
+    * files were never committed.) */
   def vacuum(spark: SparkSession, path: String,
       olderThanMs: Long = 3600L * 1000): Seq[String] = {
     val table = new Path(path)
     val fs = fsOf(spark, table)
     if (!fs.exists(table)) return Seq.empty
-    val live = snapshot(spark, path).files.map(_.path).toSet
+    val snap = snapshot(spark, path)
+    val live = snap.files.map(_.path).toSet
+    // files some COMMIT ever referenced: deleting one of these breaks
+    // the versions that referenced it (→ horizon moves); deleting a
+    // crashed writer's never-committed orphan breaks nothing. The log
+    // is driver-sized metadata, so this replay is O(commits) small reads.
+    val everCommitted: Set[String] = listLog(fs, table)
+      .filter(!_.getName.contains("checkpoint"))
+      .flatMap(p => parseFiles(readJson(fs, p) \ "adds").map(_.path)).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var committedRemoved = false
     fs.listStatus(table).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory && name.startsWith("_staged-")) {
@@ -530,10 +726,12 @@ object TxLog {
             val rel = s"$name/${f.getPath.getName}"
             if (!live(rel) && f.getModificationTime < cutoff) {
               fs.delete(f.getPath, false); removed += rel
+              if (everCommitted(rel)) committedRemoved = true
             }
           }
       }
     }
+    if (committedRemoved) recordHorizon(fs, table, snap.version)
     removed.toSeq
   }
 }

@@ -99,14 +99,9 @@ object Workflows {
     private def pendingDir(execId: String) =
       durableDir.map(_._2 + s"/pending/$execId")
 
-    private[workflow] def persistPending(execId: String,
-        p: PendingCallback): Unit = pendingDir(execId).foreach { dir =>
-      val (spark, _) = durableDir.get
-      // versioned data dir: a resume that suspends AGAIN writes its new
-      // intermediate while the old one is still the read source of the
-      // running plan — never overwrite in place
-      val dataPath = s"$dir/data-${java.util.UUID.randomUUID().toString.take(8)}"
-      p.current().write.mode("overwrite").parquet(dataPath)
+    private def writeDescriptor(fs: org.apache.hadoop.fs.FileSystem,
+        dest: org.apache.hadoop.fs.Path, p: PendingCallback,
+        dataPath: String): Unit = {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
       val desc = JsonMethods.compact(JsonMethods.render(JObject(
@@ -116,9 +111,45 @@ object Workflows {
         "remaining" -> JArray(p.remaining.map(JString(_)).toList),
         "startedAtMs" -> JLong(p.startedAtMs),
         "dataPath" -> JString(dataPath))))
-      val (fs, d) = fsAnd(dir).get
-      val out = fs.create(new org.apache.hadoop.fs.Path(d, "descriptor.json"), true)
+      val out = fs.create(dest, true)
       try out.write(desc.getBytes("UTF-8")) finally out.close()
+    }
+
+    /** Parse a persisted execution descriptor → (state with a thunk
+      * reading the persisted frame, its data path). */
+    private def readDescriptor(spark: SparkSession,
+        fs: org.apache.hadoop.fs.FileSystem,
+        src: org.apache.hadoop.fs.Path): (PendingCallback, String) = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val in = fs.open(src)
+      val j = try JsonMethods.parse(new java.io.InputStreamReader(in, "UTF-8"))
+        finally in.close()
+      val remaining = (j \ "remaining") match {
+        case JArray(items) => items.collect { case JString(s) => s }
+        case _ => Nil
+      }
+      val dataPath = (j \ "dataPath").values.toString
+      (PendingCallback(
+        (j \ "databaseId").values.toString,
+        (j \ "assetId").values.toString,
+        (j \ "workflowId").values.toString,
+        remaining,
+        () => spark.read.parquet(dataPath),
+        (j \ "startedAtMs").values.toString.toLong), dataPath)
+    }
+
+    private[workflow] def persistPending(execId: String,
+        p: PendingCallback): Unit = pendingDir(execId).foreach { dir =>
+      val (spark, _) = durableDir.get
+      // versioned data dir: a resume that suspends AGAIN writes its new
+      // intermediate while the old one is still the read source of the
+      // running plan — never overwrite in place
+      val dataPath = s"$dir/data-${java.util.UUID.randomUUID().toString.take(8)}"
+      p.current().write.mode("overwrite").parquet(dataPath)
+      val (fs, d) = fsAnd(dir).get
+      writeDescriptor(fs, new org.apache.hadoop.fs.Path(d, "descriptor.json"),
+        p, dataPath)
       // thunk now reads the persisted copy — restart-equivalent even in
       // the same process
       pending(execId) = p.copy(current = () => spark.read.parquet(dataPath))
@@ -128,6 +159,69 @@ object Workflows {
       pendingDir(execId).foreach { dir =>
         fsAnd(dir).foreach { case (fs, d) => fs.delete(d, true) }
       }
+    }
+
+    // ── mid-stage crash durability (Step Functions restart semantics) ──
+    // Step Functions persists every state transition, so a crashed
+    // execution restarts at its last COMPLETED state, not from scratch
+    // (`common/stepfunctions_builder.py:161-203` — each compiled stage
+    // is a durable state). Durable mode mirrors that: the input at
+    // execute() and the intermediate after EVERY completed stage are
+    // checkpointed to `<dir>/inflight/<execId>`; the checkpoint is
+    // superseded stage-by-stage and removed at suspend (the pending
+    // token takes over) or terminal record. [[rehydrate]] surfaces
+    // survivors; [[resumeInterrupted]] re-runs ONLY the remaining stages.
+    private val interrupted = mutable.LinkedHashMap[String, PendingCallback]()
+
+    private def inflightDir(execId: String) =
+      durableDir.map(_._2 + s"/inflight/$execId")
+
+    /** Persist the stage boundary and return the frame REBOUND to the
+      * persisted copy — the continuation reads what a restart would
+      * read (restart-equivalence), and the previous boundary's files
+      * can be deleted because nothing references them anymore. */
+    private def checkpointStage(execId: String, p: PendingCallback)
+        : DataFrame = inflightDir(execId) match {
+      case None => p.current()
+      case Some(dir) =>
+        val (spark, _) = durableDir.get
+        val (fs, d) = fsAnd(dir).get
+        val priorData =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(d, "descriptor.json")))
+            None
+          else Some((readDescriptor(spark, fs,
+            new org.apache.hadoop.fs.Path(d, "descriptor.json"))._2))
+        val dataPath = s"$dir/data-${java.util.UUID.randomUUID().toString.take(8)}"
+        p.current().write.mode("overwrite").parquet(dataPath)
+        writeDescriptor(fs, new org.apache.hadoop.fs.Path(d, "descriptor.json"),
+          p, dataPath)
+        priorData.foreach { old =>
+          fs.delete(new org.apache.hadoop.fs.Path(old), true)
+        }
+        spark.read.parquet(dataPath)
+    }
+
+    private def dropInflight(execId: String): Unit =
+      inflightDir(execId).foreach { dir =>
+        fsAnd(dir).foreach { case (fs, d) => fs.delete(d, true) }
+      }
+
+    /** Executions that were mid-stage when the driver died (recovered
+      * from their last completed-stage checkpoint). */
+    def interruptedExecutions: Seq[String] = interrupted.keys.toSeq
+
+    /** Resume every interrupted execution from its last completed stage
+      * — completed stages are NOT re-run (their output is the persisted
+      * checkpoint). Returns each execution's final (or re-suspended)
+      * result. */
+    def resumeInterrupted(): Map[String, Try[DataFrame]] = {
+      val ids = interrupted.keys.toSeq
+      ids.map { execId =>
+        val p = interrupted.remove(execId).get
+        val (_, r) = runStages(execId, p.databaseId, p.assetId,
+          p.workflowId, p.remaining, p.current(), p.startedAtMs)
+        execId -> r
+      }.toMap
     }
 
     /** Re-hydrate runtime state from `durableDir` (crash/restart path):
@@ -162,23 +256,22 @@ object Workflows {
         .foreach { st =>
           val execId = st.getPath.getName
           val descPath = new org.apache.hadoop.fs.Path(st.getPath, "descriptor.json")
-          if (fs.exists(descPath)) {
-            val in = fs.open(descPath)
-            val j = try JsonMethods.parse(
-              new java.io.InputStreamReader(in, "UTF-8")) finally in.close()
-            val remaining = (j \ "remaining") match {
-              case JArray(items) => items.collect { case JString(s) => s }
-              case _ => Nil
-            }
-            val dataDir = (j \ "dataPath").values.toString
-            pending(execId) = PendingCallback(
-              (j \ "databaseId").values.toString,
-              (j \ "assetId").values.toString,
-              (j \ "workflowId").values.toString,
-              remaining,
-              () => spark.read.parquet(dataDir),
-              (j \ "startedAtMs").values.toString.toLong)
-          }
+          if (fs.exists(descPath))
+            pending(execId) = readDescriptor(spark, fs, descPath)._1
+        }
+      // executions that died MID-STAGE: their last completed-stage
+      // checkpoint survives under inflight/. A pending TOKEN for the
+      // same execution wins (crash mid-resume: the token is re-
+      // deliverable at-least-once, so the stale mid-resume checkpoint
+      // is garbage, not state)
+      val inflRoot = new org.apache.hadoop.fs.Path(root, "inflight")
+      if (fs.exists(inflRoot)) fs.listStatus(inflRoot).filter(_.isDirectory)
+        .foreach { st =>
+          val execId = st.getPath.getName
+          val descPath = new org.apache.hadoop.fs.Path(st.getPath, "descriptor.json")
+          if (pending.contains(execId)) fs.delete(st.getPath, true)
+          else if (fs.exists(descPath))
+            interrupted(execId) = readDescriptor(spark, fs, descPath)._1
         }
     }
 
@@ -226,18 +319,15 @@ object Workflows {
         Failure(new RuntimeException(
           s"callback failure for $executionId: $reason"))
       } else {
-        val (_, r0) = runStages(executionId, p.databaseId, p.assetId,
+        val (_, r) = runStages(executionId, p.databaseId, p.assetId,
           p.workflowId, p.remaining, p.current(), p.startedAtMs)
         // single-use: the durable token goes away only once the resumed
         // run recorded its outcome (a crash mid-resume keeps it
         // deliverable — at-least-once, as with SFN task tokens); if the
         // resume SUSPENDED again (another waitForCallback stage), the
-        // fresh descriptor was just written and must survive. Before the
-        // persisted intermediate is deleted, the result is materialized
-        // (eager localCheckpoint) so the frame handed to the caller does
-        // not dangle on removed files.
-        val r = if (durableDir.isDefined && !pending.contains(executionId))
-          r0.map(_.localCheckpoint()) else r0
+        // fresh descriptor was just written and must survive. runStages
+        // already materialized any durable terminal result, so deleting
+        // the persisted intermediate cannot strand the caller's frame.
         if (!pending.contains(executionId)) dropPending(executionId)
         r
       }
@@ -250,6 +340,21 @@ object Workflows {
       var failedAt = ""
       var current = input
       var idx = 0
+      def boundary(remaining: Seq[String]): PendingCallback = {
+        val frame = current
+        PendingCallback(databaseId, assetId, workflowId, remaining,
+          () => frame, startedAtMs)
+      }
+      // durable mode: the input is checkpointed before stage 1 and the
+      // intermediate after every completed stage — a crash ANYWHERE
+      // mid-run restarts from the last completed stage, never from
+      // scratch (the SFN per-state durability this models); `current`
+      // is rebound to the persisted copy so the continuation is
+      // restart-equivalent. record() upserts, so the transient RUNNING
+      // row becomes the terminal row in place.
+      current = checkpointStage(execId, boundary(stages))
+      record(execId, databaseId, assetId, workflowId, "RUNNING",
+        startedAtMs, "")
       val result = Try {
         while (idx < stages.length) {
           val pid = stages(idx)
@@ -257,23 +362,30 @@ object Workflows {
           current = pipelines(pid).transform(current)
           idx += 1
           if (pipelines(pid).waitForCallback) {
-            val frame = current
-            val pc = PendingCallback(databaseId, assetId, workflowId,
-              stages.drop(idx), () => frame, startedAtMs)
+            val pc = boundary(stages.drop(idx))
             pending(execId) = pc
             persistPending(execId, pc) // durable mode: frame + descriptor
+            dropInflight(execId) // the pending token supersedes the checkpoint
             record(execId, databaseId, assetId, workflowId,
               "PENDING_CALLBACK", startedAtMs, pid)
             return (execId, Success(current))
           }
+          if (idx < stages.length) // terminal record supersedes the last one
+            current = checkpointStage(execId, boundary(stages.drop(idx)))
         }
         failedAt = ""
         current
       }
+      // durable mode: the result's lineage reads the last stage-boundary
+      // checkpoint, which the terminal record deletes below — materialize
+      // (eager localCheckpoint) so the caller's frame never dangles on
+      // removed files
+      val out =
+        if (durableDir.isDefined) result.map(_.localCheckpoint()) else result
       record(execId, databaseId, assetId, workflowId,
-        if (result.isSuccess) "SUCCEEDED" else "FAILED",
+        if (out.isSuccess) "SUCCEEDED" else "FAILED",
         startedAtMs, failedAt)
-      (execId, result)
+      (execId, out)
     }
 
     /** Upsert the execution record (last state wins — the listing shows
@@ -281,6 +393,9 @@ object Workflows {
     private def record(execId: String, databaseId: String, assetId: String,
         workflowId: String, status: String, startedAtMs: Long,
         failedPipeline: String): Unit = {
+      // a terminal state retires the mid-stage checkpoint — only crashes
+      // leave one behind for rehydrate() to find
+      if (status == "SUCCEEDED" || status == "FAILED") dropInflight(execId)
       executions.filterInPlace(_.executionId != execId)
       val rec = ExecutionRecord(databaseId, assetId, execId, workflowId,
         status, startedAtMs, System.currentTimeMillis(), failedPipeline)

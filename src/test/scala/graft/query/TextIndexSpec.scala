@@ -88,9 +88,11 @@ class TextIndexSpec extends SparkSpec {
     Seq((1L, "alpha bravo charlie"), (2L, "delta echo foxtrot"))
       .toDF("id", "text").repartition(2)
       .write.mode("overwrite").parquet(tdir)
-    // managed location: the writer owns the postings dir
+    // managed location: the writer owns the postings ROOT (generation
+    // subdirs + _CURRENT pointer)
     TextIndex.manage(spark, tdir, "text", pdir)
-    def idxFiles() = new java.io.File(pdir).listFiles()
+    def idxFiles() = new java.io.File(
+      TextIndex.activeLocation(tdir, "text").get).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length).toMap
     val builtFiles = idxFiles()
     assert(builtFiles.nonEmpty)
@@ -137,6 +139,55 @@ class TextIndexSpec extends SparkSpec {
       .select("file").distinct().as[String].collect().toSet
     assert(remaining.subsetOf(liveUri))
     assert(hits("alpha") == Set(1L)) // searches still work after the swap
+  }
+
+  test("managed postings survive restart: re-attach adopts the swapped generation") {
+    import spark.implicits._
+    val tdir = java.nio.file.Files.createTempDirectory("graft-trst").toString
+    val pdir = java.nio.file.Files.createTempDirectory("graft-trst-idx").toString
+    // two separate writes → id 1 and id 2 land in DIFFERENT files
+    Seq((1L, "alpha bravo")).toDF("id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(tdir)
+    Seq((2L, "charlie delta")).toDF("id", "text")
+      .coalesce(1).write.mode("append").parquet(tdir)
+    TextIndex.manage(spark, tdir, "text", pdir)
+    def hits(p: String) = TextIndex.prunedSearch(spark, tdir, "text", p)
+      .select("id").as[Long].collect().toSet
+
+    // delete one data file and run the hygiene pass → generation SWAP
+    val victim = spark.read.parquet(tdir).inputFiles
+      .find(f => spark.read.parquet(f).filter(col("id") === 2L).count() > 0).get
+    val vf = new java.io.File(new java.net.URI(victim))
+    assert(vf.delete())
+    val crc = new java.io.File(vf.getParent, "." + vf.getName + ".crc")
+    if (crc.exists()) crc.delete()
+    TextIndex.removeFiles(spark, tdir, "text", Seq(victim))
+
+    // postings appended AFTER the swap — the rows the pre-fix re-attach
+    // would silently lose
+    val before = new java.io.File(tdir).listFiles().map(_.getName).toSet
+    Seq((3L, "zebrafish quay")).toDF("id", "text").coalesce(1)
+      .write.mode("append").parquet(tdir)
+    val appended = new java.io.File(tdir).listFiles().map(_.getName).toSet
+      .diff(before).filter(_.endsWith(".parquet")).map(n => s"$tdir/$n").toSeq
+    TextIndex.addFiles(spark, tdir, "text", appended)
+    assert(hits("zebrafish") == Set(3L))
+    val activeBefore = TextIndex.activeLocation(tdir, "text").get
+
+    // "driver restart": the in-memory pointers are gone; manage() must
+    // re-attach to the generation the on-disk _CURRENT names — the one
+    // holding the post-swap postings — NOT the original build dir
+    TextIndex.invalidate(tdir, "text")
+    assert(TextIndex.activeLocation(tdir, "text").isEmpty)
+    TextIndex.manage(spark, tdir, "text", pdir)
+    assert(TextIndex.activeLocation(tdir, "text").contains(activeBefore),
+      "re-attach adopted a stale generation")
+    assert(hits("zebrafish") == Set(3L), "post-swap postings lost on re-attach")
+    assert(hits("alpha") == Set(1L))
+    // the retired original generation was reclaimed at attach
+    val gens = new java.io.File(pdir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-")).map(_.getName)
+    assert(gens.length == 1 && activeBefore.endsWith(gens.head))
   }
 
   test("requiredTrigrams: segments under 3 chars contribute nothing") {

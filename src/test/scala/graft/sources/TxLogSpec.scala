@@ -234,6 +234,132 @@ class TxLogSpec extends SparkSpec {
     assert(idle.columns.contains("_change_type") && idle.isEmpty)
   }
 
+  test("merge fails loud on delete keys that violate the key-shape contract") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-contract").toString
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v1")))
+    // a delete key whose derived partition is neither committed nor in
+    // the batch's updates would previously miss its row SILENTLY
+    val e = intercept[IllegalArgumentException] {
+      TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v2")),
+        Seq("strayKeyWithoutPartitionPrefix").toDF("_docId"))
+    }
+    assert(e.getMessage.contains("KEY SHAPE CONTRACT"))
+    // a partition value containing '#' breaks delete derivation forever
+    // after — refused at write time, not at the eventual delete
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.merge(spark, dir, docs(("db#x#k1", "db#x", "v")))
+    }
+    assert(e2.getMessage.contains("KEY SHAPE CONTRACT"))
+    // both failures left the table untouched (no partial commit)
+    assert(tableRows(dir) == Set(("dbA#a1", "v1")))
+    // a delete whose partition arrives in the SAME batch's updates is legal
+    TxLog.merge(spark, dir, docs(("dbB#b1", "dbB", "b1")),
+      Seq("dbB#b0").toDF("_docId"))
+    assert(tableRows(dir) == Set(("dbA#a1", "v1"), ("dbB#b1", "b1")))
+  }
+
+  test("time travel below the vacuum horizon fails at resolve with a clean diagnostic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-hz").toString
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v1")))
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v2")))
+    assert(TxLog.vacuumHorizon(spark, dir) == -1L)
+    // grace window respected → no horizon move, v0 still readable
+    TxLog.vacuum(spark, dir)
+    assert(TxLog.vacuumHorizon(spark, dir) == -1L)
+    assert(TxLog.read(spark, dir, asOfVersion = Some(0))
+      .select("payload").as[String].collect().toSeq == Seq("v1"))
+    // zero grace removes v0's superseded file → horizon = head (1)
+    assert(TxLog.vacuum(spark, dir, olderThanMs = -1).nonEmpty)
+    assert(TxLog.vacuumHorizon(spark, dir) == 1L)
+    val e = intercept[IllegalStateException](TxLog.snapshotAt(spark, dir, 0))
+    assert(e.getMessage.contains("version 0 vacuumed (horizon 1)"))
+    // the change feed resolves through the same gate
+    intercept[IllegalStateException](TxLog.changes(spark, dir, 0, 1))
+    // the head stays fully readable
+    assert(tableRows(dir) == Set(("dbA#a1", "v2")))
+    assert(TxLog.read(spark, dir, asOfVersion = Some(1))
+      .select("payload").as[String].collect().toSeq == Seq("v2"))
+  }
+
+  test("per-file key stats are logged and skip files on point lookups") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-stats").toString
+    // two commits into the SAME partition with disjoint key ranges →
+    // two live files distinguished only by their footer stats
+    val a = TxLog.stageData(spark, dir,
+      docs(("dbA#a1", "dbA", "x"), ("dbA#a2", "dbA", "y")).repartition(1),
+      "str_databaseid", Some("_docId"))
+    assert(TxLog.tryCommit(spark, dir, 0, a, Seq.empty))
+    val b = TxLog.stageData(spark, dir,
+      docs(("dbA#m1", "dbA", "z")).repartition(1),
+      "str_databaseid", Some("_docId"))
+    assert(TxLog.tryCommit(spark, dir, 1, b, Seq.empty))
+    val snap = TxLog.snapshot(spark, dir)
+    assert(snap.files.size == 2)
+    // rows and bounds populated from the parquet footers (no -1 residue)
+    assert(snap.files.map(f => (f.rows, f.minKey.get, f.maxKey.get)).toSet ==
+      Set((2L, "dbA#a1", "dbA#a2"), (1L, "dbA#m1", "dbA#m1")))
+    // a point lookup opens ONLY the file whose bounds contain the key
+    val hit = TxLog.read(spark, dir, keyRange = Some(("dbA#m1", "dbA#m1")))
+    assert(hit.inputFiles.length == 1 &&
+      hit.inputFiles.head.endsWith(b.head.path))
+    assert(hit.select("payload").as[String].collect().toSeq == Seq("z"))
+    val hit2 = TxLog.read(spark, dir, keyRange = Some(("dbA#a2", "dbA#a2")))
+    assert(hit2.inputFiles.length == 1 &&
+      hit2.inputFiles.head.endsWith(a.head.path))
+    // ranges spanning both files read both; merge-written files carry
+    // stats too (the default path, not just explicit stageData)
+    assert(TxLog.read(spark, dir,
+      keyRange = Some(("dbA#a1", "dbA#m1"))).inputFiles.length == 2)
+    TxLog.merge(spark, dir, docs(("dbB#b1", "dbB", "w")))
+    assert(TxLog.snapshot(spark, dir).files
+      .forall(f => f.rows > 0 && f.minKey.isDefined && f.maxKey.isDefined))
+  }
+
+  test("a conditional-put coordinator carries multi-writer commits through the seam") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-coord").toString
+    // stands in for an object store WITHOUT atomic rename: the winner
+    // of a version is decided by an external conditional put (here an
+    // in-memory claim set playing the DynamoDB-style lock table Delta's
+    // S3 LogStore uses), after which the file is written plainly
+    val claims = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val conditionalPut = new CommitCoordinator {
+      def tryPublish(fs: org.apache.hadoop.fs.FileSystem,
+          dest: org.apache.hadoop.fs.Path, body: String): Boolean = {
+        if (!claims.add(dest.toString)) false
+        else {
+          // the claim replaces the no-overwrite race check, but the
+          // PUBLISH must still be write-temp + rename: creating dest in
+          // place would expose a zero-byte commit to concurrent readers
+          // listing the log mid-write
+          val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
+            s".${dest.getName}.cput.tmp")
+          val out = fs.create(tmp, false)
+          try out.write(body.getBytes("UTF-8")) finally out.close()
+          fs.rename(tmp, dest)
+        }
+      }
+    }
+    TxLog.setCoordinator(dir, conditionalPut)
+    try {
+      TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "seed")))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writers = (1 to 4).map { i =>
+        Future(TxLog.merge(spark, dir, docs((s"dbA#k$i", "dbA", s"v$i"))))
+      }
+      writers.foreach(Await.result(_, 300.seconds))
+      // serializable history: every writer's row survives, the version
+      // chain is contiguous, and every version resolves
+      assert(tableRows(dir) == Set(("dbA#a1", "seed"), ("dbA#k1", "v1"),
+        ("dbA#k2", "v2"), ("dbA#k3", "v3"), ("dbA#k4", "v4")))
+      val head = TxLog.snapshot(spark, dir).version
+      assert(head == 4L)
+      (0L to head).foreach(v => TxLog.snapshotAt(spark, dir, v))
+      assert(claims.size >= 5) // the seam, not rename, decided every commit
+    } finally TxLog.clearCoordinator(dir)
+  }
+
   test("mergeDocsTx matches mergeDocsIncremental's final state on the same batches") {
     val txDir = java.nio.file.Files.createTempDirectory("graft-tx8a").toString
     val plainDir = java.nio.file.Files.createTempDirectory("graft-tx8b").toString

@@ -118,6 +118,55 @@ class WorkflowSpec extends SparkSpec {
     assert(r3.executionTable(spark).select("executionId").distinct().count() == 2)
   }
 
+  test("durable registry: crash MID-STAGE resumes from the last completed stage (W3)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wfcrash").toString
+    // stage-run counters prove completed stages are NOT re-run on resume
+    val runs = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    def count(pid: String): Unit = runs.synchronized { runs(pid) += 1 }
+    @volatile var crashInStage2 = true
+    def pipes = Seq(
+      Pipeline("stage1", df => { count("stage1"); df.withColumn("v", col("v") * 2) }),
+      Pipeline("stage2", df => {
+        count("stage2")
+        // InterruptedException is FATAL to Try (NonFatal excludes it):
+        // it escapes runStages exactly like a dying driver — no FAILED
+        // record, no cleanup, only the durable checkpoints remain
+        if (crashInStage2) throw new InterruptedException("simulated driver death")
+        df.withColumn("v", col("v") + 1)
+      }))
+    val wf = Workflow("wfc", Seq("stage1", "stage2"))
+    val r1 = new Registry(Some((spark, dir)))
+    pipes.foreach(r1.registerPipeline)
+    r1.registerWorkflow(wf)
+    intercept[InterruptedException] {
+      r1.execute("wfc", "db1", "a1", Seq(1, 2).toDF("v"))
+    }
+    val execId = "exec-1" // execute() never returned; the id is deterministic
+
+    // "restart": fresh registry from the state dir; the execution is
+    // surfaced as interrupted with stage1's output checkpointed
+    crashInStage2 = false
+    val r2 = Workflows.recover(spark, dir, pipes, Seq(wf))
+    assert(r2.interruptedExecutions == Seq(execId))
+    assert(r2.executionTable(spark).filter(col("executionId") === execId)
+      .head().getAs[String]("executionStatus") == "RUNNING")
+    val results = r2.resumeInterrupted()
+    assert(results.keySet == Set(execId))
+    // stage1 ran ONCE (before the crash), never again; stage2 ran in the
+    // crashed attempt and once more on resume
+    assert(runs("stage1") == 1 && runs("stage2") == 2)
+    assert(results(execId).get.select("v").as[Int].collect().sorted.toSeq ==
+      Seq(3, 5)) // (1,2) ×2 → +1
+    assert(r2.executionTable(spark).filter(col("executionId") === execId)
+      .head().getAs[String]("executionStatus") == "SUCCEEDED")
+    // nothing interrupted remains; a later recovery is clean
+    assert(r2.interruptedExecutions.isEmpty)
+    val r3 = Workflows.recover(spark, dir, pipes, Seq(wf))
+    assert(r3.interruptedExecutions.isEmpty)
+    assert(r3.executionTable(spark).filter(col("executionId") === execId)
+      .head().getAs[String]("executionStatus") == "SUCCEEDED")
+  }
+
   test("sidecar ingestion expands JSON to typed metadata rows (W5)") {
     val sidecars = Seq(
       ("db1", "a1", "/out.gltf", """{"polyCount":"1200","author":"alice"}"""))
