@@ -120,16 +120,42 @@ object Bench {
           .mkString("{", ",", "}")
         java.nio.file.Files.write(tmp.resolve("oracle_sql.json"),
           json.getBytes("UTF-8"))
-        val out = scala.sys.process.Process(
-          Seq("python3", script.getPath, sfDir, tmp.toString, "2")).!!
-        val line = out.linesIterator.toSeq.reverse
+        // hard deadline on the subprocess: a hung oracle run must not
+        // stall the whole bench artifact — time out, kill, degrade
+        val pb = new java.lang.ProcessBuilder(
+          "python3", script.getPath, sfDir, tmp.toString, "2")
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        val buf = new StringBuilder
+        val drain = new Thread(() => {
+          val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+            proc.getInputStream, "UTF-8"))
+          var l = r.readLine()
+          while (l != null) { buf.append(l).append('\n'); l = r.readLine() }
+        })
+        drain.setDaemon(true); drain.start()
+        if (!proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)) {
+          proc.destroyForcibly()
+          throw new RuntimeException("oracle_bench.py timed out after 20 min")
+        }
+        drain.join(10000)
+        if (proc.exitValue() != 0) throw new RuntimeException(
+          s"oracle_bench.py exit ${proc.exitValue()}: " +
+            buf.toString.linesIterator.toSeq.lastOption.getOrElse(""))
+        val line = buf.toString.linesIterator.toSeq.reverse
           .find(l => l.startsWith("{") && l.endsWith("}"))
           .getOrElse("{}")
         // {"name":1.234,...} — flat string→double map, parsed by hand to
         // keep the bench main dependency-free
         """"([^"]+)":\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(line)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Exception => Map.empty }
+      } catch {
+        case e: Exception =>
+          // stderr, not stdout: the driver's 2k stdout tail must keep the
+          // final JSON line; the cause still lands in the sbt console
+          System.err.println(s"# oracle bench degraded to spark-only: $e")
+          Map.empty
+      }
     }
     val detail = results.map { case (k, v) =>
       "\"" + k + "\":" + (oracleTimes.get(k) match {

@@ -83,6 +83,14 @@ object Caching {
     if (eager) matOnce(df) else persistOnce(df)
   }
 
+  /** Drop a memo entry (and its live cache marking, if any) so the
+    * next access rebuilds the plan — required after rewriting a plain
+    * source dir in place (see the source-mutation note above). */
+  def invalidate(s: SparkSession, key: String): Unit = {
+    val df = memo.remove((s, key))
+    if (df != null && df.storageLevel != StorageLevel.NONE) df.unpersist()
+  }
+
   /** Memoize a derived frame whose RESULT (not just its construction)
     * should be computed once per cache generation — e.g. an iterative
     * fixpoint whose output lives in checkpoint blocks rather than the
@@ -95,14 +103,6 @@ object Caching {
     * an explicit cache clear restores from-scratch semantics (the
     * superseded result's blocks are released by the ContextCleaner
     * when the old frame is dropped). */
-  /** Drop a memo entry (and its live cache marking, if any) so the
-    * next access rebuilds the plan — required after rewriting a plain
-    * source dir in place (see the source-mutation note above). */
-  def invalidate(s: SparkSession, key: String): Unit = {
-    val df = memo.remove((s, key))
-    if (df != null && df.storageLevel != StorageLevel.NONE) df.unpersist()
-  }
-
   def memoDfEpoch(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     epochGate(s, key)
     getOrBuild(s, key)(build)

@@ -224,22 +224,59 @@ object TextIndex {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       org.apache.spark.sql.types.StructType]()
   private def tableDf(spark: SparkSession, path: String): DataFrame = {
-    val sch = schemaCache.get((spark, path))
-    if (sch != null) spark.read.schema(sch).parquet(path)
+    // a TxLog table must be read at its committed snapshot: the raw
+    // directory also holds files superseded-but-retained for time
+    // travel, and indexing or scanning those would resurrect old rows
+    if (graft.sources.TxLog.isTable(spark, path))
+      graft.sources.TxLog.read(spark, path)
     else {
-      val df = spark.read.parquet(path)
-      schemaCache.put((spark, path), df.schema)
-      df
+      val sch = schemaCache.get((spark, path))
+      if (sch != null) spark.read.schema(sch).parquet(path)
+      else {
+        val df = spark.read.parquet(path)
+        schemaCache.put((spark, path), df.schema)
+        df
+      }
     }
   }
 
   private def buildTo(spark: SparkSession, path: String, textCol: String,
       out: String): Unit =
-    spark.read.parquet(path)
+    tableDf(spark, path)
       .select(input_file_name().as("file"), trigrams(col(textCol)).as("ts"))
       .select(col("file"), explode(col("ts")).as("tri"))
       .distinct()
       .write.mode("overwrite").parquet(out)
+
+  /** Maintain the postings of a [[graft.sources.TxLog]] doc table from
+    * its commit history — the search-index half of the CDC lifecycle
+    * (change feed → doc merge → index sync → pruned search). Diffs the
+    * indexed version against the committed head: files added since
+    * `fromVersion` are indexed incrementally; postings of files no
+    * committed version references anymore are dropped. Returns the head
+    * version — the caller's next cursor, exactly a CDC consumer's
+    * contract. A cursor below the vacuum horizon throws (see
+    * [[graft.sources.TxLog.vacuumHorizon]]); recover by re-attaching
+    * ([[invalidate]] + [[manage]]) for a fresh build. */
+  def syncTx(spark: SparkSession, tablePath: String, textCol: String,
+      fromVersion: Long): Long = {
+    val head = graft.sources.TxLog.snapshot(spark, tablePath)
+    if (head.version <= fromVersion) return head.version
+    val fromFiles = graft.sources.TxLog
+      .snapshotAt(spark, tablePath, fromVersion).files.map(_.path).toSet
+    val added = head.files.map(_.path).filterNot(fromFiles)
+    if (added.nonEmpty)
+      addFiles(spark, tablePath, textCol, added.map(r => s"$tablePath/$r"))
+    // hygiene: drop postings of de-referenced files. Staleness is
+    // compared in the postings' own URI form (input_file_name) against
+    // the snapshot read's listing — never string-rebuilt, so the forms
+    // always match
+    val liveUri = tableDf(spark, tablePath).inputFiles.toSet
+    val stale = postings(spark, tablePath, textCol).select("file").distinct()
+      .collect().map(_.getString(0)).filterNot(liveUri)
+    if (stale.nonEmpty) removeFiles(spark, tablePath, textCol, stale.toSeq)
+    head.version
+  }
 
   /** Distinct lowercase trigrams of a string column. Strings shorter
     * than 3 chars yield an empty array (a naive sequence(1, n-2) would

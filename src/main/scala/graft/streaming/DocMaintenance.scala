@@ -88,80 +88,40 @@ object DocMaintenance {
     * incremental merge both prune partitions). */
   val DocPartitionCol = "str_databaseid"
 
-  /** ST3/S9 at table scale — PARTITION-SCOPED incremental merge. The
-    * pure-DataFrame [[mergeDocs]] rewrites O(table) per micro-batch; the
-    * reference upserts per doc id (`assetIndexer.py:534-596`). The
-    * 100 TB equivalent of that upsert on a parquet lake is a merge that
-    * touches ONLY the partitions present in the batch:
+  /** ST3/S9 at table scale, PLAIN-PARQUET COMPATIBILITY shim: the same
+    * partition-scoped last-writer-wins merge as [[mergeDocsTx]] — and
+    * since round 7 it IS [[mergeDocsTx]] — followed by an immediate
+    * zero-grace vacuum and empty-partition-dir cleanup, so the table
+    * directory a non-TxLog-aware engine reads directly (plain
+    * `spark.read.parquet`, DuckDB, Trino over the files) equals the
+    * committed head after every call (the `_txlog` dir is
+    * underscore-prefixed and ignored by every parquet reader).
     *
-    *  1. affected partition keys = databaseIds of updates ∪ removes
-    *     (a driver-sized list of partition VALUES, never row data);
-    *  2. current rows of those partitions only (partition-pruned read);
-    *  3. same last-writer-wins merge;
-    *  4. dynamic-partition-overwrite write — untouched partitions' files
-    *     are never rewritten (asserted by file listing in the spec);
-    *  5. partitions whose every doc was removed are deleted explicitly
-    *     (dynamic overwrite only replaces partitions present in the
-    *     written data — an emptied partition would otherwise go stale).
-    *
-    * NOT ACID: correct single-writer, but a concurrent reader can see a
-    * partition mid-swap. The transactional shape is [[mergeDocsTx]] over
-    * a [[graft.sources.TxLog]] table (the in-repo Delta-equivalent),
-    * which gives readers snapshot isolation and writers optimistic
-    * conflict resolution; use that for any table with concurrent
-    * readers. This path remains for plain-parquet layouts that external
-    * engines must read directly. */
+    * One write path, two read contracts: the ACID path (readers use
+    * `TxLog.read`, superseded files retained for snapshot isolation /
+    * time travel) is [[mergeDocsTx]]; THIS wrapper trades those
+    * retained files away for external-reader compatibility and is
+    * SINGLE-WRITER (the zero-grace vacuum would reclaim a concurrent
+    * writer's in-flight staging). Previously this was an independent
+    * dynamic-partition-overwrite implementation — two diverging write
+    * paths to the same tables; now the non-ACID variant cannot drift
+    * from the transactional merge semantics. */
   def mergeDocsIncremental(spark: SparkSession, tablePath: String,
       updates: DataFrame, removedDocIds: DataFrame = null): Unit = {
-    // Hadoop FS, not java.io.File: the table lives on the lake (s3a/hdfs)
-    // in production — a local-FS probe would misread any remote path as
-    // an empty table and overwrite it with the micro-batch
+    mergeDocsTx(spark, tablePath, updates, removedDocIds)
+    graft.sources.TxLog.vacuum(spark, tablePath, olderThanMs = -1)
+    // a fully-emptied partition keeps its (now file-less) hive dir after
+    // vacuum; external listers treat a present dir as a present
+    // partition, so drop it
     val hPath = new org.apache.hadoop.fs.Path(tablePath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val hasData = fs.exists(hPath) &&
-      fs.listStatus(hPath).exists(s =>
-        s.isDirectory || s.getPath.getName.endsWith(".parquet"))
-    if (!hasData) {
-      updates.write.mode("overwrite")
-        .partitionBy(DocPartitionCol).parquet(tablePath)
-      return
-    }
-    val removedWithPart = Option(removedDocIds).map(
-      _.withColumn(DocPartitionCol, split(col("_docId"), "#").getItem(0)))
-    val touched: Seq[String] = (
-      updates.select(DocPartitionCol).distinct() +:
-        removedWithPart.map(_.select(DocPartitionCol).distinct()).toSeq)
-      .reduce(_.unionByName(_)).distinct()
-      .collect().map(_.getString(0)).toSeq
-    if (touched.isEmpty) return
-    // partition-pruned read of the affected partitions only: the filter
-    // applies to the RAW partition column (a cast above it would block
-    // partition pruning); the string cast for schema stability comes
-    // after — values are strings by contract, the cast only defends
-    // against numeric-looking inference
-    val current = spark.read.parquet(tablePath)
-      .filter(col(DocPartitionCol).isin(touched: _*))
-      .withColumn(DocPartitionCol, col(DocPartitionCol).cast("string"))
-    val merged = mergeDocs(current, updates,
-      Option(removedDocIds).map(_.select("_docId")).orNull)
-    // localCheckpoint breaks the read-from lineage so the partition
-    // overwrite of the same path is legal; it holds only the touched
-    // partitions' rows (micro-batch-scale, not table-scale)
-    val out = merged.localCheckpoint()
-    out.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(DocPartitionCol)
-      .parquet(tablePath)
-    // drop partitions the merge emptied (not re-written by dynamic mode);
-    // partition dir names use the same escaping the writer applies
-    val still = out.select(DocPartitionCol).distinct()
-      .collect().map(_.getString(0)).toSet
-    (touched.toSet -- still).foreach { p =>
-      val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .escapePathName(p)
-      val pd = new org.apache.hadoop.fs.Path(hPath, s"$DocPartitionCol=$escaped")
-      if (fs.exists(pd)) fs.delete(pd, true)
-    }
+    fs.listStatus(hPath)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .foreach { st =>
+        if (!fs.listStatus(st.getPath)
+            .exists(_.getPath.getName.endsWith(".parquet")))
+          fs.delete(st.getPath, true)
+      }
   }
 
   /** ST3/S9, ACID — the same partition-scoped last-writer-wins merge as

@@ -256,6 +256,71 @@ class DocMaintenanceSpec extends SparkSpec {
     assert(after.keySet == pinned.keySet && after("db1#a2"))
   }
 
+  test("end-to-end CDC lifecycle: change feed → Tx doc merge → index sync → pruned search hit") {
+    // the reference's §3.2 lifecycle as ONE chain: an entity edit lands
+    // as a CDC record (assetIndexer stream), the affected doc is rebuilt
+    // and merged ATOMICALLY into the doc table, the search index ingests
+    // exactly the changed files, and the next search resolves through
+    // the pruned path to the new content
+    import graft.sources.TxLog
+    import graft.query.TextIndex
+    val cdcDir = java.nio.file.Files.createTempDirectory("graft-cdc-e2e").toString
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-docstore-e2e").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-idx-e2e").toString
+    def assetsWith(desc2: String) = Seq(
+      ("db1", "a1", "One", "walrus colony"),
+      ("db1", "a2", "Two", desc2),
+      ("db2", "b1", "Bee", "benthic survey"))
+      .toDF("databaseId", "assetId", "assetName", "description")
+      .withColumn("assetType", lit("gltf"))
+      .withColumn("bucketId", lit("b1"))
+      .withColumn("isDistributable", lit(true))
+      .withColumn("tags", array())
+      .withColumn("assetLocationKey", lit("k"))
+      .withColumn("previewLocationKey", lit(null).cast("string"))
+      .withColumn("currentVersionId", lit(null).cast("string"))
+      .withColumn("archived", lit(false))
+    DocMaintenance.mergeDocsTx(spark, docsDir, graft.docs.DocBuilder
+      .buildAssetDocs(assetsWith("ptarmigan nest"), buckets, emptyMd,
+        emptyVer, emptyLinks))
+    var cursor = TxLog.snapshot(spark, docsDir).version
+    TextIndex.manage(spark, docsDir, "str_description", idxDir)
+    def hits(p: String) = TextIndex
+      .prunedSearch(spark, docsDir, "str_description", p)
+      .select("_docId").as[String].collect().toSet
+    assert(hits("*ptarmigan*") == Set("db1#a2"))
+
+    // the asset edit arrives as a CDC record; the stream rebuilds the
+    // doc and commits ONE atomic merge
+    val updated = assetsWith("quokka habitat")
+    val batch = Seq((1L, "MODIFY", "assets", "db1", "a2",
+      null: String, null: String, null: String, null: String))
+      .toDF("sequence", "op", "table", "databaseId", "assetId",
+        "fromDatabaseId", "fromAssetId", "toDatabaseId", "toAssetId")
+    batch.write.mode("overwrite").parquet(cdcDir)
+    val cdc = spark.readStream.schema(batch.schema).parquet(cdcDir)
+    val q = DocMaintenance.streamMaintainTx(spark, docsDir, cdc,
+      () => (updated, buckets, emptyMd, emptyVer, emptyLinks))
+    try q.processAllAvailable() finally q.stop()
+
+    // the indexer advances its version cursor over the commit history:
+    // only the rewritten partition's files are (re)indexed
+    cursor = TextIndex.syncTx(spark, docsDir, "str_description", cursor)
+    assert(cursor == TxLog.snapshot(spark, docsDir).version)
+    assert(hits("*quokka*") == Set("db1#a2"), "new content not searchable")
+    assert(hits("*ptarmigan*").isEmpty, "superseded content resurfaced")
+    assert(hits("*walrus*") == Set("db1#a1")) // carried row, rewritten file
+    assert(hits("*benthic*") == Set("db2#b1")) // untouched partition, v0 postings
+    // and the hit is PRUNED: fewer files opened than the table holds
+    val liveN = TxLog.read(spark, docsDir).inputFiles.length
+    val cand = TextIndex
+      .candidateFiles(spark, docsDir, "str_description", "*quokka*").get
+    assert(liveN >= 2 && cand.length < liveN,
+      s"no pruning: $liveN live files, ${cand.length} candidates")
+    // an idle re-sync is a no-op (CDC consumer redelivery is safe)
+    assert(TextIndex.syncTx(spark, docsDir, "str_description", cursor) == cursor)
+  }
+
   test("mergeDocs: updates win, removes drop, redelivery converges (S9/ST3)") {
     val current = Seq(("d1", "old1"), ("d2", "old2"), ("d3", "old3"))
       .toDF("_docId", "payload")
