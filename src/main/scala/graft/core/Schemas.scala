@@ -194,6 +194,45 @@ object Schemas {
     StructField("entityNameId", StringType, nullable = false),
     StructField("subscribers", ArrayType(StringType))))
 
+  /** Multipart upload tracking rows (storageBuilder :1293-1339 —
+    * AssetUploadsStorageTable, PK uploadId / SK assetId, GSIs on
+    * assetId, databaseId, and (UserId, createdAt); record shape from
+    * `handlers/assets/uploadFile.py:272-299`). `expectedParts` is the
+    * part plan of `calculate_num_parts` (:90-104); reconciliation
+    * against received parts is `up1_upload_reconcile`. */
+  val uploads: StructType = StructType(Seq(
+    StructField("uploadId", StringType, nullable = false),
+    StructField("assetId", StringType, nullable = false),
+    StructField("databaseId", StringType),
+    StructField("userId", StringType),
+    StructField("uploadType", StringType), // assetFile | preview
+    StructField("expectedParts", IntegerType),
+    StructField("createdAt", TimestampType),
+    StructField("status", StringType)))
+
+  /** API keys (storageBuilder :1340-1378 — ApiKeyStorageTable, PK
+    * apiKeyId, GSIs apiKeyHashIndex / userIdIndex; record shape from
+    * `handlers/auth/apiKeyService.py:145-175` — the plaintext key is
+    * returned once, only its sha256 hash is stored). */
+  val apiKeys: StructType = StructType(Seq(
+    StructField("apiKeyId", StringType, nullable = false),
+    StructField("apiKeyHash", StringType),
+    StructField("keyName", StringType),
+    StructField("userId", StringType),
+    StructField("expiresAt", StringType), // ISO date or '' = never
+    StructField("isActive", BooleanType),
+    StructField("createdAt", TimestampType)))
+
+  /** User directory rows (storageBuilder :1077-1083 — UserStorageTable,
+    * PK userId; attribute shape from
+    * `handlers/auth/cognitoUserService.py:71-92`). */
+  val users: StructType = StructType(Seq(
+    StructField("userId", StringType, nullable = false),
+    StructField("email", StringType),
+    StructField("phone", StringType),
+    StructField("enabled", BooleanType),
+    StructField("mfaEnabled", BooleanType)))
+
   /** The 13 metadata value types (metadata.py:21-35). */
   val MetadataValueTypes: Seq[String] = Seq(
     "string", "multiline_string", "inline_controlled_list", "number",

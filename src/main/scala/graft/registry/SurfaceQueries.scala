@@ -1,13 +1,14 @@
 package graft.registry
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.query.{QueryCompiler, TextIndex}
 
-/** Comments + tag-catalog query surfaces (VERDICT r1 "What's missing"
-  * items 3-4).
+/** Comments + tag-catalog + upload/auth entity query surfaces (VERDICT
+  * r1 "What's missing" items 3-4; r6 item 1's Uploads/ApiKeys/Users
+  * entities).
   *
   * Comments (`backend/backend/handlers/comments/commentService.py`):
   * a per-asset PK query over the comments table (PK `assetId`, SK
@@ -322,6 +323,183 @@ object SurfaceQueries {
           .select("tag_name", "tag_type", "n_assets", "n_sizes",
             "type_assets")
           .orderBy("tag_name")
+      }),
+
+    // ── Uploads: multipart part reconciliation
+    //    (uploadFile.py:896-941 — expected part numbers vs uploaded
+    //    parts; mismatch reports the sorted missing/extra part lists
+    //    and yields no size; complete sums the part sizes). Upload
+    //    records modeled on orders (expected part plan = o_orderkey%5+2,
+    //    the calculate_num_parts :90-104 output), received parts on
+    //    lineitem (l_linenumber = PartNumber, part size =
+    //    trunc(l_extendedprice)). Scale shape: one co-keyed shuffle
+    //    (orders ⋈ lineitem on orderkey) + a map-side set comparison —
+    //    no explode of the expected range ever hits an exchange.
+    sql("up1_upload_reconcile",
+      """WITH ups AS (
+        |  SELECT o_orderkey AS upload_id,
+        |         'a' || CAST(o_custkey % 50 AS VARCHAR) AS asset_id,
+        |         o_orderkey % 5 + 2 AS expected_n
+        |  FROM orders WHERE o_orderkey < 400
+        |), parts AS (
+        |  SELECT l_orderkey AS upload_id,
+        |         list_sort(list(DISTINCT l_linenumber)) AS present,
+        |         CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT)
+        |           AS sz
+        |  FROM lineitem WHERE l_orderkey < 400 GROUP BY 1
+        |), recon AS (
+        |  SELECT u.upload_id, u.asset_id, u.expected_n,
+        |         coalesce(array_to_string(list_filter(range(1, u.expected_n + 1),
+        |           x -> NOT list_contains(p.present, x)), ','), '') AS missing_parts,
+        |         coalesce(array_to_string(list_filter(p.present,
+        |           x -> x > u.expected_n OR x < 1), ','), '') AS extra_parts,
+        |         p.sz
+        |  FROM ups u JOIN parts p USING (upload_id)
+        |)
+        |SELECT upload_id, asset_id, expected_n,
+        |       CASE WHEN missing_parts = '' AND extra_parts = ''
+        |            THEN 'complete' ELSE 'part_mismatch' END AS status,
+        |       missing_parts, extra_parts,
+        |       CASE WHEN missing_parts = '' AND extra_parts = ''
+        |            THEN sz ELSE 0 END AS total_size
+        |FROM recon ORDER BY upload_id""")(
+      (s, d) => {
+        val ups = t(s, d, "orders").filter(col("o_orderkey") < 400)
+          .select(col("o_orderkey").as("upload_id"),
+            concat(lit("a"), (col("o_custkey") % 50).cast("string"))
+              .as("asset_id"),
+            (col("o_orderkey") % 5 + 2).as("expected_n"))
+        val parts = t(s, d, "lineitem").filter(col("l_orderkey") < 400)
+          .groupBy(col("l_orderkey").as("upload_id"))
+          .agg(sort_array(collect_set(col("l_linenumber").cast("long")))
+              .as("present"),
+            sum(floor(col("l_extendedprice")).cast("long")).as("sz"))
+        val strCsv = (a: Column) =>
+          array_join(transform(a, x => x.cast("string")), ",")
+        val recon = ups.join(parts, "upload_id")
+          .withColumn("expected", sequence(lit(1L), col("expected_n")))
+          .withColumn("missing_parts",
+            strCsv(array_except(col("expected"), col("present"))))
+          .withColumn("extra_parts",
+            strCsv(array_except(col("present"), col("expected"))))
+        val complete =
+          col("missing_parts") === "" && col("extra_parts") === ""
+        recon.select(col("upload_id"), col("asset_id"), col("expected_n"),
+            when(complete, "complete").otherwise("part_mismatch")
+              .as("status"),
+            col("missing_parts"), col("extra_parts"),
+            when(complete, col("sz")).otherwise(0L).as("total_size"))
+          .orderBy("upload_id")
+      }),
+
+    // ── API keys: the authorizer's key-state resolution rolled up per
+    //    user (apiKeyService.py:145-175 stores sha256 hash + isActive +
+    //    expiresAt; apiGatewayAuthorizerHttp.py:318-336 rejects inactive
+    //    FIRST, then expired — '' = never expires). Keys modeled on
+    //    customer; the validation instant is pinned to 1995-06-01 so
+    //    both engines resolve the same states. Scale shape: one
+    //    map-side state classification + one shuffle on user_id.
+    sql("ak1_apikey_auth",
+      """WITH keys AS (
+        |  SELECT 'key-' || CAST(c_custkey AS VARCHAR) AS api_key_id,
+        |         'u' || CAST(c_custkey % 97 AS VARCHAR) AS user_id,
+        |         (c_custkey % 7 <> 0) AS is_active,
+        |         CASE WHEN c_custkey % 5 = 0 THEN ''
+        |              ELSE strftime(DATE '1995-01-01'
+        |                + CAST(c_custkey % 900 AS INT), '%Y-%m-%d') END
+        |           AS expires_at
+        |  FROM customer
+        |), st AS (
+        |  SELECT user_id,
+        |         CASE WHEN NOT is_active THEN 'inactive'
+        |              WHEN expires_at <> '' AND expires_at < '1995-06-01'
+        |                THEN 'expired'
+        |              ELSE 'valid' END AS status,
+        |         expires_at
+        |  FROM keys
+        |)
+        |SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(count(*) FILTER (WHERE status = 'valid') AS BIGINT)
+        |         AS n_valid,
+        |       CAST(count(*) FILTER (WHERE status = 'expired') AS BIGINT)
+        |         AS n_expired,
+        |       CAST(count(*) FILTER (WHERE status = 'inactive') AS BIGINT)
+        |         AS n_inactive,
+        |       coalesce(min(CASE WHEN status = 'valid' AND expires_at <> ''
+        |                         THEN expires_at END), '') AS next_expiry
+        |FROM st GROUP BY user_id ORDER BY user_id""")(
+      (s, d) => {
+        val keys = t(s, d, "customer").select(
+          concat(lit("u"), (col("c_custkey") % 97).cast("string"))
+            .as("user_id"),
+          (col("c_custkey") % 7 =!= 0).as("is_active"),
+          when(col("c_custkey") % 5 === 0, "")
+            .otherwise(date_format(date_add(to_date(lit("1995-01-01")),
+              (col("c_custkey") % 900).cast("int")), "yyyy-MM-dd"))
+            .as("expires_at"))
+        val st = keys.select(col("user_id"),
+          when(!col("is_active"), "inactive")
+            .when(col("expires_at") =!= "" &&
+              col("expires_at") < "1995-06-01", "expired")
+            .otherwise("valid").as("status"),
+          col("expires_at"))
+        st.groupBy("user_id")
+          .agg(count(lit(1)).as("n_keys"),
+            count(when(col("status") === "valid", 1)).as("n_valid"),
+            count(when(col("status") === "expired", 1)).as("n_expired"),
+            count(when(col("status") === "inactive", 1)).as("n_inactive"),
+            coalesce(min(when(col("status") === "valid" &&
+              col("expires_at") =!= "", col("expires_at"))), lit(""))
+              .as("next_expiry"))
+          .orderBy("user_id")
+      }),
+
+    // ── Users: the directory listing enriched with role membership
+    //    (cognitoUserService.py:71-131 listing attributes;
+    //    userRolesService.py membership rows). Users derived from the
+    //    customer key space, role grants from supplier
+    //    (role-<nationkey> granted to u<suppkey%97>). Scale shape: the
+    //    user dim de-duplicates with one map-side-combined shuffle;
+    //    grants join on user_id and roll up in the same exchange.
+    sql("us1_user_directory",
+      """WITH users AS (
+        |  SELECT DISTINCT c_custkey % 97 AS k FROM customer
+        |), u AS (
+        |  SELECT 'u' || CAST(k AS VARCHAR) AS user_id,
+        |         (k % 10 <> 0) AS enabled,
+        |         (k % 3 = 0) AS mfa_enabled
+        |  FROM users
+        |), grants AS (
+        |  SELECT DISTINCT 'u' || CAST(s_suppkey % 97 AS VARCHAR) AS user_id,
+        |         'role-' || CAST(s_nationkey AS VARCHAR) AS role_name
+        |  FROM supplier
+        |)
+        |SELECT u.user_id, u.enabled, u.mfa_enabled,
+        |       CAST(count(g.role_name) AS BIGINT) AS n_roles,
+        |       coalesce(array_to_string(list_sort(list(g.role_name)
+        |         FILTER (WHERE g.role_name IS NOT NULL)), ','), '') AS roles
+        |FROM u LEFT JOIN grants g USING (user_id)
+        |GROUP BY u.user_id, u.enabled, u.mfa_enabled
+        |ORDER BY u.user_id""")(
+      (s, d) => {
+        val users = t(s, d, "customer")
+          .select((col("c_custkey") % 97).as("k")).distinct()
+          .select(concat(lit("u"), col("k").cast("string")).as("user_id"),
+            (col("k") % 10 =!= 0).as("enabled"),
+            (col("k") % 3 === 0).as("mfa_enabled"))
+        val grants = t(s, d, "supplier")
+          .select(concat(lit("u"), (col("s_suppkey") % 97).cast("string"))
+              .as("user_id"),
+            concat(lit("role-"), col("s_nationkey").cast("string"))
+              .as("role_name"))
+          .distinct()
+        users.join(grants, Seq("user_id"), "left")
+          .groupBy("user_id", "enabled", "mfa_enabled")
+          .agg(count(col("role_name")).as("n_roles"),
+            array_join(sort_array(collect_list(col("role_name"))), ",")
+              .as("roles"))
+          .orderBy("user_id")
       })
   )
 }
