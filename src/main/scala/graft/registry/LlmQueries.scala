@@ -897,12 +897,14 @@ object LlmQueries {
     //    LIST is legitimately run-dependent near assignment ties — the
     //    one ANN query that cannot be row-gated. Instead it is SELF-
     //    CHECKING: recall@5 against the brute-force exact baseline
-    //    (computed in the same plan, no collect) must clear a floor set
-    //    WELL below measured behavior, so the emitted row is stable
-    //    across centroid jitter yet fails the hash gate the moment the
-    //    index degrades. The tight recall numbers live in LlmOpsSpec.
+    //    (computed in the same plan, no collect) must clear a floor
+    //    BELOW measured behavior (measured: 0.54 sf0.01 / 0.57 sf0.001
+    //    / 0.60 sf0.1, run-stable across repeated executions), so the
+    //    emitted row tolerates residual centroid jitter yet fails the
+    //    hash gate the moment the index degrades. The floor is named in
+    //    the metric so the CORRECTNESS row encodes the bound it proves.
     sql("llm_sim_ivf",
-      """SELECT 'ivf_recall_at_5_vs_brute' AS metric,
+      """SELECT 'ivf_recall_at_5_vs_brute_ge_0.45' AS metric,
         |       CAST(count(*) AS BIGINT) AS n_queries,
         |       TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10""")(
@@ -921,9 +923,9 @@ object LlmQueries {
           .agg(countDistinct(col("q_id")).as("n_queries"),
             count(lit(1)).as("np"),
             coalesce(sum("hit"), lit(0L)).as("nh"))
-          .select(lit("ivf_recall_at_5_vs_brute").as("metric"),
+          .select(lit("ivf_recall_at_5_vs_brute_ge_0.45").as("metric"),
             col("n_queries"),
-            (col("nh").cast("double") / col("np") >= 0.3).as("recall_ok"))
+            (col("nh").cast("double") / col("np") >= 0.45).as("recall_ok"))
       }),
 
     // ── Language-ID heuristic: marker-stopword hits per language,

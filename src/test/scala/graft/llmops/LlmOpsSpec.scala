@@ -70,7 +70,8 @@ class LlmOpsSpec extends SparkSpec {
     val lsh = Similarity.lshTopK(queries, e, k = 5)
       .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
     val recall = (brute intersect lsh).size.toDouble / brute.size
-    assert(recall >= 0.3, s"recall $recall too low") // single-table LSH
+    // measured 0.67 on this data, run-stable; floor leaves jitter room
+    assert(recall >= 0.55, s"recall $recall too low") // single-table LSH
     // top-1 within-bucket hit should mostly agree with brute top-1
     assert(lsh.nonEmpty)
   }
@@ -114,7 +115,8 @@ class LlmOpsSpec extends SparkSpec {
       .select("q_id", "rank", "cand_id").as[(Long, Int, Long)].collect()
     val pairs = ivf1.map(r => (r._1, r._3)).toSet
     val recall = (brute intersect pairs).size.toDouble / brute.size
-    assert(recall >= 0.3, s"recall $recall too low") // nprobe 4 of 16 lists
+    // measured 0.57 on this data, run-stable; floor leaves jitter room
+    assert(recall >= 0.45, s"recall $recall too low") // nprobe 4 of 16 lists
     // every query returns k rows (probed lists are never empty at k=5)
     val perQuery = ivf1.groupBy(_._1).view.mapValues(_.length)
     assert(perQuery.values.forall(_ == 5))
