@@ -643,44 +643,84 @@ object TxLog {
     }
   }
 
-  /** OPTIMIZE: rewrite each multi-file partition's live files into one
-    * compacted file, as an ordinary optimistic COMMIT (adds the
-    * compacted file, removes the inputs). This is the transactional
-    * answer to small-file buildup from per-batch merges — and, unlike a
-    * filesystem-level rewrite ([[graft.core.Layout.compactPartitions]]
-    * on plain layouts, which can only detect-and-abort around
-    * concurrent writers), a concurrent merge here CONFLICTS at commit
-    * time: whoever loses the version race re-reads the log; a
-    * compaction whose inputs were replaced restarts from the fresh
-    * snapshot, so no concurrent writer's file is ever silently
-    * dropped. Row-identical by construction; superseded files remain
-    * for time travel until [[vacuum]]'s grace window passes. Returns
-    * the number of partitions compacted. */
+  /** OPTIMIZE: rewrite each fragmented partition's live files into
+    * size-targeted, KEY-CLUSTERED files, as an ordinary optimistic
+    * COMMIT (adds the compacted files, removes the inputs). This is the
+    * transactional answer to small-file buildup from per-batch merges —
+    * and, unlike a filesystem-level rewrite
+    * ([[graft.core.Layout.compactPartitions]] on plain layouts, which
+    * can only detect-and-abort around concurrent writers), a concurrent
+    * merge here CONFLICTS at commit time: whoever loses the version
+    * race re-reads the log; a compaction whose inputs were replaced
+    * restarts from the fresh snapshot, so no concurrent writer's file
+    * is ever silently dropped.
+    *
+    * Scale shape (the Delta OPTIMIZE analogue, VLDB 2020 §4.3): output
+    * is range-partitioned on (partition, key) with one slot per
+    * `targetRowsPerFile` rows — a 10-file 500 GB partition compacts to
+    * N right-sized files in parallel, never to one giant single-task
+    * file — and each slot is sorted, so every output file covers a
+    * DISJOINT key range and carries tight min/max key stats
+    * ([[stageData]] reads them from the footers). After compaction a
+    * point lookup through [[read]]'s `keyRange` prunes to exactly one
+    * file per partition (see TxLogSpec). A partition is left alone once
+    * it is already right-sized: >1 fragment below half the target, an
+    * oversized file, or a legacy stats-less file triggers the rewrite;
+    * re-running compact on its own output is a no-op, so maintenance
+    * loops don't churn rewrites.
+    *
+    * Row-identical by construction; superseded files remain for time
+    * travel until [[vacuum]]'s grace window passes. Returns the number
+    * of partitions compacted. */
   def compact(spark: SparkSession, path: String,
       partitionCol: String = "str_databaseid", keyCol: String = "_docId",
-      maxAttempts: Int = 20): Int = {
+      maxAttempts: Int = 20,
+      targetRowsPerFile: Long = 4L * 1024 * 1024): Int = {
     var attempt = 0
     while (true) {
       attempt += 1
       require(attempt <= maxAttempts, s"compact: $maxAttempts commit conflicts")
       val snap = snapshot(spark, path)
-      val multi = snap.files.groupBy(_.partition).filter(_._2.size > 1)
-      if (multi.isEmpty) return 0
-      val inputs = multi.values.flatten.toSeq
-      val compacted = spark.read.option("basePath", path)
+      val needsWork = snap.files.groupBy(_.partition).filter { case (_, fs) =>
+        val smallFragments = fs.count(f =>
+          f.rows < 0 || f.rows < targetRowsPerFile / 2)
+        val oversized = fs.exists(f => f.rows > 2 * targetRowsPerFile)
+        (fs.size > 1 && smallFragments > 1) || oversized
+      }
+      if (needsWork.isEmpty) return 0
+      val inputs = needsWork.values.flatten.toSeq
+      val totalRows = inputs.map(f => math.max(f.rows, 0L)).sum
+      val slots = math.ceil(totalRows.toDouble / targetRowsPerFile).toInt
+      val raw = spark.read.option("basePath", path)
         .parquet(inputs.map(f => s"$path/${f.path}"): _*)
         .withColumn(partitionCol, col(partitionCol).cast("string"))
-        // one output file per partition, PARALLEL across partitions:
-        // clustering by the partition column puts each partition's rows
-        // in one task (the partitioned writer then emits one file per
-        // partition dir), while different partitions compact on
-        // different tasks — unlike coalesce(1), which would funnel the
-        // whole table's rewrite through a single task at scale
-        .repartition(col(partitionCol))
+      val hasKey = raw.columns.contains(keyCol)
+      // two clustering regimes, both key-sorted so every output file
+      // carries tight min/max key stats (read from the footers by
+      // stageData) and internally ordered row groups:
+      //  - fragments-only (all partitions fit the target): one task —
+      //    and one output file — per partition, parallel across
+      //    partitions;
+      //  - splitting demand (some partition exceeds the target): range-
+      //    cluster on (partition, key), one slot per targetRowsPerFile
+      //    rows — an oversized partition compacts to N right-sized
+      //    KEY-DISJOINT files in parallel instead of one giant
+      //    single-task file, and a point lookup through read()'s
+      //    keyRange later opens exactly one of them.
+      // Tables without the key column (plain layouts adopted into the
+      // log) keep partition clustering, unsorted.
+      val compacted =
+        if (hasKey && slots > needsWork.size)
+          raw.repartitionByRange(slots, col(partitionCol), col(keyCol))
+            .sortWithinPartitions(col(partitionCol), col(keyCol))
+        else if (hasKey)
+          raw.repartition(col(partitionCol))
+            .sortWithinPartitions(col(partitionCol), col(keyCol))
+        else raw.repartition(col(partitionCol))
       val staged = stageData(spark, path, compacted, partitionCol,
         Some(keyCol).filter(compacted.columns.contains))
       if (tryCommit(spark, path, snap.version + 1, staged, inputs))
-        return multi.size
+        return needsWork.size
       // conflict: a writer landed first — its commit may have replaced
       // some of our inputs; restart from the fresh snapshot (our staged
       // files stay unreferenced and are reclaimed by vacuum)

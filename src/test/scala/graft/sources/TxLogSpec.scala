@@ -216,6 +216,43 @@ class TxLogSpec extends SparkSpec {
       .forall(_._2.size == 1))
   }
 
+  test("compact splits an oversized partition into key-disjoint right-sized files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-split").toString
+    // one partition, 4000 keys, committed as ONE oversized file
+    val big = spark.range(4000)
+      .select(concat(lit("dbA#k"), format_string("%05d", col("id")))
+          .as("_docId"),
+        lit("dbA").as("str_databaseid"),
+        col("id").cast("string").as("payload"))
+    TxLog.merge(spark, dir, big)
+    TxLog.compact(spark, dir) // fold the merge's task-scattered files
+    val before = TxLog.snapshot(spark, dir)
+    assert(before.files.size == 1 && before.files.head.rows == 4000)
+
+    // splitting regime: the single 4000-row file exceeds 2x the target
+    assert(TxLog.compact(spark, dir, targetRowsPerFile = 1000) == 1)
+    val snap = TxLog.snapshot(spark, dir)
+    assert(snap.files.size >= 3, s"expected a split, got ${snap.files.size}")
+    assert(snap.files.map(_.rows).sum == 4000)
+    // key ranges are pairwise DISJOINT (range clustering, not hashing)
+    val bounds = snap.files.map(f => (f.minKey.get, f.maxKey.get))
+      .sortBy(_._1)
+    bounds.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $hi >= $lo2")
+      case _ =>
+    }
+    // a point lookup through the stats opens exactly ONE of the splits
+    val hit = TxLog.read(spark, dir,
+      keyRange = Some(("dbA#k02000", "dbA#k02000")))
+    assert(hit.inputFiles.length == 1)
+    // keyRange prunes FILES; the row predicate stays with the caller
+    assert(hit.filter(col("_docId") === "dbA#k02000")
+      .select("payload").as[String].collect().toSeq == Seq("2000"))
+    // right-sized output is left alone: no rewrite churn on re-run
+    assert(TxLog.compact(spark, dir, targetRowsPerFile = 1000) == 0)
+    assert(TxLog.snapshot(spark, dir).version == snap.version)
+  }
+
   test("an emptied table keeps its schema: reads and change feeds stay typed") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tx-empty").toString
     TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v1")))
