@@ -218,6 +218,75 @@ object TxLog {
     }
   }
 
+  // ---- version tags --------------------------------------------------
+
+  private def tagPath(table: Path, name: String) =
+    new Path(logDir(table), s"_tag-$name.json")
+
+  private val TagName = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+
+  private def tagsOf(fs: FileSystem, table: Path): Map[String, Long] = {
+    val dir = logDir(table)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("_tag-") && n.endsWith(".json"))
+      .map { n =>
+        n.stripPrefix("_tag-").stripSuffix(".json") ->
+          (readJson(fs, new Path(dir, n)) \ "version").values.toString.toLong
+      }.toMap
+  }
+
+  /** Pin a committed version under a NAME — the dataset-freeze a
+    * training run needs for reproducibility ("train on corpus@v42"):
+    * [[vacuum]] RETAINS every file a tagged snapshot references, and
+    * [[snapshotAt]]/[[readTag]] of a tagged version stay readable below
+    * the vacuum horizon, so the pinned data survives table maintenance
+    * until the tag is removed. One control file per tag
+    * (`_txlog/_tag-<name>.json`, overwrite-atomic, invisible to the
+    * version chain and the [[graft.streaming.ChangeFeed]] source);
+    * re-tagging a name moves it. Defaults to the current head; tagging
+    * a version whose files vacuum already deleted fails at resolve.
+    * Returns the pinned version. */
+  def tag(spark: SparkSession, path: String, name: String,
+      version: Long = -1L): Long = {
+    require(TagName.matches(name), s"tag: invalid name '$name' " +
+      "(allowed: alphanumeric plus . _ -, not starting with a separator)")
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    val v = if (version >= 0L) version else latestVersion(fs, table)
+    require(v >= 0L, s"tag: no committed version at $path")
+    resolveSnapshot(spark, path, Some(v)) // validates existence + horizon
+    val out = fs.create(tagPath(table, name), true)
+    try out.write(JsonMethods.compact(JsonMethods.render(
+      JObject("version" -> JLong(v)))).getBytes("UTF-8"))
+    finally out.close()
+    v
+  }
+
+  /** All tags of the table, name → pinned version. */
+  def tags(spark: SparkSession, path: String): Map[String, Long] = {
+    val table = new Path(path)
+    tagsOf(fsOf(spark, table), table)
+  }
+
+  /** Drop a tag. The pinned files stay on disk until the next [[vacuum]]
+    * (and the version stays readable until one runs). */
+  def removeTag(spark: SparkSession, path: String, name: String): Unit = {
+    val table = new Path(path)
+    fsOf(spark, table).delete(tagPath(table, name), false)
+  }
+
+  /** [[read]] pinned to a tag (partition/key pruning included). */
+  def readTag(spark: SparkSession, path: String, name: String,
+      partitions: Option[Set[String]] = None,
+      keyRange: Option[(String, String)] = None): DataFrame = {
+    val v = tags(spark, path).getOrElse(name,
+      throw new NoSuchElementException(
+        s"tag '$name' not found at $path (have: " +
+          s"${tags(spark, path).keys.toSeq.sorted.mkString(", ")})"))
+    read(spark, path, partitions, Some(v), keyRange)
+  }
+
   // ---- snapshot resolution ------------------------------------------
 
   /** Resolve the current committed snapshot: newest checkpoint (if any)
@@ -255,11 +324,13 @@ object TxLog {
       // window deletes the data files of superseded versions, so a read
       // pinned below the recorded horizon would surface as a raw
       // FileNotFoundException deep inside the scan. Diagnose it here.
+      // TAGGED versions are exempt: vacuum retains their files.
       val horizon = vacuumHorizon(spark, path)
-      if (v < horizon) throw new IllegalStateException(
-        s"version $v vacuumed (horizon $horizon): vacuum removed data " +
-          s"files of versions below v$horizon — the vacuum grace window " +
-          "is the time-travel retention")
+      if (v < horizon && !tagsOf(fs, table).values.exists(_ == v))
+        throw new IllegalStateException(
+          s"version $v vacuumed (horizon $horizon): vacuum removed data " +
+            s"files of versions below v$horizon — the vacuum grace window " +
+            "(plus tags, which vacuum retains) is the time-travel retention")
     }
     val ckVersions = names.filter(_.endsWith(".checkpoint.json"))
       .map(_.stripSuffix(".checkpoint.json").toLong)
@@ -352,9 +423,17 @@ object TxLog {
           org.apache.spark.sql.types.StructType.fromDDL(ddl))
         case None => spark.emptyDataFrame
       }
-    } else
-      spark.read.option("basePath", path)
+    } else {
+      // read under the COMMITTED schema when the log carries one: files
+      // written before a column was added (schema evolution via merge)
+      // null-fill it, and the footer-inference pass is skipped entirely
+      val rd = spark.read.option("basePath", path)
+      snap.schemaDdl
+        .map(ddl => rd.schema(
+          org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+        .getOrElse(rd)
         .parquet(live.map(f => s"$path/${f.path}"): _*)
+    }
   }
 
   /** CHANGE FEED between two committed versions (Delta CDF analogue):
@@ -383,8 +462,17 @@ object TxLog {
     val added = toS.files.filterNot(f => fromPaths(f.path))
     def readFiles(fs: Seq[AddFile]): Option[DataFrame] =
       if (fs.isEmpty) None
-      else Some(spark.read.option("basePath", path)
-        .parquet(fs.map(f => s"$path/${f.path}"): _*))
+      else {
+        // BOTH sides read under the newer snapshot's schema so the
+        // full-row comparison resolves across a schema evolution
+        // boundary (pre-evolution files null-fill the added columns)
+        val rd = spark.read.option("basePath", path)
+        Some(toS.schemaDdl.orElse(fromS.schemaDdl)
+          .map(ddl => rd.schema(
+            org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+          .getOrElse(rd)
+          .parquet(fs.map(f => s"$path/${f.path}"): _*))
+      }
     (readFiles(removed), readFiles(added)) match {
       case (None, None) =>
         // no files differ (idle poll, from == to): still honor the
@@ -611,9 +699,19 @@ object TxLog {
       if (staged.isEmpty) {
         val current =
           if (oldFiles.isEmpty) null
-          else spark.read.option("basePath", path)
-            .parquet(oldFiles.map(f => s"$path/${f.path}"): _*)
-            .withColumn(partitionCol, col(partitionCol).cast("string"))
+          else {
+            // base rows read under the COMMITTED schema, not footer
+            // inference: a partition whose files predate a schema
+            // evolution must surface the added columns (null-filled) or
+            // this merge would commit a DEMOTED table schema
+            val rd = spark.read.option("basePath", path)
+            snap.schemaDdl
+              .map(ddl => rd.schema(
+                org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+              .getOrElse(rd)
+              .parquet(oldFiles.map(f => s"$path/${f.path}"): _*)
+              .withColumn(partitionCol, col(partitionCol).cast("string"))
+          }
         val merged = current match {
           case null => up
           case cur =>
@@ -623,7 +721,13 @@ object TxLog {
             }
             afterRemove
               .join(up.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-              .unionByName(up)
+              // SCHEMA EVOLUTION (add-column): a batch carrying columns
+              // the table lacks widens the table — existing rows
+              // null-fill them (read() applies the committed DDL, so
+              // pre-evolution files resolve); a batch MISSING table
+              // columns null-fills its own rows. Type changes stay a
+              // loud failure (unionByName rejects them).
+              .unionByName(up, allowMissingColumns = true)
         }
         // stage once per BASE: a partition-disjoint conflict re-commits
         // the same files; any movement of the base restages above
@@ -742,7 +846,12 @@ object TxLog {
     val fs = fsOf(spark, table)
     if (!fs.exists(table)) return Seq.empty
     val snap = snapshot(spark, path)
-    val live = snap.files.map(_.path).toSet
+    // the HEAD's files plus every file a TAGGED snapshot references —
+    // a pinned dataset version survives maintenance until untagged
+    // (O(tags) metadata-only log replays)
+    val live = snap.files.map(_.path).toSet ++
+      tagsOf(fs, table).values.toSet.flatMap((v: Long) =>
+        resolveSnapshot(spark, path, Some(v)).files.map(_.path))
     // files some COMMIT ever referenced: deleting one of these breaks
     // the versions that referenced it (→ horizon moves); deleting a
     // crashed writer's never-committed orphan breaks nothing. The log

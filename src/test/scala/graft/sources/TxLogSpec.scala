@@ -253,6 +253,70 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, dir).version == snap.version)
   }
 
+  test("schema evolution: a merge widens the table; old rows null-fill; time travel keeps the old shape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-evo").toString
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v1"), ("dbB#b1", "dbB", "w1")))
+    // the batch carries a column the table lacks
+    TxLog.merge(spark, dir,
+      docs(("dbA#a2", "dbA", "v2")).withColumn("lang", lit("en")))
+    val head = TxLog.read(spark, dir)
+    assert(head.columns.toSeq ==
+      Seq("_docId", "payload", "lang", "str_databaseid"))
+    assert(head.select("_docId", "lang").as[(String, String)].collect().toSet
+      == Set(("dbA#a1", null), ("dbA#a2", "en"), ("dbB#b1", null)))
+    // pre-evolution snapshot reads with the pre-evolution shape
+    assert(TxLog.read(spark, dir, asOfVersion = Some(0)).columns.toSeq ==
+      Seq("_docId", "payload", "str_databaseid"))
+    // the change feed resolves across the evolution boundary
+    val ch = TxLog.changes(spark, dir, 0, 1)
+    assert(ch.filter(col("_change_type") === "insert")
+      .select("_docId", "lang").as[(String, String)].collect().toSeq ==
+      Seq(("dbA#a2", "en")))
+    // a batch MISSING a table column null-fills its own rows
+    TxLog.merge(spark, dir, docs(("dbB#b2", "dbB", "w2")))
+    assert(TxLog.read(spark, dir).filter(col("_docId") === "dbB#b2")
+      .select("lang").as[String].collect().toSeq == Seq(null))
+    // type changes stay loud
+    intercept[Exception] {
+      TxLog.merge(spark, dir,
+        docs(("dbA#a3", "dbA", "x")).withColumn("lang", lit(7)))
+    }
+  }
+
+  test("tags pin dataset versions through vacuum; untagged versions expire") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-tag").toString
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v1")))         // v0
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v2")))         // v1
+    assert(TxLog.tag(spark, dir, "train-2026-08", version = 0) == 0L)
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v3")))         // v2
+    assert(TxLog.tags(spark, dir) == Map("train-2026-08" -> 0L))
+
+    TxLog.vacuum(spark, dir, olderThanMs = -1)
+    // the tagged snapshot's files were RETAINED: the pinned dataset
+    // still reads exactly as frozen, below the vacuum horizon
+    assert(TxLog.vacuumHorizon(spark, dir) == 2L)
+    assert(TxLog.readTag(spark, dir, "train-2026-08")
+      .select("payload").as[String].collect().toSeq == Seq("v1"))
+    // the UNTAGGED superseded version is gone, with the clean diagnostic
+    intercept[IllegalStateException] {
+      TxLog.read(spark, dir, asOfVersion = Some(1)).collect()
+    }
+    // tagging a vacuumed version fails at resolve, not mid-scan
+    intercept[IllegalStateException] { TxLog.tag(spark, dir, "late", 1) }
+
+    // untag → the next vacuum reclaims the pinned files
+    TxLog.removeTag(spark, dir, "train-2026-08")
+    assert(TxLog.vacuum(spark, dir, olderThanMs = -1).nonEmpty)
+    intercept[IllegalStateException] {
+      TxLog.read(spark, dir, asOfVersion = Some(0)).collect()
+    }
+    assert(TxLog.read(spark, dir)
+      .select("payload").as[String].collect().toSeq == Seq("v3"))
+    intercept[NoSuchElementException] {
+      TxLog.readTag(spark, dir, "train-2026-08")
+    }
+  }
+
   test("an emptied table keeps its schema: reads and change feeds stay typed") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tx-empty").toString
     TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v1")))
