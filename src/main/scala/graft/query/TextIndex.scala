@@ -51,20 +51,12 @@ object TextIndex {
     java.lang.management.ManagementFactory.getRuntimeMXBean.getName
       .replaceAll("[^A-Za-z0-9]", "-")
 
-  /** Managed-location roots (key → root dir). A managed root is NOT the
-    * postings parquet dir itself: it holds generation subdirs plus a
-    * `_CURRENT` pointer file naming the active one, so the active
-    * generation survives a driver restart (see [[manage]]). */
-  private val managedRoot = new ConcurrentHashMap[String, String]()
-
   /** Drop the cached postings for a table — the full-rebuild fallback.
     * Writers that know WHICH files changed should use [[addFiles]] /
     * [[removeFiles]] instead: they update the side table incrementally,
     * so the next search pays a lookup join, not a corpus rebuild. */
-  def invalidate(path: String, textCol: String): Unit = {
+  def invalidate(path: String, textCol: String): Unit =
     cache.remove(s"$path:$textCol")
-    managedRoot.remove(s"$path:$textCol")
-  }
 
   /** Active postings directory of (path, textCol) in this process —
     * None if nothing has been built or attached yet. Introspection for
@@ -75,15 +67,6 @@ object TextIndex {
   private def currentPtr(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, "_CURRENT")
 
-  private def writeCurrent(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, genName: String): Unit = {
-    // tiny single-block overwrite of the pointer file; the referenced
-    // generation dir is immutable once named, so a reader that catches
-    // either pointer value reads a complete generation
-    val out = fs.create(currentPtr(root), true)
-    try out.write(genName.getBytes("UTF-8")) finally out.close()
-  }
-
   private def readCurrent(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Option[String] =
     if (!fs.exists(currentPtr(root))) None
@@ -93,110 +76,125 @@ object TextIndex {
       finally in.close()
     }
 
-  private def freshGenName() =
-    s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
+  /** Postings rows shaped for the TxLog postings table: one partition
+    * (`bucket` = md5 of the data-file URI) per indexed data file, row
+    * key `bucket#trigram`. Partition-per-file is what makes maintenance
+    * O(changed file): append = merge into the new file's own partition,
+    * remove = [[graft.sources.TxLog.deletePartitions]] — metadata only,
+    * never a postings-table rewrite. */
+  private def txRows(rows: DataFrame): DataFrame =
+    rows.select(
+      concat(md5(col("file")), lit("#"), col("tri")).as("_docId"),
+      col("file"), col("tri"), md5(col("file")).as("bucket"))
+
+  private def mergePostings(spark: SparkSession, location: String,
+      rows: DataFrame): Unit =
+    graft.sources.TxLog.merge(spark, location, txRows(rows),
+      keyCol = "_docId", partitionCol = "bucket")
 
   /** Pin the postings side table of (path, textCol) to a MANAGED
     * location (the production shape: the table's writer owns both the
-    * data files and the postings dir, and maintains the latter with
-    * [[addFiles]]/[[removeFiles]] as it writes). The location is a ROOT
-    * holding generation subdirs and a `_CURRENT` pointer that
-    * [[removeFiles]] swaps ATOMICALLY on disk — a restarted driver
-    * re-attaches to the generation that was active at the swap, never a
-    * retired one (postings appended after a swap live in the current
-    * generation and survive re-attach). Legacy roots holding bare
-    * parquet postings are migrated into a first generation on attach;
-    * an empty root builds once. */
+    * data files and the postings, and maintains the latter with
+    * [[addFiles]]/[[removeFiles]] as it writes). The location is a
+    * [[graft.sources.TxLog]] table partitioned by a per-data-file
+    * bucket, which is what survives every failure mode the previous
+    * generation-swap layout handled case-by-case: readers are snapshot-
+    * isolated against concurrent maintenance, a restarted driver
+    * re-attaches to the committed head, appends after a removal are
+    * ordinary later commits, and removal itself is a METADATA-ONLY
+    * partition drop instead of an O(postings) filter-rewrite. Legacy
+    * layouts (bare parquet postings, or generation dirs + `_CURRENT`
+    * pointer) are migrated into the table on first attach. */
   def manage(spark: SparkSession, path: String, textCol: String,
       location: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(location)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val active: String = readCurrent(fs, root) match {
-      case Some(gen) if fs.exists(new org.apache.hadoop.fs.Path(root, gen)) =>
-        s"$location/$gen" // re-attach to the generation the pointer names
-      case _ =>
-        val gen = freshGenName()
-        val genDir = new org.apache.hadoop.fs.Path(root, gen)
-        val bare =
-          if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.Path]
-          else fs.listStatus(root).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet"))
-        if (bare.nonEmpty) {
-          // pre-pointer layout: adopt the existing postings by moving
-          // them into a named generation (no rebuild, no readers yet —
-          // attach happens before this process serves searches)
-          fs.mkdirs(genDir)
-          bare.foreach { f =>
-            if (!fs.rename(f, new org.apache.hadoop.fs.Path(genDir, f.getName)))
-              throw new java.io.IOException(s"postings migration failed: $f")
-          }
-        } else buildTo(spark, path, textCol, genDir.toString)
-        writeCurrent(fs, root, gen)
-        s"$location/$gen"
+    if (!graft.sources.TxLog.isTable(spark, location)) {
+      // adopt a legacy layout's postings without re-indexing the corpus;
+      // an empty root builds from the table
+      val legacy: Option[DataFrame] = readCurrent(fs, root) match {
+        case Some(gen) if fs.exists(new org.apache.hadoop.fs.Path(root, gen)) =>
+          Some(spark.read.parquet(s"$location/$gen"))
+        case _ =>
+          val bare = fs.exists(root) && fs.listStatus(root)
+            .exists(_.getPath.getName.endsWith(".parquet"))
+          if (bare) Some(spark.read.parquet(location)) else None
+      }
+      val rows = legacy.getOrElse(
+        tableDf(spark, path)
+          .select(input_file_name().as("file"),
+            trigrams(col(textCol)).as("ts"))
+          .select(col("file"), explode(col("ts")).as("tri"))
+          .distinct())
+      if (rows.isEmpty)
+        // an empty corpus still commits the table (schema-only v0) so
+        // later addFiles/search go through the TxLog path uniformly
+        graft.sources.TxLog.tryCommit(spark, location, 0L, Seq.empty,
+          Seq.empty, Some("_docId STRING,file STRING,tri STRING,bucket STRING"))
+      else mergePostings(spark, location, rows)
+      // reclaim legacy artifacts (only safe AFTER the committed
+      // migration; a crash in between just leaves them for the next
+      // attach, which adopts the table and cleans again)
+      if (fs.exists(root)) fs.listStatus(root).map(_.getPath).foreach { p =>
+        val n = p.getName
+        if (n.startsWith("gen-") || n == "_CURRENT" ||
+            n.endsWith(".parquet") || n.endsWith(".parquet.crc") ||
+            n == "_SUCCESS" || n.startsWith("._SUCCESS"))
+          fs.delete(p, true)
+      }
     }
-    // generations the pointer does not name are leftovers of a previous
-    // process (retired copies, or a crashed mid-swap write) — nothing
-    // can reach them once this attach returns, so reclaim them now
-    val activeName = active.substring(location.length + 1)
-    fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.startsWith("gen-") && p.getName != activeName)
-      .foreach(p => fs.delete(p, true))
-    cache.put(s"$path:$textCol", active)
-    managedRoot.put(s"$path:$textCol", location)
+    cache.put(s"$path:$textCol", location)
   }
 
   /** Incremental APPEND: index `newFiles` (paths of data files just
-    * added to the table) into the existing postings side table — one
-    * narrow pass over the new files only, appended to the postings
-    * parquet. Duplicate delivery is harmless: the candidate check
-    * counts DISTINCT trigrams per file. No-op (beyond a build) if the
-    * postings don't exist yet — the build indexes everything anyway. */
+    * added to the table) into the postings side table — one narrow pass
+    * over the new files only. Managed (TxLog) postings commit one merge
+    * into the new files' own partitions (duplicate delivery converges:
+    * the rows are keyed, LWW); unmanaged tmp postings append parquet
+    * (duplicate delivery harmless — the candidate check counts DISTINCT
+    * trigrams). No-op (beyond a build) if the postings don't exist yet —
+    * the build indexes everything anyway. */
   def addFiles(spark: SparkSession, path: String, textCol: String,
       newFiles: Seq[String]): Unit = {
     val key = s"$path:$textCol"
     val loc = cache.get(key)
     if (loc == null) { postings(spark, path, textCol); return }
     if (newFiles.isEmpty) return
-    spark.read.schema(tableDf(spark, path).schema)
+    val rows = spark.read.schema(tableDf(spark, path).schema)
       .parquet(newFiles: _*)
       .select(input_file_name().as("file"), trigrams(col(textCol)).as("ts"))
       .select(col("file"), explode(col("ts")).as("tri"))
       .distinct()
-      .write.mode("append").parquet(loc)
+    if (graft.sources.TxLog.isTable(spark, loc)) mergePostings(spark, loc, rows)
+    else rows.write.mode("append").parquet(loc)
   }
 
-  /** Incremental DELETE: drop the postings of removed data files. The
-    * postings parquet is immutable, so this is a filter-rewrite into a
-    * fresh versioned dir + an atomic (in-JVM) location swap; the old
-    * dir is removed afterwards. Searches remain CORRECT even before
-    * this runs — [[candidateFiles]] intersects with the table's live
-    * file listing, so a stale posting row can never resurrect a deleted
-    * file into a scan; removal is hygiene that keeps the side table
-    * proportional to the live corpus. (Multi-writer postings would sit
-    * on a [[graft.sources.TxLog]] table instead of a swap.) */
+  /** Incremental DELETE: drop the postings of removed data files.
+    * Searches remain CORRECT even before this runs — [[candidateFiles]]
+    * intersects with the table's live file listing, so a stale posting
+    * row can never resurrect a deleted file into a scan; removal is
+    * hygiene that keeps the side table proportional to the live corpus.
+    * Managed (TxLog) postings drop the removed files' partitions as one
+    * METADATA-ONLY commit (nothing read or rewritten — the 100 TB
+    * shape); unmanaged tmp postings keep the filter-rewrite + versioned
+    * location swap. */
   def removeFiles(spark: SparkSession, path: String, textCol: String,
       removed: Seq[String]): Unit = {
     val key = s"$path:$textCol"
     val loc = cache.get(key)
     if (loc == null || removed.isEmpty) return
-    val root = Option(managedRoot.get(key))
-    // managed: the new generation is a sibling under the root and the
-    // on-disk _CURRENT pointer moves with it, so a restarted driver
-    // re-attaches HERE (not to the retired generation — postings
-    // appended after this swap must survive re-attach). Unmanaged
-    // (tmpdir) postings keep the plain versioned-suffix swap.
-    val next = root match {
-      case Some(r) => s"$r/${freshGenName()}"
-      case None => s"$loc-v${java.util.UUID.randomUUID().toString.take(8)}"
+    if (graft.sources.TxLog.isTable(spark, loc)) {
+      val digest = (s: String) => java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      graft.sources.TxLog.deletePartitions(spark, loc,
+        removed.map(digest).toSet)
+      return
     }
+    val next = s"$loc-v${java.util.UUID.randomUUID().toString.take(8)}"
     spark.read.parquet(loc)
       .filter(!col("file").isin(removed: _*))
       .write.mode("overwrite").parquet(next)
-    root.foreach { r =>
-      val rp = new org.apache.hadoop.fs.Path(r)
-      val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
-      writeCurrent(fs, rp, next.substring(r.length + 1))
-    }
     cache.put(key, next)
     // GENERATIONAL retirement, not immediate deletion: a search that
     // resolved the old location before this swap may still be
@@ -290,7 +288,9 @@ object TextIndex {
   }
 
   /** `(file, tri)` postings of `textCol` over a parquet directory —
-    * built once per (path, column) and stored as a parquet side table. */
+    * built once per (path, column) and stored as a side table: the
+    * committed snapshot of a [[manage]]d TxLog postings table, or an
+    * ad-hoc parquet dir under the tmpdir otherwise. */
   def postings(spark: SparkSession, path: String, textCol: String): DataFrame = {
     val loc = cache.computeIfAbsent(s"$path:$textCol", { key =>
       // full-width digest of the key — a 32-bit hashCode could collide
@@ -303,7 +303,9 @@ object TextIndex {
       buildTo(spark, path, textCol, out)
       out
     })
-    spark.read.parquet(loc)
+    if (graft.sources.TxLog.isTable(spark, loc))
+      graft.sources.TxLog.read(spark, loc).select("file", "tri")
+    else spark.read.parquet(loc)
   }
 
   /** Trigrams the pattern REQUIRES: every literal segment (between

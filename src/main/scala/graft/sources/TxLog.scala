@@ -747,6 +747,31 @@ object TxLog {
     }
   }
 
+  /** Drop whole partitions as ONE metadata-only commit: every live file
+    * of `partitionValues` is removed, nothing is added, no data is read
+    * or rewritten — the partition-level delete a retention sweep, a
+    * GDPR-style source purge, or per-file index maintenance needs
+    * (contrast [[merge]]'s removedKeys, which deletes by ROW key and
+    * must rewrite the partition). Optimistic like every commit; the
+    * table schema is carried so an emptied table keeps its shape.
+    * Returns the number of files dropped (0 if nothing matched). */
+  def deletePartitions(spark: SparkSession, path: String,
+      partitionValues: Set[String], maxAttempts: Int = 20): Int = {
+    if (partitionValues.isEmpty) return 0
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= maxAttempts,
+        s"deletePartitions: $maxAttempts commit conflicts")
+      val snap = snapshot(spark, path)
+      val victims = snap.files.filter(f => partitionValues(f.partition))
+      if (victims.isEmpty) return 0
+      if (tryCommit(spark, path, snap.version + 1, Seq.empty, victims,
+        snap.schemaDdl)) return victims.size
+    }
+    0
+  }
+
   /** OPTIMIZE: rewrite each fragmented partition's live files into
     * size-targeted, KEY-CLUSTERED files, as an ordinary optimistic
     * COMMIT (adds the compacted files, removes the inputs). This is the

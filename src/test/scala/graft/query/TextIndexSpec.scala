@@ -88,12 +88,12 @@ class TextIndexSpec extends SparkSpec {
     Seq((1L, "alpha bravo charlie"), (2L, "delta echo foxtrot"))
       .toDF("id", "text").repartition(2)
       .write.mode("overwrite").parquet(tdir)
-    // managed location: the writer owns the postings ROOT (generation
-    // subdirs + _CURRENT pointer)
+    // managed location: the postings live as a TxLog table partitioned
+    // per data file
     TextIndex.manage(spark, tdir, "text", pdir)
-    def idxFiles() = new java.io.File(
-      TextIndex.activeLocation(tdir, "text").get).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length).toMap
+    assert(graft.sources.TxLog.isTable(spark, pdir))
+    def idxFiles() = graft.sources.TxLog.snapshot(spark, pdir)
+      .files.map(f => f.path -> f.rows).toMap
     val builtFiles = idxFiles()
     assert(builtFiles.nonEmpty)
     def hits(p: String) = TextIndex.prunedSearch(spark, tdir, "text", p)
@@ -110,7 +110,8 @@ class TextIndexSpec extends SparkSpec {
     assert(hits("zebrafish").isEmpty, "stale index should miss the new file")
 
     // incremental append: only the new file is indexed, old postings
-    // files are untouched (no rebuild)
+    // files are untouched (no rewrite — the new partition's files are
+    // the only addition in the commit)
     TextIndex.addFiles(spark, tdir, "text", appended)
     assert(hits("zebrafish") == Set(3L))
     val afterAdd = idxFiles()
@@ -141,7 +142,7 @@ class TextIndexSpec extends SparkSpec {
     assert(hits("alpha") == Set(1L)) // searches still work after the swap
   }
 
-  test("managed postings survive restart: re-attach adopts the swapped generation") {
+  test("managed postings survive restart; removal is metadata-only; appends after removal persist") {
     import spark.implicits._
     val tdir = java.nio.file.Files.createTempDirectory("graft-trst").toString
     val pdir = java.nio.file.Files.createTempDirectory("graft-trst-idx").toString
@@ -153,18 +154,27 @@ class TextIndexSpec extends SparkSpec {
     TextIndex.manage(spark, tdir, "text", pdir)
     def hits(p: String) = TextIndex.prunedSearch(spark, tdir, "text", p)
       .select("id").as[Long].collect().toSet
+    import graft.sources.TxLog
 
-    // delete one data file and run the hygiene pass → generation SWAP
+    // delete one data file and run the hygiene pass → the removed
+    // file's postings PARTITION is dropped as one metadata-only commit
+    // (no postings data read or rewritten — the commit adds NOTHING)
     val victim = spark.read.parquet(tdir).inputFiles
       .find(f => spark.read.parquet(f).filter(col("id") === 2L).count() > 0).get
     val vf = new java.io.File(new java.net.URI(victim))
     assert(vf.delete())
     val crc = new java.io.File(vf.getParent, "." + vf.getName + ".crc")
     if (crc.exists()) crc.delete()
+    val vBefore = TxLog.snapshot(spark, pdir)
     TextIndex.removeFiles(spark, tdir, "text", Seq(victim))
+    val vAfter = TxLog.snapshot(spark, pdir)
+    assert(vAfter.version == vBefore.version + 1)
+    assert(vAfter.files.toSet.subsetOf(vBefore.files.toSet),
+      "partition drop rewrote postings data")
+    assert(TextIndex.postings(spark, tdir, "text")
+      .filter(col("file") === victim).count() == 0)
 
-    // postings appended AFTER the swap — the rows the pre-fix re-attach
-    // would silently lose
+    // postings appended AFTER the removal are ordinary later commits
     val before = new java.io.File(tdir).listFiles().map(_.getName).toSet
     Seq((3L, "zebrafish quay")).toDF("id", "text").coalesce(1)
       .write.mode("append").parquet(tdir)
@@ -172,22 +182,44 @@ class TextIndexSpec extends SparkSpec {
       .diff(before).filter(_.endsWith(".parquet")).map(n => s"$tdir/$n").toSeq
     TextIndex.addFiles(spark, tdir, "text", appended)
     assert(hits("zebrafish") == Set(3L))
-    val activeBefore = TextIndex.activeLocation(tdir, "text").get
 
     // "driver restart": the in-memory pointers are gone; manage() must
-    // re-attach to the generation the on-disk _CURRENT names — the one
-    // holding the post-swap postings — NOT the original build dir
+    // re-attach to the committed table head — post-removal appends
+    // intact, NO re-index (adoption is read-only: version unchanged)
+    val headBefore = TxLog.snapshot(spark, pdir).version
     TextIndex.invalidate(tdir, "text")
     assert(TextIndex.activeLocation(tdir, "text").isEmpty)
     TextIndex.manage(spark, tdir, "text", pdir)
-    assert(TextIndex.activeLocation(tdir, "text").contains(activeBefore),
-      "re-attach adopted a stale generation")
-    assert(hits("zebrafish") == Set(3L), "post-swap postings lost on re-attach")
+    assert(TextIndex.activeLocation(tdir, "text").contains(pdir))
+    assert(TxLog.snapshot(spark, pdir).version == headBefore,
+      "re-attach rebuilt the postings")
+    assert(hits("zebrafish") == Set(3L), "post-removal postings lost on re-attach")
     assert(hits("alpha") == Set(1L))
-    // the retired original generation was reclaimed at attach
-    val gens = new java.io.File(pdir).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("gen-")).map(_.getName)
-    assert(gens.length == 1 && activeBefore.endsWith(gens.head))
+  }
+
+  test("manage migrates a legacy generation-pointer postings layout into the TxLog table") {
+    import spark.implicits._
+    val tdir = java.nio.file.Files.createTempDirectory("graft-tmig").toString
+    val pdir = java.nio.file.Files.createTempDirectory("graft-tmig-idx").toString
+    Seq((1L, "alpha bravo"), (2L, "charlie delta")).toDF("id", "text")
+      .write.mode("overwrite").parquet(tdir)
+    // hand-build the PRE-ROUND-7 layout: a generation dir + _CURRENT
+    spark.read.parquet(tdir)
+      .select(input_file_name().as("file"),
+        TextIndex.trigrams(col("text")).as("ts"))
+      .select(col("file"), explode(col("ts")).as("tri")).distinct()
+      .write.mode("overwrite").parquet(s"$pdir/gen-legacy1")
+    val out = new java.io.FileOutputStream(s"$pdir/_CURRENT")
+    try out.write("gen-legacy1".getBytes("UTF-8")) finally out.close()
+
+    TextIndex.manage(spark, tdir, "text", pdir)
+    // adopted WITHOUT re-indexing the corpus, legacy artifacts gone
+    assert(graft.sources.TxLog.isTable(spark, pdir))
+    assert(!new java.io.File(s"$pdir/_CURRENT").exists())
+    assert(!new java.io.File(s"$pdir/gen-legacy1").exists())
+    val got = TextIndex.prunedSearch(spark, tdir, "text", "charlie")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(2L))
   }
 
   test("requiredTrigrams: segments under 3 chars contribute nothing") {

@@ -253,6 +253,28 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, dir).version == snap.version)
   }
 
+  test("deletePartitions drops whole partitions as one metadata-only commit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-dp").toString
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v1"),
+      ("dbB#b1", "dbB", "w1"), ("dbC#c1", "dbC", "x1")))
+    val before = TxLog.snapshot(spark, dir)
+    assert(TxLog.deletePartitions(spark, dir, Set("dbA", "dbC")) >= 2)
+    val after = TxLog.snapshot(spark, dir)
+    // one commit, nothing added, only the victims' files removed
+    assert(after.version == before.version + 1)
+    assert(after.files.toSet.subsetOf(before.files.toSet))
+    assert(after.files.forall(_.partition == "dbB"))
+    assert(tableRows(dir) == Set(("dbB#b1", "w1")))
+    // idempotent: nothing left to drop → no empty commit
+    assert(TxLog.deletePartitions(spark, dir, Set("dbA")) == 0)
+    assert(TxLog.snapshot(spark, dir).version == after.version)
+    // dropping the LAST partition keeps the table typed (schema carried)
+    TxLog.deletePartitions(spark, dir, Set("dbB"))
+    val emptied = TxLog.read(spark, dir)
+    assert(emptied.isEmpty &&
+      emptied.columns.toSeq == Seq("_docId", "payload", "str_databaseid"))
+  }
+
   test("schema evolution: a merge widens the table; old rows null-fill; time travel keeps the old shape") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tx-evo").toString
     TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v1"), ("dbB#b1", "dbB", "w1")))
