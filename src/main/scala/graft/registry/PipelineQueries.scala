@@ -71,12 +71,16 @@ object PipelineQueries {
 
     // ── Retention cohorts: users grouped by first-activity day, counted
     //    on each later activity day — the product-analytics matrix every
-    //    event warehouse serves. Shape: one map-side-combined groupBy on
-    //    user for the cohort day, a join back on user_id (first-day
-    //    table is user-count-sized, co-partitioned with the event scan's
-    //    shuffle), distinct (cohort, day, user), then a tiny final agg —
-    //    (cohort, offset) determines the day, so count(*) over the
-    //    distinct rows IS the distinct-user count, no second expand.
+    //    event warehouse serves. Shape: ONE events scan and ONE
+    //    map-side-combined shuffle — per user, min(day) and the distinct
+    //    day set come out of the same aggregate (partial collect_sets
+    //    merge, so the exchange carries day-sets, not events), the
+    //    explode back to (cohort, day) is narrow, and the closing
+    //    (cohort, offset) agg is matrix-sized. The join-back + 3-column
+    //    distinct this replaced cost two extra corpus-sized exchanges.
+    //    Per-user day sets are bounded by the calendar (≤ timespan
+    //    days), never by event volume, so the aggregate state is safe
+    //    at any corpus size.
     sql("ev2_retention_cohorts",
       """WITH e AS (
         |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
@@ -95,9 +99,9 @@ object PipelineQueries {
       (s, d) => {
         val e = t(s, d, "events")
           .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
-        val firstday = e.groupBy("user_id").agg(min("day").as("cohort"))
-        e.join(firstday, "user_id")
-          .select("cohort", "day", "user_id").distinct()
+        e.groupBy("user_id")
+          .agg(min("day").as("cohort"), collect_set("day").as("days"))
+          .select(col("cohort"), explode(col("days")).as("day"))
           .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
             datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
           .groupBy("cohort_day", "day_offset")
