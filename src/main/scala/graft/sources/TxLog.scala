@@ -857,11 +857,13 @@ object TxLog {
     0
   }
 
-  /** Remove data files no committed version references and stale staging
-    * directories, `olderThanMs` old (grace for in-flight writers). When
-    * a DATA file is removed, the current head version is recorded as
-    * the [[vacuumHorizon]]: versions below it may now reference deleted
-    * files, so [[snapshotAt]]/[[changes]] below the horizon fail with a
+  /** Remove data files neither the HEAD nor any TAGGED snapshot
+    * references, plus stale staging directories, `olderThanMs` old
+    * (grace for in-flight writers); [[tag]]ged versions' files are
+    * retained so pinned datasets survive maintenance. When a DATA file
+    * is removed, the current head version is recorded as the
+    * [[vacuumHorizon]]: untagged versions below it may now reference
+    * deleted files, so [[snapshotAt]]/[[changes]] there fail with a
     * clean diagnostic at resolve time instead of a FileNotFoundException
     * mid-scan. (Staging-dir cleanup never moves the horizon — those
     * files were never committed.) */

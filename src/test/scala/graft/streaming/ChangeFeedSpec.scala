@@ -62,6 +62,32 @@ class ChangeFeedSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("a handler failure is redelivered after restart (at-least-once sink contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cf-alo").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cf-alock").toString
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v1")))
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    @volatile var fail = true
+    def handler(df: org.apache.spark.sql.DataFrame, lo: Long, hi: Long): Unit = {
+      if (fail) throw new RuntimeException("sink down")
+      df.count() // consume
+      delivered.add(hi)
+    }
+    // the failing batch kills the query BEFORE the checkpoint commits
+    val q1 = ChangeFeed.follow(spark, dir, ckpt)(handler)
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    assert(delivered.isEmpty)
+    // restart: the uncommitted batch is REDELIVERED, nothing skipped
+    fail = false
+    val q2 = ChangeFeed.follow(spark, dir, ckpt)(handler)
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(delivered.asScala.toSeq == Seq(0L))
+    } finally q2.stop()
+  }
+
   test("follow drives the doc-table consumers: TextIndex stays in sync via the feed") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cf-idx").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-cf-idxck").toString
