@@ -253,6 +253,51 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, dir).version == snap.version)
   }
 
+  test("model-based: 40 random merge/delete/dropPartition/compact ops match an in-memory model; pinned versions stay immutable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-model").toString
+    val rnd = new scala.util.Random(20260813L) // deterministic — no flake
+    val parts = Vector("dbA", "dbB", "dbC")
+    val model = scala.collection.mutable.Map[String, String]() // key -> payload
+    val pinned = scala.collection.mutable.Map[Long, Set[(String, String)]]()
+    def key() = s"${parts(rnd.nextInt(parts.size))}#k${rnd.nextInt(12)}"
+    for (step <- 1 to 40) {
+      rnd.nextInt(10) match {
+        case n if n <= 5 => // merge: 1-4 upserts, sometimes deletes
+          val ups = Seq.fill(1 + rnd.nextInt(4))(key()).distinct
+            .map(k => (k, k.split("#")(0), s"p$step-${rnd.nextInt(100)}"))
+          val dels = if (rnd.nextBoolean() && model.nonEmpty)
+            Seq.fill(1 + rnd.nextInt(2))(
+              model.keys.toSeq(rnd.nextInt(model.size))).distinct
+          else Seq.empty
+          TxLog.merge(spark, dir, docs(ups: _*),
+            if (dels.isEmpty) null else dels.toDF("_docId"))
+          dels.foreach(model.remove)
+          ups.foreach { case (k, _, p) => model(k) = p }
+        case 6 | 7 => // drop a whole partition
+          if (TxLog.isTable(spark, dir)) {
+            val p = parts(rnd.nextInt(parts.size))
+            TxLog.deletePartitions(spark, dir, Set(p))
+            model.keys.filter(_.startsWith(s"$p#")).toSeq.foreach(model.remove)
+          }
+        case 8 => // OPTIMIZE is row-invisible
+          if (TxLog.isTable(spark, dir))
+            TxLog.compact(spark, dir, targetRowsPerFile = 4)
+        case _ => // pin the current version for the immutability check
+          if (TxLog.isTable(spark, dir))
+            pinned(TxLog.snapshot(spark, dir).version) = model.toSet
+      }
+      if (TxLog.isTable(spark, dir))
+        assert(tableRows(dir) == model.toSet, s"divergence at step $step")
+    }
+    // no vacuum ran: every pinned version must replay exactly as frozen
+    pinned.foreach { case (v, want) =>
+      val got = TxLog.read(spark, dir, asOfVersion = Some(v))
+        .select("_docId", "payload").as[(String, String)].collect().toSet
+      assert(got == want, s"time travel to v$v diverged")
+    }
+    assert(pinned.nonEmpty)
+  }
+
   test("deletePartitions drops whole partitions as one metadata-only commit") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tx-dp").toString
     TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v1"),
