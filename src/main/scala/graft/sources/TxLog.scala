@@ -747,6 +747,61 @@ object TxLog {
     }
   }
 
+  /** Roll the table BACK to `version` as a NEW commit (the Delta
+    * RESTORE analogue): the head becomes row-identical to the target
+    * snapshot by re-referencing its files — metadata only, nothing
+    * copied or rewritten, and the rolled-back versions stay in the
+    * history (a restore of a restore works; [[changes]] across the
+    * restore commit shows the rollback as ordinary row changes). The
+    * target must still be readable: at-or-above the vacuum horizon, or
+    * pinned by a [[tag]]. Optimistic like every commit. */
+  def restore(spark: SparkSession, path: String, version: Long,
+      maxAttempts: Int = 20): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      require(attempt <= maxAttempts, s"restore: $maxAttempts commit conflicts")
+      val target = snapshotAt(spark, path, version) // horizon/tag-checked
+      val head = snapshot(spark, path)
+      if (head.version == version) return
+      val targetPaths = target.files.map(_.path).toSet
+      val headPaths = head.files.map(_.path).toSet
+      val adds = target.files.filterNot(f => headPaths(f.path))
+      val removes = head.files.filterNot(f => targetPaths(f.path))
+      done = tryCommit(spark, path, head.version + 1, adds, removes,
+        target.schemaDdl.orElse(head.schemaDdl))
+    }
+  }
+
+  /** [[restore]] to the version a [[tag]] pins. */
+  def restoreTag(spark: SparkSession, path: String, name: String): Unit =
+    restore(spark, path, tags(spark, path).getOrElse(name,
+      throw new NoSuchElementException(s"tag '$name' not found at $path")))
+
+  /** One row per commit, newest first: (version, commit time ms, files
+    * added, files removed, rows added) — the DESCRIBE HISTORY
+    * introspection surface, read from the log only (no data IO). */
+  def history(spark: SparkSession, path: String)
+      : Seq[(Long, Long, Int, Int, Long)] = {
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    listLog(fs, table)
+      .filter(!_.getName.contains("checkpoint"))
+      .map { p =>
+        val v = p.getName.stripSuffix(".json").toLong
+        val j = readJson(fs, p)
+        val adds = parseFiles(j \ "adds")
+        val removes = (j \ "removes") match {
+          case JArray(items) => items.size
+          case _ => 0
+        }
+        (v, fs.getFileStatus(p).getModificationTime, adds.size, removes,
+          adds.map(f => math.max(f.rows, 0L)).sum)
+      }
+      .sortBy(-_._1)
+  }
+
   /** Drop whole partitions as ONE metadata-only commit: every live file
     * of `partitionValues` is removed, nothing is added, no data is read
     * or rewritten — the partition-level delete a retention sweep, a

@@ -298,6 +298,45 @@ class TxLogSpec extends SparkSpec {
     assert(pinned.nonEmpty)
   }
 
+  test("restore rolls back to a prior version as a new commit; history lists the chain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-restore").toString
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v1")))           // v0
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v2"),
+      ("dbB#b1", "dbB", "w1")))                                     // v1
+    TxLog.merge(spark, dir, docs(), Seq("dbA#a1").toDF("_docId"))   // v2
+    assert(tableRows(dir) == Set(("dbB#b1", "w1")))
+
+    // metadata-only rollback: head becomes row-identical to v0, the
+    // rolled-back versions stay in the history
+    TxLog.restore(spark, dir, 0)
+    assert(TxLog.snapshot(spark, dir).version == 3)
+    assert(tableRows(dir) == Set(("dbA#a1", "v1")))
+    // the restore commit reads as ordinary changes
+    val ch = TxLog.changes(spark, dir, 2, 3)
+      .select("_docId", "_change_type").as[(String, String)].collect().toSet
+    assert(ch == Set(("dbA#a1", "insert"), ("dbB#b1", "delete")))
+    // restoring forward to the pre-rollback state also works
+    TxLog.restore(spark, dir, 2)
+    assert(tableRows(dir) == Set(("dbB#b1", "w1")))
+    // no-op restore to the current head commits nothing
+    val v = TxLog.snapshot(spark, dir).version
+    TxLog.restore(spark, dir, v)
+    assert(TxLog.snapshot(spark, dir).version == v)
+
+    // restore via tag
+    TxLog.tag(spark, dir, "golden", 1)
+    TxLog.restoreTag(spark, dir, "golden")
+    assert(tableRows(dir) == Set(("dbA#a1", "v2"), ("dbB#b1", "w1")))
+
+    // history: newest first, contiguous, with add/remove counts
+    val h = TxLog.history(spark, dir)
+    assert(h.map(_._1) == (0L to TxLog.snapshot(spark, dir).version).reverse)
+    assert(h.forall { case (_, ts, _, _, _) => ts > 0 })
+    assert(h.last == h.filter(_._1 == 0L).head)
+    val v0row = h.find(_._1 == 0L).get
+    assert(v0row._3 >= 1 && v0row._4 == 0 && v0row._5 == 1L)
+  }
+
   test("deletePartitions drops whole partitions as one metadata-only commit") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tx-dp").toString
     TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v1"),
