@@ -273,6 +273,15 @@ object TextIndex {
     val stale = postings(spark, tablePath, textCol).select("file").distinct()
       .collect().map(_.getString(0)).filterNot(liveUri)
     if (stale.nonEmpty) removeFiles(spark, tablePath, textCol, stale.toSeq)
+    // postings are DERIVED data: nobody time-travels them, so the sync
+    // loop doubles as their vacuum — superseded postings files older
+    // than the default grace are reclaimed here, keeping the side table
+    // proportional to the live corpus across unbounded maintenance
+    cache.get(s"$tablePath:$textCol") match {
+      case loc: String if graft.sources.TxLog.isTable(spark, loc) =>
+        graft.sources.TxLog.vacuum(spark, loc)
+      case _ => ()
+    }
     head.version
   }
 
