@@ -72,9 +72,18 @@ object Bench {
     // each pass pays the same cold data work (intra-pass cache sharing
     // between queries is part of the engine design and kept).
     val ordered = selected.toSeq.sortBy(_._1)
+    // A query that throws must be marked as an ERROR, not recorded as a
+    // suspiciously-fast time (r7 logged two crashed queries at ~6 ms,
+    // indistinguishable from well-optimized plans). Errored queries are
+    // excluded from BOTH engines' totals so the headline ratio compares
+    // only queries both engines completed.
+    val qErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timedPass(): Map[String, Double] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        qErrors.getOrElseUpdate(name,
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val passes = (1 to 3).map { _ =>
@@ -93,7 +102,9 @@ object Bench {
     // in queries_omitted. 3-decimal locale-fixed formatting throughout.
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val results = ordered.map { case (n, _) => n -> passes.map(_(n)).min }
+    val results = ordered.collect {
+      case (n, _) if !qErrors.contains(n) => n -> passes.map(_(n)).min
+    }
     // Per-query DuckDB oracle times, measured back-to-back with the Spark
     // passes on the same host so host-load swings hit both engines (the
     // r4→r5 "regression" was load that only the Spark side recorded).
@@ -157,6 +168,18 @@ object Bench {
           Map.empty
       }
     }
+    def escJ(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val errJson = qErrors
+      .map { case (k, v) => "\"" + escJ(k) + "\":\"" + escJ(v) + "\"" }
+      .mkString("{", ",", "}")
     val detail = results.map { case (k, v) =>
       "\"" + k + "\":" + (oracleTimes.get(k) match {
         case Some(o) => "[" + f3(v) + "," + f3(o) + "]"
@@ -164,18 +187,21 @@ object Bench {
       })
     }.mkString("{", ",", "}")
     println(s"""# per-query detail (full, [spark_s, oracle_s]): $detail""")
+    if (qErrors.nonEmpty)
+      println(s"""# query ERRORS (excluded from all totals): $errJson""")
     // full per-query pairs as a FILE, out of the driver's 2k-tail budget.
     // Written only by FULL runs: a selective local iteration must not
     // clobber the committed full-suite detail with a 2-query fragment.
     if (only.isEmpty)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),
-        (s"""{"sf":"$sfDir","pairs":$detail}""" + "\n").getBytes("UTF-8"))
+        (s"""{"sf":"$sfDir","errors":$errJson,"pairs":$detail}""" + "\n")
+          .getBytes("UTF-8"))
       catch { case _: Exception => () }
     // chars for the queries map in the final line: the whole line must stay
     // well under the 2000-char tail even if the harness appends a trailing
     // "[success] Total time: ..." line after it (as sbt-run rounds do)
-    val budget = 1100
+    val budget = 1000
     val bySlowest = results.sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
@@ -207,7 +233,10 @@ object Bench {
     // engine. Sub-floor queries are still fully visible in the
     // per-query detail (bench_detail.json and the queries map); this
     // gate exists to surface real plan regressions, not engine floors.
-    val duckTotal = oracleTimes.filter(_._2 >= 0).values.sum
+    // errored queries are excluded from the DuckDB side too, so the
+    // headline spark-vs-duck ratio covers only queries both completed
+    val duckTotal = oracleTimes
+      .filter { case (k, o) => o >= 0 && !qErrors.contains(k) }.values.sum
     val over2xAll = results.collect {
       case (k, v) if oracleTimes.get(k)
           .exists(o => o >= 0.05 && v > 2 * o + 0.25) =>
@@ -230,7 +259,15 @@ object Bench {
     // spark-vs-duck ratio compare different query sets. duck_n <
     // oracle_n is a visible red flag in the artifact.
     val oracleN = results.count { case (k, _) => oracleKeys(k) }
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","oracle_value":${f3(oracleTotal)},"oracle_n":$oracleN,"duck_total":${f3(duckTotal)},"duck_n":${oracleTimes.size},"over2x":$over2x,"n_queries":${results.size},"queries_omitted":$omitted,"queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","pass_totals":$passTotals}"""
+    val duckN = oracleTimes.count { case (k, _) => !qErrors.contains(k) }
+    // errored query NAMES in the final line (bounded): a crash must be a
+    // visible artifact field, never a silent omission or a fast time
+    val errNames = {
+      val names = qErrors.keys.take(5).map("\"" + escJ(_) + "\"").toSeq
+      (if (qErrors.size > 5) names :+ s""""+${qErrors.size - 5} more"""" else names)
+        .mkString("[", ",", "]")
+    }
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","oracle_value":${f3(oracleTotal)},"oracle_n":$oracleN,"duck_total":${f3(duckTotal)},"duck_n":$duckN,"n_errors":${qErrors.size},"q_errors":$errNames,"over2x":$over2x,"n_queries":${results.size},"queries_omitted":$omitted,"queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","pass_totals":$passTotals}"""
     // hard guarantee: the line the driver must parse fits its 2000-char tail
     // with ~150 chars of slack for any trailing harness output
     assert(line.length < 1850, s"bench JSON line too long: ${line.length}")

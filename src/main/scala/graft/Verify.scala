@@ -24,6 +24,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must surface as a visible error row, not a
+    // silent omission (round 7 shrank 114→112 with no red flag): failures
+    // collect into _errors.json beside oracle_sql.json.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -31,6 +35,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -48,6 +53,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(2000))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.keys.mkString(", "))
     spark.stop()
   }
 }

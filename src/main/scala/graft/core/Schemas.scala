@@ -223,6 +223,30 @@ object Schemas {
     StructField("isActive", BooleanType),
     StructField("createdAt", TimestampType)))
 
+  /** Per-link metadata KV (storageBuilder :1182-1197 —
+    * AssetLinksMetadataStorageTable, PK assetLinkId / SK metadataKey,
+    * NEW_IMAGE stream into the indexer :1615; record shape from
+    * `handlers/metadata/metadataService.py:380-430` — listings return
+    * ALL rows for a link, SK-descending, gated on BOTH endpoint assets'
+    * authz). */
+  val assetLinkMetadata: StructType = StructType(Seq(
+    StructField("assetLinkId", StringType, nullable = false),
+    StructField("metadataKey", StringType, nullable = false),
+    StructField("metadataValue", StringType),
+    StructField("metadataValueType", StringType)))
+
+  /** Database-level metadata KV (storageBuilder :843-872 —
+    * DatabaseMetadataStorageTableV2, PK metadataKey / SK databaseId,
+    * GSI DatabaseIdIndex(databaseId, metadataKey); listing shape from
+    * `metadataService.py:3806-3890` — the per-database listing runs on
+    * the GSI, key-descending, then enriches each row against the
+    * aggregated [databaseId, GLOBAL] metadata schemas). */
+  val databaseMetadata: StructType = StructType(Seq(
+    StructField("metadataKey", StringType, nullable = false),
+    StructField("databaseId", StringType, nullable = false),
+    StructField("metadataValue", StringType),
+    StructField("metadataValueType", StringType)))
+
   /** User directory rows (storageBuilder :1077-1083 — UserStorageTable,
     * PK userId; attribute shape from
     * `handlers/auth/cognitoUserService.py:71-92`). */

@@ -29,16 +29,27 @@ object Tables {
     })
 
 
-  /** The events table stores TIMESTAMP(NANOS) which Spark reads (with
-    * `spark.sql.legacy.parquet.nanosAsLong=true`) as nano longs; convert
-    * to the engine-native microsecond TimestampType (truncating, same as
-    * DuckDB's TIMESTAMP_NS → TIMESTAMP cast in the oracle). */
+  /** The events table's `ts` column has shipped in two physical shapes:
+    * TIMESTAMP(NANOS), which Spark reads (with
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) as nano longs, and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 reads as
+    * TIMESTAMP_NTZ. Both are normalized to the engine-native
+    * TimestampType: the session timezone is pinned to UTC in every entry
+    * point, so the NTZ→TZ cast is value-preserving (same wall-clock
+    * micros), and the nanos branch truncates exactly like DuckDB's
+    * TIMESTAMP_NS → TIMESTAMP cast in the oracle. Event-time streaming
+    * (withWatermark) and unix_micros both require TimestampType. */
   private def normalizeEventTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

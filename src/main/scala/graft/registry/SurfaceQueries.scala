@@ -500,6 +500,142 @@ object SurfaceQueries {
             array_join(sort_array(collect_list(col("role_name"))), ",")
               .as("roles"))
           .orderBy("user_id")
+      }),
+
+    // ── Asset-link METADATA listing (metadataService.py:380-430 +
+    //    storageBuilder :1182-1197): all metadata rows for the
+    //    authorized links, SK-descending per link (ScanIndexForward=
+    //    False), visible only when the caller passes authz on BOTH
+    //    endpoint assets. Links modeled as in j11 (lineitem edges,
+    //    order→part); each link carries 3 typed KV rows (weight/
+    //    shipDate/flag), derived map-side via one explode — the KV
+    //    derivation never hits an exchange, and the endpoint authz
+    //    predicates push into both endpoint scans (the F11 path).
+    sql("lm1_link_metadata",
+      """WITH links AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS link_id,
+        |         l_orderkey AS from_id, l_partkey AS to_id,
+        |         CAST(l_quantity AS INT) AS qty,
+        |         strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship,
+        |         l_returnflag AS flag
+        |  FROM lineitem WHERE l_orderkey < 200
+        |), auth AS (
+        |  SELECT link_id, qty, ship, flag FROM links
+        |  JOIN orders ON o_orderkey = from_id AND o_orderstatus = 'O'
+        |  JOIN part ON p_partkey = to_id AND p_brand LIKE 'Brand#1%'
+        |), md AS (
+        |  SELECT link_id, 'weight' AS metadata_key,
+        |         CAST(qty AS VARCHAR) AS metadata_value,
+        |         'number' AS value_type FROM auth
+        |  UNION ALL
+        |  SELECT link_id, 'shipDate', ship, 'date' FROM auth
+        |  UNION ALL
+        |  SELECT link_id, 'flag', flag, 'string' FROM auth
+        |)
+        |SELECT link_id, metadata_key, metadata_value, value_type
+        |FROM md ORDER BY link_id, metadata_key DESC, metadata_value""")(
+      (s, d) => {
+        val links = t(s, d, "lineitem")
+          .filter(col("l_orderkey") < 200)
+          .select((col("l_orderkey") * 10 + col("l_linenumber")).as("link_id"),
+            col("l_orderkey").as("from_id"), col("l_partkey").as("to_id"),
+            col("l_quantity").cast("int").as("qty"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"),
+            col("l_returnflag").as("flag"))
+        val fromAuth = graft.authz.Abac.enforce(t(s, d, "orders"),
+          graft.authz.Abac.Policy(allow = Seq(Seq(
+            graft.authz.Abac.Criterion("o_orderstatus", "equals", "O")))))
+          .select(col("o_orderkey").as("from_id"))
+        val toAuth = graft.authz.Abac.enforce(t(s, d, "part"),
+          graft.authz.Abac.Policy(allow = Seq(Seq(
+            graft.authz.Abac.Criterion("p_brand", "starts_with", "Brand#1")))))
+          .select(col("p_partkey").as("to_id"))
+        links.join(fromAuth, "from_id").join(toAuth, "to_id")
+          // typed KV rows in ONE map-side explode (no union re-scan)
+          .select(col("link_id"), explode(array(
+            struct(lit("weight").as("metadata_key"),
+              col("qty").cast("string").as("metadata_value"),
+              lit("number").as("value_type")),
+            struct(lit("shipDate").as("metadata_key"),
+              col("ship").as("metadata_value"),
+              lit("date").as("value_type")),
+            struct(lit("flag").as("metadata_key"),
+              col("flag").as("metadata_value"),
+              lit("string").as("value_type")))).as("kv"))
+          .select(col("link_id"), col("kv.metadata_key"),
+            col("kv.metadata_value"), col("kv.value_type"))
+          // link_id is not unique in the synthetic edge set (duplicate
+          // lineitem line numbers), so the tiebreak on value makes the
+          // row order total — both engines emit identical sequences
+          .orderBy(col("link_id").asc, col("metadata_key").desc,
+            col("metadata_value").asc)
+      }),
+
+    // ── Database-level METADATA listing with schema enrichment
+    //    (metadataService.py:3806-3890 over storageBuilder :843-872's
+    //    DatabaseIdIndex GSI; enrichment semantics from
+    //    `common/metadataSchemaValidation.py:647-760`): rows for one
+    //    database, each classified against the aggregated [db, GLOBAL]
+    //    schemas — matching keys carry schemaName/required/sequence,
+    //    non-matching keys get the non-schema defaults, and schema
+    //    fields ABSENT from the stored metadata are appended as
+    //    placeholder rows (step 2 of enrich_metadata_with_schema);
+    //    schema fields order by sequence first, then non-schema keys
+    //    descending. Metadata rows modeled on supplier with
+    //    latest-writer-wins dedup (the upsert path); the 8-row schema
+    //    dim stays driver-sized, so at 100 TB the listing is a pruned
+    //    per-database scan + a broadcast-sized full-outer enrich.
+    sql("dm1_database_metadata",
+      """WITH md AS (
+        |  SELECT 'k' || CAST(s_suppkey % 12 AS VARCHAR) AS metadata_key,
+        |         CAST(max(s_suppkey) AS VARCHAR) AS metadata_value,
+        |         'string' AS value_type
+        |  FROM supplier WHERE s_suppkey % 8 = 3
+        |  GROUP BY 1
+        |), sch AS (
+        |  SELECT * FROM (VALUES
+        |    ('k0', 'base (GLOBAL)', TRUE, 0),
+        |    ('k1', 'base (GLOBAL)', FALSE, 1),
+        |    ('k2', 'base (GLOBAL)', TRUE, 2),
+        |    ('k3', 'base (GLOBAL)', FALSE, 3),
+        |    ('k4', 'base (GLOBAL)', TRUE, 4),
+        |    ('k5', 'base (GLOBAL)', FALSE, 5),
+        |    ('k6', 'dbschema (db3)', TRUE, 6),
+        |    ('k7', 'dbschema (db3)', FALSE, 7)
+        |  ) AS t(field_name, schema_name, required, seq)
+        |)
+        |SELECT COALESCE(m.metadata_key, s.field_name) AS metadata_key,
+        |       m.metadata_value, m.value_type,
+        |       (s.field_name IS NOT NULL) AS schema_field,
+        |       COALESCE(s.schema_name, '') AS schema_name,
+        |       COALESCE(s.required, FALSE) AS schema_required,
+        |       s.seq AS schema_seq
+        |FROM md m FULL OUTER JOIN sch s ON m.metadata_key = s.field_name
+        |ORDER BY schema_field DESC, schema_seq, metadata_key DESC""")(
+      (s, d) => {
+        import s.implicits._
+        val md = t(s, d, "supplier")
+          .filter(col("s_suppkey") % 8 === 3)
+          .groupBy(concat(lit("k"), (col("s_suppkey") % 12).cast("string"))
+            .as("metadata_key"))
+          .agg(max("s_suppkey").cast("string").as("metadata_value"))
+          .withColumn("value_type", lit("string"))
+        val sch = Seq(
+          ("k0", "base (GLOBAL)", true, 0), ("k1", "base (GLOBAL)", false, 1),
+          ("k2", "base (GLOBAL)", true, 2), ("k3", "base (GLOBAL)", false, 3),
+          ("k4", "base (GLOBAL)", true, 4), ("k5", "base (GLOBAL)", false, 5),
+          ("k6", "dbschema (db3)", true, 6), ("k7", "dbschema (db3)", false, 7))
+          .toDF("field_name", "schema_name", "required", "seq")
+        md.join(sch, col("metadata_key") === col("field_name"), "full_outer")
+          .select(
+            coalesce(col("metadata_key"), col("field_name")).as("metadata_key"),
+            col("metadata_value"), col("value_type"),
+            col("field_name").isNotNull.as("schema_field"),
+            coalesce(col("schema_name"), lit("")).as("schema_name"),
+            coalesce(col("required"), lit(false)).as("schema_required"),
+            col("seq").as("schema_seq"))
+          .orderBy(col("schema_field").desc, col("schema_seq").asc,
+            col("metadata_key").desc)
       })
   )
 }
