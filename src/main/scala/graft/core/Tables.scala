@@ -39,7 +39,7 @@ object Tables {
     * micros), and the nanos branch truncates exactly like DuckDB's
     * TIMESTAMP_NS → TIMESTAMP cast in the oracle. Event-time streaming
     * (withWatermark) and unix_micros both require TimestampType. */
-  private def normalizeEventTs(df: DataFrame): DataFrame =
+  def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts",
@@ -50,6 +50,24 @@ object Tables {
           df("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
+
+  /** Streaming twin of [[events]]: `readStream` over the SAME fixture
+    * files with the SAME `ts` normalization — the path a live event feed
+    * takes (file/Kafka source → normalize → watermark). The schema comes
+    * from the batch reader (streaming file sources need it upfront);
+    * normalization happens ON the streaming frame, so event-time ops see
+    * TimestampType regardless of the fixture's physical shape (nanos
+    * long or NTZ micros). */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val p = s"$d/events.parquet"
+    // the fixture is a single FILE and a streaming file source's
+    // basePath must be a directory: stream the parent, glob-filtered
+    // down to exactly this file
+    normalizeEventTs(s.readStream
+      .schema(s.read.parquet(p).schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

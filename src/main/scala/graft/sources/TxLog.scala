@@ -92,6 +92,129 @@ object LocalAtomicCoordinator extends CommitCoordinator {
   }
 }
 
+/** Lease-file coordinator: the multi-JVM / object-store reference
+  * implementation of [[CommitCoordinator]] (the second impl the trait
+  * was designed for — rename-without-overwrite is only atomic within
+  * HDFS, and only within one JVM on the local filesystem).
+  *
+  * Protocol: a commit first takes a short exclusive LEASE — a file
+  * `_commit.lease` beside the log entries, created atomically
+  * (`CREATE_NEW`/O_EXCL through java.nio on `file://`, which the OS
+  * arbitrates across processes; Hadoop's create-no-overwrite
+  * elsewhere) and carrying `owner expiryMillis`. Under the lease the
+  * destination-exists check and the publish rename form one critical
+  * section, so plain (overwriting) rename is safe. The lease is
+  * released by deleting the file; a holder that crashes mid-commit is
+  * TAKEN OVER once its expiry passes (steal = delete + re-acquire), so
+  * a dead writer can never wedge the table — the same recovery story
+  * as DynamoDB-lease LogStores for S3 documented by Delta (VLDB 2020
+  * §3.2; public design, no vendor code). Fencing: expiry is wall-clock
+  * with `leaseMs` slack, so `leaseMs` must exceed the worst-case
+  * publish time by a wide margin (the publish under lease is two
+  * metadata ops, milliseconds — the default leaves 30 s).
+  *
+  * Scale note: the lease serializes only the metadata publish (one
+  * small file write + rename), never data staging — writers stage
+  * parquet concurrently and contend only for the final rename, so
+  * writer throughput is bounded by log-publish latency, not data
+  * volume, exactly as in Delta's design. */
+final class LeaseFileCoordinator(
+    leaseMs: Long = 30000,
+    acquireTimeoutMs: Long = 60000) extends CommitCoordinator {
+
+  private val owner = java.util.UUID.randomUUID().toString
+
+  def tryPublish(fs: FileSystem, dest: Path, body: String): Boolean = {
+    val lease = new Path(dest.getParent, "_commit.lease")
+    if (!acquire(fs, lease))
+      throw new IllegalStateException(
+        s"commit lease not acquired within ${acquireTimeoutMs} ms " +
+          s"(holder info in $lease); a live writer is publishing or a " +
+          "crashed holder's lease has not expired yet")
+    try {
+      if (fs.exists(dest)) false // lost the version race — caller retries
+      else {
+        val tmp = new Path(dest.getParent,
+          s".${dest.getName}.$owner.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        // plain rename is safe HERE ONLY: the exists-check and rename
+        // run under the exclusive lease
+        val ok = fs.rename(tmp, dest)
+        if (!ok) fs.delete(tmp, false)
+        ok
+      }
+    } finally release(fs, lease)
+  }
+
+  /** Atomic create-no-overwrite of the lease file; loops with takeover
+    * of expired leases until acquired or `acquireTimeoutMs` elapses. */
+  private def acquire(fs: FileSystem, lease: Path): Boolean = {
+    val deadline = System.currentTimeMillis() + acquireTimeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      if (tryCreate(fs, lease,
+          s"$owner ${System.currentTimeMillis() + leaseMs}")) return true
+      // occupied: steal only once the holder's self-declared expiry passed
+      readExpiry(fs, lease).foreach { exp =>
+        if (System.currentTimeMillis() > exp) fs.delete(lease, false)
+      }
+      Thread.sleep(10)
+    }
+    false
+  }
+
+  private def tryCreate(fs: FileSystem, lease: Path, body: String): Boolean =
+    try {
+      if (fs.getUri.getScheme == "file") {
+        // O_EXCL via the OS: atomic across JVMs on a local/posix mount,
+        // which Hadoop's check-then-create on RawLocalFileSystem is not
+        val local = java.nio.file.Paths.get(lease.toUri.getPath)
+        java.nio.file.Files.createDirectories(local.getParent)
+        val ch = java.nio.channels.FileChannel.open(local,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try ch.write(java.nio.ByteBuffer.wrap(body.getBytes("UTF-8")))
+        finally ch.close()
+        true
+      } else {
+        // HDFS create(no-overwrite) is atomic; object stores plug in
+        // their conditional-put here if they lack it
+        val out = fs.create(lease, false)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        true
+      }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException => false
+    }
+
+  private def readExpiry(fs: FileSystem, lease: Path): Option[Long] =
+    try {
+      val in = fs.open(lease)
+      val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        finally in.close()
+      new String(bytes, "UTF-8").trim.split(' ') match {
+        case Array(_, exp) => exp.toLongOption
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
+  /** Delete the lease ONLY if still ours: after an expiry-takeover our
+    * file may have been replaced by the stealer's — deleting that would
+    * break their critical section. (Read-then-delete is not atomic; the
+    * wide leaseMs-vs-publish-time margin is what makes the window moot,
+    * as documented on the class.) */
+  private def release(fs: FileSystem, lease: Path): Unit =
+    try {
+      val in = fs.open(lease)
+      val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        finally in.close()
+      if (new String(bytes, "UTF-8").startsWith(owner))
+        fs.delete(lease, false)
+    } catch { case _: Exception => () }
+}
+
 object TxLog {
 
   /** One committed data file: `partition` is the RAW partition value

@@ -1,0 +1,129 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** Two-writer safety of [[LeaseFileCoordinator]] — the multi-JVM
+  * commit seam (VERDICT r7 ask #6). Each "writer JVM" is modeled as its
+  * own coordinator instance (distinct owner id, no shared in-process
+  * lock — LeaseFileCoordinator deliberately has none, unlike
+  * LocalAtomicCoordinator, so thread-level races exercise exactly the
+  * cross-process protocol: O_EXCL lease create + publish under lease).
+  */
+class LeaseCoordinatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsFor(dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def read(dir: String, name: String): String = {
+    val fs = fsFor(dir)
+    val in = fs.open(new Path(dir, name))
+    val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      finally in.close()
+    new String(bytes, "UTF-8")
+  }
+
+  test("exactly one of two concurrent publishers wins each version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lease1").toString
+    val fs = fsFor(dir)
+    val a = new LeaseFileCoordinator()
+    val b = new LeaseFileCoordinator()
+    (0 until 20).foreach { v =>
+      val dest = new Path(dir, f"$v%020d.json")
+      val results = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      def racer(name: String, c: LeaseFileCoordinator) = new Thread(() =>
+        try { gate.await(); results.put(name, c.tryPublish(fs, dest, name)) }
+        catch { case t: Throwable => errs.add(t) })
+      val ta = racer("A", a); val tb = racer("B", b)
+      ta.start(); tb.start(); gate.countDown(); ta.join(30000); tb.join(30000)
+      assert(errs.isEmpty, errs.toString)
+      val wins = Seq("A", "B").filter(results.get(_))
+      assert(wins.size == 1, s"v$v: winners=$wins")
+      // the file holds the WINNER's body intact — no torn/mixed publish
+      assert(read(dir, f"$v%020d.json") == wins.head)
+    }
+    // no lease left behind after clean releases
+    assert(!fs.exists(new Path(dir, "_commit.lease")))
+  }
+
+  test("two concurrent writers merge to a serializable, loss-free history") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lease2").toString
+    TxLog.setCoordinator(dir, new LeaseFileCoordinator())
+    try {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val K = 6
+      def writer(db: String) = new Thread(() =>
+        try {
+          gate.await()
+          (0 until K).foreach { i =>
+            TxLog.merge(spark, dir,
+              Seq((s"$db#k$i", db, s"$db-v$i"))
+                .toDF("_docId", "str_databaseid", "payload"))
+          }
+        } catch { case t: Throwable => errs.add(t) })
+      val wa = writer("dbA"); val wb = writer("dbB")
+      wa.start(); wb.start(); gate.countDown()
+      wa.join(120000); wb.join(120000)
+      assert(errs.isEmpty, errs.toString)
+      // every row from both writers present exactly once — no lost update
+      val rows = TxLog.read(spark, dir)
+        .select("_docId", "payload").as[(String, String)].collect().toSeq.sorted
+      val expected = (for {
+        db <- Seq("dbA", "dbB"); i <- 0 until K
+      } yield (s"$db#k$i", s"$db-v$i")).sorted
+      assert(rows == expected)
+      // the log is a gap-free serial history: versions 0..2K-1, each a
+      // single-writer commit published under the lease
+      val versions = TxLog.history(spark, dir).map(_._1).sorted
+      assert(versions == (0L until 2L * K).toVector, versions.toString)
+    } finally TxLog.clearCoordinator(dir)
+  }
+
+  test("an expired lease from a crashed holder is taken over") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lease3").toString
+    val fs = fsFor(dir)
+    // simulate a holder that died mid-commit: lease expired 1 s ago
+    val lease = new Path(dir, "_commit.lease")
+    val out = fs.create(lease, false)
+    out.write(s"dead-owner ${System.currentTimeMillis() - 1000}"
+      .getBytes("UTF-8")); out.close()
+    val c = new LeaseFileCoordinator(acquireTimeoutMs = 10000)
+    val dest = new Path(dir, "00000000000000000000.json")
+    assert(c.tryPublish(fs, dest, "recovered"))
+    assert(read(dir, "00000000000000000000.json") == "recovered")
+  }
+
+  test("a live lease blocks publishing; an unexpired one times out loud") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lease4").toString
+    val fs = fsFor(dir)
+    val lease = new Path(dir, "_commit.lease")
+    val out = fs.create(lease, false)
+    out.write(s"live-owner ${System.currentTimeMillis() + 3600000}"
+      .getBytes("UTF-8")); out.close()
+    val c = new LeaseFileCoordinator(acquireTimeoutMs = 300)
+    val dest = new Path(dir, "00000000000000000000.json")
+    val e = intercept[IllegalStateException] {
+      c.tryPublish(fs, dest, "blocked")
+    }
+    assert(e.getMessage.contains("lease not acquired"))
+    assert(!fs.exists(dest))
+    // holder releases → the same publisher succeeds on retry
+    fs.delete(lease, false)
+    assert(c.tryPublish(fs, dest, "after-release"))
+  }
+
+  test("losing the version race under the lease returns false, not a clobber") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lease5").toString
+    val fs = fsFor(dir)
+    val c = new LeaseFileCoordinator()
+    val dest = new Path(dir, "00000000000000000000.json")
+    assert(c.tryPublish(fs, dest, "first"))
+    assert(!c.tryPublish(fs, dest, "second"))
+    assert(read(dir, "00000000000000000000.json") == "first")
+  }
+}

@@ -14,11 +14,11 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   test("tumbling window over readStream equals the batch result") {
+    // the REAL driver fixture, not a rewritten copy: readStream sees the
+    // raw physical ts shape (NTZ micros / nanos long) and the shared
+    // normalization must make event-time work on it (r7's break)
     val batchDf = Tables.events(spark, sf())
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
-    val src = batchDf.select($"event_id", $"ts", $"event_type", $"value")
-    src.write.mode("overwrite").parquet(dir)
-    val streamDf = spark.readStream.schema(src.schema).parquet(dir)
+    val streamDf = Tables.eventsStream(spark, sf())
       .withWatermark("ts", "1 hour")
     val q = EventOps.tumbling(streamDf, col("ts"), "1 hour", col("event_type"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("ws"),
@@ -213,6 +213,30 @@ class StreamingSpec extends SparkSpec {
           unix_micros(col("ts")).as("tsMicros")).as[EventOps.SessionEvent],
       1800L * 1000000)
       .select("user_id", "event_id", "session_seq")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
+  test("stateful sessionization over the REAL events fixture (readStream) matches batch") {
+    // end-to-end over the driver's parquet exactly as shipped — the twin
+    // that silently vanished in r7 when the fixture went NTZ: readStream
+    // the fixture, normalize, derive micros, run the stateful form
+    val streamed = EventOps.sessionizeStateful(
+      Tables.eventsStream(spark, sf())
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsMicros")).as[EventOps.SessionEvent],
+      1800L * 1000000)
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("sess_fixture_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("sess_fixture_out")
+      .select("user_id", "event_id", "session_seq")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = EventOps.sessionize(Tables.events(spark, sf()),
+        col("user_id"), col("ts"), 1800L * 1000000)
+      .select(col("user_id"), col("event_id"), col("session_seq").cast("long"))
       .as[(Long, Long, Long)].collect().toSet
     assert(got == batch)
     assert(got.nonEmpty)
