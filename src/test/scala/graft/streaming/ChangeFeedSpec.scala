@@ -88,6 +88,59 @@ class ChangeFeedSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("a follower lagging below the vacuum horizon fails loud and recovers via fresh checkpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cf-vac").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cf-vacck").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, String, String)]()
+    def handler(df: org.apache.spark.sql.DataFrame, lo: Long, hi: Long): Unit =
+      df.select(col("_docId"), col("_change_type"))
+        .collect().foreach(r => seen.add((lo, hi, r.getString(0), r.getString(1))))
+
+    // the follower processes version 0, then goes DOWN
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v1")))
+    val q1 = ChangeFeed.follow(spark, dir, ckpt)(handler)
+    try { q1.processAllAvailable() } finally q1.stop()
+    seen.clear()
+
+    // while it is down: the table keeps moving (v1 rewrites a1, v2
+    // inserts b1) and maintenance vacuums with ZERO grace — v1's
+    // rewrite supersedes v0's file, so vacuum deletes it and records
+    // the horizon at the head
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v2")))
+    TxLog.merge(spark, dir, docs(("dbB#b1", "dbB", "w1")))
+    TxLog.vacuum(spark, dir, olderThanMs = 0L)
+    assert(TxLog.vacuumHorizon(spark, dir) == 2L)
+
+    // the restarted follower's span (1,2) needs snapshotAt(0) as the
+    // change base — below the horizon: the documented clean diagnostic,
+    // at resolve time, not a FileNotFoundException mid-scan
+    val q2 = ChangeFeed.follow(spark, dir, ckpt)(handler)
+    val e = intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("vacuumed (horizon")),
+      rootMessages(e).mkString(" | "))
+    assert(seen.isEmpty)
+
+    // recovery contract: a FRESH checkpoint re-initial-loads — the
+    // current snapshot arrives as inserts, and the feed is live again
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-cf-vacck2").toString
+    val q3 = ChangeFeed.follow(spark, dir, ckpt2)(handler)
+    try {
+      q3.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.toSet == Set(
+        (0L, 2L, "dbA#a1", "insert"), (0L, 2L, "dbB#b1", "insert")))
+      seen.clear()
+      TxLog.merge(spark, dir, docs(("dbB#b2", "dbB", "w2")))
+      q3.processAllAvailable()
+      assert(seen.asScala.toSet == Set((3L, 3L, "dbB#b2", "insert")))
+    } finally q3.stop()
+  }
+
   test("follow drives the doc-table consumers: TextIndex stays in sync via the feed") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cf-idx").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-cf-idxck").toString
