@@ -167,6 +167,25 @@ class PlanShapeSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("link-metadata listing pushes both endpoint authz predicates into the scans") {
+    // the F11 path twice over: the from-endpoint's equality and the
+    // to-endpoint's prefix predicate must reach their parquet scans —
+    // at 100 TB the authorized-link join reads only authorized rows
+    val p = plan("lm1_link_metadata")
+    assert(p.contains("EqualTo(o_orderstatus,O)"), p.take(2000))
+    assert(p.contains("StringStartsWith(p_brand,Brand#1)"), p.take(2000))
+  }
+
+  test("database-metadata listing partial-aggregates the upsert dedup before its exchange") {
+    // latest-writer-wins (max per key) must map-side combine: one
+    // shuffle carries one row per (db, key), not one per write
+    val p = plan("dm1_database_metadata")
+    val exchangeIdx = p.indexOf("Exchange")
+    val partialIdx = p.indexOf("partial_max")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"expected map-side partial max below the Exchange:\n${p.take(2000)}")
+  }
+
   test("no Scala UDFs anywhere in the flagship plans") {
     Seq("j1_doc_enrichment", "search_advanced", "a1_facets",
       "f7_metadata_kv", "llm_text_quality").foreach { q =>
