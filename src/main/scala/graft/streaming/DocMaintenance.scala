@@ -37,6 +37,30 @@ object DocMaintenance {
     direct.unionByName(linkFrom).unionByName(linkTo).distinct()
   }
 
+  /** ST4 including LINK-METADATA fan-out: the reference's structural
+    * sniffing routes any stream record carrying `assetLinkId` — the
+    * link table's AND the link-metadata table's PK — to the link
+    * handler, which rebuilds BOTH endpoint docs
+    * (`assetIndexer.py:1077-1081`; the link-metadata table streams into
+    * the indexer via `storageBuilder-nestedStack.ts:1615`). A metadata
+    * row carries only its `assetLinkId`, so the endpoints resolve
+    * through the links table. Scale shape: the CDC batch's link-id set
+    * is micro-batch-sized → broadcast into a semi-join against links;
+    * the links scan prunes on the broadcast, never the reverse. */
+  def affectedKeysWithLinkMeta(batch: DataFrame, links: DataFrame): DataFrame = {
+    val metaLinkIds = batch
+      .filter(col("table") === "assetLinkMetadata")
+      .select(col("assetLinkId")).distinct()
+    val touchedLinks = links
+      .join(broadcast(metaLinkIds), Seq("assetLinkId"), "left_semi")
+    val metaFrom = touchedLinks
+      .select(col("fromDatabaseId").as("databaseId"), col("fromAssetId").as("assetId"))
+    val metaTo = touchedLinks
+      .select(col("toDatabaseId").as("databaseId"), col("toAssetId").as("assetId"))
+    affectedKeys(batch.filter(col("table") =!= "assetLinkMetadata"))
+      .unionByName(metaFrom).unionByName(metaTo).distinct()
+  }
+
   /** Rebuild docs for the affected keys only (keyed incremental view
     * maintenance): semi-join every input of the doc build down to the
     * changed keys, then run the same J1 pipeline. */

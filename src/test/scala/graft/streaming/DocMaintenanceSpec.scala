@@ -45,6 +45,27 @@ class DocMaintenanceSpec extends SparkSpec {
     assert(keys == Set(("db1", "a1"), ("db1", "a2"), ("db2", "a9")))
   }
 
+  test("affectedKeysWithLinkMeta resolves a link-metadata change to both endpoints (ST4)") {
+    // a link-METADATA row carries only its assetLinkId (the table's PK);
+    // the endpoints come from the links table — the structural-sniffing
+    // route of assetIndexer.py:1077-1081
+    val links = Seq(
+      ("l1", "db1", "a2", "db2", "a9", "related", null),
+      ("l2", "db3", "a5", "db3", "a6", "parentChild", null))
+      .toDF("assetLinkId", "fromDatabaseId", "fromAssetId", "toDatabaseId",
+        "toAssetId", "relationshipType", "assetLinkAliasId")
+    val batch = Seq(
+      (1L, "MODIFY", "metadata", "db1", "a1", null, null, null, null, null),
+      (2L, "MODIFY", "assetLinkMetadata", null, null, null, null, null, null, "l1"))
+      .toDF("sequence", "op", "table", "databaseId", "assetId",
+        "fromDatabaseId", "fromAssetId", "toDatabaseId", "toAssetId",
+        "assetLinkId")
+    val keys = DocMaintenance.affectedKeysWithLinkMeta(batch, links)
+      .as[(String, String)].collect().toSet
+    // l1's both endpoints rebuild; l2 (untouched) contributes nothing
+    assert(keys == Set(("db1", "a1"), ("db1", "a2"), ("db2", "a9")))
+  }
+
   test("rebuildChanged touches only the changed keys (keyed semi-join)") {
     val assets = mkAssets(("db1", "a1", "One"), ("db1", "a2", "Two"),
       ("db2", "a3", "Three"))
