@@ -84,6 +84,44 @@ class LeaseCoordinatorSpec extends SparkSpec {
     } finally TxLog.clearCoordinator(dir)
   }
 
+  test("four-writer stress: every version has exactly one winner and an intact body") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lease-stress").toString
+    val fs = fsFor(dir)
+    val writers = (0 until 4).map(i => i -> new LeaseFileCoordinator()).toMap
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // each writer claims versions optimistically from a shared counter —
+    // the TxLog writer loop in miniature: publish, on loss re-read head
+    // and try the next version
+    val next = new java.util.concurrent.atomic.AtomicLong(0)
+    val won = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+    val Total = 24
+    val threads = writers.map { case (id, c) =>
+      new Thread(() =>
+        try {
+          var v = next.get()
+          while (v < Total) {
+            val dest = new Path(dir, f"$v%020d.json")
+            if (c.tryPublish(fs, dest, s"w$id-v$v")) {
+              val prev = won.put(v, Integer.valueOf(id))
+              assert(prev eq null, s"v$v won twice: $prev and $id")
+            }
+            next.set(math.max(next.get(), v + 1))
+            v = next.get()
+          }
+        } catch { case t: Throwable => errs.add(t) })
+    }.toSeq
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, errs.toString)
+    // a gap-free history in which every committed body is the winner's,
+    // written whole (no torn file, no clobber by a loser)
+    (0L until Total).foreach { v =>
+      val w = won.get(v)
+      assert(w != null, s"v$v never won")
+      assert(read(dir, f"$v%020d.json") == s"w$w-v$v")
+    }
+    assert(!fs.exists(new Path(dir, "_commit.lease")))
+  }
+
   test("an expired lease from a crashed holder is taken over") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lease3").toString
     val fs = fsFor(dir)
