@@ -198,7 +198,14 @@ object DocMaintenance {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val (assets, buckets, metadata, versions, links) = snapshot()
-        val changed = affectedKeys(batch)
+        // batches whose contract carries assetLinkId (the link +
+        // link-metadata tables' PK) resolve link-metadata rows to both
+        // endpoints through the links snapshot; plain entity feeds keep
+        // the column-free contract
+        val changed =
+          if (batch.columns.contains("assetLinkId"))
+            affectedKeysWithLinkMeta(batch, links)
+          else affectedKeys(batch)
         applyBatch(rebuildChanged(changed, assets, buckets, metadata, versions, links))
       }
       .start()

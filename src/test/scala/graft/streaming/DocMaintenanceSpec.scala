@@ -277,6 +277,43 @@ class DocMaintenanceSpec extends SparkSpec {
     assert(after.keySet == pinned.keySet && after("db1#a2"))
   }
 
+  test("a link-metadata CDC record rebuilds BOTH endpoint docs through the Tx stream") {
+    import graft.sources.TxLog
+    val cdcDir = java.nio.file.Files.createTempDirectory("graft-cdc-lm").toString
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-docstore-lm").toString
+    val links = Seq(("l1", "db1", "a1", "db2", "b1", "related", null: String))
+      .toDF("assetLinkId", "fromDatabaseId", "fromAssetId", "toDatabaseId",
+        "toAssetId", "relationshipType", "assetLinkAliasId")
+    // seed docs from assets-v1
+    val assetsV1 = mkAssets(("db1", "a1", "One"), ("db2", "b1", "Bee"),
+      ("db3", "c1", "Sea"))
+    DocMaintenance.mergeDocsTx(spark, docsDir,
+      graft.docs.DocBuilder.buildAssetDocs(assetsV1, buckets, emptyMd, emptyVer, links))
+    // truth moves on: every asset renamed — but only docs the CDC batch
+    // touches may pick the rename up
+    val assetsV2 = mkAssets(("db1", "a1", "One2"), ("db2", "b1", "Bee2"),
+      ("db3", "c1", "Sea2"))
+    // the CDC record carries ONLY the link-metadata PK (assetLinkId):
+    // the endpoints must resolve through the links snapshot
+    val batch = Seq((1L, "MODIFY", "assetLinkMetadata",
+      null: String, null: String, null: String, null: String,
+      null: String, null: String, "l1"))
+      .toDF("sequence", "op", "table", "databaseId", "assetId",
+        "fromDatabaseId", "fromAssetId", "toDatabaseId", "toAssetId",
+        "assetLinkId")
+    batch.write.mode("overwrite").parquet(cdcDir)
+    val cdc = spark.readStream.schema(batch.schema).parquet(cdcDir)
+    val q = DocMaintenance.streamMaintainTx(spark, docsDir, cdc,
+      () => (assetsV2, buckets, emptyMd, emptyVer, links))
+    try q.processAllAvailable() finally q.stop()
+    val names = TxLog.read(spark, docsDir)
+      .select("_docId", "str_assetname").as[(String, String)].collect().toMap
+    // both endpoints of l1 rebuilt against current truth; the unlinked
+    // db3 doc was NOT rebuilt by a batch that never touched it
+    assert(names == Map("db1#a1" -> "One2", "db2#b1" -> "Bee2",
+      "db3#c1" -> "Sea"), names.toString)
+  }
+
   test("end-to-end CDC lifecycle: change feed → Tx doc merge → index sync → pruned search hit") {
     // the reference's §3.2 lifecycle as ONE chain: an entity edit lands
     // as a CDC record (assetIndexer stream), the affected doc is rebuilt
