@@ -122,6 +122,38 @@ class LeaseCoordinatorSpec extends SparkSpec {
     assert(!fs.exists(new Path(dir, "_commit.lease")))
   }
 
+  test("compaction races concurrent merges under the lease with no lost update") {
+    // the LocalAtomicCoordinator race spec (TxLogSpec), replayed through
+    // the lease protocol: merge retries + OPTIMIZE's staged-base
+    // recheck + lease acquire/release must compose
+    val dir = java.nio.file.Files.createTempDirectory("graft-lease-opt").toString
+    TxLog.setCoordinator(dir, new LeaseFileCoordinator())
+    try {
+      TxLog.merge(spark, dir,
+        Seq(("dbA#a1", "dbA", "seed"), ("dbB#b1", "dbB", "b1"))
+          .toDF("_docId", "str_databaseid", "payload"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writers = (1 to 3).map { i =>
+        Future(TxLog.merge(spark, dir,
+          Seq((s"dbA#m$i", "dbA", s"v$i"))
+            .toDF("_docId", "str_databaseid", "payload")))
+      }
+      val compactors = (1 to 2).map { _ => Future(TxLog.compact(spark, dir)) }
+      (writers ++ compactors).foreach(Await.result(_, 300.seconds))
+      val rows = TxLog.read(spark, dir)
+        .select("_docId", "payload").as[(String, String)].collect().toSet
+      assert(rows == Set(("dbA#a1", "seed"), ("dbB#b1", "b1"),
+        ("dbA#m1", "v1"), ("dbA#m2", "v2"), ("dbA#m3", "v3")))
+      // linear history, every version resolvable, no lease left behind
+      val head = TxLog.snapshot(spark, dir).version
+      (0L to head).foreach(v => TxLog.snapshotAt(spark, dir, v))
+      assert(!fsFor(dir).exists(
+        new Path(s"$dir/_txlog", "_commit.lease")))
+    } finally TxLog.clearCoordinator(dir)
+  }
+
   test("an expired lease from a crashed holder is taken over") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lease3").toString
     val fs = fsFor(dir)
