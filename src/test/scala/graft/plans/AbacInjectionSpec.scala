@@ -147,6 +147,37 @@ class AbacInjectionSpec extends SparkSpec {
     }
   }
 
+  test("a governed TxLog table is row-filtered through TxLog.read, snapshots included") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // TxLog.read materializes the snapshot as a parquet read of the
+    // committed files under the table root — a governed prefix must
+    // therefore filter EVERY snapshot, time travel included, with no
+    // TxLog-specific wiring
+    val dir = java.nio.file.Files.createTempDirectory("graft-gov-tx").toString
+    graft.sources.TxLog.merge(spark, dir,
+      Seq(("dbA#a1", "dbA", "keep"), ("dbA#a2", "dbA", "secret"),
+        ("dbB#b1", "dbB", "keep"))
+        .toDF("_docId", "str_databaseid", "payload"))
+    graft.sources.TxLog.merge(spark, dir,
+      Seq(("dbB#b2", "dbB", "secret")).toDF("_docId", "str_databaseid", "payload"))
+    val rowPolicy = Abac.Policy(allow = Seq(Seq(
+      Abac.Criterion("payload", "equals", "keep"))))
+    AbacInjection.install(spark)
+    AbacInjection.govern(dir, rowPolicy)
+    try {
+      val ids = graft.sources.TxLog.read(spark, dir)
+        .select("_docId").as[String].collect().toSet
+      assert(ids == Set("dbA#a1", "dbB#b1"), ids.toString)
+      // time travel to v0 is governed too (same file-prefix lookup)
+      val v0 = graft.sources.TxLog.read(spark, dir, asOfVersion = Some(0L))
+        .select("_docId").as[String].collect().toSet
+      assert(v0 == Set("dbA#a1", "dbB#b1"), v0.toString)
+    } finally AbacInjection.clear()
+    // ungoverned again: all rows visible
+    assert(graft.sources.TxLog.read(spark, dir).count() == 4L)
+  }
+
   test("plans cached before govern() cannot serve unfiltered rows afterwards") {
     val df = spark.read.parquet(path)
     val all = df.count()
