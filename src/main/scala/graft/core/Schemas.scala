@@ -247,6 +247,13 @@ object Schemas {
     StructField("metadataValue", StringType),
     StructField("metadataValueType", StringType)))
 
+  /** Feature-flag rows (storageBuilder :699-709 —
+    * AppFeatureEnabledStorageTable, PK featureName; scanned whole by
+    * `handlers/config/configService.py:19-78`, which emits the enabled
+    * set as one concatenated `featuresEnabled` string). */
+  val appFeatures: StructType = StructType(Seq(
+    StructField("featureName", StringType, nullable = false)))
+
   /** User directory rows (storageBuilder :1077-1083 — UserStorageTable,
     * PK userId; attribute shape from
     * `handlers/auth/cognitoUserService.py:71-92`). */

@@ -502,6 +502,27 @@ object SurfaceQueries {
           .orderBy("user_id")
       }),
 
+    // ── App feature flags: the config endpoint's whole-table scan
+    //    rolled into the `featuresEnabled` concatenated string
+    //    (configService.py:19-78 over storageBuilder :699-709). The
+    //    reference concatenates in DynamoDB scan order; here the set is
+    //    SORTED — the deterministic twin of an order-free contract.
+    //    Feature rows modeled on region. Scale shape: one map-side-
+    //    combined global aggregate of a 1-column projection.
+    sql("cf1_feature_flags",
+      """WITH feats AS (
+        |  SELECT 'feat-' || lower(r_name) AS feature_name FROM region
+        |)
+        |SELECT array_to_string(list_sort(list(feature_name)), ',')
+        |         AS features_enabled,
+        |       CAST(count(*) AS BIGINT) AS n_features
+        |FROM feats""")(
+      (s, d) => t(s, d, "region")
+        .select(concat(lit("feat-"), lower(col("r_name"))).as("feature_name"))
+        .agg(array_join(sort_array(collect_list(col("feature_name"))), ",")
+            .as("features_enabled"),
+          count(lit(1)).as("n_features"))),
+
     // ── Asset-link METADATA listing (metadataService.py:380-430 +
     //    storageBuilder :1182-1197): all metadata rows for the
     //    authorized links, SK-descending per link (ScanIndexForward=
