@@ -523,6 +523,65 @@ object SurfaceQueries {
             .as("features_enabled"),
           count(lit(1)).as("n_features"))),
 
+    // ── NGSI-LD knowledge-graph export (the Garnet addon's conversion,
+    //    `handlers/addon/garnetFramework/garnetDataIndexAsset.py:164-290`):
+    //    each link becomes a JSON-LD entity — urn id, VAMSAssetLink
+    //    type, per-link scope, Property-wrapped fields, Relationship-
+    //    wrapped endpoint urns. The broker SHIPPING (SQS) is out of
+    //    analytic scope like ST6; the document BUILD is the transform,
+    //    emitted byte-identically by both engines (compact JSON, fixed
+    //    key order). Scale shape: fully narrow — one projection, no
+    //    exchange except the output sort.
+    sql("gx1_ngsild_links",
+      """WITH links AS (
+        |  SELECT 'l' || CAST(o_orderkey AS VARCHAR) AS link_id,
+        |         'db' || CAST(o_custkey % 5 AS VARCHAR) AS fdb,
+        |         'c' || CAST(o_custkey AS VARCHAR) AS fa,
+        |         'db' || CAST(o_orderkey % 5 AS VARCHAR) AS tdb,
+        |         'o' || CAST(o_orderkey AS VARCHAR) AS ta,
+        |         CASE o_orderstatus WHEN 'O' THEN 'related'
+        |              WHEN 'F' THEN 'parentChild' ELSE 'other' END AS rel
+        |  FROM orders WHERE o_orderkey < 300
+        |)
+        |SELECT link_id,
+        |       CAST(json_object(
+        |         'id', 'urn:vams:assetlink:' || link_id,
+        |         'type', 'VAMSAssetLink',
+        |         'scope', json_array('/AssetLink/' || link_id),
+        |         'relationshipType',
+        |           json_object('type', 'Property', 'value', rel),
+        |         'fromAsset', json_object('type', 'Relationship',
+        |           'object', 'urn:vams:asset:' || fdb || ':' || fa),
+        |         'toAsset', json_object('type', 'Relationship',
+        |           'object', 'urn:vams:asset:' || tdb || ':' || ta)
+        |       ) AS VARCHAR) AS ngsild
+        |FROM links ORDER BY link_id""")(
+      (s, d) => {
+        val links = t(s, d, "orders").filter(col("o_orderkey") < 300)
+          .select(concat(lit("l"), col("o_orderkey").cast("string")).as("link_id"),
+            concat(lit("db"), (col("o_custkey") % 5).cast("string")).as("fdb"),
+            concat(lit("c"), col("o_custkey").cast("string")).as("fa"),
+            concat(lit("db"), (col("o_orderkey") % 5).cast("string")).as("tdb"),
+            concat(lit("o"), col("o_orderkey").cast("string")).as("ta"),
+            when(col("o_orderstatus") === "O", "related")
+              .when(col("o_orderstatus") === "F", "parentChild")
+              .otherwise("other").as("rel"))
+        links.select(col("link_id"),
+            to_json(struct(
+              concat(lit("urn:vams:assetlink:"), col("link_id")).as("id"),
+              lit("VAMSAssetLink").as("type"),
+              array(concat(lit("/AssetLink/"), col("link_id"))).as("scope"),
+              struct(lit("Property").as("type"), col("rel").as("value"))
+                .as("relationshipType"),
+              struct(lit("Relationship").as("type"),
+                concat(lit("urn:vams:asset:"), col("fdb"), lit(":"), col("fa"))
+                  .as("object")).as("fromAsset"),
+              struct(lit("Relationship").as("type"),
+                concat(lit("urn:vams:asset:"), col("tdb"), lit(":"), col("ta"))
+                  .as("object")).as("toAsset"))).as("ngsild"))
+          .orderBy("link_id")
+      }),
+
     // ── Asset-link METADATA listing (metadataService.py:380-430 +
     //    storageBuilder :1182-1197): all metadata rows for the
     //    authorized links, SK-descending per link (ScanIndexForward=
