@@ -84,6 +84,47 @@ object StreamQueries {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy("user_id", "session_seq")),
 
+    // ── Sessionization via the built-in `session_window` — the most
+    //    idiomatic Spark form (EventOps.sessionAgg; the streaming twin
+    //    runs it with a watermark, StreamingSpec). Boundary semantics
+    //    differ from st_sessionize at EXACT-gap ties only: windows are
+    //    half-open [start, last+gap), so the oracle breaks on `>= gap`
+    //    where the window-function form breaks on `> gap` (measure-zero
+    //    at microsecond event time; both gates run on the same fixture).
+    sql("st_session_agg",
+      """WITH marked AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value,
+        |         CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL THEN 1
+        |              WHEN epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+        |                   >= 1800000000 THEN 1
+        |              ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+        |), sessions AS (
+        |  SELECT user_id, value, tus,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |       strftime(make_timestamp(CAST(min(tus) AS BIGINT)),
+        |                '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |       strftime(make_timestamp(CAST(max(tus) + 1800000000 AS BIGINT)),
+        |                '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""")(
+      (s, d) => EventOps.sessionAgg(t(s, d, "events"), col("user_id"),
+          col("ts"), "30 minutes")
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_end"),
+          col("n_events"), col("total"))
+        .orderBy("user_id", "session_start")),
+
     // ── ST3: last-writer-wins compaction (idempotent MERGE equivalent):
     //    latest event per user.
     sql("st_cdc_latest",
