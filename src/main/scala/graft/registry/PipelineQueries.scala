@@ -69,6 +69,47 @@ object PipelineQueries {
           .orderBy("event_id")
       }),
 
+    // ── Point-in-interval RANGE join: events labeled by every campaign
+    //    window containing them (overlaps allowed, half-open [ws, we)).
+    //    The Spark side is the bucketed range join (operators/RangeJoin:
+    //    intervals replicate to their ≤ len/bin+1 time bins, points map
+    //    to one bin, ONE equi-shuffle each + exact post-filter — never a
+    //    BroadcastNestedLoop/cartesian); the oracle states the naive
+    //    non-equi join only an oracle-scale engine can afford. Windows
+    //    derive from orders: start = Jan 2024 epoch + (key%720) h,
+    //    length = key%7+1 h; bin width 8 h ≥ the longest interval, so
+    //    replication ≤ 2 rows per window.
+    sql("ev4_range_label",
+      """WITH w AS (
+        |  SELECT 'w' || CAST(o_orderkey AS VARCHAR) AS label,
+        |         TIMESTAMP '2024-01-01 00:00:00'
+        |           + (o_orderkey % 720) * INTERVAL 1 HOUR AS ws,
+        |         TIMESTAMP '2024-01-01 00:00:00'
+        |           + (o_orderkey % 720 + o_orderkey % 7 + 1) * INTERVAL 1 HOUR AS we
+        |  FROM orders WHERE o_orderkey < 200
+        |)
+        |SELECT e.event_id, w.label
+        |FROM events e JOIN w
+        |  ON CAST(e.ts AS TIMESTAMP) >= w.ws
+        | AND CAST(e.ts AS TIMESTAMP) < w.we
+        |ORDER BY e.event_id, w.label""")(
+      (s, d) => {
+        val HourUs = 3600L * 1000000L
+        val baseUs = 1704067200L * 1000000L // 2024-01-01T00:00:00Z
+        val w = t(s, d, "orders").filter(col("o_orderkey") < 200)
+          .select(concat(lit("w"), col("o_orderkey").cast("string")).as("label"),
+            timestamp_micros(lit(baseUs)
+              + (col("o_orderkey") % 720) * HourUs).as("ws"),
+            timestamp_micros(lit(baseUs)
+              + (col("o_orderkey") % 720 + col("o_orderkey") % 7 + 1) * HourUs)
+              .as("we"))
+        graft.operators.RangeJoin.pointInInterval(
+            t(s, d, "events").select("event_id", "ts"), col("ts"),
+            w, col("ws"), col("we"), binMicros = 8 * HourUs)
+          .select("event_id", "label")
+          .orderBy("event_id", "label")
+      }),
+
     // ── Retention cohorts: users grouped by first-activity day, counted
     //    on each later activity day — the product-analytics matrix every
     //    event warehouse serves. Shape: ONE events scan and ONE
