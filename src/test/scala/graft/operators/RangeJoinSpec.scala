@@ -48,6 +48,38 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set(1L, 3L))
   }
 
+  test("streams: a point stream labels against static intervals, same rows as batch") {
+    // the bucketed form is a stream-static EQUI-join + stateless filter,
+    // so it runs under Structured Streaming as-is — the naive non-equi
+    // form would be unsupported/nested-loop there
+    import org.apache.spark.sql.streaming.Trigger
+    val rnd = new scala.util.Random(7)
+    val base = 1700000000000000L
+    val points = (1 to 200).map(i =>
+        (i.toLong, ts(base + rnd.nextInt(500000) * 1000L)))
+      .toDF("pid", "pt")
+    val intervals = (1 to 20).map { i =>
+      val s = base + rnd.nextInt(500000) * 1000L
+      (s"iv$i", ts(s), ts(s + (rnd.nextInt(100000) + 1) * 1000L))
+    }.toDF("label", "ws", "we")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rj-stream").toString
+    points.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(points.schema).parquet(dir)
+    val q = RangeJoin.pointInInterval(stream, col("pt"),
+        intervals, col("ws"), col("we"), 60000L * 1000)
+      .select("pid", "label")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("rj_out").as[(Long, String)].collect().toSet
+    val batch = RangeJoin.pointInInterval(points, col("pt"),
+        intervals, col("ws"), col("we"), 60000L * 1000)
+      .select("pid", "label").as[(Long, String)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("plans as an equi-join on the bin key, never a nested loop") {
     val points = Seq((1L, ts(1000000L))).toDF("pid", "pt")
     val intervals = Seq(("iv", ts(0L), ts(2000000L))).toDF("label", "ws", "we")
