@@ -121,6 +121,43 @@ object CoreQueries {
         .select("p_partkey", "p_name", "p_type")
         .orderBy("p_partkey")),
 
+    // ── F4: dual-field analyzed/keyword duality (search.py:1085-1121):
+    //    one query runs BOTH as a tokenized OR-match over the analyzed
+    //    field (standard-analyzer behavior: lowercase, split on
+    //    non-token chars — a hyphenated term splits into its parts) and
+    //    as a raw match over the `.keyword` variant (hyphens survive, so
+    //    'brand#13-7' matches only the exact item); the bool.should
+    //    union keeps any row either path hits, provenance flags carried.
+    //    Previously documented as designed-out; the analyzer is 2 HOFs.
+    sql("f4_analyzer_duality",
+      """WITH f AS (
+        |  SELECT p_partkey,
+        |         lower(p_brand || '-' || CAST(p_size AS VARCHAR)) AS kw,
+        |         regexp_split_to_array(
+        |           lower(p_brand || '-' || CAST(p_size AS VARCHAR)),
+        |           '[^a-z0-9#]+') AS toks
+        |  FROM part
+        |)
+        |SELECT p_partkey,
+        |       list_has_any(toks, ['brand#13', '7']) AS m_analyzed,
+        |       (kw = 'brand#13-7') AS m_keyword
+        |FROM f
+        |WHERE list_has_any(toks, ['brand#13', '7']) OR kw = 'brand#13-7'
+        |ORDER BY p_partkey""")(
+      (s, d) => {
+        val kw = lower(concat(col("p_brand"), lit("-"),
+          col("p_size").cast("string")))
+        val toks = split(kw, "[^a-z0-9#]+")
+        val mAnalyzed = arrays_overlap(toks,
+          array(lit("brand#13"), lit("7")))
+        val mKeyword = kw === "brand#13-7"
+        t(s, d, "part")
+          .select(col("p_partkey"), mAnalyzed.as("m_analyzed"),
+            mKeyword.as("m_keyword"))
+          .filter(col("m_analyzed") || col("m_keyword"))
+          .orderBy("p_partkey")
+      }),
+
     // ── F5: field-exists predicate over dynamic (JSON) properties.
     sql("f5_exists",
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
