@@ -39,12 +39,18 @@ object Inference {
         "ai_confidence" -> f"0.${50 + size % 50}%s")
     }
 
-  /** Batched labeling: payloads → long-form metadata rows. */
+  /** Batched labeling: payloads → long-form metadata rows. Each batch
+    * call runs under ST6 backoff ([[graft.streaming.Retry]]): a
+    * rate-limited endpoint retries INSIDE the task — a task failure
+    * would redo the whole partition's batches for one throttled call.
+    * The stub never throttles; a real client throws
+    * [[graft.streaming.Retry.ThrottledException]] on HTTP 429. */
   def labelAssets(ds: Dataset[AssetPayload]): Dataset[LabelRow] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
-        batch.lazyZip(callModel(batch)).flatMap { (p, kvs) =>
+        val out = graft.streaming.Retry.withBackoff()(callModel(batch))
+        batch.lazyZip(out).flatMap { (p, kvs) =>
           kvs.map { case (k, v) =>
             LabelRow(p.databaseId, p.assetId, p.filePath, k, v,
               if (k == "ai_confidence") "number" else "string")
