@@ -69,6 +69,51 @@ class CdcJsonSpec extends SparkSpec {
       ("db3", "c1")))                 // the entity row
   }
 
+  test("wire format end-to-end: JSON stream → parse → Tx doc rebuild") {
+    // the full reference pipeline shape: raw stream-record JSON arrives
+    // as a readStream body column, parses in-stream (codegen'd, no
+    // collect), and drives the transactional doc maintenance
+    val jsonDir = java.nio.file.Files.createTempDirectory("graft-cdcjson").toString
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-cdcjson-docs").toString
+    val assets = Seq(("db1", "a1", "One"))
+      .toDF("databaseId", "assetId", "assetName")
+      .withColumn("description", lit("d"))
+      .withColumn("assetType", lit("gltf"))
+      .withColumn("bucketId", lit("b1"))
+      .withColumn("isDistributable", lit(true))
+      .withColumn("tags", array())
+      .withColumn("assetLocationKey", lit("k"))
+      .withColumn("previewLocationKey", lit(null).cast("string"))
+      .withColumn("currentVersionId", lit(null).cast("string"))
+      .withColumn("archived", lit(false))
+    val buckets = Seq(("b1", "bkt", "/", true))
+      .toDF("bucketId", "bucketName", "baseAssetsPrefix", "isVersioningEnabled")
+    val emptyMd = Seq.empty[(String, String, String, String, String, String)]
+      .toDF("databaseId", "assetId", "filePath", "metadataKey",
+        "metadataValue", "metadataValueType")
+    val emptyVer = Seq
+      .empty[(String, String, String, String, String, java.sql.Timestamp, Boolean, String)]
+      .toDF("databaseId", "assetId", "assetVersionId", "versionAlias",
+        "comment", "dateCreated", "isCurrentVersion", "createdBy")
+    val emptyLinks = Seq
+      .empty[(String, String, String, String, String, String, String)]
+      .toDF("assetLinkId", "fromDatabaseId", "fromAssetId", "toDatabaseId",
+        "toAssetId", "relationshipType", "assetLinkAliasId")
+    Seq(rec("MODIFY",
+        "arn:aws:dynamodb:us-east-1:1:table/x-AssetStorageTable-9/stream/1",
+        """{"databaseId":{"S":"db1"},"assetId":{"S":"a1"}}""", 1))
+      .toDF("value").write.mode("overwrite").parquet(jsonDir)
+    val cdc = CdcJson.parse(
+      spark.readStream.schema(new org.apache.spark.sql.types.StructType()
+        .add("value", "string")).parquet(jsonDir))
+    val q = DocMaintenance.streamMaintainTx(spark, docsDir, cdc,
+      () => (assets, buckets, emptyMd, emptyVer, emptyLinks))
+    try q.processAllAvailable() finally q.stop()
+    val docs = TxLog.read(spark, docsDir)
+      .select("_docId", "str_assetname").as[(String, String)].collect().toSeq
+    assert(docs == Seq(("db1#a1", "One")))
+  }
+
   test("unroutable records keep table NULL — visible, never misrouted") {
     val rows = Seq(rec("MODIFY", "arn:unknown",
       """{"somethingElse":{"S":"x"}}""", 9)).toDF("value")
