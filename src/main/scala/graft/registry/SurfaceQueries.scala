@@ -716,6 +716,109 @@ object SurfaceQueries {
             col("seq").as("schema_seq"))
           .orderBy(col("schema_field").desc, col("schema_seq").asc,
             col("metadata_key").desc)
+      }),
+
+    // ── Constraint-template import analytics
+    //    (`handlers/auth/authConstraintsTemplateService.py`): templates
+    //    carry `{{VAR}}` placeholders substituted from variableValues
+    //    (`substitute_variables` :79-116), leftover placeholders are
+    //    detected by regex scan (`find_unreplaced_variables` :119-146),
+    //    and each constraint fans out to ONE denormalized row per UNIQUE
+    //    groupId (`_transform_to_denormalized_format` :171-210,
+    //    `constraintId = base#group#groupId`) with a safety base row when
+    //    no permissions exist (:225-229). Templates modeled on `part`;
+    //    variables ROLE_NAME/PREFIX derive per row, and a deliberate
+    //    `{{MISSING}}` var (large sizes) exercises the unreplaced scan.
+    //    Scale shape: substitution + regex scan + distinct fan-out are
+    //    all map-side (explode of a ≤2-element de-duplicated array);
+    //    the only exchange is the final output sort.
+    sql("ct1_constraint_template",
+      """WITH tpl AS (
+        |  SELECT 'tpl-' || CAST(p_partkey AS VARCHAR) AS identifier,
+        |         'Constraint {{ROLE_NAME}}: ' || p_type AS name_raw,
+        |         'Scope {{PREFIX}}' ||
+        |           CASE WHEN p_size > 40 THEN ' {{MISSING}}' ELSE '' END
+        |           AS desc_raw,
+        |         'role-' || CAST(p_partkey % 7 AS VARCHAR) AS role_name,
+        |         p_brand AS prefix,
+        |         CASE WHEN p_size % 11 = 0 THEN []::VARCHAR[]
+        |              ELSE list_distinct([
+        |                'g' || CAST(p_partkey % 3 AS VARCHAR),
+        |                'g' || CAST(p_partkey % 5 AS VARCHAR)]) END AS groups
+        |  FROM part WHERE p_partkey < 400
+        |), sub AS (
+        |  SELECT identifier, groups,
+        |         replace(replace(name_raw, '{{ROLE_NAME}}', role_name),
+        |           '{{PREFIX}}', prefix) AS name_resolved,
+        |         replace(replace(desc_raw, '{{ROLE_NAME}}', role_name),
+        |           '{{PREFIX}}', prefix) AS desc_resolved
+        |  FROM tpl
+        |), scanned AS (
+        |  SELECT *,
+        |         COALESCE(array_to_string(list_sort(list_distinct(
+        |           regexp_extract_all(name_resolved || ' ' || desc_resolved,
+        |             '\{\{(\w+)\}\}', 1))), ','), '') AS unreplaced
+        |  FROM sub
+        |), fanned AS (
+        |  SELECT identifier, unnest(groups) AS group_id,
+        |         name_resolved, desc_resolved, unreplaced
+        |  FROM scanned
+        |)
+        |SELECT identifier || '#group#' || group_id AS constraint_id,
+        |       group_id, name_resolved, desc_resolved, unreplaced,
+        |       (unreplaced <> '') AS has_unreplaced
+        |FROM fanned
+        |UNION ALL
+        |SELECT identifier AS constraint_id, '' AS group_id,
+        |       name_resolved, desc_resolved, unreplaced,
+        |       (unreplaced <> '') AS has_unreplaced
+        |FROM scanned WHERE len(groups) = 0
+        |ORDER BY constraint_id""")(
+      (s, d) => {
+        val tpl = t(s, d, "part").filter(col("p_partkey") < 400)
+          .select(
+            concat(lit("tpl-"), col("p_partkey").cast("string"))
+              .as("identifier"),
+            concat(lit("Constraint {{ROLE_NAME}}: "), col("p_type"))
+              .as("name_raw"),
+            concat(lit("Scope {{PREFIX}}"),
+              when(col("p_size") > 40, lit(" {{MISSING}}")).otherwise(lit("")))
+              .as("desc_raw"),
+            concat(lit("role-"), (col("p_partkey") % 7).cast("string"))
+              .as("role_name"),
+            col("p_brand").as("prefix"),
+            when(col("p_size") % 11 === 0,
+              array().cast("array<string>"))
+              .otherwise(array_distinct(array(
+                concat(lit("g"), (col("p_partkey") % 3).cast("string")),
+                concat(lit("g"), (col("p_partkey") % 5).cast("string")))))
+              .as("groups"))
+        def subst(c: Column): Column =
+          regexp_replace(
+            regexp_replace(c, lit("\\{\\{ROLE_NAME\\}\\}"), col("role_name")),
+            lit("\\{\\{PREFIX\\}\\}"), col("prefix"))
+        val scanned = tpl
+          .withColumn("name_resolved", subst(col("name_raw")))
+          .withColumn("desc_resolved", subst(col("desc_raw")))
+          .withColumn("unreplaced", array_join(array_sort(array_distinct(
+            regexp_extract_all(
+              concat(col("name_resolved"), lit(" "), col("desc_resolved")),
+              lit("\\{\\{(\\w+)\\}\\}"), lit(1)))), ","))
+        val out = Seq("group_id", "name_resolved", "desc_resolved",
+          "unreplaced", "has_unreplaced")
+        val fanned = scanned
+          .select(col("identifier"), explode(col("groups")).as("group_id"),
+            col("name_resolved"), col("desc_resolved"), col("unreplaced"))
+          .withColumn("constraint_id",
+            concat(col("identifier"), lit("#group#"), col("group_id")))
+          .withColumn("has_unreplaced", col("unreplaced") =!= "")
+          .select("constraint_id", out: _*)
+        val base = scanned.filter(size(col("groups")) === 0)
+          .withColumn("constraint_id", col("identifier"))
+          .withColumn("group_id", lit(""))
+          .withColumn("has_unreplaced", col("unreplaced") =!= "")
+          .select("constraint_id", out: _*)
+        fanned.unionByName(base).orderBy("constraint_id")
       })
   )
 }
