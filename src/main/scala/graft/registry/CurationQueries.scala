@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llmops.{Text, TopK}
+import graft.llmops.{Similarity, Text, TopK}
 
 /** Round-5 additions: corpus-curation operators a training-data build
   * runs between quality filtering and epoch planning — repetition
@@ -869,6 +869,133 @@ object CurationQueries {
           .filter(col("rank") <= 3)
           .select("doc_id", "rank", "term", "tf", "score")
           .orderBy("doc_id", "rank")
+      }),
+
+    // ── Boilerplate coverage (the CCNet/RefinedWeb-style pre-filter):
+    //    "viral" 3-grams — those present in ≥1% of documents — are
+    //    boilerplate candidates; each source reports its pooled viral-
+    //    coverage fraction and how many docs cross the 30% removal
+    //    threshold. The threshold is RELATIVE to corpus size, so the
+    //    query is scale-invariant. Every emitted double divides integer
+    //    sums (pooled nv/n, flag via nv*10 >= n*3) — no cross-row float
+    //    sums, per this file's parity doctrine. Scale shape: gram df is
+    //    the one shared vocabulary shuffle (gramDfFlags cache, reused by
+    //    jaccard + contamination); the viral subset is df-capped small →
+    //    broadcast back onto the postings; source rollup is one
+    //    map-side-combined exchange.
+    sql("llm_boilerplate_fraction",
+      s"""WITH ${LlmQueries.ShingleCtes}, ghd AS (
+        |  SELECT DISTINCT doc_id, g FROM gh
+        |), tot AS (
+        |  SELECT count(*) AS nd FROM (SELECT DISTINCT doc_id FROM ghd)
+        |), dfv AS (
+        |  SELECT g, count(*) AS df FROM ghd GROUP BY g
+        |), viral AS (
+        |  SELECT g FROM dfv, tot WHERE df * 100 >= nd
+        |), per AS (
+        |  SELECT ghd.doc_id, count(*) AS n, count(v.g) AS nv
+        |  FROM ghd LEFT JOIN viral v ON v.g = ghd.g
+        |  GROUP BY ghd.doc_id
+        |)
+        |SELECT d.source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(nv) AS DOUBLE) / SUM(n) AS corpus_bp,
+        |       CAST(SUM(CASE WHEN nv * 10 >= n * 3 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_flagged
+        |FROM per JOIN documents d ON d.doc_id = per.doc_id
+        |GROUP BY d.source ORDER BY d.source""")(
+      (s, d) => {
+        val ghd = LlmQueries.gramSetRows(s, d)
+        val tot = LlmQueries.docGramStats(s, d).agg(count(lit(1)).as("nd"))
+        val viral = LlmQueries.gramDfFlags(s, d)
+          .crossJoin(broadcast(tot))
+          .filter(col("df") * 100 >= col("nd"))
+          .select(col("g"), lit(1).as("isviral"))
+        val per = ghd.join(broadcast(viral), Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n"), count(col("isviral")).as("nv"))
+        val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+        per.join(src, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            (sum("nv").cast("double") / sum("n")).as("corpus_bp"),
+            sum(when(col("nv") * 10 >= col("n") * 3, 1).otherwise(0))
+              .cast("long").as("n_flagged"))
+          .orderBy("source")
+      }),
+
+    // ── Per-label embedding health sheet: double-quantized centroid,
+    //    average norm, and cosine dispersion to the centroid — the
+    //    drift/collapse check a curation run does before trusting ANN
+    //    buckets built on those embeddings. DETERMINISM BY CONSTRUCTION:
+    //    components quantize to a 1/4096 integer grid, the centroid is
+    //    the floored integer mean, and every dot product is a sum of
+    //    bounded integer products (< 2^53), so the doubles are exact and
+    //    ORDER-INDEPENDENT — the same property that makes the aggregate
+    //    reproducible across 1000 executors; cross-row averages sum
+    //    1e9-quantized BIGINTs, never raw floats. Scale shape: one
+    //    posexplode shuffle builds all centroids (64 rows/label), the
+    //    label-sized centroid table broadcasts back, rollup is one
+    //    map-side-combined exchange.
+    sql("llm_embed_centroid_stats",
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |         [CAST(floor(x * 4096) AS BIGINT)
+        |          for x in embedding::DOUBLE[]] AS q
+        |  FROM embeddings
+        |), dims AS (
+        |  SELECT label, i, SUM(q[i]) AS s2, count(*) AS n
+        |  FROM v CROSS JOIN range(1, 65) AS r(i)
+        |  GROUP BY label, i
+        |), cent AS (
+        |  SELECT label,
+        |         list(CAST(floor(CAST(s2 AS DOUBLE) / n) AS BIGINT)
+        |           ORDER BY i) AS cq
+        |  FROM dims GROUP BY label
+        |), scored AS (
+        |  SELECT v.label,
+        |         list_dot_product(v.q::DOUBLE[], c.cq::DOUBLE[]) /
+        |           (sqrt(list_dot_product(v.q::DOUBLE[], v.q::DOUBLE[])) *
+        |            sqrt(list_dot_product(c.cq::DOUBLE[], c.cq::DOUBLE[])))
+        |           AS cosc,
+        |         sqrt(list_dot_product(v.q::DOUBLE[], v.q::DOUBLE[]))
+        |           AS qnorm
+        |  FROM v JOIN cent c ON c.label = v.label
+        |)
+        |SELECT label,
+        |       CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(SUM(CAST(floor(qnorm) AS BIGINT)) AS DOUBLE)
+        |         / count(*) / 4096.0 AS avg_norm,
+        |       CAST(SUM(CAST(floor(cosc * 1000000000.0) AS BIGINT))
+        |         AS DOUBLE) / count(*) / 1000000000.0 AS avg_cos,
+        |       min(cosc) AS min_cos
+        |FROM scored GROUP BY label ORDER BY label""")(
+      (s, d) => {
+        val v = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+          transform(col("embedding").cast("array<double>"),
+            x => floor(x * 4096).cast("long")).as("q"))
+        val dims = v.select(col("label"), posexplode(col("q")))
+          .groupBy("label", "pos")
+          .agg(sum("col").as("s2"), count(lit(1)).as("n"))
+        val cent = dims.groupBy("label").agg(
+          transform(array_sort(collect_list(struct(col("pos"),
+              floor(col("s2").cast("double") / col("n")).cast("long")
+                .as("c")))),
+            e => e.getField("c")).as("cq"))
+        val qd = transform(col("q"), x => x.cast("double"))
+        val cqd = transform(col("cq"), x => x.cast("double"))
+        val scored = v.join(broadcast(cent), "label")
+          .withColumn("cosc", Similarity.dot(qd, cqd) /
+            (sqrt(Similarity.dot(qd, qd)) * sqrt(Similarity.dot(cqd, cqd))))
+          .withColumn("qnorm", sqrt(Similarity.dot(qd, qd)))
+        scored.groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            (sum(floor(col("qnorm")).cast("long")).cast("double")
+              / count(lit(1)) / 4096.0).as("avg_norm"),
+            (sum(floor(col("cosc") * 1000000000.0).cast("long")).cast("double")
+              / count(lit(1)) / 1000000000.0).as("avg_cos"),
+            min(col("cosc")).as("min_cos"))
+          .orderBy("label")
       })
   )
 }
