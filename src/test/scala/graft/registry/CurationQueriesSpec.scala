@@ -299,4 +299,45 @@ class CurationQueriesSpec extends SparkSpec {
     assert(df.groupBy("doc_id").count().filter(col("count") > 3).isEmpty)
     df.unpersist()
   }
+
+  test("centroid stats are bit-identical under any partitioning (order independence)") {
+    // the operator's claim: quantized-integer arithmetic makes every
+    // aggregate exact and order-independent, so a 1000-executor run
+    // reproduces a single-partition run bit for bit. Drive the SAME
+    // computation through wildly different partitionings and compare
+    // raw Double bits, not approximate equality.
+    def run(parts: Int): Array[(Int, Long, Long, Long, Long)] = {
+      val base = spark.read.parquet(sf() + "/embeddings.parquet")
+        .repartition(parts)
+      base.createOrReplaceTempView("embeddings_oi")
+      val v = base.select(col("label"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 4096).cast("long")).as("q"))
+      val dims = v.select(col("label"), posexplode(col("q")))
+        .groupBy("label", "pos")
+        .agg(sum("col").as("s2"), count(lit(1)).as("n"))
+      val cent = dims.groupBy("label").agg(
+        transform(array_sort(collect_list(struct(col("pos"),
+            floor(col("s2").cast("double") / col("n")).cast("long")
+              .as("c")))),
+          e => e.getField("c")).as("cq"))
+      val qd = transform(col("q"), x => x.cast("double"))
+      val cqd = transform(col("cq"), x => x.cast("double"))
+      import graft.llmops.Similarity
+      v.join(broadcast(cent), "label")
+        .withColumn("cosc", Similarity.dot(qd, cqd) /
+          (sqrt(Similarity.dot(qd, qd)) * sqrt(Similarity.dot(cqd, cqd))))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(floor(col("cosc") * 1e9).cast("long")).as("qsum"),
+          min(col("cosc")).as("min_cos"))
+        .select(col("label"), col("n_vecs"), col("qsum"),
+          expr("cast(min_cos as double)").as("min_cos"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(3)), 0L))
+        .sortBy(_._1)
+    }
+    assert(run(1).toSeq == run(37).toSeq)
+  }
 }

@@ -194,4 +194,36 @@ class PlanShapeSpec extends SparkSpec {
         s"$q contains a UDF:\n${p.take(1500)}")
     }
   }
+
+  test("boilerplate fraction broadcasts the viral subset, never the postings") {
+    // the viral-gram set is df-capped small by definition (grams in
+    // >= 1% of docs); it must come back onto the corpus-sized postings
+    // as a broadcast, and the postings themselves must never broadcast
+    val p = plan("llm_boilerplate_fraction")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(broadcastsOfCorpusStats("llm_boilerplate_fraction").isEmpty)
+  }
+
+  test("centroid stats broadcast the label-sized centroid table only") {
+    // centroids are |labels| rows; the vector side (attr e/q) must stay
+    // partitioned. The rollup must partial-aggregate below its exchange.
+    val p = plan("llm_embed_centroid_stats")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val exchangeIdx = p.indexOf("Exchange")
+    val partialIdx = p.indexOf("partial_")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"expected map-side partial agg below the Exchange:\n${p.take(2000)}")
+  }
+
+  test("constraint-template fan-out is map-side: the only exchange is the output sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sp = graft.SparkEntry.queries("ct1_constraint_template")(spark, sf())
+      .queryExecution.executedPlan
+    val shuffles = sp.collect { case e: ShuffleExchangeExec => e }
+    // substitution + regex scan + explode are narrow; rangepartitioning
+    // for the final ORDER BY is the single permitted exchange per branch
+    // of the union (fanned + safety-base)
+    assert(shuffles.forall(_.outputPartitioning.toString.contains("range")),
+      sp.toString.take(2000))
+  }
 }
