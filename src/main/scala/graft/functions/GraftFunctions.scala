@@ -110,6 +110,31 @@ object GraftFunctions {
     dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
   }
 
+  /** Ids of the `n` centroids nearest to `v` in EUCLIDEAN distance,
+    * best first, ties to the lower id — the assignment rule product-
+    * quantization codebooks need (sub-vector magnitude carries signal
+    * that cosine assignment would discard). */
+  def nearestCentroidsL2(v: ArrayData, m: ArrayData, n: Int): ArrayData = {
+    val k = m.numElements()
+    val d2 = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = m.getArray(c)
+      val d = math.min(v.numElements(), cent.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        val t = v.getDouble(i) - cent.getDouble(i)
+        acc += t * t
+        i += 1
+      }
+      d2(c) = acc
+      c += 1
+    }
+    val order = Array.range(0, k).sortBy(i => (d2(i), i))
+    new GenericArrayData(order.take(math.min(n, k)))
+  }
+
   /** Ids of the `n` centroids most cosine-similar to `v`, best first,
     * ties to the lower id. */
   def nearestCentroids(v: ArrayData, m: ArrayData, n: Int): ArrayData = {
@@ -219,6 +244,23 @@ object GraftFunctions {
       copy(a, b, c)
   }
 
+  /** `graft_nearest_centroids_l2(vec, centroidMatrix, n)` — like
+    * [[NearestCentroidsExpr]] but by Euclidean distance (PQ codebook
+    * assignment). */
+  case class NearestCentroidsL2Expr(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v0: Any, m0: Any, n0: Any): Any =
+      nearestCentroidsL2(v0.asInstanceOf[ArrayData], m0.asInstanceOf[ArrayData],
+        n0.asInstanceOf[Int])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (v, m, n) => s"$Kernel.nearestCentroidsL2($v, $m, $n)")
+    override protected def withNewChildrenInternal(
+        a: Expression, b: Expression, c: Expression): NearestCentroidsL2Expr =
+      copy(a, b, c)
+  }
+
   /** Cosine similarity DIRECTLY on int8 code arrays (array<tinyint>) —
     * the fused quantized kernel. Under symmetric per-vector scaling
     * (graft.llmops.Quantize) the scales cancel out of cosine:
@@ -273,5 +315,7 @@ object GraftFunctions {
       es => DotExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_nearest_centroids",
       es => NearestCentroidsExpr(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_nearest_centroids_l2",
+      es => NearestCentroidsL2Expr(es(0), es(1), es(2)), "scala_udf")
   }
 }

@@ -125,9 +125,13 @@ object Similarity {
   val IvfProbes = 4
   val IvfIters = 2
 
-  /** Train centroids; returns k rows of `Array[Double]` (dense means). */
+  /** Train centroids; returns k rows of `Array[Double]` (dense means).
+    * `assignFn` picks the assignment metric: cosine
+    * (`graft_nearest_centroids`, the IVF default) or Euclidean
+    * (`graft_nearest_centroids_l2`, what PQ codebooks need). */
   def kmeansCentroids(vecs: DataFrame, k: Int = IvfCentroids,
-      iters: Int = IvfIters): Array[Array[Double]] = {
+      iters: Int = IvfIters,
+      assignFn: String = "graft_nearest_centroids"): Array[Array[Double]] = {
     val spark = vecs.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val n = vecs.count()
@@ -141,7 +145,7 @@ object Similarity {
     while (it < iters) {
       val centLit = typedLit(cents.map(_.toSeq).toSeq)
       val assigned = vecs.select(
-        element_at(call_function("graft_nearest_centroids",
+        element_at(call_function(assignFn,
           asDouble(col("embedding")), centLit, lit(1)), 1).as("cid"),
         asDouble(col("embedding")).as("e"))
       val means = assigned
@@ -183,6 +187,103 @@ object Similarity {
         col("q_vec"), centLit, lit(nprobe))).as("cid"))
     probes.join(c, Seq("cid"))
       .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id").asc)))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "cand_id", "sim")
+  }
+
+  /** Product quantization (PQ) — the STORAGE-scale ANN path beside LSH
+    * and IVF: 64-dim float vectors compress to [[PqSubspaces]] codebook
+    * ids of 4 bits each (here kept as an int array; a production table
+    * packs them into 4 bytes — 64× under float32, 16× under int8),
+    * and approximate scoring reads ONLY the codes. Per-subspace
+    * codebooks of [[PqCodebookK]] centroids train with the same
+    * deterministic distributed Lloyd procedure as IVF but under
+    * EUCLIDEAN assignment (sub-vector magnitude is signal; cosine
+    * assignment would discard it). Search is asymmetric-distance
+    * (ADC): approx dot(q, c) = Σ_m dot(q_sub_m, codebook_m[code_m]),
+    * candidate norms precomputed per code — at query time the raw
+    * corpus vectors are touched only to exact-re-rank the top
+    * rerank·k approximate hits per query. */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCodebookK = 16
+  val PqRerank = 16
+  val PqIters = 4
+
+  /** Per-subspace codebooks (m × k × subdim), L2-assigned Lloyd. The m
+    * trainings are INDEPENDENT subproblems — they run as concurrent
+    * Spark jobs (scheduler interleaves their stages), so wall-clock is
+    * ~one training, not m of them. */
+  def pqCodebooks(candidates: DataFrame, m: Int = PqSubspaces,
+      k: Int = PqCodebookK, iters: Int = PqIters): Array[Array[Array[Double]]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futs = (0 until m).map { mi =>
+      Future {
+        kmeansCentroids(
+          candidates.select(col("vec_id"),
+            slice(asDouble(col("embedding")), mi * PqSubDim + 1, PqSubDim)
+              .as("embedding")),
+          k, iters, assignFn = "graft_nearest_centroids_l2")
+      }
+    }
+    futs.map(Await.result(_, Duration.Inf)).toArray
+  }
+
+  /** Encode a double vector into its per-subspace code array — a NARROW
+    * pass: codebooks travel as broadcast literals, no join, no shuffle. */
+  def pqEncode(v: Column, books: Array[Array[Array[Double]]]): Column =
+    array(books.indices.map { mi =>
+      element_at(call_function("graft_nearest_centroids_l2",
+        slice(v, mi * PqSubDim + 1, PqSubDim),
+        typedLit(books(mi).map(_.toSeq).toSeq), lit(1)), 1)
+    }: _*)
+
+  /** ADC approximate dot product of a raw query against a code array.
+    * (At production scale the per-query LUT of m×k sub-dots is staged
+    * once; here the sub-dot folds are the same arithmetic inline.) */
+  def pqApproxDot(qv: Column, codes: Column,
+      books: Array[Array[Array[Double]]]): Column =
+    books.indices.map { mi =>
+      dot(slice(qv, mi * PqSubDim + 1, PqSubDim),
+        element_at(typedLit(books(mi).map(_.toSeq).toSeq),
+          element_at(codes, mi + 1) + 1))
+    }.reduce(_ + _)
+
+  /** PQ ANN search: encode corpus (narrow), ADC-score codes against
+    * broadcast queries, exact-cosine re-rank the top rerank·k. */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      rerank: Int = PqRerank): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val books = pqCodebooks(candidates)
+    // per-code squared norms, precomputed driver-side (m × k doubles)
+    val norms = books.map(_.map(c => c.map(x => x * x).sum))
+    val enc = candidates.select(col("vec_id").as("cand_id"),
+        pqEncode(asDouble(col("embedding")), books).as("codes"))
+      .withColumn("cnorm2", books.indices.map(mi =>
+          element_at(typedLit(norms(mi).toSeq),
+            element_at(col("codes"), mi + 1) + 1))
+        .reduce(_ + _))
+    val q = queries.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("q_vec"))
+    val approx = enc.join(broadcast(q), col("q_id") =!= col("cand_id"))
+      .withColumn("asim", pqApproxDot(col("q_vec"), col("codes"), books) /
+        (sqrt(dot(col("q_vec"), col("q_vec"))) *
+          sqrt(greatest(col("cnorm2"), lit(1e-12)))))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("asim").desc, col("cand_id").asc)))
+      .filter(col("arank") <= rerank * k)
+      .select("q_id", "cand_id")
+    val cvec = candidates.select(col("vec_id").as("cand_id"),
+      asDouble(col("embedding")).as("c_vec"))
+    approx.join(cvec, "cand_id").join(broadcast(q), "q_id")
       .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id").asc)))

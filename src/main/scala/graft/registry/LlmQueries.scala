@@ -928,6 +928,36 @@ object LlmQueries {
             (col("nh").cast("double") / col("np") >= 0.45).as("recall_ok"))
       }),
 
+    // ── PQ ANN (third scale path — the STORAGE one): per-subspace
+    //    L2 codebooks, 4-bit codes, ADC approximate scoring on codes
+    //    only, exact re-rank of the top rerank·k. Same self-checking
+    //    contract as IVF (codebook means fold floats in shuffle order,
+    //    so the hit list tolerates tie jitter): recall@5 against the
+    //    shared brute baseline must clear a floor BELOW measured
+    //    behavior; the floor is named in the metric.
+    sql("llm_sim_pq",
+      """SELECT 'pq_recall_at_5_vs_brute_ge_0.55' AS metric,
+        |       CAST(count(*) AS BIGINT) AS n_queries,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""")(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 10)
+        val pq = Similarity.pqTopK(q, e, k = 5)
+          .select("q_id", "cand_id").withColumn("hit", lit(1L))
+        Caching.memoDf(s, s"bruteTopk5:$d") {
+          Similarity.bruteForceTopK(q, e, k = 5)
+        }
+          .select("q_id", "cand_id")
+          .join(pq, Seq("q_id", "cand_id"), "left")
+          .agg(countDistinct(col("q_id")).as("n_queries"),
+            count(lit(1)).as("np"),
+            coalesce(sum("hit"), lit(0L)).as("nh"))
+          .select(lit("pq_recall_at_5_vs_brute_ge_0.55").as("metric"),
+            col("n_queries"),
+            (col("nh").cast("double") / col("np") >= 0.55).as("recall_ok"))
+      }),
+
     // ── Language-ID heuristic: marker-stopword hits per language,
     //    fixed-precedence argmax.
     sql("llm_text_langid",
@@ -1078,6 +1108,56 @@ object LlmQueries {
           regexp_count(lower(col("text")),
             lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("n_bpe"))
         .orderBy("doc_id")),
+
+    // ── Tokenizer-fertility sheet per language: pooled chars/token
+    //    (the fertility proxy a tokenizer eval reads first), tokens/doc,
+    //    and vocabulary size with its reuse ratio. Every double divides
+    //    pooled integer sums — no cross-row float math. Scale shape: the
+    //    doc-level stats ride the shared tokenArrays cache (one
+    //    map-side-combined shuffle on lang); the vocabulary needs its
+    //    own distinct-token aggregation — count_distinct inside the same
+    //    lang exchange — and the two lang-keyed results join broadcast.
+    sql("llm_token_fertility",
+      """WITH toks AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), per AS (
+        |  SELECT lang, count(*) AS n_docs, SUM(len(tk)) AS n_tokens,
+        |         SUM(n_chars) AS sum_chars
+        |  FROM toks GROUP BY lang
+        |), voc AS (
+        |  SELECT lang, count(DISTINCT tok) AS vocab
+        |  FROM (SELECT lang, unnest(tk) AS tok FROM toks) GROUP BY lang
+        |)
+        |SELECT p.lang, CAST(p.n_docs AS BIGINT) AS n_docs,
+        |       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(p.sum_chars AS DOUBLE) / p.n_tokens AS chars_per_token,
+        |       CAST(p.n_tokens AS DOUBLE) / p.n_docs AS tokens_per_doc,
+        |       CAST(v.vocab AS BIGINT) AS vocab,
+        |       CAST(p.n_tokens AS DOUBLE) / v.vocab AS reuse
+        |FROM per p JOIN voc v ON v.lang = p.lang
+        |ORDER BY p.lang""")(
+      (s, d) => {
+        val meta = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val tk = tokenArrays(s, d).join(meta, "doc_id")
+        val per = tk.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("tk")).cast("long")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        val voc = tk.select(col("lang"), explode(col("tk")).as("tok"))
+          .groupBy("lang").agg(countDistinct(col("tok")).as("vocab"))
+        per.join(broadcast(voc), "lang")
+          .select(col("lang"), col("n_docs"), col("n_tokens"),
+            (col("sum_chars").cast("double") / col("n_tokens"))
+              .as("chars_per_token"),
+            (col("n_tokens").cast("double") / col("n_docs"))
+              .as("tokens_per_doc"),
+            col("vocab"),
+            (col("n_tokens").cast("double") / col("vocab")).as("reuse"))
+          .orderBy("lang")
+      }),
 
     // ── Document fingerprint: canonicalized (sorted distinct token set)
     //    content hash + cluster sizes.
