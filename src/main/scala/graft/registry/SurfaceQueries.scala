@@ -239,6 +239,73 @@ object SurfaceQueries {
           .orderBy("event_id", "subscriber")
       }),
 
+    // ── Notification message build (`handlers/sendEmail/sendEmail.py:
+    //    48-64`): the subject and body the dispatcher publishes per
+    //    subscriber, reproduced BYTE-IDENTICALLY on both engines
+    //    (including the reference template's leading newline, 4-space
+    //    indents, and the trailing space after "occured. "). The body is
+    //    emitted as its md5 so the row stays single-line while still
+    //    pinning every byte of the template. Entities carry
+    //    asset_name/version the way sendEmail reads them off the asset
+    //    row. Scale shape: pure projection over the dispatch join —
+    //    nothing new exchanges beyond sb2's plan.
+    sql("sb3_notification_format",
+      """WITH subs AS (
+        |  SELECT c_custkey % 300 AS entity_id, c_name AS subscriber
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |), ev AS (
+        |  SELECT event_id,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) % 300
+        |           AS entity_id
+        |  FROM events WHERE event_type = 'purchase' AND event_id < 500
+        |), disp AS (
+        |  SELECT ev.event_id, ev.entity_id, s.subscriber,
+        |         'asset-' || CAST(ev.entity_id AS VARCHAR) AS asset_name,
+        |         'v' || CAST(ev.entity_id % 7 AS VARCHAR) AS ver
+        |  FROM ev JOIN subs s USING (entity_id)
+        |)
+        |SELECT event_id, subscriber,
+        |       '[' || asset_name || '] - File or Asset Changed (' || ver
+        |         || ')' AS subject,
+        |       md5(e'\n    Dear Subscriber,\n\n    We are excited to'
+        |         || ' inform you that a change in a file or asset version'
+        |         || ' of ' || asset_name || e' has occured. \n\n'
+        |         || '    Current Version Number: ' || ver
+        |         || e'\n\n    Thank you for staying updated!\n\n'
+        |         || e'    Best Regards,\n    VAMS Automated System\n    ')
+        |         AS body_md5
+        |FROM disp ORDER BY event_id, subscriber""")(
+      (s, d) => {
+        val subs = t(s, d, "customer")
+          .filter(col("c_custkey") % 3 === 0)
+          .select((col("c_custkey") % 300).as("entity_id"),
+            col("c_name").as("subscriber"))
+        val ev = t(s, d, "events")
+          .filter(col("event_type") === "purchase" && col("event_id") < 500)
+          .select(col("event_id"),
+            (get_json_object(col("props"), "$.k").cast("long") % 300)
+              .as("entity_id"))
+        val disp = graft.streaming.Subscriptions.dispatch(ev, subs)
+          .withColumn("asset_name",
+            concat(lit("asset-"), col("entity_id").cast("string")))
+          .withColumn("ver",
+            concat(lit("v"), (col("entity_id") % 7).cast("string")))
+        disp.select(col("event_id"), col("subscriber"),
+            concat(lit("["), col("asset_name"),
+              lit("] - File or Asset Changed ("), col("ver"), lit(")"))
+              .as("subject"),
+            md5(concat(
+              lit("\n    Dear Subscriber,\n\n    We are excited to inform" +
+                " you that a change in a file or asset version of "),
+              col("asset_name"),
+              lit(" has occured. \n\n    Current Version Number: "),
+              col("ver"),
+              lit("\n\n    Thank you for staying updated!\n\n" +
+                "    Best Regards,\n    VAMS Automated System\n    ")))
+              .as("body_md5"))
+          .orderBy("event_id", "subscriber")
+      }),
+
     // ── Version diff: the set comparison behind version revert/creation
     //    (assetVersions.py:399-470 validates and copies exactly the
     //    files that differ between the target version's stored file list
@@ -580,6 +647,122 @@ object SurfaceQueries {
                 concat(lit("urn:vams:asset:"), col("tdb"), lit(":"), col("ta"))
                   .as("object")).as("toAsset"))).as("ngsild"))
           .orderBy("link_id")
+      }),
+
+    // ── NGSI-LD ASSET entity export (the Garnet addon's second
+    //    converter, `garnetDataIndexAsset.py:352-540`
+    //    `convert_asset_to_ngsi_ld`): urn id, VAMSAsset type,
+    //    /Database/../Asset/.. scope, Property-wrapped core fields,
+    //    bucket enrichment, the `{"@type":"DateTime","@value":..}`
+    //    wrapper for dates, and the J3-style hasChildren/hasParents
+    //    relationship flags (left join to aggregated edge existence,
+    //    coalesce false) — emitted byte-identically by both engines.
+    //    Scale shape: bucket dim broadcasts; the two flag joins reuse
+    //    one edges aggregation each; the asset side never re-shuffles.
+    sql("gx2_ngsild_asset",
+      """WITH assets AS (
+        |  SELECT 'db' || CAST(o_custkey % 5 AS VARCHAR) AS db,
+        |         'o' || CAST(o_orderkey AS VARCHAR) AS aid,
+        |         'asset-' || CAST(o_orderkey AS VARCHAR) AS name,
+        |         CASE o_orderstatus WHEN 'O' THEN 'model3d'
+        |              WHEN 'F' THEN 'image' ELSE 'other' END AS atype,
+        |         'b' || CAST(o_custkey % 3 AS VARCHAR) AS bucket_id,
+        |         (o_orderkey % 2 = 0) AS distributable,
+        |         strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS dcreated,
+        |         (o_orderkey % 13 = 0) AS archived,
+        |         'v' || CAST(o_orderkey % 7 AS VARCHAR) AS ver
+        |  FROM orders WHERE o_orderkey < 300
+        |), buckets AS (
+        |  SELECT 'b' || CAST(x AS VARCHAR) AS bid,
+        |         'bucket-b' || CAST(x AS VARCHAR) AS bname
+        |  FROM range(0, 3) r(x)
+        |), edges AS (
+        |  SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS f,
+        |         'o' || CAST(l_partkey % 300 AS VARCHAR) AS t
+        |  FROM lineitem WHERE l_orderkey < 200
+        |), childf AS (
+        |  SELECT f AS aid, TRUE AS has_children FROM edges GROUP BY f
+        |), parentf AS (
+        |  SELECT t AS aid, TRUE AS has_parents FROM edges GROUP BY t
+        |)
+        |SELECT a.aid AS asset_id, json_object(
+        |  'id', 'urn:vams:asset:' || a.db || ':' || a.aid,
+        |  'type', 'VAMSAsset',
+        |  'scope', json_array('/Database/' || a.db || '/Asset/' || a.aid),
+        |  'assetName', json_object('type', 'Property', 'value', a.name),
+        |  'assetType', json_object('type', 'Property', 'value', a.atype),
+        |  'databaseId', json_object('type', 'Property', 'value', a.db),
+        |  'bucketId', json_object('type', 'Property', 'value', a.bucket_id),
+        |  'bucketName', json_object('type', 'Property', 'value', b.bname),
+        |  'isDistributable',
+        |    json_object('type', 'Property', 'value', a.distributable),
+        |  'dateCreated', json_object('type', 'Property', 'value',
+        |    json_object('@type', 'DateTime', '@value', a.dcreated)),
+        |  'isArchived', json_object('type', 'Property', 'value', a.archived),
+        |  'hasChildren', json_object('type', 'Property', 'value',
+        |    COALESCE(c.has_children, FALSE)),
+        |  'hasParents', json_object('type', 'Property', 'value',
+        |    COALESCE(p.has_parents, FALSE)),
+        |  'currentVersionId', json_object('type', 'Property', 'value', a.ver)
+        |) AS ngsild
+        |FROM assets a
+        |JOIN buckets b ON b.bid = a.bucket_id
+        |LEFT JOIN childf c ON c.aid = a.aid
+        |LEFT JOIN parentf p ON p.aid = a.aid
+        |ORDER BY asset_id""")(
+      (s, d) => {
+        val assets = t(s, d, "orders").filter(col("o_orderkey") < 300)
+          .select(
+            concat(lit("db"), (col("o_custkey") % 5).cast("string")).as("db"),
+            concat(lit("o"), col("o_orderkey").cast("string")).as("aid"),
+            concat(lit("asset-"), col("o_orderkey").cast("string")).as("name"),
+            when(col("o_orderstatus") === "O", "model3d")
+              .when(col("o_orderstatus") === "F", "image")
+              .otherwise("other").as("atype"),
+            concat(lit("b"), (col("o_custkey") % 3).cast("string"))
+              .as("bucket_id"),
+            (col("o_orderkey") % 2 === 0).as("distributable"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("dcreated"),
+            (col("o_orderkey") % 13 === 0).as("archived"),
+            concat(lit("v"), (col("o_orderkey") % 7).cast("string")).as("ver"))
+        val buckets = s.range(3).select(
+          concat(lit("b"), col("id").cast("string")).as("bid"),
+          concat(lit("bucket-b"), col("id").cast("string")).as("bname"))
+        val edges = t(s, d, "lineitem").filter(col("l_orderkey") < 200)
+          .select(concat(lit("o"), col("l_orderkey").cast("string")).as("f"),
+            concat(lit("o"), (col("l_partkey") % 300).cast("string")).as("t"))
+        val childf = edges.groupBy(col("f").as("aid"))
+          .agg(max(lit(true)).as("has_children"))
+        val parentf = edges.groupBy(col("t").as("aid"))
+          .agg(max(lit(true)).as("has_parents"))
+        def prop(v: Column): Column =
+          struct(lit("Property").as("type"), v.as("value"))
+        assets
+          .join(broadcast(buckets), col("bucket_id") === col("bid"))
+          .join(childf, Seq("aid"), "left")
+          .join(parentf, Seq("aid"), "left")
+          .select(col("aid").as("asset_id"),
+            to_json(struct(
+              concat(lit("urn:vams:asset:"), col("db"), lit(":"), col("aid"))
+                .as("id"),
+              lit("VAMSAsset").as("type"),
+              array(concat(lit("/Database/"), col("db"), lit("/Asset/"),
+                col("aid"))).as("scope"),
+              prop(col("name")).as("assetName"),
+              prop(col("atype")).as("assetType"),
+              prop(col("db")).as("databaseId"),
+              prop(col("bucket_id")).as("bucketId"),
+              prop(col("bname")).as("bucketName"),
+              prop(col("distributable")).as("isDistributable"),
+              prop(struct(lit("DateTime").as("@type"),
+                col("dcreated").as("@value"))).as("dateCreated"),
+              prop(col("archived")).as("isArchived"),
+              prop(coalesce(col("has_children"), lit(false)))
+                .as("hasChildren"),
+              prop(coalesce(col("has_parents"), lit(false)))
+                .as("hasParents"),
+              prop(col("ver")).as("currentVersionId"))).as("ngsild"))
+          .orderBy("asset_id")
       }),
 
     // ── Asset-link METADATA listing (metadataService.py:380-430 +
