@@ -90,4 +90,52 @@ object Multimodal {
       it.grouped(BatchSize).flatMap(_.iterator.flatMap(sampleFramesStub))
     }.toDF()
   }
+
+  /** Audio input contract: payload + the sample-rate metadata a real
+    * resampler/segmenter reads. */
+  final case class AudioRecord(doc_id: Long, media: Array[Byte],
+      sample_rate: Int)
+
+  /** One fixed-duration overlapping audio segment (ASR/audio-LM
+    * training grain). */
+  final case class AudioSegment(doc_id: Long, sample_rate: Int,
+      seg_idx: Int, start_byte: Long, seg_bytes: Long, seg_sig: String)
+
+  /** Stub segmentation geometry: windows of `rate/100` bytes advancing
+    * by `3·rate/400` (75% of the window — the standard overlapped
+    * framing), expressed in bytes so the stub is codec-free while the
+    * rate-dependent shape survives. A real segmenter replaces the byte
+    * math with sample math; the plumbing contract is identical. */
+  def audioSegBytes(rate: Int): Int = rate / 100
+  def audioHopBytes(rate: Int): Int = 3 * rate / 400
+
+  /** STUB audio segmentation: one payload row → N overlapping segment
+    * rows, each fingerprinted — narrow flatMap, batch-local, no
+    * shuffle; deterministic so the expansion is oracle-verifiable. */
+  def segmentAudioStub(r: AudioRecord): Iterator[AudioSegment] = {
+    val len = r.media.length
+    val seg = audioSegBytes(r.sample_rate)
+    val hop = audioHopBytes(r.sample_rate)
+    val n = if (len == 0) 0 else (len - 1) / hop + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until n).iterator.map { k =>
+      val start = k * hop
+      val sl = math.min(seg, len - start)
+      md.reset()
+      val hex = md
+        .digest(java.util.Arrays.copyOfRange(r.media, start, start + sl))
+        .map("%02x".format(_)).mkString
+      AudioSegment(r.doc_id, r.sample_rate, k, start.toLong, sl.toLong, hex)
+    }
+  }
+
+  /** Audio segmentation over a payload DataFrame
+    * (doc_id, media binary, sample_rate). */
+  def segmentAudioDF(df: DataFrame): DataFrame = {
+    implicit val in = org.apache.spark.sql.Encoders.product[AudioRecord]
+    implicit val out = org.apache.spark.sql.Encoders.product[AudioSegment]
+    df.as[AudioRecord].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.iterator.flatMap(segmentAudioStub))
+    }.toDF()
+  }
 }

@@ -1269,6 +1269,42 @@ object LlmQueries {
             col("source").as("kind"), col("text").cast("binary").as("media")))
         .orderBy("doc_id", "frame_idx")),
 
+    // ── Multimodal AUDIO segmentation: payload + sample-rate metadata →
+    //    overlapping fixed-size segments (the ASR/audio-LM training
+    //    grain): window rate/100 bytes, hop 3·rate/400 (75% overlap
+    //    framing), per-segment fingerprint. Decode stubbed to byte math
+    //    (codec-free container) but the typed plumbing — metadata-driven
+    //    geometry, one row → N rows, batch-local flatMap, no shuffle —
+    //    is real and the expansion is oracle-exact (ASCII corpus: byte
+    //    offsets == char offsets).
+    sql("llm_mm_audio",
+      """WITH m AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |         CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate
+        |  FROM documents WHERE length(text) > 0
+        |), p AS (
+        |  SELECT doc_id, text, len, rate,
+        |         rate // 100 AS seg, 3 * rate // 400 AS hop,
+        |         (len - 1) // (3 * rate // 400) + 1 AS n
+        |  FROM m
+        |), f AS (
+        |  SELECT doc_id, rate, text, len, seg, hop,
+        |         unnest(range(0, n)) AS k
+        |  FROM p
+        |)
+        |SELECT doc_id, rate AS sample_rate, CAST(k AS INT) AS seg_idx,
+        |       CAST(k * hop AS BIGINT) AS start_byte,
+        |       CAST(least(seg, len - k * hop) AS BIGINT) AS seg_bytes,
+        |       md5(substring(text, CAST(k * hop AS INT) + 1,
+        |           CAST(least(seg, len - k * hop) AS INT))) AS seg_sig
+        |FROM f ORDER BY doc_id, seg_idx""")(
+      (s, d) => Multimodal.segmentAudioDF(
+          t(s, d, "documents").filter(length(col("text")) > 0)
+            .select(col("doc_id"), col("text").cast("binary").as("media"),
+              (lit(8000) + (col("doc_id") % 3) * 4000).cast("int")
+                .as("sample_rate")))
+        .orderBy("doc_id", "seg_idx")),
+
     // ── Multimodal plumbing: binary payload + metadata → batched
     //    mapPartitions feature extraction (decode stubbed, deterministic).
     sql("llm_mm_features",
