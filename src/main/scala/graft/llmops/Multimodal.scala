@@ -138,4 +138,34 @@ object Multimodal {
       it.grouped(BatchSize).flatMap(_.iterator.flatMap(segmentAudioStub))
     }.toDF()
   }
+
+  /** Image-resize input contract: payload + the integer downscale
+    * factor the pipeline's metadata prescribes. */
+  final case class ImageRecord(doc_id: Long, media: Array[Byte], scale: Int)
+
+  /** Resize output: new payload size + fingerprint, original carried. */
+  final case class ImageResized(doc_id: Long, scale: Int,
+      in_bytes: Long, out_bytes: Long, out_sig: String)
+
+  /** STUB resize: 1-D nearest-neighbor — keep every `scale`-th byte (a
+    * real resizer does this in 2-D over decoded pixels; the stand-in
+    * keeps the size contract ceil(len/scale) and a deterministic
+    * output fingerprint so the transform is oracle-verifiable). */
+  def resizeStub(r: ImageRecord): ImageResized = {
+    val len = r.media.length
+    val out = Array.range(0, len, r.scale).map(r.media(_))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(out).map("%02x".format(_)).mkString
+    ImageResized(r.doc_id, r.scale, len.toLong, out.length.toLong, hex)
+  }
+
+  /** Resize over a payload DataFrame (doc_id, media binary, scale) —
+    * batch-local, narrow, no shuffle. */
+  def resizeDF(df: DataFrame): DataFrame = {
+    implicit val in = org.apache.spark.sql.Encoders.product[ImageRecord]
+    implicit val out = org.apache.spark.sql.Encoders.product[ImageResized]
+    df.as[ImageRecord].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.iterator.map(resizeStub))
+    }.toDF()
+  }
 }

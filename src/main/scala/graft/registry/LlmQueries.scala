@@ -1305,6 +1305,31 @@ object LlmQueries {
                 .as("sample_rate")))
         .orderBy("doc_id", "seg_idx")),
 
+    // ── Multimodal RESIZE: the fourth plumbing verb (decode / extract /
+    //    resize / sample) — metadata-driven 1-D nearest-neighbor
+    //    downsample keeping every scale-th byte, size contract
+    //    ceil(len/scale), output fingerprinted. Narrow typed map, batch
+    //    local; the oracle rebuilds the sampled string positionally.
+    sql("llm_mm_resize",
+      """WITH m AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |         CAST(doc_id % 3 + 2 AS INT) AS scale
+        |  FROM documents WHERE length(text) > 0
+        |)
+        |SELECT doc_id, scale,
+        |       CAST(len AS BIGINT) AS in_bytes,
+        |       CAST((len - 1) // scale + 1 AS BIGINT) AS out_bytes,
+        |       md5(array_to_string(
+        |         [substring(text, CAST(1 + i * scale AS INT), 1)
+        |          for i in range(0, (len - 1) // scale + 1)], ''))
+        |         AS out_sig
+        |FROM m ORDER BY doc_id""")(
+      (s, d) => Multimodal.resizeDF(
+          t(s, d, "documents").filter(length(col("text")) > 0)
+            .select(col("doc_id"), col("text").cast("binary").as("media"),
+              (col("doc_id") % 3 + 2).cast("int").as("scale")))
+        .orderBy("doc_id")),
+
     // ── Multimodal plumbing: binary payload + metadata → batched
     //    mapPartitions feature extraction (decode stubbed, deterministic).
     sql("llm_mm_features",
