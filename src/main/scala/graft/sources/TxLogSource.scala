@@ -1,0 +1,166 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** Spark DataSource registration for [[TxLog]] tables — the idiomatic
+  * read/write surface on top of the transactional log:
+  *
+  * {{{
+  *   spark.read.format("txlog").load(path)                   // head
+  *   spark.read.format("txlog").option("asOfVersion", 3)...  // time travel
+  *   spark.read.format("txlog").option("tag", "train-v1")... // pinned tag
+  *   df.write.format("txlog").mode("append").save(path)      // MERGE upsert
+  *   df.write.format("txlog").mode("overwrite").save(path)   // tx replace
+  * }}}
+  *
+  * Reads surface TxLog's LOG-LEVEL data skipping through the standard
+  * `PrunedFilteredScan` contract: equality/range filters on the key
+  * column become the footer-stats `keyRange` (files whose min/max
+  * bounds exclude the range are never opened), and equality/IN filters
+  * on the partition column prune partitions before any file is listed.
+  * Both prunings are SUPERSETS of the exact predicate, and the relation
+  * reports every filter as unhandled, so Spark re-applies the row-level
+  * predicate on top — pushdown can only skip I/O, never change results.
+  *
+  * Writes map `append` to [[TxLog.merge]] (last-writer-wins upsert, one
+  * atomic commit) and `overwrite` to a transactional full replace (the
+  * current snapshot's keys become the batch's removedKeys in the SAME
+  * commit — readers see the old table or the new one, never a mix).
+  *
+  * Reference analogue: the system-of-record tables behind
+  * `backend/backend/handlers/assets/assetService.py` reads — here as a
+  * first-class Spark format instead of a bespoke client.
+  */
+class TxLogSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "txlog"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "txlog: the 'path' option (or load(path)) is required"))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    TxLogRelation(
+      sqlContext,
+      pathOf(parameters),
+      parameters.get("asOfVersion").map(_.toLong),
+      parameters.get("tag"),
+      parameters.getOrElse("keyColumn", "_docId"),
+      parameters.getOrElse("partitionColumn", "str_databaseid"))
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val path = pathOf(parameters)
+    val keyCol = parameters.getOrElse("keyColumn", "_docId")
+    val partCol = parameters.getOrElse("partitionColumn", "str_databaseid")
+    val spark = sqlContext.sparkSession
+    mode match {
+      case SaveMode.Append =>
+        TxLog.merge(spark, path, data, keyCol = keyCol, partitionCol = partCol)
+      case SaveMode.Overwrite =>
+        // transactional replace: delete every CURRENT key and apply the
+        // batch in one commit (merge dedups keys that reappear in the
+        // batch, so replaced rows update rather than bounce)
+        val current = TxLog.snapshot(spark, path)
+        val removed =
+          if (current.version < 0 || current.files.isEmpty) null
+          else TxLog.read(spark, path).select(col(keyCol))
+        TxLog.merge(spark, path, data, removedKeys = removed,
+          keyCol = keyCol, partitionCol = partCol)
+      case SaveMode.ErrorIfExists | SaveMode.Ignore =>
+        val exists = TxLog.snapshot(spark, path).version >= 0
+        if (exists && mode == SaveMode.ErrorIfExists)
+          throw new IllegalStateException(
+            s"txlog: table already exists at $path (mode ErrorIfExists)")
+        if (!exists)
+          TxLog.merge(spark, path, data, keyCol = keyCol,
+            partitionCol = partCol)
+    }
+    createRelation(sqlContext, parameters)
+  }
+}
+
+/** Read relation: snapshot-consistent scan with column pruning and
+  * log-level file skipping derived from the pushed filters. */
+final case class TxLogRelation(
+    sqlContext: SQLContext,
+    path: String,
+    asOfVersion: Option[Long],
+    tag: Option[String],
+    keyColumn: String,
+    partitionColumn: String) extends BaseRelation with PrunedFilteredScan {
+
+  private def resolvedVersion: Option[Long] = tag match {
+    case Some(t) =>
+      val spark = sqlContext.sparkSession
+      Some(TxLog.tags(spark, path).getOrElse(t,
+        throw new NoSuchElementException(s"txlog: tag '$t' not found at $path")))
+    case None => asOfVersion
+  }
+
+  private def load(partitions: Option[Set[String]],
+      keyRange: Option[(String, String)]): DataFrame =
+    TxLog.read(sqlContext.sparkSession, path, partitions, resolvedVersion,
+      keyRange)
+
+  override def schema: StructType = load(None, None).schema
+
+  /** The key range implied by the pushed filters on `keyColumn` —
+    * inclusive bounds; None when unbounded on that side. Exposed for
+    * the spec. */
+  private[sources] def keyRangeOf(
+      filters: Array[Filter]): Option[(String, String)] = {
+    var lo: Option[String] = None
+    var hi: Option[String] = None
+    def tightenLo(v: String): Unit =
+      if (lo.forall(_ < v)) lo = Some(v)
+    def tightenHi(v: String): Unit =
+      if (hi.forall(_ > v)) hi = Some(v)
+    filters.foreach {
+      case EqualTo(`keyColumn`, v: String) => tightenLo(v); tightenHi(v)
+      case GreaterThanOrEqual(`keyColumn`, v: String) => tightenLo(v)
+      case GreaterThan(`keyColumn`, v: String) => tightenLo(v)
+      case LessThanOrEqual(`keyColumn`, v: String) => tightenHi(v)
+      case LessThan(`keyColumn`, v: String) => tightenHi(v)
+      case _ => ()
+    }
+    // file skipping needs BOTH bounds (TxLog.read's contract); an
+    // open-ended range widens to the UTF-8 extremes
+    (lo, hi) match {
+      case (None, None) => None
+      case _ => Some((lo.getOrElse(""), hi.getOrElse("￿" * 8)))
+    }
+  }
+
+  /** Partition set implied by equality/IN filters on `partitionColumn`. */
+  private[sources] def partitionsOf(
+      filters: Array[Filter]): Option[Set[String]] = {
+    val sets = filters.collect {
+      case EqualTo(`partitionColumn`, v: String) => Set(v)
+      case In(`partitionColumn`, vs) =>
+        vs.collect { case s: String => s }.toSet
+    }
+    if (sets.isEmpty) None
+    else Some(sets.reduce(_ intersect _))
+  }
+
+  // every filter is reported unhandled: pushdown only SKIPS FILES
+  // (superset-safe), Spark re-applies the exact row predicate above
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val base = load(partitionsOf(filters), keyRangeOf(filters))
+    val projected =
+      if (requiredColumns.isEmpty) base.select()
+      else base.select(requiredColumns.map(col).toSeq: _*)
+    projected.rdd
+  }
+}
