@@ -2,8 +2,10 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** Spark DataSource registration for [[TxLog]] tables — the idiomatic
@@ -36,7 +38,7 @@ import org.apache.spark.sql.types.StructType
   * first-class Spark format instead of a bespoke client.
   */
 class TxLogSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "txlog"
 
@@ -84,6 +86,43 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
     }
     createRelation(sqlContext, parameters)
   }
+
+  /** `writeStream.format("txlog")` — each micro-batch is one atomic
+    * MERGE commit. At-least-once redelivery of a batch converges (the
+    * upsert is last-writer-wins on the key), so the table state is
+    * effectively exactly-once under checkpointed restarts — the same
+    * contract `DocMaintenance.streamMaintainTx` implements imperatively,
+    * here as the declarative sink. Append and Update modes are the
+    * upsert; Complete replaces the table per batch. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val path = pathOf(parameters)
+    val keyCol = parameters.getOrElse("keyColumn", "_docId")
+    val partCol = parameters.getOrElse("partitionColumn", "str_databaseid")
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // the incoming frame is the micro-batch's streaming Dataset
+        // view; re-base it as a plain batch frame (standard connector
+        // shim) before handing it to the transactional merge
+        val batch = org.apache.spark.sql.graftshim.BatchFrames
+          .asBatch(data)
+        if (outputMode == OutputMode.Complete()) {
+          val spark = batch.sparkSession
+          val current = TxLog.snapshot(spark, path)
+          val removed =
+            if (current.version < 0 || current.files.isEmpty) null
+            else TxLog.read(spark, path).select(col(keyCol))
+          TxLog.merge(spark, path, batch, removedKeys = removed,
+            keyCol = keyCol, partitionCol = partCol)
+        } else {
+          TxLog.merge(batch.sparkSession, path, batch,
+            keyCol = keyCol, partitionCol = partCol)
+        }
+      }
+      override def toString: String = s"TxLogSink[$path]"
+    }
+  }
 }
 
 /** Read relation: snapshot-consistent scan with column pruning and
@@ -94,7 +133,27 @@ final case class TxLogRelation(
     asOfVersion: Option[Long],
     tag: Option[String],
     keyColumn: String,
-    partitionColumn: String) extends BaseRelation with PrunedFilteredScan {
+    partitionColumn: String) extends BaseRelation with PrunedFilteredScan
+    with InsertableRelation {
+
+  /** SQL `INSERT INTO` (overwrite=false) = transactional MERGE upsert;
+    * `INSERT OVERWRITE` = one-commit full replace. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    val spark = sqlContext.sparkSession
+    require(tag.isEmpty && asOfVersion.isEmpty,
+      "txlog: cannot INSERT into a time-travel/tag-pinned relation")
+    if (overwrite) {
+      val current = TxLog.snapshot(spark, path)
+      val removed =
+        if (current.version < 0 || current.files.isEmpty) null
+        else TxLog.read(spark, path).select(col(keyColumn))
+      TxLog.merge(spark, path, data, removedKeys = removed,
+        keyCol = keyColumn, partitionCol = partitionColumn)
+    } else {
+      TxLog.merge(spark, path, data, keyCol = keyColumn,
+        partitionCol = partitionColumn)
+    }
+  }
 
   private def resolvedVersion: Option[Long] = tag match {
     case Some(t) =>

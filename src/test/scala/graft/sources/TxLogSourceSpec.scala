@@ -95,4 +95,61 @@ class TxLogSourceSpec extends SparkSpec {
     assert(one.columns.toSeq == Seq("payload"))
     assert(one.as[String].collect().toSet == Set("pa", "pb", "pc"))
   }
+
+  test("SQL DDL surface: CREATE TABLE USING txlog, SELECT, INSERT INTO/OVERWRITE") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ds4").toString
+    docs(("dbA#a1", "dbA", "v1")).write.format("txlog")
+      .mode(SaveMode.Append).save(dir)
+    spark.sql("DROP TABLE IF EXISTS tx_sql_t")
+    spark.sql(
+      s"CREATE TABLE tx_sql_t USING txlog OPTIONS (path '$dir')")
+    try {
+      assert(spark.sql("SELECT payload FROM tx_sql_t")
+        .as[String].collect().toSeq == Seq("v1"))
+      // INSERT INTO = merge upsert: same key updates, new key appends.
+      // Positional inserts follow the TABLE schema, which carries the
+      // partition column LAST (TxLog's committed DDL order).
+      spark.sql("INSERT INTO tx_sql_t " +
+        "SELECT 'dbA#a1' AS _docId, 'v2' AS payload, 'dbA' AS str_databaseid")
+      spark.sql("INSERT INTO tx_sql_t " +
+        "SELECT 'dbB#b1' AS _docId, 'w1' AS payload, 'dbB' AS str_databaseid")
+      assert(rowsOf(spark.table("tx_sql_t")) ==
+        Set(("dbA#a1", "v2"), ("dbB#b1", "w1")))
+      // INSERT OVERWRITE = one-commit transactional replace
+      spark.sql("INSERT OVERWRITE TABLE tx_sql_t " +
+        "SELECT 'dbC#c1' AS _docId, 'z' AS payload, 'dbC' AS str_databaseid")
+      assert(rowsOf(spark.table("tx_sql_t")) == Set(("dbC#c1", "z")))
+    } finally spark.sql("DROP TABLE IF EXISTS tx_sql_t")
+  }
+
+  test("writeStream.format(txlog) commits one atomic merge per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ds5").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ds5c").toString
+    val in = MemoryStream[(String, String, String)]
+    val q = in.toDF().toDF("_docId", "str_databaseid", "payload")
+      .writeStream.format("txlog")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    in.addData(("dbA#a1", "dbA", "v1"), ("dbB#b1", "dbB", "w1"))
+    q.awaitTermination(60000)
+    assert(rowsOf(spark.read.format("txlog").load(dir)) ==
+      Set(("dbA#a1", "v1"), ("dbB#b1", "w1")))
+    val v1 = TxLog.snapshot(spark, dir).version
+    // second run: an update micro-batch lands as ONE more commit
+    val in2 = MemoryStream[(String, String, String)]
+    val q2 = in2.toDF().toDF("_docId", "str_databaseid", "payload")
+      .writeStream.format("txlog")
+      .option("path", dir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ds5c2").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    in2.addData(("dbA#a1", "dbA", "v2"))
+    q2.awaitTermination(60000)
+    assert(rowsOf(spark.read.format("txlog").load(dir)) ==
+      Set(("dbA#a1", "v2"), ("dbB#b1", "w1")))
+    assert(TxLog.snapshot(spark, dir).version == v1 + 1)
+  }
 }
