@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
-import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.streaming.OutputMode
@@ -38,7 +38,7 @@ import org.apache.spark.sql.types.StructType
   * first-class Spark format instead of a bespoke client.
   */
 class TxLogSource extends RelationProvider with CreatableRelationProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "txlog"
 
@@ -87,6 +87,31 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
     createRelation(sqlContext, parameters)
   }
 
+  /** `readStream.format("txlog")` — the CHANGE-FEED streaming read
+    * (Delta CDF's `readChangeFeed` analogue): commit VERSIONS are the
+    * stream offsets, so each micro-batch is `changes(from, to]` —
+    * row-level insert/delete/update images — with the first batch
+    * emitting the starting snapshot as inserts. Offsets are durable log
+    * versions: a checkpointed restart resumes exactly where it left
+    * off, and a follower that falls below the vacuum horizon fails
+    * loud at resolve (same contract as `ChangeFeed.follow`). */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = pathOf(parameters)
+    val base = TxLog.read(sqlContext.sparkSession, path).schema
+    (shortName(), base.add("_change_type",
+      org.apache.spark.sql.types.StringType, nullable = false))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new TxLogStreamSource(sqlContext,
+      pathOf(parameters),
+      parameters.getOrElse("keyColumn", "_docId"),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong).getOrElse(100L))
+
   /** `writeStream.format("txlog")` — each micro-batch is one atomic
     * MERGE commit. At-least-once redelivery of a batch converges (the
     * upsert is last-writer-wins on the key), so the table state is
@@ -123,6 +148,73 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
       override def toString: String = s"TxLogSink[$path]"
     }
   }
+}
+
+/** Version-offset change-feed source: `getOffset` is the committed head
+  * version (rate-limited to `maxVersionsPerTrigger` ahead of the last
+  * batch), `getBatch(from, to)` is the net row-level change frame over
+  * `(from, to]` — or the pinned snapshot AT `to` as inserts for the
+  * first batch. Reads only the files the two snapshots don't share
+  * ([[TxLog.changes]]), so a quiet table costs a log listing, not a
+  * scan. */
+final class TxLogStreamSource(
+    sqlContext: SQLContext,
+    path: String,
+    keyColumn: String,
+    maxVersionsPerTrigger: Long) extends Source {
+
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  private val spark = sqlContext.sparkSession
+  // the version already emitted (start of the next batch's range);
+  // -1 = nothing emitted yet. Recovered from the engine's checkpoint
+  // via getBatch's `start` on restart — this field is only the
+  // in-process high-water mark for rate limiting.
+  @volatile private var lastEmitted: Long = -1L
+
+  override def schema: StructType = TxLog.read(spark, path).schema
+    .add("_change_type", org.apache.spark.sql.types.StringType,
+      nullable = false)
+
+  // offsets round-trip through the checkpoint as json — on restart the
+  // engine hands back SerializedOffset, so parse by json, not by type
+  private def versionOf(o: OffsetV1): Long = o.json.trim.toLong
+
+  override def getOffset: Option[OffsetV1] = {
+    val head = TxLog.snapshot(spark, path).version
+    if (head < 0) None
+    else {
+      val capped = math.min(head, lastEmitted + maxVersionsPerTrigger)
+      if (capped <= lastEmitted && lastEmitted >= 0) Some(LongOffset(lastEmitted))
+      else Some(LongOffset(capped))
+    }
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val to = versionOf(end)
+    val from = start.map(versionOf)
+    lastEmitted = math.max(lastEmitted, to)
+    val batch = from match {
+      case Some(f) if f >= to =>
+        // engine replay of an empty range (e.g. restart alignment)
+        TxLog.read(spark, path, asOfVersion = Some(to)).limit(0)
+          .withColumn("_change_type",
+            org.apache.spark.sql.functions.lit("insert"))
+      case Some(f) =>
+        TxLog.changes(spark, path, f, to, keyColumn)
+      case None =>
+        // initial load: the snapshot AT `to`, all rows as inserts
+        TxLog.read(spark, path, asOfVersion = Some(to))
+          .withColumn("_change_type",
+            org.apache.spark.sql.functions.lit("insert"))
+    }
+    // v1 Source contract: the returned frame must be streaming-tagged
+    org.apache.spark.sql.graftshim.BatchFrames.asStreaming(batch)
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"TxLogStreamSource[$path]"
 }
 
 /** Read relation: snapshot-consistent scan with column pruning and

@@ -21,4 +21,14 @@ object BatchFrames {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd.map(_.copy()), df.schema, isStreaming = false)
   }
+
+  /** The inverse doorway, for a v1 `Source.getBatch`: the engine
+    * requires the returned frame to be streaming-tagged, while the
+    * change feed computes it with batch operators. */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd.map(_.copy()), df.schema, isStreaming = true)
+  }
 }

@@ -152,4 +152,44 @@ class TxLogSourceSpec extends SparkSpec {
       Set(("dbA#a1", "v2"), ("dbB#b1", "w1")))
     assert(TxLog.snapshot(spark, dir).version == v1 + 1)
   }
+
+  test("readStream.format(txlog) streams the change feed with version offsets") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-ds6").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ds6c").toString
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v1"),
+      ("dbB#b1", "dbB", "w1")))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, String, String)]()
+    def drain(): Set[(String, String, String)] = {
+      val q = spark.readStream.format("txlog").load(dir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("_docId", "payload", "_change_type")
+            .as[(String, String, String)](
+              org.apache.spark.sql.Encoders.product)
+            .collect().foreach(seen.add)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSet
+    }
+    // first run: the starting snapshot arrives as inserts
+    assert(drain() == Set(("dbA#a1", "v1", "insert"),
+      ("dbB#b1", "w1", "insert")))
+    // table advances: an update and a delete land as change images
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", "v2")),
+      Seq("dbB#b1").toDF("_docId"))
+    // second run resumes FROM THE CHECKPOINTED VERSION: only the new
+    // commit's net changes are emitted (memory sink appends to the
+    // first run's rows)
+    val afterResume = drain()
+    assert(afterResume == Set(
+      ("dbA#a1", "v1", "insert"), ("dbB#b1", "w1", "insert"),
+      ("dbA#a1", "v1", "update_preimage"),
+      ("dbA#a1", "v2", "update_postimage"),
+      ("dbB#b1", "w1", "delete")))
+  }
 }
