@@ -229,9 +229,12 @@ object TxLog {
   /** Resolved table state: committed version + live file set + the
     * table schema as of that version (DDL string; carried by commits
     * so an EMPTIED table keeps its shape — absent only on logs written
-    * before schema tracking). */
+    * before schema tracking) + the table's CHECK constraints (name →
+    * boolean SQL expression; every merged batch must satisfy all of
+    * them — see [[addCheckConstraint]]). */
   case class Snapshot(version: Long, files: Seq[AddFile],
-      schemaDdl: Option[String] = None)
+      schemaDdl: Option[String] = None,
+      constraints: Map[String, String] = Map.empty)
 
   val CheckpointInterval = 10
 
@@ -399,6 +402,70 @@ object TxLog {
     fsOf(spark, table).delete(tagPath(table, name), false)
   }
 
+  // ---- CHECK constraints --------------------------------------------
+
+  /** Add a CHECK constraint (Delta's `ALTER TABLE ADD CONSTRAINT`
+    * analogue): `exprSql` is a boolean SQL expression over the table's
+    * columns; a row satisfies it only when it evaluates to TRUE (NULL
+    * is a violation — fail-loud, same as Delta). The EXISTING table
+    * must already satisfy the constraint (checked distributed, one
+    * scan) and every subsequent [[merge]] batch is validated before
+    * anything stages — a violating batch changes nothing. Published as
+    * a METADATA-ONLY commit; constraints survive checkpoints and are
+    * resolved latest-wins like the schema. Optimistic like every
+    * commit. */
+  def addCheckConstraint(spark: SparkSession, path: String, name: String,
+      exprSql: String, maxAttempts: Int = 20): Unit = {
+    require(name.nonEmpty && !name.contains("\""), s"bad constraint name")
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      require(attempt <= maxAttempts,
+        s"addCheckConstraint: $maxAttempts commit conflicts")
+      val snap = snapshot(spark, path)
+      require(snap.version >= 0, s"addCheckConstraint: no table at $path")
+      // validates the expression against the schema AND the rows
+      val current = read(spark, path, asOfVersion = Some(snap.version))
+      val bad = current.filter(!coalesce(expr(exprSql), lit(false))).count()
+      require(bad == 0L,
+        s"constraint '$name' ($exprSql) violated by $bad existing row(s)")
+      done = tryCommit(spark, path, snap.version + 1, Seq.empty, Seq.empty,
+        snap.schemaDdl, Some(snap.constraints + (name -> exprSql)))
+    }
+  }
+
+  /** Drop a CHECK constraint (metadata-only commit; no-op commit is
+    * still published so the history records the change). */
+  def dropCheckConstraint(spark: SparkSession, path: String,
+      name: String, maxAttempts: Int = 20): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      require(attempt <= maxAttempts,
+        s"dropCheckConstraint: $maxAttempts commit conflicts")
+      val snap = snapshot(spark, path)
+      require(snap.constraints.contains(name),
+        s"constraint '$name' not found (have: " +
+          s"${snap.constraints.keys.toSeq.sorted.mkString(", ")})")
+      done = tryCommit(spark, path, snap.version + 1, Seq.empty, Seq.empty,
+        snap.schemaDdl, Some(snap.constraints - name))
+    }
+  }
+
+  /** Validate a merge batch against the table's CHECK constraints —
+    * ONE distributed pass; throws naming the first violated constraint
+    * and its violation count before anything is staged or committed. */
+  private def validateConstraints(batch: DataFrame,
+      constraints: Map[String, String]): Unit =
+    constraints.toSeq.sortBy(_._1).foreach { case (name, exprSql) =>
+      val bad = batch.filter(!coalesce(expr(exprSql), lit(false))).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"CHECK constraint '$name' ($exprSql) violated by $bad row(s) " +
+          "in the merge batch — nothing was committed")
+    }
+
   /** [[read]] pinned to a tag (partition/key pruning included). */
   def readTag(spark: SparkSession, path: String, name: String,
       partitions: Option[Set[String]] = None,
@@ -460,10 +527,13 @@ object TxLog {
       .filter(cv => asOf.forall(cv <= _))
     val fromCk = if (ckVersions.isEmpty) -1L else ckVersions.max
     var schema: Option[String] = None
+    var constraints = Map.empty[String, String]
     var files = if (fromCk < 0) Map.empty[String, AddFile]
     else {
       val ck = readJson(fs, checkpointPath(table, fromCk))
       schema = (ck \ "schema").toOption.collect { case JString(d) => d }
+      constraints = parseConstraints(ck \ "constraints")
+        .getOrElse(Map.empty)
       parseFiles(ck \ "files").map(f => f.path -> f).toMap
     }
     val commits = commitVersions
@@ -475,6 +545,8 @@ object TxLog {
         case JString(d) => schema = Some(d)
         case _ => ()
       }
+      // absent field = no change; present (possibly empty) = new set
+      parseConstraints(j \ "constraints").foreach(constraints = _)
       parseFiles(j \ "removes").foreach(f => files -= f.path)
       // removes may also arrive as plain path strings
       (j \ "removes") match {
@@ -487,8 +559,17 @@ object TxLog {
       parseFiles(j \ "adds").foreach(f => files += (f.path -> f))
       v = cv
     }
-    Snapshot(v, files.values.toSeq.sortBy(_.path), schema)
+    Snapshot(v, files.values.toSeq.sortBy(_.path), schema, constraints)
   }
+
+  /** Parse a commit/checkpoint "constraints" object: None when the
+    * field is absent (no change in this commit), Some(map) otherwise. */
+  private def parseConstraints(j: JValue): Option[Map[String, String]] =
+    j.toOption.collect {
+      case JObject(fields) => fields.collect {
+        case (n, JString(e)) => n -> e
+      }.toMap
+    }
 
   /** Unsigned lexicographic compare of UTF-8 bytes — the order parquet
     * binary statistics are maintained in; key-skipping must compare the
@@ -718,7 +799,8 @@ object TxLog {
     * (best-effort — a checkpoint failure never fails the commit). */
   def tryCommit(spark: SparkSession, path: String, version: Long,
       adds: Seq[AddFile], removes: Seq[AddFile],
-      schemaDdl: Option[String] = None): Boolean = {
+      schemaDdl: Option[String] = None,
+      constraints: Option[Map[String, String]] = None): Boolean = {
     val table = new Path(path)
     val fs = fsOf(spark, table)
     fs.mkdirs(logDir(table))
@@ -726,7 +808,10 @@ object TxLog {
       "version" -> (JLong(version): JValue),
       "adds" -> renderFiles(adds),
       "removes" -> renderFiles(removes)) ++
-      schemaDdl.map(d => "schema" -> (JString(d): JValue)).toList
+      schemaDdl.map(d => "schema" -> (JString(d): JValue)).toList ++
+      constraints.map(cs => "constraints" -> (JObject(
+        cs.toList.sortBy(_._1).map { case (n, e) =>
+          n -> (JString(e): JValue) }): JValue)).toList
     val body = JsonMethods.compact(JsonMethods.render(JObject(fields: _*)))
     val coordinator = coordinatorOf(path)
     val ok = coordinator.tryPublish(fs, commitPath(table, version), body)
@@ -738,7 +823,11 @@ object TxLog {
             JsonMethods.compact(JsonMethods.render(JObject(
               (List("files" -> renderFiles(snap.files)) ++
                 snap.schemaDdl.map(d =>
-                  "schema" -> (JString(d): JValue)).toList): _*))))
+                  "schema" -> (JString(d): JValue)).toList ++
+                (if (snap.constraints.isEmpty) Nil
+                 else List("constraints" -> (JObject(
+                   snap.constraints.toList.sortBy(_._1).map { case (n, e) =>
+                     n -> (JString(e): JValue) }): JValue)))): _*))))
       } catch { case _: Exception => () }
     }
     ok
@@ -786,6 +875,11 @@ object TxLog {
     // micro-batch inputs are re-read on every retry; pin them once
     val up = updates.localCheckpoint()
     val rm = Option(removedKeys).map(_.select(keyCol).localCheckpoint())
+    // CHECK constraints: validate the pinned batch ONCE, before anything
+    // stages — a violating batch leaves the table untouched. (Read off
+    // the current snapshot; a constraint added concurrently governs
+    // commits AFTER its own, same as Delta.)
+    validateConstraints(up, snapshot(spark, path).constraints)
     var attempt = 0
     var done = false
     var staged: Seq[AddFile] = Seq.empty

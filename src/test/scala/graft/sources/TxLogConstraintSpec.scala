@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** CHECK constraints on TxLog tables: existing-row validation at ADD,
+  * batch validation at every merge (violating batches change nothing),
+  * NULL-is-violation semantics, drop, checkpoint survival, and
+  * enforcement through the format("txlog") write path.
+  */
+class TxLogConstraintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (String, String, Int)*) =
+    rows.toSeq.toDF("_docId", "str_databaseid", "qty")
+
+  test("add validates existing rows; merges are gated; drop lifts the gate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck1").toString
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", 5), ("dbA#a2", "dbA", 9)))
+    // existing rows violate → refused, nothing committed
+    val v0 = TxLog.snapshot(spark, dir).version
+    intercept[IllegalArgumentException] {
+      TxLog.addCheckConstraint(spark, dir, "qty_big", "qty > 6")
+    }
+    assert(TxLog.snapshot(spark, dir).version == v0)
+    assert(TxLog.snapshot(spark, dir).constraints.isEmpty)
+    // a satisfiable constraint lands as a metadata-only commit
+    TxLog.addCheckConstraint(spark, dir, "qty_pos", "qty > 0")
+    val snap = TxLog.snapshot(spark, dir)
+    assert(snap.version == v0 + 1)
+    assert(snap.constraints == Map("qty_pos" -> "qty > 0"))
+    assert(snap.files.map(_.path).toSet ==
+      TxLog.snapshotAt(spark, dir, v0).files.map(_.path).toSet)
+    // violating batch: loud failure, table untouched (version AND rows)
+    val before = TxLog.read(spark, dir).select("_docId", "qty")
+      .as[(String, Int)].collect().toSet
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, dir, docs(("dbA#a3", "dbA", 0)))
+    }
+    assert(TxLog.snapshot(spark, dir).version == v0 + 1)
+    assert(TxLog.read(spark, dir).select("_docId", "qty")
+      .as[(String, Int)].collect().toSet == before)
+    // satisfying batch passes
+    TxLog.merge(spark, dir, docs(("dbA#a3", "dbA", 7)))
+    assert(TxLog.read(spark, dir).count() == 3)
+    // drop → the previously-violating batch is accepted
+    TxLog.dropCheckConstraint(spark, dir, "qty_pos")
+    assert(TxLog.snapshot(spark, dir).constraints.isEmpty)
+    TxLog.merge(spark, dir, docs(("dbA#a4", "dbA", 0)))
+    assert(TxLog.read(spark, dir).count() == 4)
+  }
+
+  test("NULL evaluates as a violation (fail-loud, Delta semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck2").toString
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", 1)))
+    TxLog.addCheckConstraint(spark, dir, "qty_pos", "qty > 0")
+    val withNull = Seq(("dbA#a2", "dbA", null.asInstanceOf[Integer]))
+      .toDF("_docId", "str_databaseid", "qty")
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, dir, withNull)
+    }
+    assert(TxLog.read(spark, dir).count() == 1)
+  }
+
+  test("constraints survive checkpoints and gate the txlog format write path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck3").toString
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", 1)))
+    TxLog.addCheckConstraint(spark, dir, "qty_pos", "qty > 0")
+    // push the log past a checkpoint boundary so resolution goes
+    // checkpoint-first; the constraint must still be in force
+    (0 until TxLog.CheckpointInterval + 2).foreach { i =>
+      TxLog.merge(spark, dir, docs((s"dbA#b$i", "dbA", i + 1)))
+    }
+    assert(TxLog.snapshot(spark, dir).version > TxLog.CheckpointInterval)
+    assert(TxLog.snapshot(spark, dir).constraints ==
+      Map("qty_pos" -> "qty > 0"))
+    // the DataFrame write path routes through merge → same gate
+    intercept[IllegalArgumentException] {
+      docs(("dbB#x", "dbB", -1)).write.format("txlog")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(dir)
+    }
+    assert(TxLog.read(spark, dir)
+      .filter(col("str_databaseid") === "dbB").count() == 0)
+  }
+}
