@@ -402,6 +402,37 @@ object TxLog {
     fsOf(spark, table).delete(tagPath(table, name), false)
   }
 
+  /** TIMESTAMP-based time travel (Delta's `timestampAsOf` analogue):
+    * the newest committed version whose commit file's modification time
+    * is ≤ `tsMillis`. Commit mtimes are the only clock the log has —
+    * monotone per table because versions publish in order — so the
+    * mapping is deterministic for any timestamp between two commits.
+    * Throws when `tsMillis` predates the first commit (same contract
+    * as Delta: no table state existed to read). */
+  def versionAt(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    val commits = listLog(fs, table)
+      .filter(!_.getName.contains("checkpoint"))
+    require(commits.nonEmpty, s"versionAt: no table at $path")
+    val timed = commits.map(p =>
+      p.getName.stripSuffix(".json").toLong -> fs.getFileStatus(p)
+        .getModificationTime).sortBy(_._1)
+    val at = timed.takeWhile(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"versionAt: $tsMillis predates the first commit " +
+        s"(v${timed.head._1} at ${timed.head._2})")
+    at.last._1
+  }
+
+  /** [[read]] pinned to the newest version committed at-or-before the
+    * timestamp (partition/key pruning included). */
+  def readAsOfTimestamp(spark: SparkSession, path: String, tsMillis: Long,
+      partitions: Option[Set[String]] = None,
+      keyRange: Option[(String, String)] = None): DataFrame =
+    read(spark, path, partitions, Some(versionAt(spark, path, tsMillis)),
+      keyRange)
+
   // ---- CHECK constraints --------------------------------------------
 
   /** Add a CHECK constraint (Delta's `ALTER TABLE ADD CONSTRAINT`

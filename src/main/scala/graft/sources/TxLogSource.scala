@@ -53,6 +53,7 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
       pathOf(parameters),
       parameters.get("asOfVersion").map(_.toLong),
       parameters.get("tag"),
+      parameters.get("timestampAsOf").map(_.toLong),
       parameters.getOrElse("keyColumn", "_docId"),
       parameters.getOrElse("partitionColumn", "str_databaseid"))
 
@@ -224,6 +225,7 @@ final case class TxLogRelation(
     path: String,
     asOfVersion: Option[Long],
     tag: Option[String],
+    timestampAsOf: Option[Long],
     keyColumn: String,
     partitionColumn: String) extends BaseRelation with PrunedFilteredScan
     with InsertableRelation {
@@ -232,7 +234,7 @@ final case class TxLogRelation(
     * `INSERT OVERWRITE` = one-commit full replace. */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
     val spark = sqlContext.sparkSession
-    require(tag.isEmpty && asOfVersion.isEmpty,
+    require(tag.isEmpty && asOfVersion.isEmpty && timestampAsOf.isEmpty,
       "txlog: cannot INSERT into a time-travel/tag-pinned relation")
     if (overwrite) {
       val current = TxLog.snapshot(spark, path)
@@ -252,7 +254,11 @@ final case class TxLogRelation(
       val spark = sqlContext.sparkSession
       Some(TxLog.tags(spark, path).getOrElse(t,
         throw new NoSuchElementException(s"txlog: tag '$t' not found at $path")))
-    case None => asOfVersion
+    case None => timestampAsOf match {
+      case Some(ts) =>
+        Some(TxLog.versionAt(sqlContext.sparkSession, path, ts))
+      case None => asOfVersion
+    }
   }
 
   private def load(partitions: Option[Set[String]],

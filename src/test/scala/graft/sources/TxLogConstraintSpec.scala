@@ -51,6 +51,29 @@ class TxLogConstraintSpec extends SparkSpec {
     assert(TxLog.read(spark, dir).count() == 4)
   }
 
+  test("timestamp time travel resolves the newest commit at-or-before ts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts1").toString
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", 1)))
+    // commit mtimes have second-ish granularity on some filesystems —
+    // separate the two commits by a comfortable margin
+    Thread.sleep(1100)
+    val between = System.currentTimeMillis()
+    Thread.sleep(1100)
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", 2)))
+    assert(TxLog.versionAt(spark, dir, between) == 0L)
+    assert(TxLog.versionAt(spark, dir, System.currentTimeMillis()) == 1L)
+    assert(TxLog.readAsOfTimestamp(spark, dir, between)
+      .select("qty").as[Int].collect().toSeq == Seq(1))
+    // the format option resolves the same way
+    assert(spark.read.format("txlog")
+      .option("timestampAsOf", between.toString).load(dir)
+      .select("qty").as[Int].collect().toSeq == Seq(1))
+    // before the first commit: no table state existed — loud failure
+    intercept[IllegalArgumentException] {
+      TxLog.versionAt(spark, dir, 1000L)
+    }
+  }
+
   test("NULL evaluates as a violation (fail-loud, Delta semantics)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ck2").toString
     TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", 1)))

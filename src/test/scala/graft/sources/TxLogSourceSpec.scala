@@ -60,7 +60,7 @@ class TxLogSourceSpec extends SparkSpec {
   }
 
   test("key filters derive the footer keyRange; partition filters the partition set") {
-    val rel = TxLogRelation(spark.sqlContext, "/tmp/unused", None, None,
+    val rel = TxLogRelation(spark.sqlContext, "/tmp/unused", None, None, None,
       "_docId", "str_databaseid")
     assert(rel.keyRangeOf(Array(EqualTo("_docId", "k5"))) ==
       Some(("k5", "k5")))
