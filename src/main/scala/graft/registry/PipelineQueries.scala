@@ -419,6 +419,55 @@ object PipelineQueries {
             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
               .as("total_spend"))
           .orderBy("c_custkey")
+      }),
+
+    // ── The transactional table format under the value gate (not just
+    //    specs): documents MERGE into a TxLog table once per (JVM, sf)
+    //    — partitioned by source, keys zero-padded so string order ==
+    //    numeric order — then a key-RANGE lookup reads back through
+    //    `spark.read.format("txlog")`. The pushed filters prune at the
+    //    LOG level (partition + footer-stats keyRange: the bk1 of the
+    //    table format — identical rows, different physics); the oracle
+    //    is the plain predicate over the source parquet.
+    sql("tx1_txlog_point_lookup",
+      """SELECT source || '#' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+        |         AS doc_key,
+        |       lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE source = 'src3' AND doc_id BETWEEN 100 AND 120
+        |ORDER BY doc_key""")(
+      (s, d) => {
+        val dir = TxSideTables.docs(s, d)
+        s.read.format("txlog").option("partitionColumn", "str_databaseid")
+          .load(dir)
+          .filter(col("str_databaseid") === "src3" &&
+            col("_docId") >= "src3#00000100" &&
+            col("_docId") <= "src3#00000120")
+          .select(col("_docId").as("doc_key"), col("lang"),
+            col("n_chars").cast("long").as("n_chars"))
+          .orderBy("doc_key")
       })
   )
+}
+
+/** Side TxLog tables built from the fixtures, once per (JVM, sf dir) —
+  * the bk1 pattern for the table format. The build is a single MERGE
+  * commit; readers then exercise the full log path (snapshot resolve,
+  * partition pruning, footer-stats key skipping) under the value gate. */
+private[registry] object TxSideTables {
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def docs(s: SparkSession, d: String): String =
+    built.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-txq").toString
+      val rows = Tables.load(s, d, "documents").select(
+        concat(col("source"), lit("#"),
+          lpad(col("doc_id").cast("string"), 8, "0")).as("_docId"),
+        col("source").as("str_databaseid"),
+        col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.TxLog.merge(s, dir, rows)
+      dir
+    })
 }
