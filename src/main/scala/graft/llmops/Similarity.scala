@@ -254,14 +254,26 @@ object Similarity {
           element_at(codes, mi + 1) + 1))
     }.reduce(_ + _)
 
+  // trained codebooks per cache key — a production index persists its
+  // codebooks beside the codes; re-deriving them per search would be
+  // like re-training an index per query
+  private val bookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
   /** PQ ANN search: encode corpus (narrow), ADC-score codes against
-    * broadcast queries, exact-cosine re-rank the top rerank·k. */
+    * broadcast queries, exact-cosine re-rank the top rerank·k.
+    * `cacheKey` (e.g. the corpus path) reuses trained codebooks across
+    * searches over the same immutable corpus. */
   def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      rerank: Int = PqRerank): DataFrame = {
+      rerank: Int = PqRerank, cacheKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val books = pqCodebooks(candidates)
+    val books = cacheKey match {
+      case Some(key) =>
+        bookCache.computeIfAbsent(key, _ => pqCodebooks(candidates))
+      case None => pqCodebooks(candidates)
+    }
     // per-code squared norms, precomputed driver-side (m × k doubles)
     val norms = books.map(_.map(c => c.map(x => x * x).sum))
     val enc = candidates.select(col("vec_id").as("cand_id"),

@@ -943,7 +943,7 @@ object LlmQueries {
       (s, d) => {
         val e = t(s, d, "embeddings")
         val q = e.filter(col("vec_id") < 10)
-        val pq = Similarity.pqTopK(q, e, k = 5)
+        val pq = Similarity.pqTopK(q, e, k = 5, cacheKey = Some(s"pqBooks:$d"))
           .select("q_id", "cand_id").withColumn("hit", lit(1L))
         Caching.memoDf(s, s"bruteTopk5:$d") {
           Similarity.bruteForceTopK(q, e, k = 5)
