@@ -445,4 +445,25 @@ object Workflows {
       .withColumn("metadataValueType",
         graft.core.Codecs.detectType(col("metadataValue")))
   }
+
+  /** The input rows [[ingestSidecars]] would silently drop: a sidecar
+    * whose JSON does not parse as a string map (`from_json` → NULL →
+    * the explode emits nothing). The reference logs-and-skips these
+    * per sidecar (processWorkflowExecutionOutput.py:270-419's
+    * try/except around each parse); at pipeline scale a log line is
+    * invisible, so the malformed inputs surface as a QUARANTINE frame
+    * — same grain as the input, with the parse diagnostic — that the
+    * caller lands next to the metadata writes. Valid-but-empty
+    * sidecars (`{}`) are NOT quarantined: they parse fine and simply
+    * carry no rows. */
+  def quarantineSidecars(sidecars: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    sidecars
+      .filter(col("sidecarJson").isNotNull &&
+        length(trim(col("sidecarJson"))) > 0 &&
+        from_json(col("sidecarJson"), MapType(StringType, StringType)).isNull)
+      .select(col("databaseId"), col("assetId"), col("filePath"),
+        col("sidecarJson").as("rawSidecar"),
+        lit("sidecar JSON does not parse as a string map").as("reason"))
+  }
 }

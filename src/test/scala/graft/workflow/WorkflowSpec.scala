@@ -178,4 +178,20 @@ class WorkflowSpec extends SparkSpec {
       ("polyCount", "1200", "integer"),
       ("author", "alice", "string")))
   }
+
+  test("malformed sidecars land in quarantine, never silently vanish (W5)") {
+    val sidecars = Seq(
+      ("db1", "a1", "f1", """{"k":"v"}"""),        // valid → 1 row
+      ("db1", "a2", "f2", """not json at all"""),  // malformed → quarantine
+      ("db1", "a3", "f3", """[1,2,3]"""),          // wrong shape → quarantine
+      ("db1", "a4", "f4", """{}"""),               // valid empty → neither
+      ("db1", "a5", "f5", null))                   // absent → neither
+      .toDF("databaseId", "assetId", "filePath", "sidecarJson")
+    val good = Workflows.ingestSidecars(sidecars)
+    assert(good.select("assetId").as[String].collect().toSeq == Seq("a1"))
+    val bad = Workflows.quarantineSidecars(sidecars)
+      .select("assetId", "reason").as[(String, String)].collect().toSet
+    assert(bad.map(_._1) == Set("a2", "a3"))
+    assert(bad.forall(_._2.nonEmpty))
+  }
 }
