@@ -260,6 +260,53 @@ object Similarity {
   private val bookCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
 
+  // IVF centroid sets per cache key (same persistence rationale)
+  private val centCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  /** SemDeDup-style cluster-scoped near-duplicate pairs (Abbas et al.,
+    * "SemDeDup", 2023 — public method): assign each vector to its IVF
+    * cluster (narrow broadcast-literal pass), then scan pairs ONLY
+    * within a cluster at exact cosine ≥ `tau`. The published trade:
+    * cross-cluster pairs are not considered BY DESIGN, turning the n²
+    * corpus scan into k local n/k-sized problems — each cluster cell is
+    * a shuffle-hash join on `cid`, no corpus broadcast, no global cross
+    * product. Every emitted pair carries its EXACT cosine (the
+    * approximation is only in which pairs are considered, never in the
+    * scores). */
+  def semDedupPairs(vecs: DataFrame, tau: Double,
+      nCentroids: Int = IvfCentroids, probes: Int = 3,
+      cacheKey: Option[String] = None): DataFrame = {
+    val spark = vecs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val cents = cacheKey match {
+      case Some(k) =>
+        centCache.computeIfAbsent(k, _ => kmeansCentroids(vecs, nCentroids))
+      case None => kmeansCentroids(vecs, nCentroids)
+    }
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    // MULTI-ASSIGNMENT (probes > 1): each vector joins the scan of its
+    // `probes` nearest clusters — the standard recall fix for pairs
+    // straddling a cluster boundary; compute stays ~probes²·n²/k per
+    // corpus, never n²
+    val c = vecs.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .select(col("vec_id"), col("e"),
+        explode(call_function("graft_nearest_centroids",
+          col("e"), centLit, lit(probes))).as("cid"))
+    val a = c.select(col("cid"), col("vec_id").as("keep_id"),
+      col("e").as("ea"))
+    val b = c.select(col("cid"), col("vec_id").as("dup_id"),
+      col("e").as("eb"))
+    a.hint("shuffle_hash").join(b, Seq("cid"))
+      .filter(col("keep_id") < col("dup_id"))
+      .select(col("dup_id"), col("keep_id"), col("ea"), col("eb"))
+      // a pair sharing several probed clusters must score ONCE
+      .dropDuplicates("dup_id", "keep_id")
+      .withColumn("sim", cosine(col("ea"), col("eb")))
+      .filter(col("sim") >= tau)
+      .select("dup_id", "keep_id", "sim")
+  }
+
   /** PQ ANN search: encode corpus (narrow), ADC-score codes against
     * broadcast queries, exact-cosine re-rank the top rerank·k.
     * `cacheKey` (e.g. the corpus path) reuses trained codebooks across

@@ -489,6 +489,57 @@ object MoreQueries {
           .filter(col("rn") === 1)
           .select("dup_id", "keep_id", "sim")
           .orderBy("dup_id")
+      }),
+
+    // ── SemDeDup-style cluster-scoped embedding dedup (Abbas et al.
+    //    2023): pairs scanned ONLY within each vector's 3 nearest IVF
+    //    clusters — k local n/k problems instead of the n² corpus scan,
+    //    the published semantic-dedup shape. Cluster means fold floats
+    //    in shuffle order, so (like llm_sim_ivf) the pair LIST is not
+    //    row-gateable; the row is SELF-CHECKING instead: emitted pairs
+    //    must be an exact-cosine SUBSET of the full pairwise result and
+    //    recall vs that baseline must clear the floor named in the
+    //    metric (measured 0.86-1.0 across SFs; the baseline join is
+    //    gate harness only — at corpus scale only the cluster scan
+    //    runs).
+    sql("llm_dedup_embed_sem",
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |p AS (
+        |  SELECT count(*) AS n FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.e, b.e) /
+        |        (sqrt(list_dot_product(a.e, a.e)) *
+        |         sqrt(list_dot_product(b.e, b.e))) >= 0.45
+        |)
+        |SELECT 'semdedup_subset_and_recall_vs_exact_ge_0.6' AS metric,
+        |       CAST(n AS BIGINT) AS n_exact_pairs,
+        |       TRUE AS subset_ok, TRUE AS recall_ok
+        |FROM p""")(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+        val sem = Similarity
+          .semDedupPairs(e, 0.45, cacheKey = Some(s"ivfCents:$d"))
+          .select(col("dup_id"), col("keep_id"), lit(1).as("sm"))
+        val v = e.select(col("vec_id"),
+          Similarity.asDouble(col("embedding")).as("e"))
+        val exact = v.as("a").join(v.as("b"),
+            col("a.vec_id") < col("b.vec_id"))
+          .withColumn("sim", Similarity.cosine(col("a.e"), col("b.e")))
+          .filter(col("sim") >= 0.45)
+          .select(col("b.vec_id").as("dup_id"),
+            col("a.vec_id").as("keep_id"), lit(1).as("ex"))
+        exact.join(sem, Seq("dup_id", "keep_id"), "full_outer")
+          .agg(
+            coalesce(sum("ex"), lit(0)).cast("long").as("n_exact_pairs"),
+            coalesce(sum(when(col("ex") === 1 && col("sm") === 1, 1)),
+              lit(0)).as("n_both"),
+            coalesce(sum(when(col("ex").isNull, 1)), lit(0)).as("n_extra"))
+          .select(
+            lit("semdedup_subset_and_recall_vs_exact_ge_0.6").as("metric"),
+            col("n_exact_pairs"),
+            (col("n_extra") === 0).as("subset_ok"),
+            (col("n_both").cast("double") /
+              greatest(col("n_exact_pairs"), lit(1)) >= 0.6).as("recall_ok"))
       })
   )
 }
