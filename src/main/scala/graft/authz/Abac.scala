@@ -78,7 +78,17 @@ object Abac {
         .reduce(_ || _))
     val allow = ruleSet(p.allow).getOrElse(lit(false)) // no allow rule ⇒ deny
     val deny  = ruleSet(p.deny).getOrElse(lit(false))
-    allow && !deny
+    // NULL-field semantics (three-valued-logic hazard, found by
+    // AbacPropertySpec): a criterion over a NULL attribute is SQL NULL.
+    // Through the AND/OR algebra and the final filter, NULL is
+    // conservatively false — matching the reference, whose Casbin
+    // matcher treats a missing attribute as matching NOTHING (even for
+    // the negated operators). The ONE place that breaks is the deny
+    // negation: `allow && !NULL` is NULL, silently DROPPING rows the
+    // reference allows (a deny rule on a missing field must deny
+    // nothing). Coalesce exactly there — the allow side stays raw, so
+    // its pushable conjuncts still reach the parquet scan.
+    allow && !coalesce(deny, lit(false))
   }
 
   /** Apply as a pushed-down filter. */
@@ -122,8 +132,8 @@ object Abac {
   // pass through the analyzer inside an optimizer rule).
 
   import org.apache.spark.sql.catalyst.expressions.{
-    And, ArraysOverlap, Cast, Contains, CreateArray, EndsWith, EqualTo,
-    Expression, In, Literal, Not, Or, StartsWith}
+    And, ArraysOverlap, Cast, Coalesce, Contains, CreateArray, EndsWith,
+    EqualTo, Expression, In, Literal, Not, Or, StartsWith}
   import org.apache.spark.sql.types.{DataType, StringType}
 
   /** One criterion as a Catalyst Expression over a resolved attribute.
@@ -178,7 +188,9 @@ object Abac {
         r.map(c => criterionExpr(schema, resolve(c.field), c))
           .reduce(And(_, _))).reduce(Or(_, _)))
     val allow = ruleSet(p.allow).getOrElse(Literal(false))
+    // deny-side NULL coalescing, same rationale as [[compileOf]] — the
+    // injected predicate must not flip rows relative to enforce()
     val deny  = ruleSet(p.deny).getOrElse(Literal(false))
-    And(allow, Not(deny))
+    And(allow, Not(Coalesce(Seq(deny, Literal(false)))))
   }
 }
