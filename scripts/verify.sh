@@ -17,4 +17,4 @@ ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 exec java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "$SF" "$OUT"
+  graft.Verify "$SF" "$OUT" "${@:3}"

@@ -196,6 +196,103 @@ object CurationQueries {
           .orderBy("doc_id")
       }),
 
+    // ── DSIR-style importance resampling (Xie et al. 2023, "Data
+    //    Selection for Language Models via Importance Resampling"):
+    //    hashed unigram bag-of-words models of a TARGET distribution
+    //    (here the English half of the corpus) and the RAW pool, a
+    //    per-document importance weight, and top-25% selection. The
+    //    per-bucket likelihood ratio is FIXED-POINT ((ct+1)(Nr+m) /
+    //    (cr+1)(Nt+m), floored at 1e-6 resolution — exact integer
+    //    products < 2^53, one correctly-rounded IEEE division; no libm
+    //    log whose ulp could differ between engines), so the per-doc
+    //    weight Σ n_b·q_b is an exact BIGINT — order-independent and
+    //    bit-identical both sides. Scale shape: the feature model is
+    //    4096 rows (DSIR's own design point — the model is
+    //    driver-sized), broadcast back onto the token stream; the
+    //    per-doc aggregation rides the token cache's
+    //    hashpartitioning(doc_id). The exact top-f rank is the
+    //    deterministic oracle twin of the paper's Gumbel-noise sampling
+    //    (independent per row at 100 TB; exact rank needs the one
+    //    doc-level sort this query ends in anyway).
+    sql("llm_mix_dsir",
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS is_t,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), tokrows AS (
+        |  SELECT doc_id, is_t,
+        |         CAST(('0x' || substring(md5(unnest(tk)), 1, 15)) AS BIGINT)
+        |           % 2147483647 % 4096 AS b
+        |  FROM toks
+        |), bc AS (
+        |  SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+        |         SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+        |  FROM tokrows GROUP BY b
+        |), tot AS (
+        |  SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM bc
+        |), q AS (
+        |  SELECT b, CAST(FLOOR((CAST(ct + 1 AS DOUBLE) * (nr + 4096)) /
+        |    (CAST(cr + 1 AS DOUBLE) * (nt + 4096)) * 1000000.0) AS BIGINT)
+        |    AS qb
+        |  FROM bc, tot
+        |), docw AS (
+        |  SELECT r.doc_id, COUNT(*) AS n_tokens, SUM(q.qb) AS weight_fp
+        |  FROM tokrows r JOIN q ON q.b = r.b GROUP BY r.doc_id
+        |), ranked AS (
+        |  SELECT doc_id, n_tokens, weight_fp,
+        |         CAST(weight_fp AS DOUBLE) / n_tokens / 1000000.0
+        |           AS importance,
+        |         RANK() OVER (ORDER BY
+        |           CAST(weight_fp AS DOUBLE) / n_tokens DESC, doc_id) AS rk,
+        |         COUNT(*) OVER () AS nd
+        |  FROM docw
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(weight_fp AS BIGINT) AS weight_fp, importance,
+        |       rk <= CAST(CEIL(0.25 * nd) AS BIGINT) AS selected
+        |FROM ranked ORDER BY doc_id""")(
+      (s, d) => {
+        val m = 4096
+        // token stream off the shared cache (hashpartitioning(doc_id)),
+        // lang flag joined on the doc key
+        val tokrows = LlmQueries.tokenArrays(s, d)
+          .join(t(s, d, "documents").select(col("doc_id"),
+            (col("lang") === "en").as("is_t")), Seq("doc_id"))
+          .select(col("doc_id"), col("is_t"), explode(col("tk")).as("tok"))
+          .select(col("doc_id"), col("is_t"),
+            (Text.hash60(col("tok")) % m).as("b"))
+        // the feature model: ≤ m rows after ONE map-side-combined
+        // shuffle — driver-scale by construction, broadcast below
+        val bc = tokrows.groupBy("b").agg(
+          sum(col("is_t").cast("long")).as("ct"),
+          sum((!col("is_t")).cast("long")).as("cr"))
+        val tot = bc.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+        val q = bc.crossJoin(broadcast(tot))
+          .select(col("b"), floor(
+            (col("ct") + 1).cast("double") * (col("nr") + m) /
+              ((col("cr") + 1).cast("double") * (col("nt") + m)) *
+              lit(1000000.0)).cast("long").as("qb"))
+        // per-doc weight: broadcast model probe + a doc_id aggregation
+        // that reuses the token cache's partitioning (no new exchange)
+        val docw = tokrows.join(broadcast(q), Seq("b"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum("qb").as("weight_fp"))
+        val wAll = Window.orderBy(
+          (col("weight_fp").cast("double") / col("n_tokens")).desc,
+          col("doc_id"))
+        docw
+          .withColumn("importance",
+            col("weight_fp").cast("double") / col("n_tokens") / 1000000.0)
+          .withColumn("rk", rank().over(wAll))
+          .withColumn("nd", count(lit(1)).over(
+            Window.partitionBy(lit(1))))
+          .select(col("doc_id"), col("n_tokens"), col("weight_fp"),
+            col("importance"),
+            (col("rk") <= ceil(lit(0.25) * col("nd")).cast("long"))
+              .as("selected"))
+          .orderBy("doc_id")
+      }),
+
     // ── Exact per-stratum sampling head: the k hash-smallest documents
     //    of every language. The Spark side uses the bounded top-k
     //    AGGREGATE (TopK.smallestK): map-side combine caps shuffle volume

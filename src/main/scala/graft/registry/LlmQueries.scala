@@ -525,6 +525,94 @@ object LlmQueries {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("keep_id")),
 
+    // ── EXACT SUBSTRING duplication (Lee et al. 2022, "Deduplicating
+    //    Training Data Makes Language Models Better"): a token position
+    //    is duplicated when the k-token window starting there occurs
+    //    more than once in the corpus (any document, any position — the
+    //    paper's 50-byte window becomes a 5-token window at this
+    //    corpus' grain). Per doc: total tokens, duplicated-token count
+    //    (the union of overlapping duplicated windows, merged with one
+    //    lead() pass over sorted starts), duplicated fraction, and the
+    //    ≥20% drop flag as an exact integer comparison. The reference
+    //    algorithm builds one corpus-wide suffix array — inherently
+    //    single-machine; the distributed equivalent is positional
+    //    k-gram occurrence counting: ONE exchange on the gram hash for
+    //    the occurrence window, then the interval merge rides the token
+    //    cache's existing hashpartitioning(doc_id). Both engines count
+    //    over the shared 60-bit gram hash, so any collision (rare;
+    //    production would widen to 128-bit) affects both identically.
+    sql("llm_dedup_substring",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), pg AS (
+        |  SELECT doc_id, len(tk) AS ntok,
+        |         unnest(range(1, len(tk) - 3)) AS i,
+        |         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |                 tk[i+3] || ' ' || tk[i+4]
+        |                 for i in range(1, len(tk) - 3)]) AS gram
+        |  FROM toks
+        |), pgh AS (
+        |  SELECT doc_id, i,
+        |         CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT)
+        |           % 2147483647 AS g
+        |  FROM pg
+        |), occ AS (
+        |  SELECT doc_id, i, COUNT(*) OVER (PARTITION BY g) AS occ FROM pgh
+        |), cov AS (
+        |  SELECT doc_id,
+        |         LEAST(5, COALESCE(
+        |           LEAD(i) OVER (PARTITION BY doc_id ORDER BY i) - i, 5)) AS c
+        |  FROM occ WHERE occ > 1
+        |), agg AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup_tokens
+        |  FROM cov GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+        |       COALESCE(a.dup_tokens, 0) AS dup_tokens,
+        |       CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / len(t.tk) AS dup_frac,
+        |       COALESCE(a.dup_tokens, 0) * 5 >= len(t.tk) AS flagged
+        |FROM toks t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""")(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 5
+        // positional k-grams off the shared token cache (0-based starts;
+        // the oracle's are 1-based — only differences and order matter)
+        val toks = tokenArrays(s, d)
+        val pg = toks.filter(size(col("tk")) >= k)
+          .select(col("doc_id"),
+            posexplode(expr(s"transform(sequence(0, size(tk) - $k), " +
+              s"i -> concat_ws(' ', slice(tk, i + 1, $k)))"))
+              .as(Seq("i", "gram")))
+          .select(col("doc_id"), col("i"), Text.hash60(col("gram")).as("g"))
+        // corpus occurrence count per gram hash — the plan's ONE
+        // postings-sized exchange (window count; map-side nothing to
+        // combine, but the alternative agg+join would move the postings
+        // twice)
+        val dupStarts = pg
+          .withColumn("occ", count(lit(1)).over(Window.partitionBy("g")))
+          .filter(col("occ") > 1)
+        // merge overlapping [i, i+k) windows: sorted-start lead() pass,
+        // partitioned back on doc_id; the groupBy below reuses that
+        // partitioning (no extra exchange)
+        val wDoc = Window.partitionBy("doc_id").orderBy("i")
+        val agg = dupStarts
+          .withColumn("c", least(lit(k),
+            coalesce(lead(col("i"), 1).over(wDoc) - col("i"), lit(k))))
+          .groupBy("doc_id")
+          .agg(sum("c").cast("long").as("dup_tokens"))
+        toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+            (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+              col("n_tokens")).as("dup_frac"),
+            (coalesce(col("dup_tokens"), lit(0L)) * 5 >= col("n_tokens"))
+              .as("flagged"))
+          .orderBy("doc_id")
+      }),
+
     // ── n-gram Jaccard near-dup pairs — EXACT, and fully distributed:
     //    AllPairs/PPJoin candidate generation (see ngramCandidates) with
     //    a viral-gram df cap, then exact verification on full gram sets.
