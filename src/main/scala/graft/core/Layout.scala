@@ -88,8 +88,13 @@ object Layout {
     * groups inherit the tile locality too). Write the result with
     * `.write.parquet(...)` — or feed it to any sink that preserves
     * partitioning. */
-  def zOrder(df: DataFrame, zCols: Seq[String], numFiles: Int,
-      bits: Int = 8): DataFrame = {
+  /** The z-curve position column for `df`'s rows over `zCols` — the
+    * composable piece: [[zOrder]] clusters a free-standing frame on it,
+    * and the transaction log's OPTIMIZE ZORDER appends it to its own
+    * (partition, z) range clustering. Runs the one `approxQuantile`
+    * sketch pass here (driver receives only boundary arrays). */
+  def zColumn(df: DataFrame, zCols: Seq[String], bits: Int = 8)
+      : org.apache.spark.sql.Column = {
     require(zCols.nonEmpty, "zOrder needs at least one column")
     require(bits >= 1 && bits * zCols.length <= 62,
       s"bits * cols must fit a long, got $bits * ${zCols.length}")
@@ -101,11 +106,15 @@ object Layout {
     val bins = zCols.zip(allBounds).map { case (c, bs) =>
       quantileBin(col(c).cast("double"), bs.distinct.sorted)
     }
-    df.withColumn("_z", zValue(bins, bits))
+    zValue(bins, bits)
+  }
+
+  def zOrder(df: DataFrame, zCols: Seq[String], numFiles: Int,
+      bits: Int = 8): DataFrame =
+    df.withColumn("_z", zColumn(df, zCols, bits))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
-  }
 
   /** Z-order `df` and write it as plain parquet at `path`. */
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],

@@ -224,7 +224,12 @@ object TxLog {
     * or `None` bounds mean "written before stats" and disable skipping
     * for that file, never wrong results). */
   case class AddFile(path: String, partition: String, rows: Long,
-      minKey: Option[String] = None, maxKey: Option[String] = None)
+      minKey: Option[String] = None, maxKey: Option[String] = None,
+      // per-column NUMERIC min/max (footer stats collected for the
+      // z-order dimensions at OPTIMIZE time) — the generic data-skipping
+      // inputs behind [[read]]'s `numRanges`. Files written without
+      // stats for a column are never skipped on it.
+      numStats: Map[String, (Double, Double)] = Map.empty)
 
   /** Resolved table state: committed version + live file set + the
     * table schema as of that version (DDL string; carried by commits
@@ -280,18 +285,38 @@ object TxLog {
         "partition" -> (JString(f.partition): JValue),
         "rows" -> (JLong(f.rows): JValue))
       val stats = f.minKey.map(m => "minKey" -> (JString(m): JValue)).toList ++
-        f.maxKey.map(m => "maxKey" -> (JString(m): JValue)).toList
+        f.maxKey.map(m => "maxKey" -> (JString(m): JValue)).toList ++
+        (if (f.numStats.isEmpty) Nil
+         else List("nstats" -> (JObject(f.numStats.toList.sortBy(_._1)
+           .map { case (c, (mn, mx)) =>
+             c -> (JArray(List(JDouble(mn), JDouble(mx))): JValue)
+           }): JValue)))
       JObject(base ++ stats: _*)
     }.toList)
 
   private def parseFiles(j: JValue): Seq[AddFile] = j match {
     case JArray(items) => items.collect { case it: JObject =>
       def opt(k: String) = (it \ k).toOption.collect { case JString(s) => s }
+      def num(j: JValue): Option[Double] = j match {
+        case JDouble(d) => Some(d)
+        case JInt(i) => Some(i.toDouble)
+        case JLong(l) => Some(l.toDouble)
+        case JDecimal(d) => Some(d.toDouble)
+        case _ => None
+      }
+      val nstats = (it \ "nstats") match {
+        case JObject(fields) => fields.flatMap {
+          case (c, JArray(List(mn, mx))) =>
+            for (a <- num(mn); b <- num(mx)) yield c -> (a, b)
+          case _ => None
+        }.toMap
+        case _ => Map.empty[String, (Double, Double)]
+      }
       AddFile(
         (it \ "path").values.toString,
         (it \ "partition").values.toString,
         (it \ "rows").values.toString.toLong,
-        opt("minKey"), opt("maxKey"))
+        opt("minKey"), opt("maxKey"), nstats)
     }
     case _ => Seq.empty
   }
@@ -630,7 +655,13 @@ object TxLog {
   def read(spark: SparkSession, path: String,
       partitions: Option[Set[String]] = None,
       asOfVersion: Option[Long] = None,
-      keyRange: Option[(String, String)] = None): DataFrame = {
+      keyRange: Option[(String, String)] = None,
+      // per-column CLOSED numeric ranges: a file is skipped when its
+      // committed [[AddFile.numStats]] for that column cannot intersect
+      // the range (files without stats for the column always read —
+      // superset-safe; callers re-apply the predicate). Populated by
+      // [[optimizeZOrder]]'s stat collection.
+      numRanges: Map[String, (Double, Double)] = Map.empty): DataFrame = {
     val snap = asOfVersion match {
       case Some(v) => snapshotAt(spark, path, v)
       case None => snapshot(spark, path)
@@ -639,13 +670,21 @@ object TxLog {
       case Some(ps) => snap.files.filter(f => ps(f.partition))
       case None => snap.files
     }
-    val live = keyRange match {
+    val byKey = keyRange match {
       case Some((lo, hi)) => byPart.filter(f => (f.minKey, f.maxKey) match {
         case (Some(mn), Some(mx)) =>
           cmpUtf8(mx, lo) >= 0 && cmpUtf8(mn, hi) <= 0
         case _ => true // no stats → cannot skip
       })
       case None => byPart
+    }
+    val live = if (numRanges.isEmpty) byKey else byKey.filter { f =>
+      numRanges.forall { case (c, (lo, hi)) =>
+        f.numStats.get(c) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true // no stats → cannot skip
+        }
+      }
     }
     if (live.isEmpty) {
       // an emptied (or fully-pruned) table still reads with its full
@@ -790,6 +829,45 @@ object TxLog {
     } finally reader.close()
   }
 
+  /** Per-column NUMERIC min/max from a file's parquet footer: one
+    * map entry per requested column whose statistics exist in EVERY
+    * row group (a column missing stats anywhere yields no entry — no
+    * stats means no skipping, never wrong pruning). */
+  private def footerNumStats(conf: org.apache.hadoop.conf.Configuration,
+      file: Path, cols: Seq[String]): Map[String, (Double, Double)] = {
+    if (cols.isEmpty) return Map.empty
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      def numeric(v: Any): Option[Double] = v match {
+        case n: java.lang.Integer => Some(n.toDouble)
+        case n: java.lang.Long => Some(n.toDouble)
+        case n: java.lang.Float => Some(n.toDouble)
+        case n: java.lang.Double => Some(n)
+        case _ => None
+      }
+      cols.flatMap { colName =>
+        val perBlock = blocks.flatMap { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == colName)
+            .flatMap { c =>
+              val st: org.apache.parquet.column.statistics.Statistics[_] =
+                c.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue) None
+              else for {
+                mn <- numeric(st.genericGetMin)
+                mx <- numeric(st.genericGetMax)
+              } yield (mn, mx)
+            }
+        }
+        if (perBlock.size != blocks.size) None
+        else Some(colName ->
+          (perBlock.map(_._1).min, perBlock.map(_._2).max))
+      }.toMap
+    } finally reader.close()
+  }
+
   /** Write `df`'s rows as new UNCOMMITTED data files under the table
     * root (hive-partitioned by `partitionCol`), returning their AddFile
     * records — row count and, when `statsCol` is set, per-file key
@@ -797,7 +875,8 @@ object TxLog {
     * read per staged file, proportional to the batch, not the table).
     * Files are invisible to readers until a commit references them. */
   def stageData(spark: SparkSession, path: String, df: DataFrame,
-      partitionCol: String, statsCol: Option[String] = None): Seq[AddFile] = {
+      partitionCol: String, statsCol: Option[String] = None,
+      numStatsCols: Seq[String] = Nil): Seq[AddFile] = {
     val table = new Path(path)
     val fs = fsOf(spark, table)
     val conf = spark.sessionState.newHadoopConf()
@@ -817,7 +896,8 @@ object TxLog {
           if (!fs.rename(f.getPath, dest))
             throw new java.io.IOException(s"stage move failed: $dest")
           val (rows, mn, mx) = footerStats(conf, dest, statsCol)
-          AddFile(s"$escaped/${dest.getName}", raw, rows, mn, mx)
+          AddFile(s"$escaped/${dest.getName}", raw, rows, mn, mx,
+            footerNumStats(conf, dest, numStatsCols))
         }
     }.toSeq
     fs.delete(stage, true)
@@ -1156,6 +1236,60 @@ object TxLog {
       // conflict: a writer landed first — its commit may have replaced
       // some of our inputs; restart from the fresh snapshot (our staged
       // files stay unreferenced and are reclaimed by vacuum)
+    }
+    0
+  }
+
+  /** Transactional OPTIMIZE ZORDER (the Delta `OPTIMIZE ... ZORDER BY`
+    * analogue): rewrite the table clustered along the z-curve over
+    * `zCols` — quantile-binned, bit-interleaved, range-partitioned on
+    * (partition, z) with one slot per `targetRowsPerFile` rows, each
+    * slot z-sorted — and commit the swap optimistically (a concurrent
+    * writer is a version race the loser retries, same contract as
+    * [[compact]]). Every output file covers a small TILE of the zCols'
+    * value domain, and its per-column min/max footer stats are
+    * collected into the commit ([[AddFile.numStats]]), so a
+    * [[read]] with `numRanges` on ANY z column — or a pushed-down
+    * range filter through `format("txlog")` — opens a fraction of the
+    * files instead of all of them. A linear key sort serves only its
+    * leading column; this is the multi-dimension data-skipping layout
+    * a 100 TB table queried on several axes needs.
+    *
+    * Row-identical by construction; superseded files remain readable
+    * for time travel until [[vacuum]]. Returns the number of files the
+    * clustered table now has. */
+  def optimizeZOrder(spark: SparkSession, path: String, zCols: Seq[String],
+      partitionCol: String = "str_databaseid", keyCol: String = "_docId",
+      bits: Int = 8, maxAttempts: Int = 20,
+      targetRowsPerFile: Long = 4L * 1024 * 1024): Int = {
+    require(zCols.nonEmpty, "optimizeZOrder needs at least one column")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= maxAttempts,
+        s"optimizeZOrder: $maxAttempts commit conflicts")
+      val snap = snapshot(spark, path)
+      if (snap.files.isEmpty) return 0
+      val inputs = snap.files
+      val totalRows = inputs.map(f => math.max(f.rows, 0L)).sum
+      val slots = math.max(1,
+        math.ceil(totalRows.toDouble / targetRowsPerFile).toInt)
+      val raw = spark.read.option("basePath", path)
+        .parquet(inputs.map(f => s"$path/${f.path}"): _*)
+        .withColumn(partitionCol, col(partitionCol).cast("string"))
+      zCols.foreach(c => require(raw.columns.contains(c),
+        s"optimizeZOrder: no column $c in table at $path"))
+      val clustered = raw
+        .withColumn("_z", graft.core.Layout.zColumn(raw, zCols, bits))
+        .repartitionByRange(slots, col(partitionCol), col("_z"))
+        .sortWithinPartitions(col(partitionCol), col("_z"))
+        .drop("_z")
+      val staged = stageData(spark, path, clustered, partitionCol,
+        Some(keyCol).filter(clustered.columns.contains), zCols)
+      if (tryCommit(spark, path, snap.version + 1, staged, inputs))
+        return staged.size
+      // conflict: restart from the fresh snapshot; our staged files
+      // stay unreferenced and are reclaimed by vacuum
     }
     0
   }
