@@ -1247,6 +1247,84 @@ object LlmQueries {
           .orderBy("lang")
       }),
 
+    // ── BPE tokenizer TRAINING, first three merge steps (Sennrich et
+    //    al. 2016) — the "count adjacent pairs → merge the winner" loop
+    //    behind every production tokenizer, run distributed by
+    //    [[graft.llmops.Bpe]]: training state is the WORD-FREQUENCY
+    //    table (100 TB of text folds to its distinct words in one
+    //    map-side-combined count), each step is one vocabulary-sized
+    //    pair-count shuffle + a 1-row best-pair collect + a fully
+    //    NARROW greedy merge (per-word array folds; the a==b run rule
+    //    rides the fold's last-merged position). Ties break (count
+    //    desc, pair asc), so the merge table is deterministic; the
+    //    oracle unrolls three steps with an equivalent run-parity
+    //    window phrasing of the same greedy semantics.
+    sql("llm_bpe_merges", {
+      def iter(n: Int): String = {
+        val prev = s"s${n - 1}"
+        s"""p$n AS (
+          |  SELECT u.pair, SUM(u.freq) AS cnt FROM (
+          |    SELECT freq, unnest([tk[i] || ' ' || tk[i+1]
+          |                         for i in range(1, len(tk))]) AS pair
+          |    FROM (SELECT regexp_split_to_array(seq, ' ') AS tk, freq
+          |          FROM $prev)
+          |  ) u GROUP BY u.pair
+          |), b$n AS (
+          |  SELECT pair, cnt FROM p$n ORDER BY cnt DESC, pair LIMIT 1
+          |), e$n AS (
+          |  SELECT s.w, s.freq, ii.i, s.tk[ii.i] AS sym,
+          |         CASE WHEN ii.i < len(s.tk)
+          |               AND s.tk[ii.i] = split_part(b.pair, ' ', 1)
+          |               AND s.tk[ii.i+1] = split_part(b.pair, ' ', 2)
+          |              THEN 1 ELSE 0 END AS hit
+          |  FROM (SELECT w, freq, regexp_split_to_array(seq, ' ') AS tk
+          |        FROM $prev) s
+          |       CROSS JOIN b$n b,
+          |       LATERAL (SELECT unnest(range(1, len(s.tk) + 1)) AS i) ii
+          |), m$n AS (
+          |  SELECT w, i, (i - MIN(i) OVER (PARTITION BY w, run)) % 2 = 0 AS dm
+          |  FROM (SELECT w, i,
+          |               i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i)
+          |                 AS run
+          |        FROM e$n WHERE hit = 1)
+          |), s$n AS (
+          |  SELECT e.w, ANY_VALUE(e.freq) AS freq,
+          |         string_agg(CASE WHEN cur.dm THEN replace(b.pair, ' ', '')
+          |                         WHEN prev.dm THEN NULL
+          |                         ELSE e.sym END, ' ' ORDER BY e.i) AS seq
+          |  FROM e$n e CROSS JOIN b$n b
+          |    LEFT JOIN m$n cur ON cur.w = e.w AND cur.i = e.i
+          |    LEFT JOIN m$n prev ON prev.w = e.w AND prev.i = e.i - 1
+          |  GROUP BY e.w
+          |)"""
+      }
+      s"""WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), w0 AS (
+        |  SELECT w, COUNT(*) AS freq FROM toks GROUP BY w
+        |), s0 AS (
+        |  SELECT w, freq, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq
+        |  FROM w0
+        |), ${Seq(1, 2, 3).map(iter).mkString(",\n")}
+        |SELECT CAST(1 AS BIGINT) AS step, pair, CAST(cnt AS BIGINT) AS cnt
+        |FROM b1
+        |UNION ALL SELECT 2, pair, CAST(cnt AS BIGINT) FROM b2
+        |UNION ALL SELECT 3, pair, CAST(cnt AS BIGINT) FROM b3
+        |ORDER BY step"""
+    })(
+      (s, d) => {
+        import s.implicits._
+        val words = tokenArrays(s, d)
+          .select(explode(col("tk")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+        val merges = graft.llmops.Bpe.train(words, 3)
+        merges.zipWithIndex
+          .map { case (m, i) => (i + 1L, m.pair, m.count) }
+          .toDF("step", "pair", "cnt")
+          .orderBy("step")
+      }),
+
     // ── Document fingerprint: canonicalized (sorted distinct token set)
     //    content hash + cluster sizes.
     sql("llm_text_fingerprint",
