@@ -98,10 +98,12 @@ object Bpe {
         val pair = best(0).getString(0)
         merges += Merge(pair, best(0).getLong(1))
         val Array(a, b) = pair.split(" ", 2)
-        state = applyMerge(state, a, b)
-        // bound plan depth across iterations (the state is
-        // vocabulary-sized — checkpointing it is cheap)
-        if (step % 4 == 0) state = state.localCheckpoint()
+        // checkpoint EVERY step: the next iteration's count action
+        // would otherwise recompute the whole merge chain from the raw
+        // words (step k pays k-1 replays), and the state is only
+        // vocabulary-sized — the checkpoint is cheap and also bounds
+        // plan depth for long trainings
+        state = applyMerge(state, a, b).localCheckpoint()
       }
     }
     merges.toSeq

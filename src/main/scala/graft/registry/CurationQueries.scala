@@ -149,6 +149,65 @@ object CurationQueries {
           .orderBy("source")
       }),
 
+    // ── TEMPERATURE-sampled multilingual mixing (the UniMax /
+    //    mT5-style α=0.5 rule): per-language sampling weights ∝
+    //    count^α normalized, so high-resource languages down-sample
+    //    and low-resource ones keep more of their data; target corpus
+    //    = half the pool. DETERMINISM: √n is quantized to a 1e-6
+    //    fixed-point BIGINT before the cross-language normalization sum
+    //    (integer Σ is order-independent; sqrt itself is IEEE
+    //    correctly-rounded — no libm variance), every later double op
+    //    has the identical expression shape in both engines, and the
+    //    keep decision is the stable content-free hash the other
+    //    sampling operators share. Scale: one tiny lang rollup
+    //    broadcast back onto a narrow scan.
+    sql("llm_mix_temperature",
+      s"""WITH lc AS (
+        |  SELECT lang, COUNT(*) AS n,
+        |         CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0)
+        |              AS BIGINT) AS s
+        |  FROM documents GROUP BY lang
+        |), tot AS (
+        |  SELECT SUM(s) AS st, SUM(n) AS nd FROM lc
+        |), rates AS (
+        |  SELECT lang, n, CAST(s AS DOUBLE) / st AS w,
+        |         LEAST(1.0, (CAST(s AS DOUBLE) / st)
+        |           * (CAST(nd AS DOUBLE) / 2.0) / n) AS rate
+        |  FROM lc, tot
+        |), d AS (
+        |  SELECT d.lang, r.n, r.w, r.rate,
+        |         ${QueryDef.hashBucketSql("'tmix:' || CAST(d.doc_id AS VARCHAR)")} AS h
+        |  FROM documents d JOIN rates r USING (lang)
+        |)
+        |SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs, MAX(w) AS weight,
+        |       MAX(rate) AS rate,
+        |       CAST(SUM(CASE WHEN h < rate * 2147483647 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_kept
+        |FROM d GROUP BY lang ORDER BY lang""")(
+      (s, d) => {
+        val lc = t(s, d, "documents").groupBy("lang").agg(
+          count(lit(1)).as("n"),
+          floor(sqrt(count(lit(1)).cast("double")) * lit(1000000.0))
+            .cast("long").as("s"))
+        val tot = lc.agg(sum("s").as("st"), sum("n").as("nd"))
+        val rates = lc.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n"),
+            (col("s").cast("double") / col("st")).as("w"),
+            least(lit(1.0), (col("s").cast("double") / col("st")) *
+              (col("nd").cast("double") / lit(2.0)) / col("n")).as("rate"))
+        val h = Text.hash60(concat(lit("tmix:"), col("doc_id").cast("string")))
+        t(s, d, "documents")
+          .select(col("lang"), h.as("h"))
+          .join(broadcast(rates), Seq("lang"))
+          .groupBy("lang").agg(
+            max("n").cast("long").as("n_docs"),
+            max("w").as("weight"),
+            max("rate").as("rate"),
+            sum(when(col("h") < col("rate") * lit(2147483647L), 1L)
+              .otherwise(0L)).as("n_kept"))
+          .orderBy("lang")
+      }),
+
     // ── Quality-weighted sampling: keep probability = the document's
     //    quality score (the llm_text_quality formula), decided by the
     //    same stable content-free hash as the other sampling operators —

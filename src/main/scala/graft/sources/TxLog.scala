@@ -229,7 +229,11 @@ object TxLog {
       // z-order dimensions at OPTIMIZE time) — the generic data-skipping
       // inputs behind [[read]]'s `numRanges`. Files written without
       // stats for a column are never skipped on it.
-      numStats: Map[String, (Double, Double)] = Map.empty)
+      numStats: Map[String, (Double, Double)] = Map.empty,
+      // table root this file's relative `path` resolves against; None =
+      // the owning table's own root. Set by [[shallowClone]], whose v0
+      // commit BORROWS the source's data files without copying bytes.
+      external: Option[String] = None)
 
   /** Resolved table state: committed version + live file set + the
     * table schema as of that version (DDL string; carried by commits
@@ -290,7 +294,8 @@ object TxLog {
          else List("nstats" -> (JObject(f.numStats.toList.sortBy(_._1)
            .map { case (c, (mn, mx)) =>
              c -> (JArray(List(JDouble(mn), JDouble(mx))): JValue)
-           }): JValue)))
+           }): JValue))) ++
+        f.external.map(e => "external" -> (JString(e): JValue)).toList
       JObject(base ++ stats: _*)
     }.toList)
 
@@ -316,7 +321,7 @@ object TxLog {
         (it \ "path").values.toString,
         (it \ "partition").values.toString,
         (it \ "rows").values.toString.toLong,
-        opt("minKey"), opt("maxKey"), nstats)
+        opt("minKey"), opt("maxKey"), nstats, opt("external"))
     }
     case _ => Seq.empty
   }
@@ -652,6 +657,24 @@ object TxLog {
     * Delta's stats-based data skipping. Files written before stats
     * tracking have no bounds and are always read; key-skipping only
     * drops files, so the caller still applies its row filter. */
+  /** Read a set of committed files under one schema, each resolved
+    * against its OWNING root ([[AddFile.external]] for files a
+    * [[shallowClone]] borrowed): parquet's `basePath` must prefix every
+    * file it covers, so the scan runs once per distinct root and the
+    * frames union. */
+  private def readAddFiles(spark: SparkSession, tableRoot: String,
+      files: Seq[AddFile], schemaDdl: Option[String]): DataFrame = {
+    val byRoot = files.groupBy(_.external.getOrElse(tableRoot))
+    byRoot.toSeq.sortBy(_._1).map { case (root, fs) =>
+      val rd = spark.read.option("basePath", root)
+      schemaDdl
+        .map(ddl => rd.schema(
+          org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+        .getOrElse(rd)
+        .parquet(fs.map(f => s"$root/${f.path}"): _*)
+    }.reduce(_ unionByName _)
+  }
+
   def read(spark: SparkSession, path: String,
       partitions: Option[Set[String]] = None,
       asOfVersion: Option[Long] = None,
@@ -701,12 +724,7 @@ object TxLog {
       // read under the COMMITTED schema when the log carries one: files
       // written before a column was added (schema evolution via merge)
       // null-fill it, and the footer-inference pass is skipped entirely
-      val rd = spark.read.option("basePath", path)
-      snap.schemaDdl
-        .map(ddl => rd.schema(
-          org.apache.spark.sql.types.StructType.fromDDL(ddl)))
-        .getOrElse(rd)
-        .parquet(live.map(f => s"$path/${f.path}"): _*)
+      readAddFiles(spark, path, live, snap.schemaDdl)
     }
   }
 
@@ -740,12 +758,8 @@ object TxLog {
         // BOTH sides read under the newer snapshot's schema so the
         // full-row comparison resolves across a schema evolution
         // boundary (pre-evolution files null-fill the added columns)
-        val rd = spark.read.option("basePath", path)
-        Some(toS.schemaDdl.orElse(fromS.schemaDdl)
-          .map(ddl => rd.schema(
-            org.apache.spark.sql.types.StructType.fromDDL(ddl)))
-          .getOrElse(rd)
-          .parquet(fs.map(f => s"$path/${f.path}"): _*))
+        Some(readAddFiles(spark, path, fs,
+          toS.schemaDdl.orElse(fromS.schemaDdl)))
       }
     (readFiles(removed), readFiles(added)) match {
       case (None, None) =>
@@ -1032,12 +1046,7 @@ object TxLog {
             // inference: a partition whose files predate a schema
             // evolution must surface the added columns (null-filled) or
             // this merge would commit a DEMOTED table schema
-            val rd = spark.read.option("basePath", path)
-            snap.schemaDdl
-              .map(ddl => rd.schema(
-                org.apache.spark.sql.types.StructType.fromDDL(ddl)))
-              .getOrElse(rd)
-              .parquet(oldFiles.map(f => s"$path/${f.path}"): _*)
+            readAddFiles(spark, path, oldFiles, snap.schemaDdl)
               .withColumn(partitionCol, col(partitionCol).cast("string"))
           }
         val merged = current match {
@@ -1203,8 +1212,7 @@ object TxLog {
       val inputs = needsWork.values.flatten.toSeq
       val totalRows = inputs.map(f => math.max(f.rows, 0L)).sum
       val slots = math.ceil(totalRows.toDouble / targetRowsPerFile).toInt
-      val raw = spark.read.option("basePath", path)
-        .parquet(inputs.map(f => s"$path/${f.path}"): _*)
+      val raw = readAddFiles(spark, path, inputs, snap.schemaDdl)
         .withColumn(partitionCol, col(partitionCol).cast("string"))
       val hasKey = raw.columns.contains(keyCol)
       // two clustering regimes, both key-sorted so every output file
@@ -1238,6 +1246,42 @@ object TxLog {
       // files stay unreferenced and are reclaimed by vacuum)
     }
     0
+  }
+
+  /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE src`
+    * analogue): create a NEW independent table at `destPath` whose v0
+    * commit BORROWS the source's current data files by reference — a
+    * metadata-only operation, no bytes copied, O(files) driver work.
+    * The clone starts with the source's schema and CHECK constraints
+    * and then evolves independently: merges/compactions/OPTIMIZE at
+    * the clone write their own local files and never touch the source;
+    * a full local rewrite (e.g. [[optimizeZOrder]] or a compaction that
+    * folds every borrowed file) materializes it completely. This is the
+    * zero-copy dev/experimentation copy a 100 TB table needs.
+    *
+    * Caveat shared with the Delta feature: [[vacuum]] runs per table
+    * root and only deletes files IT owns, so vacuuming the clone can
+    * never delete source bytes — but vacuuming the SOURCE can remove
+    * files the clone still references (the source does not know about
+    * borrowers). Pin a [[tag]] on the source version you cloned, or
+    * schedule source vacuums around clone lifetimes. */
+  def shallowClone(spark: SparkSession, srcPath: String,
+      destPath: String): Long = {
+    val src = new Path(srcPath)
+    val fs = fsOf(spark, src)
+    require(isTable(spark, srcPath), s"shallowClone: no table at $srcPath")
+    require(!isTable(spark, destPath),
+      s"shallowClone: $destPath is already a table")
+    val qualifiedSrc = fs.makeQualified(src).toString
+    val snap = snapshot(spark, srcPath)
+    val borrowed = snap.files.map(f =>
+      f.copy(external = Some(f.external.getOrElse(qualifiedSrc))))
+    fsOf(spark, new Path(destPath)).mkdirs(new Path(destPath))
+    require(tryCommit(spark, destPath, 0L, borrowed, Seq.empty,
+      snap.schemaDdl,
+      if (snap.constraints.isEmpty) None else Some(snap.constraints)),
+      s"shallowClone: concurrent writer created $destPath first")
+    snap.version
   }
 
   /** Transactional OPTIMIZE ZORDER (the Delta `OPTIMIZE ... ZORDER BY`
@@ -1274,8 +1318,7 @@ object TxLog {
       val totalRows = inputs.map(f => math.max(f.rows, 0L)).sum
       val slots = math.max(1,
         math.ceil(totalRows.toDouble / targetRowsPerFile).toInt)
-      val raw = spark.read.option("basePath", path)
-        .parquet(inputs.map(f => s"$path/${f.path}"): _*)
+      val raw = readAddFiles(spark, path, inputs, snap.schemaDdl)
         .withColumn(partitionCol, col(partitionCol).cast("string"))
       zCols.foreach(c => require(raw.columns.contains(c),
         s"optimizeZOrder: no column $c in table at $path"))

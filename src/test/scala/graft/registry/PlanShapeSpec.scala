@@ -120,18 +120,39 @@ class PlanShapeSpec extends SparkSpec {
   test("exact embed dedup degrades to a partitioned CartesianProduct, never OOM") {
     // with broadcast genuinely impossible (threshold -1) the declared
     // plan must become a distributed block-pair scan, not fail or
-    // single-node — this is the 100 TB behavior of the exact baseline
+    // single-node — this is the 100 TB behavior of the exact baseline.
+    // The pair scan lives behind the shared session cache
+    // (exactEmbedPairs), so the cache is cleared first — the memo
+    // guard re-persists it under THIS conf — and the assertion
+    // traverses into InMemoryRelation / finalized AQE subplans.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.joins.CartesianProductExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q.plan
+        case s: InMemoryTableScanExec => s.relation.cachedPlan
+      }
+      p +: nested.filterNot(_ eq p).flatMap(flatten)
+    }
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
     try {
       spark.conf.set(key, "-1")
+      spark.catalog.clearCache()
       val df = graft.SparkEntry.queries("llm_dedup_embed")(spark, sf())
-      val sp = df.queryExecution.sparkPlan
-      assert(sp.collect { case c: CartesianProductExec => c }.nonEmpty,
-        sp.toString.take(2000))
       assert(df.count() >= 0) // executes end-to-end under the cartesian plan
-    } finally spark.conf.set(key, prev)
+      val all = flatten(df.queryExecution.executedPlan)
+      assert(all.exists(p =>
+        p.collect { case c: CartesianProductExec => c }.nonEmpty),
+        all.map(_.treeString).mkString("\n====\n").take(4000))
+    } finally {
+      spark.conf.set(key, prev)
+      spark.catalog.clearCache()
+    }
   }
 
   test("sketch facet partial-aggregates and its embedded check holds") {
