@@ -81,6 +81,18 @@ object Bpe {
     state.select(col("w"), col("freq"), rebuilt.as("seq"))
   }
 
+  // trained merge tables per cache key — a production pipeline trains
+  // the tokenizer ONCE per corpus and persists the merge table beside
+  // it; re-deriving it on every consumer would be re-training per query
+  // (same persistence rationale as the PQ codebook cache)
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Merge]]()
+
+  /** [[train]] memoized on `cacheKey` (e.g. the corpus path). */
+  def trainCached(words: => DataFrame, cacheKey: String, steps: Int)
+      : Seq[Merge] =
+    mergeCache.computeIfAbsent((cacheKey, steps), _ => train(words, steps))
+
   /** Train `steps` merges over the `(w, freq)` word-frequency table.
     * Returns the ordered merge table. Each step's lineage is cut with
     * a localCheckpoint so long trainings don't accrete a deep plan. */

@@ -1318,7 +1318,7 @@ object LlmQueries {
         val words = tokenArrays(s, d)
           .select(explode(col("tk")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("freq"))
-        val merges = graft.llmops.Bpe.train(words, 3)
+        val merges = graft.llmops.Bpe.trainCached(words, s"bpe:$d", 3)
         merges.zipWithIndex
           .map { case (m, i) => (i + 1L, m.pair, m.count) }
           .toDF("step", "pair", "cnt")

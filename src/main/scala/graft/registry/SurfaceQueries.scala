@@ -765,6 +765,81 @@ object SurfaceQueries {
           .orderBy("asset_id")
       }),
 
+    // ── PageRank over the entity link graph (the importance rollup a
+    //    knowledge-graph export ranks nodes by; edges = who-bought-
+    //    from-whom, customer → supplier, modeled on lineitem⋈orders the
+    //    way the other graph surfaces derive their links). The
+    //    arithmetic is FULLY INTEGER: ranks live on a 1e12 fixed-point
+    //    grid, the damping 0.85 is the rational 17/20, and every
+    //    per-edge contribution is a BIGINT floor-division — so the
+    //    in-neighbor sums are order-independent and bit-identical in
+    //    both engines (a float PageRank's Σ would round differently per
+    //    shuffle order). Dangling mass is not redistributed (documented
+    //    simplification; ranking order is what the surface serves).
+    //    Scale shape: 3 iterations × (one edge⋈rank hash join + one
+    //    map-side-combined groupBy on dst), rank state localCheckpointed
+    //    per iteration exactly like the dedup components fixpoint —
+    //    never a driver-side adjacency structure.
+    sql("gx3_link_pagerank", {
+      def iter(n: Int): String = {
+        val prev = s"r${n - 1}"
+        s"""r$n AS (
+          |  SELECT nodes.nd AS node,
+          |         150000000000 // nn.cnt
+          |           + (17 * COALESCE(s.insum, 0)) // 20 AS r
+          |  FROM nodes CROSS JOIN nn
+          |  LEFT JOIN (SELECT e.dst, SUM(r.r // d.od) AS insum
+          |             FROM e JOIN $prev r ON r.node = e.src
+          |                    JOIN deg d ON d.src = e.src
+          |             GROUP BY e.dst) s ON s.dst = nodes.nd
+          |)"""
+      }
+      s"""WITH e AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), nodes AS (
+        |  SELECT DISTINCT nd FROM (SELECT src AS nd FROM e
+        |                           UNION ALL SELECT dst FROM e)
+        |), nn AS (SELECT COUNT(*) AS cnt FROM nodes),
+        |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+        |r0 AS (SELECT nd AS node, 1000000000000 // nn.cnt AS r
+        |       FROM nodes CROSS JOIN nn),
+        |${Seq(1, 2, 3).map(iter).mkString(",\n")}
+        |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
+        |ORDER BY r DESC, node LIMIT 20"""
+    })(
+      (s, d) => {
+        val e = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+          .localCheckpoint()
+        val nodes = e.select(col("src").as("node"))
+          .unionByName(e.select(col("dst").as("node")))
+          .distinct().localCheckpoint()
+        val nCnt = nodes.count()
+        val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+        var r = nodes.select(col("node"),
+          lit(1000000000000L / nCnt).as("r"))
+        val base = 150000000000L / nCnt
+        for (_ <- 1 to 3) {
+          val insum = e.join(r, col("node") === col("src")).drop("node")
+            .join(deg, "src")
+            .select(col("dst"), expr("r div od").as("c"))
+            .groupBy("dst").agg(sum("c").as("insum"))
+          r = nodes.join(insum, col("node") === col("dst"), "left")
+            .select(col("node"),
+              (lit(base) + expr("(17 * coalesce(insum, 0L)) div 20")).as("r"))
+            .localCheckpoint()
+        }
+        r.orderBy(col("r").desc, col("node")).limit(20)
+          .select(col("node"), col("r").cast("long").as("rank_fp"))
+      }),
+
     // ── Asset-link METADATA listing (metadataService.py:380-430 +
     //    storageBuilder :1182-1197): all metadata rows for the
     //    authorized links, SK-descending per link (ScanIndexForward=
