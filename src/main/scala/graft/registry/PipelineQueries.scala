@@ -69,6 +69,43 @@ object PipelineQueries {
           .orderBy("event_id")
       }),
 
+    // ── Interval attribution PAIRS (the stream-stream join surface):
+    //    every view each purchase can credit within the preceding hour,
+    //    same user, half-open (p.ts − 1h, p.ts]. The Spark side is
+    //    EventOps.attributionJoin — on watermarked streams the SAME
+    //    expression is Spark's stream-stream inner join with state
+    //    bounded to watermark + horizon (StreamingSpec drives that twin
+    //    over the real fixture); this batch form is the oracle check.
+    sql("ev5_attribution_pairs",
+      """WITH ev AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+        |  FROM events
+        |)
+        |SELECT p.event_id AS conv_event_id, v.event_id AS src_event_id,
+        |       p.user_id AS user_id,
+        |       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS src_ts,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS conv_ts,
+        |       epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+        |FROM (SELECT * FROM ev WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        | AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+        |ORDER BY conv_event_id, src_event_id""")(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        graft.streaming.EventOps.attributionJoin(
+            ev.filter(col("event_type") === "view"),
+            ev.filter(col("event_type") === "purchase"),
+            horizon = "1 HOUR")
+          .select(col("conv_event_id"), col("src_event_id"), col("user_id"),
+            date_format(col("src_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("src_ts"),
+            date_format(col("conv_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("conv_ts"),
+            col("lag_us"))
+          .orderBy("conv_event_id", "src_event_id")
+      }),
+
     // ── Point-in-interval RANGE join: events labeled by every campaign
     //    window containing them (overlaps allowed, half-open [ws, we)).
     //    The Spark side is the bucketed range join (operators/RangeJoin:

@@ -136,6 +136,33 @@ object EventOps {
   /** ST3 — idempotent last-writer-wins upsert compaction: latest record
     * per key (the batch equivalent of the `MERGE` the streaming
     * foreachBatch applies; deterministic tiebreak). */
+  /** Interval ATTRIBUTION join: every `src` event paired with each
+    * `conv` event of the same user whose timestamp lies in
+    * (conv.ts − horizon, conv.ts]. The same expression is Spark's
+    * STREAM-STREAM inner join when both inputs are watermarked
+    * streams — the time-range condition lets the engine bound each
+    * side's join state to watermark + horizon instead of keeping
+    * everything (the canonical click→purchase attribution shape); on
+    * batch frames it is the identical plain join, which is how the
+    * DuckDB oracle checks it. Inputs need (event_id, ts, user_id);
+    * output carries both ids, the shared user, and the microsecond
+    * lag. */
+  def attributionJoin(src: DataFrame, conv: DataFrame,
+      horizon: String): DataFrame = {
+    val v = src.select(col("event_id").as("src_event_id"),
+      col("ts").as("src_ts"), col("user_id").as("src_user"))
+    val p = conv.select(col("event_id").as("conv_event_id"),
+      col("ts").as("conv_ts"), col("user_id"))
+    v.join(p,
+      col("src_user") === col("user_id") &&
+        col("src_ts") <= col("conv_ts") &&
+        col("src_ts") > col("conv_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("conv_event_id"), col("src_event_id"), col("user_id"),
+        col("src_ts"), col("conv_ts"),
+        (unix_micros(col("conv_ts")) - unix_micros(col("src_ts")))
+          .as("lag_us"))
+  }
+
   def latestByKey(df: DataFrame, key: Column, ordering: Seq[Column]): DataFrame =
     df.withColumn("rn", row_number().over(
         Window.partitionBy(key).orderBy(ordering: _*)))

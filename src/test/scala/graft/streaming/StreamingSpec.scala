@@ -37,6 +37,35 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("STREAM-STREAM interval attribution join over the real fixture equals batch") {
+    // two independent watermarked readStreams of the same fixture —
+    // Spark's stream-stream inner join with the time-range condition
+    // keeps per-side state bounded to watermark + horizon; the result
+    // multiset must equal the batch form (the ev5 oracle query)
+    val batch = {
+      val ev = Tables.events(spark, sf())
+      EventOps.attributionJoin(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"), "1 HOUR")
+        .select(col("conv_event_id"), col("src_event_id"), col("lag_us"))
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    val views = Tables.eventsStream(spark, sf())
+      .filter(col("event_type") === "view").withWatermark("ts", "2 hours")
+    val purchases = Tables.eventsStream(spark, sf())
+      .filter(col("event_type") === "purchase").withWatermark("ts", "2 hours")
+    val q = EventOps.attributionJoin(views, purchases, "1 HOUR")
+      .select(col("conv_event_id"), col("src_event_id"), col("lag_us"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_join_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("attr_join_out")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("watermark drops late events in append-mode windowed aggregation") {
     import java.sql.Timestamp
     val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
