@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.TxLog
+
+/** INCREMENTAL VIEW MAINTENANCE for additive aggregates over a
+  * transaction-log table's change feed: a maintained count/sum rollup
+  * (the A1 facet shape) is updated from each batch of row-level
+  * changes instead of recomputed over the corpus.
+  *
+  * The delta algebra is the standard one for additive aggregates:
+  * `insert` and `update_postimage` rows contribute +1 (and +value),
+  * `delete` and `update_preimage` rows contribute −1 (and −value) —
+  * an update thus moves its contribution between groups atomically.
+  * Applying a batch touches ONLY the groups present in the batch:
+  * one group-sized merge into the maintained table, never a corpus
+  * scan. At 100 TB this is the difference between maintaining a facet
+  * panel per commit and re-aggregating petabytes; correctness holds
+  * for any additive aggregate (count, sum; avg via sum+count).
+  *
+  * The maintained rollup is itself a TxLog table (snapshot-isolated
+  * readers, atomic per-batch commits), keyed on the group columns.
+  * Groups whose count reaches zero are deleted, so the rollup never
+  * accretes dead groups.
+  */
+object IncrementalAgg {
+
+  /** Net per-group deltas of one change batch (`_change_type` +
+    * `dims` + optional numeric `valueCol`): Δn and Δsum. */
+  def deltas(changes: DataFrame, dims: Seq[String],
+      valueCol: Option[String] = None): DataFrame = {
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+      .otherwise(0L)
+    val base = changes.withColumn("_sign", sign)
+    val aggs = sum(col("_sign")).as("d_n") +:
+      valueCol.map(v =>
+        sum(col("_sign") * col(v).cast("double")).as("d_sum")).toSeq
+    base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Apply one change batch to the maintained rollup table at
+    * `rollupPath` (a TxLog table keyed on the concatenated dims).
+    * Reads ONLY the current rollup rows (group-cardinality, not
+    * corpus), merges the deltas, upserts changed groups, and deletes
+    * groups that reach zero — one atomic commit per batch. */
+  def applyChanges(spark: SparkSession, rollupPath: String,
+      changes: DataFrame, dims: Seq[String],
+      valueCol: Option[String] = None,
+      partitionDim: String = "facet_part"): Unit = {
+    val d = deltas(changes, dims, valueCol)
+    if (d.isEmpty) return
+    // key convention "partition#groupKey" (merge's remove path derives
+    // the partition from the prefix before '#')
+    val keyed = d.withColumn("_docId",
+      concat(lit("all#"), concat_ws("|",
+        dims.map(c => coalesce(col(c).cast("string"),
+          lit("<null>"))): _*)))
+    val current =
+      if (TxLog.isTable(spark, rollupPath))
+        TxLog.read(spark, rollupPath)
+          .select(col("_docId"), col("n").as("cur_n"),
+            col("total").as("cur_sum"))
+      else {
+        import spark.implicits._
+        Seq.empty[(String, Long, Double)].toDF("_docId", "cur_n", "cur_sum")
+      }
+    // one partition: group cardinality is panel-sized; a wider rollup
+    // would hash the dims here
+    val outCols = Seq(col("_docId"), lit("all").as(partitionDim)) ++
+      dims.map(col) ++ Seq(
+        (coalesce(col("cur_n"), lit(0L)) + col("d_n")).as("n"),
+        (coalesce(col("cur_sum"), lit(0.0)) +
+          coalesce(col("d_sum"), lit(0.0))).as("total"))
+    val merged = keyed.join(current, Seq("_docId"), "left")
+      .select(outCols: _*)
+    val upserts = merged.filter(col("n") > 0)
+    val removes = merged.filter(col("n") <= 0).select("_docId")
+    TxLog.merge(spark, rollupPath, upserts, removes,
+      partitionCol = partitionDim)
+  }
+
+  /** Replay the source table's committed versions `(from, to]` into the
+    * rollup one batch per version — the catch-up/bootstrap path
+    * (`fromVersion = -1` bootstraps from v0's snapshot as inserts, the
+    * change-feed stream source's first-batch convention); the live path
+    * feeds [[ChangeFeed.follow]] micro-batches into [[applyChanges]]
+    * the same way. Deltas are ADDITIVE, not idempotent: a replayed
+    * batch double-counts, so drive this from an exactly-once version
+    * cursor (the follower's checkpointed spans), never an
+    * at-least-once stream. */
+  def maintainRange(spark: SparkSession, sourcePath: String,
+      rollupPath: String, fromVersion: Long, toVersion: Long,
+      dims: Seq[String], valueCol: Option[String] = None): Unit = {
+    var from = fromVersion
+    if (from < 0) {
+      applyChanges(spark, rollupPath,
+        TxLog.read(spark, sourcePath, asOfVersion = Some(0L))
+          .withColumn("_change_type", lit("insert")),
+        dims, valueCol)
+      from = 0
+    }
+    (from + 1 to toVersion).foreach { v =>
+      applyChanges(spark, rollupPath,
+        TxLog.changes(spark, sourcePath, v - 1, v), dims, valueCol)
+    }
+  }
+}
