@@ -54,6 +54,28 @@ class IncrementalAggSpec extends SparkSpec {
     assert(!rollupRows(roll).exists(_._1 == "green"))
   }
 
+  test("LIVE follower maintains the rollup end-to-end while the source commits") {
+    val src = java.nio.file.Files.createTempDirectory("graft-iva3-src").toString
+    val roll = java.nio.file.Files.createTempDirectory("graft-iva3-roll").toString + "/r"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-iva3-ck").toString
+    TxLog.merge(spark, src, docs(
+      ("dbA#1", "dbA", "red", 1.0), ("dbA#2", "dbA", "blue", 2.0)))
+    val q = ChangeFeed.follow(spark, src, ckpt) { (changes, _, _) =>
+      IncrementalAgg.applyChanges(spark, roll, changes,
+        dims = Seq("category"), valueCol = Some("value"))
+    }
+    try {
+      q.processAllAvailable()
+      assert(rollupRows(roll) === recompute(src))
+      // source keeps committing: an update that moves groups + a delete
+      TxLog.merge(spark, src, docs(("dbA#2", "dbA", "red", 3.0)),
+        Seq("dbA#1").toDF("_docId"))
+      q.processAllAvailable()
+      assert(rollupRows(roll) === recompute(src))
+      assert(rollupRows(roll) === Set(("red", 1L, 3.0)))
+    } finally q.stop()
+  }
+
   test("rollup batches are atomic commits: a reader never sees a half-applied version") {
     val src = java.nio.file.Files.createTempDirectory("graft-iva2-src").toString
     val roll = java.nio.file.Files.createTempDirectory("graft-iva2-roll").toString + "/r"
