@@ -299,12 +299,17 @@ object Similarity {
       col("e").as("eb"))
     a.hint("shuffle_hash").join(b, Seq("cid"))
       .filter(col("keep_id") < col("dup_id"))
-      .select(col("dup_id"), col("keep_id"), col("ea"), col("eb"))
-      // a pair sharing several probed clusters must score ONCE
-      .dropDuplicates("dup_id", "keep_id")
+      // score BEFORE deduplicating the multi-probe collisions: the
+      // cosine is deterministic per pair, so re-scoring a pair that
+      // shares several probed clusters is idempotent — and the
+      // dropDuplicates exchange then carries only (ids, sim) for the
+      // τ-survivors instead of BOTH embedding arrays for every
+      // candidate pair (the candidate×vector-bytes shuffle was the
+      // scale hazard of this plan)
       .withColumn("sim", cosine(col("ea"), col("eb")))
       .filter(col("sim") >= tau)
       .select("dup_id", "keep_id", "sim")
+      .dropDuplicates("dup_id", "keep_id")
   }
 
   /** PQ ANN search: encode corpus (narrow), ADC-score codes against

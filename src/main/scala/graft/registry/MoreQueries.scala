@@ -527,9 +527,13 @@ object MoreQueries {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val e = t(s, d, "embeddings")
-        val sem = Similarity
-          .semDedupPairs(e, 0.45, cacheKey = Some(s"ivfCents:$d"))
-          .select(col("dup_id"), col("keep_id"), lit(1).as("sm"))
+        // the cluster-scoped pair set memoizes per (session, dir) like
+        // the exact baseline below — a production SemDeDup run persists
+        // its pair table; re-deriving it per consumer would re-run the
+        // per-cluster scans each time
+        val sem = Caching.memoDf(s, s"semPairs:$d") {
+          Similarity.semDedupPairs(e, 0.45, cacheKey = Some(s"ivfCents:$d"))
+        }.select(col("dup_id"), col("keep_id"), lit(1).as("sm"))
         // recall baseline = the SAME cached exact pair scan
         // llm_dedup_embed consumes (identical keep_id < dup_id
         // orientation)
