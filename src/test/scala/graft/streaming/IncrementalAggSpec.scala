@@ -76,6 +76,52 @@ class IncrementalAggSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RANDOMIZED: rollup equals recompute through 25 random insert/update/delete commits") {
+    val src = java.nio.file.Files.createTempDirectory("graft-iva4-src").toString
+    val roll = java.nio.file.Files.createTempDirectory("graft-iva4-roll").toString + "/r"
+    val rnd = new scala.util.Random(20250814L)
+    val cats = Vector("red", "blue", "green", "teal")
+    // model of live keys → (category, value)
+    val model = scala.collection.mutable.Map.empty[Int, (String, Double)]
+    var applied = -1L
+    (1 to 25).foreach { step =>
+      val op = rnd.nextInt(3)
+      if (op == 0 || model.isEmpty) {
+        // insert or overwrite 1-3 keys
+        val rows = (1 to 1 + rnd.nextInt(3)).map { _ =>
+          val k = rnd.nextInt(30)
+          val row = (cats(rnd.nextInt(cats.size)), rnd.nextInt(100).toDouble)
+          model(k) = row
+          (s"dbA#$k", "dbA", row._1, row._2)
+        }
+        TxLog.merge(spark, src, docs(rows.distinct: _*))
+      } else if (op == 1) {
+        // update an existing key, possibly across groups
+        val k = model.keys.toSeq(rnd.nextInt(model.size))
+        val row = (cats(rnd.nextInt(cats.size)), rnd.nextInt(100).toDouble)
+        model(k) = row
+        TxLog.merge(spark, src, docs((s"dbA#$k", "dbA", row._1, row._2)))
+      } else {
+        // delete an existing key
+        val k = model.keys.toSeq(rnd.nextInt(model.size))
+        model.remove(k)
+        TxLog.merge(spark, src, docs(), Seq(s"dbA#$k").toDF("_docId"))
+      }
+      val head = TxLog.snapshot(spark, src).version
+      IncrementalAgg.maintainRange(spark, src, roll, applied, head,
+        dims = Seq("category"), valueCol = Some("value"))
+      applied = head
+      // every few steps, compare against both the recompute AND the model
+      if (step % 5 == 0) {
+        assert(rollupRows(roll) === recompute(src), s"step $step")
+        val expect = model.values.groupBy(_._1).map { case (c, vs) =>
+          (c, vs.size.toLong, vs.map(_._2).sum)
+        }.toSet
+        assert(rollupRows(roll) === expect, s"step $step vs model")
+      }
+    }
+  }
+
   test("rollup batches are atomic commits: a reader never sees a half-applied version") {
     val src = java.nio.file.Files.createTempDirectory("graft-iva2-src").toString
     val roll = java.nio.file.Files.createTempDirectory("graft-iva2-roll").toString + "/r"
