@@ -512,6 +512,69 @@ object LlmQueries {
       |  FROM closure GROUP BY src
       |)"""
 
+  /** Shared BPE-training oracle CTE chain: word frequencies → char
+    * state s0 → three unrolled merge steps (pair counts pN, best pair
+    * bN, run-parity greedy application → state sN). Consumed by the
+    * llm_bpe_merges gate (reads b1..b3) and llm_bpe_encode (reads the
+    * final state s3). The run-parity window phrasing is the relational
+    * equivalent of [[graft.llmops.Bpe.applyMerge]]'s greedy fold. */
+  private[registry] val BpeCtes: String = {
+    def iter(n: Int): String = {
+      val prev = s"s${n - 1}"
+      s"""p$n AS (
+        |  SELECT u.pair, SUM(u.freq) AS cnt FROM (
+        |    SELECT freq, unnest([tk[i] || ' ' || tk[i+1]
+        |                         for i in range(1, len(tk))]) AS pair
+        |    FROM (SELECT regexp_split_to_array(seq, ' ') AS tk, freq
+        |          FROM $prev)
+        |  ) u GROUP BY u.pair
+        |), b$n AS (
+        |  SELECT pair, cnt FROM p$n ORDER BY cnt DESC, pair LIMIT 1
+        |), e$n AS (
+        |  SELECT s.w, s.freq, ii.i, s.tk[ii.i] AS sym,
+        |         CASE WHEN ii.i < len(s.tk)
+        |               AND s.tk[ii.i] = split_part(b.pair, ' ', 1)
+        |               AND s.tk[ii.i+1] = split_part(b.pair, ' ', 2)
+        |              THEN 1 ELSE 0 END AS hit
+        |  FROM (SELECT w, freq, regexp_split_to_array(seq, ' ') AS tk
+        |        FROM $prev) s
+        |       CROSS JOIN b$n b,
+        |       LATERAL (SELECT unnest(range(1, len(s.tk) + 1)) AS i) ii
+        |), m$n AS (
+        |  SELECT w, i, (i - MIN(i) OVER (PARTITION BY w, run)) % 2 = 0 AS dm
+        |  FROM (SELECT w, i,
+        |               i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i)
+        |                 AS run
+        |        FROM e$n WHERE hit = 1)
+        |), s$n AS (
+        |  SELECT e.w, ANY_VALUE(e.freq) AS freq,
+        |         string_agg(CASE WHEN cur.dm THEN replace(b.pair, ' ', '')
+        |                         WHEN prev.dm THEN NULL
+        |                         ELSE e.sym END, ' ' ORDER BY e.i) AS seq
+        |  FROM e$n e CROSS JOIN b$n b
+        |    LEFT JOIN m$n cur ON cur.w = e.w AND cur.i = e.i
+        |    LEFT JOIN m$n prev ON prev.w = e.w AND prev.i = e.i - 1
+        |  GROUP BY e.w
+        |)"""
+    }
+    s"""toks AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), w0 AS (
+      |  SELECT w, COUNT(*) AS freq FROM toks GROUP BY w
+      |), s0 AS (
+      |  SELECT w, freq, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq
+      |  FROM w0
+      |), ${Seq(1, 2, 3).map(iter).mkString(",\n")}"""
+  }
+
+  /** The BPE trainer's input: the corpus word-frequency table, off the
+    * shared token cache. */
+  private def bpeWords(s: SparkSession, d: String): DataFrame =
+    tokenArrays(s, d)
+      .select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: content-hash groupBy, deterministic survivor.
@@ -1259,70 +1322,67 @@ object LlmQueries {
     //    desc, pair asc), so the merge table is deterministic; the
     //    oracle unrolls three steps with an equivalent run-parity
     //    window phrasing of the same greedy semantics.
-    sql("llm_bpe_merges", {
-      def iter(n: Int): String = {
-        val prev = s"s${n - 1}"
-        s"""p$n AS (
-          |  SELECT u.pair, SUM(u.freq) AS cnt FROM (
-          |    SELECT freq, unnest([tk[i] || ' ' || tk[i+1]
-          |                         for i in range(1, len(tk))]) AS pair
-          |    FROM (SELECT regexp_split_to_array(seq, ' ') AS tk, freq
-          |          FROM $prev)
-          |  ) u GROUP BY u.pair
-          |), b$n AS (
-          |  SELECT pair, cnt FROM p$n ORDER BY cnt DESC, pair LIMIT 1
-          |), e$n AS (
-          |  SELECT s.w, s.freq, ii.i, s.tk[ii.i] AS sym,
-          |         CASE WHEN ii.i < len(s.tk)
-          |               AND s.tk[ii.i] = split_part(b.pair, ' ', 1)
-          |               AND s.tk[ii.i+1] = split_part(b.pair, ' ', 2)
-          |              THEN 1 ELSE 0 END AS hit
-          |  FROM (SELECT w, freq, regexp_split_to_array(seq, ' ') AS tk
-          |        FROM $prev) s
-          |       CROSS JOIN b$n b,
-          |       LATERAL (SELECT unnest(range(1, len(s.tk) + 1)) AS i) ii
-          |), m$n AS (
-          |  SELECT w, i, (i - MIN(i) OVER (PARTITION BY w, run)) % 2 = 0 AS dm
-          |  FROM (SELECT w, i,
-          |               i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i)
-          |                 AS run
-          |        FROM e$n WHERE hit = 1)
-          |), s$n AS (
-          |  SELECT e.w, ANY_VALUE(e.freq) AS freq,
-          |         string_agg(CASE WHEN cur.dm THEN replace(b.pair, ' ', '')
-          |                         WHEN prev.dm THEN NULL
-          |                         ELSE e.sym END, ' ' ORDER BY e.i) AS seq
-          |  FROM e$n e CROSS JOIN b$n b
-          |    LEFT JOIN m$n cur ON cur.w = e.w AND cur.i = e.i
-          |    LEFT JOIN m$n prev ON prev.w = e.w AND prev.i = e.i - 1
-          |  GROUP BY e.w
-          |)"""
-      }
-      s"""WITH toks AS (
-        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
-        |  FROM documents WHERE length(trim(text)) > 0
-        |), w0 AS (
-        |  SELECT w, COUNT(*) AS freq FROM toks GROUP BY w
-        |), s0 AS (
-        |  SELECT w, freq, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq
-        |  FROM w0
-        |), ${Seq(1, 2, 3).map(iter).mkString(",\n")}
+    sql("llm_bpe_merges",
+      s"""WITH $BpeCtes
         |SELECT CAST(1 AS BIGINT) AS step, pair, CAST(cnt AS BIGINT) AS cnt
         |FROM b1
         |UNION ALL SELECT 2, pair, CAST(cnt AS BIGINT) FROM b2
         |UNION ALL SELECT 3, pair, CAST(cnt AS BIGINT) FROM b3
-        |ORDER BY step"""
-    })(
+        |ORDER BY step""")(
       (s, d) => {
         import s.implicits._
-        val words = tokenArrays(s, d)
-          .select(explode(col("tk")).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("freq"))
-        val merges = graft.llmops.Bpe.trainCached(words, s"bpe:$d", 3)
+        val merges = graft.llmops.Bpe.trainCached(
+          bpeWords(s, d), s"bpe:$d", 3)
         merges.zipWithIndex
           .map { case (m, i) => (i + 1L, m.pair, m.count) }
           .toDF("step", "pair", "cnt")
           .orderBy("step")
+      }),
+
+    // ── BPE ENCODING under the trained tokenizer: every document's
+    //    token count after the 3 trained merges — the fertility sheet a
+    //    tokenizer eval reads, produced at CORPUS scale without ever
+    //    re-segmenting documents: the merges were trained on the
+    //    word-frequency table, so the post-merge symbol count of every
+    //    DISTINCT word is already known (3 narrow vocab passes), and
+    //    each document just sums its tokens' counts through one
+    //    vocab-sized join. The oracle reuses the training CTE chain's
+    //    final state s3 the same way.
+    sql("llm_bpe_encode",
+      s"""WITH $BpeCtes,
+        |wl AS (
+        |  SELECT w, len(regexp_split_to_array(seq, ' ')) AS n_sym FROM s3
+        |), doctok AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0
+        |)
+        |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(length(d.w)) AS BIGINT) AS n_chars,
+        |       CAST(SUM(wl.n_sym) AS BIGINT) AS n_bpe,
+        |       CAST(SUM(wl.n_sym) AS DOUBLE) / COUNT(*) AS fertility
+        |FROM doctok d JOIN wl ON wl.w = d.w
+        |GROUP BY d.doc_id ORDER BY d.doc_id""")(
+      (s, d) => {
+        val words = bpeWords(s, d)
+        val merges = graft.llmops.Bpe.trainCached(words, s"bpe:$d", 3)
+        var state = graft.llmops.Bpe.initState(words)
+        merges.foreach { m =>
+          val Array(a, b) = m.pair.split(" ", 2)
+          state = graft.llmops.Bpe.applyMerge(state, a, b)
+        }
+        val wl = state.select(col("w"),
+          size(split(col("seq"), " ")).as("n_sym"))
+        tokenArrays(s, d)
+          .select(col("doc_id"), explode(col("tk")).as("w"))
+          .join(wl, Seq("w"))
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_tokens"),
+            sum(length(col("w"))).cast("long").as("n_chars"),
+            sum("n_sym").cast("long").as("n_bpe"))
+          .withColumn("fertility",
+            col("n_bpe").cast("double") / col("n_tokens"))
+          .orderBy("doc_id")
       }),
 
     // ── Document fingerprint: canonicalized (sorted distinct token set)
