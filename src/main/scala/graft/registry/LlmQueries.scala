@@ -676,6 +676,86 @@ object LlmQueries {
           .orderBy("doc_id")
       }),
 
+    // ── Exact-substring REMOVAL (the second half of the Lee et al.
+    //    pipeline: detect, then CUT the duplicated spans): tokens
+    //    covered by any duplicated 5-gram window are dropped and the
+    //    cleaned text is fingerprinted. Spark keeps the rebuild NARROW:
+    //    duplicated starts aggregate per doc (riding the same
+    //    partitioning as the detection pass), the covered-position set
+    //    and the kept-token rebuild are per-row array folds — no
+    //    token-level explode/re-aggregate cycle. The oracle phrases the
+    //    same thing as a positional anti-join.
+    sql("llm_dedup_substring_rm",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), pg AS (
+        |  SELECT doc_id,
+        |         unnest(range(1, len(tk) - 3)) AS i,
+        |         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |                 tk[i+3] || ' ' || tk[i+4]
+        |                 for i in range(1, len(tk) - 3)]) AS gram
+        |  FROM toks
+        |), pgh AS (
+        |  SELECT doc_id, i,
+        |         CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT)
+        |           % 2147483647 AS g
+        |  FROM pg
+        |), occ AS (
+        |  SELECT doc_id, i, COUNT(*) OVER (PARTITION BY g) AS occ FROM pgh
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, unnest(range(i, i + 5)) AS j
+        |  FROM occ WHERE occ > 1
+        |), pos AS (
+        |  SELECT doc_id, unnest(tk) AS tok,
+        |         unnest(range(1, len(tk) + 1)) AS j
+        |  FROM toks
+        |), kept AS (
+        |  SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.j) AS txt,
+        |         COUNT(*) AS n_kept
+        |  FROM pos p ANTI JOIN cov c ON c.doc_id = p.doc_id AND c.j = p.j
+        |  GROUP BY p.doc_id
+        |)
+        |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+        |       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS kept_tokens,
+        |       CAST(len(t.tk) - COALESCE(k.n_kept, 0) AS BIGINT)
+        |         AS removed_tokens,
+        |       md5(COALESCE(k.txt, '')) AS kept_sig
+        |FROM toks t LEFT JOIN kept k USING (doc_id)
+        |ORDER BY t.doc_id""")(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 5
+        val toks = tokenArrays(s, d)
+        val pg = toks.filter(size(col("tk")) >= k)
+          .select(col("doc_id"),
+            posexplode(expr(s"transform(sequence(0, size(tk) - $k), " +
+              s"i -> concat_ws(' ', slice(tk, i + 1, $k)))"))
+              .as(Seq("i", "gram")))
+          .select(col("doc_id"), col("i"), Text.hash60(col("gram")).as("g"))
+        val starts = pg
+          .withColumn("occ", count(lit(1)).over(Window.partitionBy("g")))
+          .filter(col("occ") > 1)
+          .groupBy("doc_id").agg(collect_list("i").as("starts"))
+        val keptArr = filter(
+          transform(sequence(lit(0), size(col("tk")) - 1), j =>
+            when(array_contains(col("covered"), j), lit(null))
+              .otherwise(element_at(col("tk"), j + 1))),
+          x => x.isNotNull)
+        toks.join(starts, Seq("doc_id"), "left")
+          .withColumn("covered", array_distinct(flatten(transform(
+            coalesce(col("starts"), array().cast("array<int>")),
+            st => sequence(st, st + (k - 1))))))
+          .withColumn("kept", keptArr)
+          .select(col("doc_id"),
+            size(col("tk")).cast("long").as("n_tokens"),
+            size(col("kept")).cast("long").as("kept_tokens"),
+            (size(col("tk")) - size(col("kept"))).cast("long")
+              .as("removed_tokens"),
+            md5(array_join(col("kept"), " ")).as("kept_sig"))
+          .orderBy("doc_id")
+      }),
+
     // ── n-gram Jaccard near-dup pairs — EXACT, and fully distributed:
     //    AllPairs/PPJoin candidate generation (see ngramCandidates) with
     //    a viral-gram df cap, then exact verification on full gram sets.
