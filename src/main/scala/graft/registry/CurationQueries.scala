@@ -352,6 +352,102 @@ object CurationQueries {
           .orderBy("doc_id")
       }),
 
+    // ── CCNet-style LANGUAGE-MODEL quality scoring (Wenzek et al.
+    //    2020): a bigram model trained on the reference-domain corpus
+    //    (the English half) scores every document; documents above the
+    //    corpus mean are kept — the perplexity-filter shape with a
+    //    DETERMINISTIC twist: probabilities are add-1-smoothed exact
+    //    rationals floored to a 1e-9 fixed-point BIGINT (no libm log —
+    //    the score is the mean bigram probability, a documented
+    //    monotone-family deviation from log-perplexity), so the per-doc
+    //    sum is order-independent and engine-exact. Scale: the model is
+    //    two vocabulary-scale count tables joined onto the corpus
+    //    bigram stream; the per-doc aggregation rides the token cache's
+    //    partitioning; the keep threshold is one broadcast scalar.
+    sql("llm_quality_lmscore",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), ref AS (
+        |  SELECT tk FROM toks WHERE lang = 'en'
+        |), uni AS (
+        |  SELECT u.w, COUNT(*) AS c1
+        |  FROM (SELECT unnest(tk) AS w FROM ref) u GROUP BY u.w
+        |), vocab AS (SELECT COUNT(*) AS v FROM uni),
+        |bi AS (
+        |  SELECT b.bg, COUNT(*) AS c2 FROM (
+        |    SELECT unnest([tk[i] || ' ' || tk[i+1]
+        |                   for i in range(1, len(tk))]) AS bg
+        |    FROM ref
+        |  ) b GROUP BY b.bg
+        |), docbg AS (
+        |  SELECT doc_id,
+        |         unnest([tk[i] || ' ' || tk[i+1]
+        |                 for i in range(1, len(tk))]) AS bg,
+        |         unnest([tk[i] for i in range(1, len(tk))]) AS w1
+        |  FROM toks
+        |), scored AS (
+        |  SELECT d.doc_id,
+        |         CAST(FLOOR(1000000000.0 * (COALESCE(b.c2, 0) + 1)
+        |              / (COALESCE(u.c1, 0) + v.v)) AS BIGINT) AS q
+        |  FROM docbg d
+        |  LEFT JOIN bi b ON b.bg = d.bg
+        |  LEFT JOIN uni u ON u.w = d.w1
+        |  CROSS JOIN vocab v
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(q) AS score_fp
+        |  FROM scored GROUP BY doc_id
+        |), tot AS (
+        |  SELECT SUM(score_fp) AS ts, SUM(n_bigrams) AS tn FROM agg
+        |)
+        |SELECT a.doc_id, CAST(a.n_bigrams AS BIGINT) AS n_bigrams,
+        |       CAST(a.score_fp AS BIGINT) AS score_fp,
+        |       CAST(a.score_fp AS DOUBLE) / a.n_bigrams / 1000000000.0
+        |         AS mean_p,
+        |       (CAST(a.score_fp AS DOUBLE) / a.n_bigrams)
+        |         > (CAST(t.ts AS DOUBLE) / t.tn) AS kept
+        |FROM agg a CROSS JOIN tot t ORDER BY a.doc_id""")(
+      (s, d) => {
+        val withLang = LlmQueries.tokenArrays(s, d)
+          .join(t(s, d, "documents").select("doc_id", "lang"), Seq("doc_id"))
+        val ref = withLang.filter(col("lang") === "en")
+        val uni = ref.select(explode(col("tk")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c1"))
+        val vocab = uni.agg(count(lit(1)).as("v"))
+        val bigrams = when(size(col("tk")) >= 2,
+          transform(sequence(lit(0), size(col("tk")) - 2), i =>
+            concat_ws(" ", element_at(col("tk"), i + 1),
+              element_at(col("tk"), i + 2))))
+          .otherwise(array().cast("array<string>"))
+        val bi = ref.select(explode(bigrams).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("c2"))
+        val docbg = withLang
+          .select(col("doc_id"), col("tk"),
+            posexplode(bigrams).as(Seq("i", "bg")))
+          .select(col("doc_id"), col("bg"),
+            element_at(col("tk"), col("i") + 1).as("w1"))
+        val scored = docbg
+          .join(bi, Seq("bg"), "left")
+          .join(uni, col("w1") === col("w"), "left")
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"),
+            floor(lit(1000000000.0) * (coalesce(col("c2"), lit(0L)) + 1) /
+              (coalesce(col("c1"), lit(0L)) + col("v")))
+              .cast("long").as("q"))
+        val agg = scored.groupBy("doc_id").agg(
+          count(lit(1)).as("n_bigrams"), sum("q").as("score_fp"))
+        val tot = agg.agg(sum("score_fp").as("ts"), sum("n_bigrams").as("tn"))
+        agg.crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            col("n_bigrams"), col("score_fp"),
+            (col("score_fp").cast("double") / col("n_bigrams") /
+              lit(1000000000.0)).as("mean_p"),
+            ((col("score_fp").cast("double") / col("n_bigrams")) >
+              (col("ts").cast("double") / col("tn"))).as("kept"))
+          .orderBy("doc_id")
+      }),
+
     // ── Exact per-stratum sampling head: the k hash-smallest documents
     //    of every language. The Spark side uses the bounded top-k
     //    AGGREGATE (TopK.smallestK): map-side combine caps shuffle volume
