@@ -28,6 +28,68 @@ object CurationQueries {
 
   private def nTokens(text: Column): Column = Text.nTokens(text)
 
+  /** Per-doc bigram-LM score aggregates `(doc_id, n_bigrams, score_fp)`
+    * under the English-reference add-1 bigram model — shared by
+    * llm_quality_lmscore and the curation funnel's LM gate; the model
+    * tables and the corpus bigram join run once per (session, dir). */
+  private def lmScores(s: SparkSession, d: String): DataFrame =
+    graft.core.Caching.memoDf(s, s"lmScores:$d") {
+      val withLang = LlmQueries.tokenArrays(s, d)
+        .join(t(s, d, "documents").select("doc_id", "lang"), Seq("doc_id"))
+      val ref = withLang.filter(col("lang") === "en")
+      val uni = ref.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val vocab = uni.agg(count(lit(1)).as("v"))
+      val bigrams = when(size(col("tk")) >= 2,
+        transform(sequence(lit(0), size(col("tk")) - 2), i =>
+          concat_ws(" ", element_at(col("tk"), i + 1),
+            element_at(col("tk"), i + 2))))
+        .otherwise(array().cast("array<string>"))
+      val bi = ref.select(explode(bigrams).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c2"))
+      val docbg = withLang
+        .select(col("doc_id"), col("tk"),
+          posexplode(bigrams).as(Seq("i", "bg")))
+        .select(col("doc_id"), col("bg"),
+          element_at(col("tk"), col("i") + 1).as("w1"))
+      docbg
+        .join(bi, Seq("bg"), "left")
+        .join(uni, col("w1") === col("w"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          floor(lit(1000000000.0) * (coalesce(col("c2"), lit(0L)) + 1) /
+            (coalesce(col("c1"), lit(0L)) + col("v")))
+            .cast("long").as("q"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_bigrams"), sum("q").as("score_fp"))
+    }
+
+  /** Per-doc DSIR importance aggregates `(doc_id, n_tokens, weight_fp)`
+    * under the 4096-bucket hashed unigram target/raw models — shared by
+    * llm_mix_dsir and the curation funnel's selection stage. */
+  private def dsirWeights(s: SparkSession, d: String): DataFrame =
+    graft.core.Caching.memoDf(s, s"dsirWeights:$d") {
+      val m = 4096
+      val tokrows = LlmQueries.tokenArrays(s, d)
+        .join(t(s, d, "documents").select(col("doc_id"),
+          (col("lang") === "en").as("is_t")), Seq("doc_id"))
+        .select(col("doc_id"), col("is_t"), explode(col("tk")).as("tok"))
+        .select(col("doc_id"), col("is_t"),
+          (Text.hash60(col("tok")) % m).as("b"))
+      val bc = tokrows.groupBy("b").agg(
+        sum(col("is_t").cast("long")).as("ct"),
+        sum((!col("is_t")).cast("long")).as("cr"))
+      val tot = bc.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+      val q = bc.crossJoin(broadcast(tot))
+        .select(col("b"), floor(
+          (col("ct") + 1).cast("double") * (col("nr") + m) /
+            ((col("cr") + 1).cast("double") * (col("nt") + m)) *
+            lit(1000000.0)).cast("long").as("qb"))
+      tokrows.join(broadcast(q), Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("qb").as("weight_fp"))
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Repetition quality gate (the Gopher-rule family): per-document
@@ -311,31 +373,11 @@ object CurationQueries {
         |       rk <= CAST(CEIL(0.25 * nd) AS BIGINT) AS selected
         |FROM ranked ORDER BY doc_id""")(
       (s, d) => {
-        val m = 4096
-        // token stream off the shared cache (hashpartitioning(doc_id)),
-        // lang flag joined on the doc key
-        val tokrows = LlmQueries.tokenArrays(s, d)
-          .join(t(s, d, "documents").select(col("doc_id"),
-            (col("lang") === "en").as("is_t")), Seq("doc_id"))
-          .select(col("doc_id"), col("is_t"), explode(col("tk")).as("tok"))
-          .select(col("doc_id"), col("is_t"),
-            (Text.hash60(col("tok")) % m).as("b"))
-        // the feature model: ≤ m rows after ONE map-side-combined
-        // shuffle — driver-scale by construction, broadcast below
-        val bc = tokrows.groupBy("b").agg(
-          sum(col("is_t").cast("long")).as("ct"),
-          sum((!col("is_t")).cast("long")).as("cr"))
-        val tot = bc.agg(sum("ct").as("nt"), sum("cr").as("nr"))
-        val q = bc.crossJoin(broadcast(tot))
-          .select(col("b"), floor(
-            (col("ct") + 1).cast("double") * (col("nr") + m) /
-              ((col("cr") + 1).cast("double") * (col("nt") + m)) *
-              lit(1000000.0)).cast("long").as("qb"))
-        // per-doc weight: broadcast model probe + a doc_id aggregation
-        // that reuses the token cache's partitioning (no new exchange)
-        val docw = tokrows.join(broadcast(q), Seq("b"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"), sum("qb").as("weight_fp"))
+        // per-doc weights off the shared memo: the 4096-row feature
+        // model (ONE map-side-combined shuffle, broadcast back onto the
+        // token stream) and the doc aggregation riding the token
+        // cache's partitioning — built once per (session, dir)
+        val docw = dsirWeights(s, d)
         val wAll = Window.orderBy(
           (col("weight_fp").cast("double") / col("n_tokens")).desc,
           col("doc_id"))
@@ -409,34 +451,10 @@ object CurationQueries {
         |         > (CAST(t.ts AS DOUBLE) / t.tn) AS kept
         |FROM agg a CROSS JOIN tot t ORDER BY a.doc_id""")(
       (s, d) => {
-        val withLang = LlmQueries.tokenArrays(s, d)
-          .join(t(s, d, "documents").select("doc_id", "lang"), Seq("doc_id"))
-        val ref = withLang.filter(col("lang") === "en")
-        val uni = ref.select(explode(col("tk")).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("c1"))
-        val vocab = uni.agg(count(lit(1)).as("v"))
-        val bigrams = when(size(col("tk")) >= 2,
-          transform(sequence(lit(0), size(col("tk")) - 2), i =>
-            concat_ws(" ", element_at(col("tk"), i + 1),
-              element_at(col("tk"), i + 2))))
-          .otherwise(array().cast("array<string>"))
-        val bi = ref.select(explode(bigrams).as("bg"))
-          .groupBy("bg").agg(count(lit(1)).as("c2"))
-        val docbg = withLang
-          .select(col("doc_id"), col("tk"),
-            posexplode(bigrams).as(Seq("i", "bg")))
-          .select(col("doc_id"), col("bg"),
-            element_at(col("tk"), col("i") + 1).as("w1"))
-        val scored = docbg
-          .join(bi, Seq("bg"), "left")
-          .join(uni, col("w1") === col("w"), "left")
-          .crossJoin(broadcast(vocab))
-          .select(col("doc_id"),
-            floor(lit(1000000000.0) * (coalesce(col("c2"), lit(0L)) + 1) /
-              (coalesce(col("c1"), lit(0L)) + col("v")))
-              .cast("long").as("q"))
-        val agg = scored.groupBy("doc_id").agg(
-          count(lit(1)).as("n_bigrams"), sum("q").as("score_fp"))
+        // model training + corpus scoring off the shared memo (built
+        // once per session/dir; the funnel's LM gate reads the same
+        // persisted aggregates)
+        val agg = lmScores(s, d)
         val tot = agg.agg(sum("score_fp").as("ts"), sum("n_bigrams").as("tn"))
         agg.crossJoin(broadcast(tot))
           .select(col("doc_id"),
@@ -446,6 +464,191 @@ object CurationQueries {
             ((col("score_fp").cast("double") / col("n_bigrams")) >
               (col("ts").cast("double") / col("tn"))).as("kept"))
           .orderBy("doc_id")
+      }),
+
+    // ── The SECOND composed curation funnel — this session's operators
+    //    as ONE declarative plan with per-source stage accounting:
+    //    CCNet LM gate → exact-substring low-dup gate → DSIR top-25%
+    //    selection among survivors → temperature (α=0.5) sampling over
+    //    the survivors' language mix. Every stage reuses its
+    //    oracle-gated construction through the session caches (LM
+    //    scores, duplicated starts, DSIR weights), so the funnel adds
+    //    only doc-id-sized joins and two broadcast scalars on top of
+    //    work the constituent queries already pay for.
+    sql("llm_curate_pipeline2",
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0
+        |),
+        |ref AS (SELECT tk FROM toks WHERE lang = 'en'),
+        |uni AS (SELECT u.w, COUNT(*) AS c1
+        |        FROM (SELECT unnest(tk) AS w FROM ref) u GROUP BY u.w),
+        |vocab AS (SELECT COUNT(*) AS v FROM uni),
+        |bi AS (SELECT b.bg, COUNT(*) AS c2 FROM (
+        |    SELECT unnest([tk[i] || ' ' || tk[i+1]
+        |                   for i in range(1, len(tk))]) AS bg FROM ref
+        |  ) b GROUP BY b.bg),
+        |docbg AS (
+        |  SELECT doc_id,
+        |         unnest([tk[i] || ' ' || tk[i+1]
+        |                 for i in range(1, len(tk))]) AS bg,
+        |         unnest([tk[i] for i in range(1, len(tk))]) AS w1
+        |  FROM toks
+        |),
+        |lmagg AS (
+        |  SELECT d.doc_id, COUNT(*) AS nbg,
+        |         SUM(CAST(FLOOR(1000000000.0 * (COALESCE(b.c2, 0) + 1)
+        |             / (COALESCE(u.c1, 0) + v.v)) AS BIGINT)) AS score_fp
+        |  FROM docbg d LEFT JOIN bi b ON b.bg = d.bg
+        |       LEFT JOIN uni u ON u.w = d.w1 CROSS JOIN vocab v
+        |  GROUP BY d.doc_id
+        |),
+        |lmtot AS (SELECT SUM(score_fp) AS ts, SUM(nbg) AS tn FROM lmagg),
+        |s1 AS (
+        |  SELECT a.doc_id FROM lmagg a CROSS JOIN lmtot t
+        |  WHERE (CAST(a.score_fp AS DOUBLE) / a.nbg)
+        |    > (CAST(t.ts AS DOUBLE) / t.tn)
+        |),
+        |pg AS (
+        |  SELECT doc_id, unnest(range(1, len(tk) - 3)) AS i,
+        |         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |                 tk[i+3] || ' ' || tk[i+4]
+        |                 for i in range(1, len(tk) - 3)]) AS gram
+        |  FROM toks
+        |),
+        |occ AS (
+        |  SELECT doc_id, i, COUNT(*) OVER (PARTITION BY
+        |    CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT)
+        |      % 2147483647) AS occ
+        |  FROM pg
+        |),
+        |dupt AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup_tokens FROM (
+        |    SELECT doc_id, LEAST(5, COALESCE(
+        |      LEAD(i) OVER (PARTITION BY doc_id ORDER BY i) - i, 5)) AS c
+        |    FROM (SELECT doc_id, i FROM occ WHERE occ > 1)
+        |  ) GROUP BY doc_id
+        |),
+        |s2 AS (
+        |  SELECT t.doc_id FROM toks t JOIN s1 USING (doc_id)
+        |  LEFT JOIN dupt d USING (doc_id)
+        |  WHERE COALESCE(d.dup_tokens, 0) * 5 < len(t.tk)
+        |),
+        |tokrows AS (
+        |  SELECT doc_id, lang = 'en' AS is_t,
+        |         CAST(('0x' || substring(md5(unnest(tk)), 1, 15)) AS BIGINT)
+        |           % 2147483647 % 4096 AS b
+        |  FROM toks
+        |),
+        |bc AS (SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+        |              SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+        |       FROM tokrows GROUP BY b),
+        |tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM bc),
+        |qt AS (SELECT b, CAST(FLOOR((CAST(ct + 1 AS DOUBLE) * (nr + 4096))
+        |         / (CAST(cr + 1 AS DOUBLE) * (nt + 4096))
+        |         * 1000000.0) AS BIGINT) AS qb
+        |       FROM bc, tot),
+        |docw AS (SELECT r.doc_id, COUNT(*) AS n_tokens, SUM(q.qb) AS weight_fp
+        |         FROM tokrows r JOIN qt q ON q.b = r.b GROUP BY r.doc_id),
+        |s3 AS (
+        |  SELECT doc_id FROM (
+        |    SELECT w.doc_id,
+        |           RANK() OVER (ORDER BY
+        |             CAST(w.weight_fp AS DOUBLE) / w.n_tokens DESC,
+        |             w.doc_id) AS rk,
+        |           COUNT(*) OVER () AS nd
+        |    FROM docw w JOIN s2 USING (doc_id)
+        |  ) WHERE rk <= CAST(CEIL(0.25 * nd) AS BIGINT)
+        |),
+        |lc AS (
+        |  SELECT t.lang, COUNT(*) AS n,
+        |         CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0)
+        |              AS BIGINT) AS s
+        |  FROM toks t JOIN s3 USING (doc_id) GROUP BY t.lang
+        |),
+        |ltot AS (SELECT SUM(s) AS st, SUM(n) AS nd FROM lc),
+        |rates AS (
+        |  SELECT lang, LEAST(1.0, (CAST(s AS DOUBLE) / st)
+        |    * (CAST(nd AS DOUBLE) / 2.0) / n) AS rate FROM lc, ltot
+        |),
+        |s4 AS (
+        |  SELECT t.doc_id FROM toks t JOIN s3 USING (doc_id)
+        |       JOIN rates r USING (lang)
+        |  WHERE CAST(('0x' || substring(md5('tmix2:' ||
+        |          CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |          % 2147483647 < r.rate * 2147483647
+        |)
+        |SELECT t.source,
+        |       CAST(COUNT(*) AS BIGINT) AS n0,
+        |       CAST(SUM(CASE WHEN s1.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_lm,
+        |       CAST(SUM(CASE WHEN s2.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_lowdup,
+        |       CAST(SUM(CASE WHEN s3.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_dsir,
+        |       CAST(SUM(CASE WHEN s4.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_final
+        |FROM toks t
+        |LEFT JOIN s1 ON s1.doc_id = t.doc_id
+        |LEFT JOIN s2 ON s2.doc_id = t.doc_id
+        |LEFT JOIN s3 ON s3.doc_id = t.doc_id
+        |LEFT JOIN s4 ON s4.doc_id = t.doc_id
+        |GROUP BY t.source ORDER BY t.source""")(
+      (s, d) => {
+        val meta = t(s, d, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select("doc_id", "lang", "source")
+        val ntok = LlmQueries.tokenArrays(s, d)
+          .select(col("doc_id"), size(col("tk")).as("ntok"))
+        // stage 1: LM gate off the shared score memo
+        val lm = lmScores(s, d)
+        val lmTot = lm.agg(sum("score_fp").as("ts"), sum("n_bigrams").as("tn"))
+        val s1 = lm.crossJoin(broadcast(lmTot))
+          .filter((col("score_fp").cast("double") / col("n_bigrams")) >
+            (col("ts").cast("double") / col("tn")))
+          .select("doc_id")
+        // stage 2: substring low-dup gate off the shared starts memo
+        val s2 = s1.join(ntok, Seq("doc_id"))
+          .join(LlmQueries.substringDupTokens(s, d), Seq("doc_id"), "left")
+          .filter(coalesce(col("dup_tokens"), lit(0L)) * 5 < col("ntok"))
+          .select("doc_id")
+        // stage 3: DSIR top-25% among survivors (weights shared)
+        val wAll = Window.orderBy(
+          (col("weight_fp").cast("double") / col("n_tokens")).desc,
+          col("doc_id"))
+        val s3 = dsirWeights(s, d).join(s2, Seq("doc_id"))
+          .withColumn("rk", rank().over(wAll))
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy(lit(1))))
+          .filter(col("rk") <= ceil(lit(0.25) * col("nd")).cast("long"))
+          .select("doc_id")
+        // stage 4: temperature sampling over the survivors' lang mix
+        val lc = meta.join(s3, Seq("doc_id")).groupBy("lang").agg(
+          count(lit(1)).as("n"),
+          floor(sqrt(count(lit(1)).cast("double")) * lit(1000000.0))
+            .cast("long").as("sv"))
+        val lt = lc.agg(sum("sv").as("st"), sum("n").as("nd2"))
+        val rates = lc.crossJoin(broadcast(lt))
+          .select(col("lang"), least(lit(1.0),
+            (col("sv").cast("double") / col("st")) *
+              (col("nd2").cast("double") / lit(2.0)) / col("n")).as("rate"))
+        val h = Text.hash60(concat(lit("tmix2:"), col("doc_id").cast("string")))
+        val s4 = meta.join(s3, Seq("doc_id"))
+          .join(broadcast(rates), Seq("lang"))
+          .filter(h < col("rate") * lit(2147483647L))
+          .select("doc_id")
+        meta
+          .join(s1.withColumn("f1", lit(1)), Seq("doc_id"), "left")
+          .join(s2.withColumn("f2", lit(1)), Seq("doc_id"), "left")
+          .join(s3.withColumn("f3", lit(1)), Seq("doc_id"), "left")
+          .join(s4.withColumn("f4", lit(1)), Seq("doc_id"), "left")
+          .groupBy("source").agg(
+            count(lit(1)).as("n0"),
+            sum(coalesce(col("f1"), lit(0))).cast("long").as("n_lm"),
+            sum(coalesce(col("f2"), lit(0))).cast("long").as("n_lowdup"),
+            sum(coalesce(col("f3"), lit(0))).cast("long").as("n_dsir"),
+            sum(coalesce(col("f4"), lit(0))).cast("long").as("n_final"))
+          .orderBy("source")
       }),
 
     // ── Exact per-stratum sampling head: the k hash-smallest documents

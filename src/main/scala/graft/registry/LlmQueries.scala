@@ -575,6 +575,41 @@ object LlmQueries {
       .select(explode(col("tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
+  /** Duplicated positional 5-gram starts `(doc_id, i)` — the shared
+    * substrate of the exact-substring family (detection, removal, and
+    * the curation funnel's low-dup gate): one postings exchange on the
+    * gram hash, persisted per (session, dir). */
+  private[registry] def substringDupStarts(s: SparkSession, d: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    Caching.memoDf(s, s"subDupStarts:$d") {
+      tokenArrays(s, d).filter(size(col("tk")) >= k)
+        .select(col("doc_id"),
+          posexplode(expr(s"transform(sequence(0, size(tk) - $k), " +
+            s"i -> concat_ws(' ', slice(tk, i + 1, $k)))"))
+            .as(Seq("i", "gram")))
+        .select(col("doc_id"), col("i"), Text.hash60(col("gram")).as("g"))
+        .withColumn("occ", count(lit(1)).over(Window.partitionBy("g")))
+        .filter(col("occ") > 1)
+        .select("doc_id", "i")
+    }
+  }
+
+  /** Per-doc duplicated-token counts from the merged duplicated
+    * windows (the lead() interval union over [[substringDupStarts]]). */
+  private[registry] def substringDupTokens(s: SparkSession, d: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val wDoc = Window.partitionBy("doc_id").orderBy("i")
+    substringDupStarts(s, d)
+      .withColumn("c", least(lit(k),
+        coalesce(lead(col("i"), 1).over(wDoc) - col("i"), lit(k))))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("dup_tokens"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: content-hash groupBy, deterministic survivor.
@@ -638,34 +673,13 @@ object LlmQueries {
         |FROM toks t LEFT JOIN agg a USING (doc_id)
         |ORDER BY t.doc_id""")(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val k = 5
-        // positional k-grams off the shared token cache (0-based starts;
-        // the oracle's are 1-based — only differences and order matter)
-        val toks = tokenArrays(s, d)
-        val pg = toks.filter(size(col("tk")) >= k)
-          .select(col("doc_id"),
-            posexplode(expr(s"transform(sequence(0, size(tk) - $k), " +
-              s"i -> concat_ws(' ', slice(tk, i + 1, $k)))"))
-              .as(Seq("i", "gram")))
-          .select(col("doc_id"), col("i"), Text.hash60(col("gram")).as("g"))
-        // corpus occurrence count per gram hash — the plan's ONE
-        // postings-sized exchange (window count; map-side nothing to
-        // combine, but the alternative agg+join would move the postings
-        // twice)
-        val dupStarts = pg
-          .withColumn("occ", count(lit(1)).over(Window.partitionBy("g")))
-          .filter(col("occ") > 1)
-        // merge overlapping [i, i+k) windows: sorted-start lead() pass,
-        // partitioned back on doc_id; the groupBy below reuses that
-        // partitioning (no extra exchange)
-        val wDoc = Window.partitionBy("doc_id").orderBy("i")
-        val agg = dupStarts
-          .withColumn("c", least(lit(k),
-            coalesce(lead(col("i"), 1).over(wDoc) - col("i"), lit(k))))
-          .groupBy("doc_id")
-          .agg(sum("c").cast("long").as("dup_tokens"))
-        toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+        // duplicated starts off the shared memo (one postings exchange,
+        // persisted; 0-based starts vs the oracle's 1-based — only
+        // differences and order matter), interval-merged per doc by the
+        // lead() pass that rides the token cache's partitioning
+        val agg = substringDupTokens(s, d)
+        tokenArrays(s, d)
+          .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
           .join(agg, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_tokens"),
             coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
@@ -724,18 +738,9 @@ object LlmQueries {
         |FROM toks t LEFT JOIN kept k USING (doc_id)
         |ORDER BY t.doc_id""")(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val k = 5
         val toks = tokenArrays(s, d)
-        val pg = toks.filter(size(col("tk")) >= k)
-          .select(col("doc_id"),
-            posexplode(expr(s"transform(sequence(0, size(tk) - $k), " +
-              s"i -> concat_ws(' ', slice(tk, i + 1, $k)))"))
-              .as(Seq("i", "gram")))
-          .select(col("doc_id"), col("i"), Text.hash60(col("gram")).as("g"))
-        val starts = pg
-          .withColumn("occ", count(lit(1)).over(Window.partitionBy("g")))
-          .filter(col("occ") > 1)
+        val starts = substringDupStarts(s, d)
           .groupBy("doc_id").agg(collect_list("i").as("starts"))
         val keptArr = filter(
           transform(sequence(lit(0), size(col("tk")) - 1), j =>
