@@ -317,5 +317,15 @@ object GraftFunctions {
       es => NearestCentroidsExpr(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_nearest_centroids_l2",
       es => NearestCentroidsL2Expr(es(0), es(1), es(2)), "scala_udf")
+    // Spark's own runtime-filter Bloom pair, surfaced as callable
+    // functions for the incremental-dedup screen (llmops.BloomDedup).
+    // Both are codegen'd catalyst expressions; the aggregate is
+    // tree-merged (partial blooms OR-combined map-side).
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bloom_contains",
+      es => new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        es(0), es(1)), "scala_udf")
   }
 }

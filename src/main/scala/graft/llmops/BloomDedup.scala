@@ -1,0 +1,74 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental batch-vs-corpus deduplication with a Bloom-filter screen.
+  *
+  * The canonical shape for "is this incoming document already in the
+  * 100 TB standing corpus?": the corpus text itself NEVER shuffles —
+  * one tree-aggregated pass builds a Bloom filter over the corpus keys
+  * (partial filters OR-merged map-side, one `numBits/8`-byte blob at the
+  * root), the incoming batch is screened against it as a scalar
+  * subquery (Spark's own `BloomFilterMightContain`, the same expression
+  * the engine injects for runtime row-group filtering), and only the
+  * screened survivors — true duplicates plus the fpp·|batch| false
+  * positives — reach the exact-confirm equi-join. Rows the screen
+  * rejects are DEFINITIVELY new (a Bloom filter has no false
+  * negatives), so the final answer is exact: the filter only prunes the
+  * join's build input.
+  *
+  * At 1000-executor scale the single-blob filter holds to ~10^9 corpus
+  * keys (1.2 GB at 10 bits/key); past that, shard the aggregate by
+  * `pmod(xxhash64(k), S)` and screen each batch row against its shard's
+  * blob — the confirm join below is unchanged. Reference behavior: the
+  * VAMS indexer dedupes per-key by idempotent overwrite
+  * (backend/backend/handlers/indexing/streams.py upsert path); this
+  * operator is the corpus-scale generalization the BASELINE adds.
+  */
+object BloomDedup {
+
+  /** Flags each `batch` row with `is_dup`: whether its `keyCol` value
+    * occurs in `ref`'s `keyCol` column. Exact semantics (equivalent to
+    * `batch.join(ref, key, "left_semi")` membership), Bloom-screened so
+    * only candidate rows shuffle into the confirm join.
+    *
+    * @param estItems  expected distinct corpus keys (sizes the filter)
+    * @param numBits   Bloom filter size in bits (blob = numBits/8 bytes)
+    */
+  def flagDups(
+      batch: DataFrame,
+      ref: DataFrame,
+      keyCol: String,
+      estItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+
+    // One aggregation pass over the corpus keys; lands as a scalar
+    // subquery so the whole operator stays a single declarative plan
+    // (no driver round-trip — the blob flows root→broadcast).
+    val bloom: Column = ref
+      .agg(call_function("graft_bloom_agg",
+        xxhash64(col(keyCol)), lit(estItems), lit(numBits)).as("bf"))
+      .scalar()
+
+    val flagged = batch.withColumn("__cand",
+      coalesce(call_function("graft_bloom_contains", bloom, xxhash64(col(keyCol))), lit(false)))
+
+    // Screen-rejected rows skip the join entirely.
+    val misses = flagged.filter(!col("__cand")).withColumn("is_dup", lit(false))
+
+    // Candidates (true dups + false positives) are confirmed exactly
+    // against the DISTINCT corpus keys — dedup before the join keeps
+    // the probe side from fanning out on corpus-internal duplicates.
+    val refKeys = ref.select(col(keyCol).as("__ref_k")).distinct()
+    val hits = flagged.filter(col("__cand"))
+      .join(refKeys.withColumn("__hit", lit(true)),
+        col(keyCol) === col("__ref_k"), "left")
+      .withColumn("is_dup", coalesce(col("__hit"), lit(false)))
+      .drop("__ref_k", "__hit")
+
+    misses.unionByName(hits).drop("__cand")
+  }
+}

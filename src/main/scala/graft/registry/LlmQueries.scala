@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Caching, Tables}
-import graft.llmops.{MinHash, Multimodal, SimHash, Similarity, Text}
+import graft.llmops.{BloomDedup, MinHash, Multimodal, SimHash, Similarity, Text}
 
 /** LLM-training-data pipeline operators (BASELINE.json north star):
   * deduplication (exact / MinHash+LSH / SimHash / n-gram Jaccard),
@@ -622,6 +622,35 @@ object LlmQueries {
         .groupBy(md5(col("text")).as("h"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("keep_id")),
+
+    // ── INCREMENTAL dedup: Bloom screen + exact confirm. The incoming
+    //    batch (doc_id ≡ 0 mod 3) is checked against the standing corpus
+    //    (the other two thirds) on a normalized 8-token head fingerprint
+    //    — the doc-head key that actually collides in this fixture (the
+    //    corpus has no exact-text dups at sf0.01). The corpus text never
+    //    shuffles: one tree-aggregated Bloom blob screens the batch, and
+    //    only candidates reach the confirm join (see llmops.BloomDedup
+    //    for the 100 TB sharding story). The oracle is the exact
+    //    membership semantics — the screen is invisible by construction.
+    sql("llm_dedup_bloom",
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |         array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[1:8], ' ') AS k
+        |  FROM documents
+        |)
+        |SELECT b.doc_id,
+        |       b.k IN (SELECT k FROM keyed WHERE doc_id % 3 <> 0) AS is_dup
+        |FROM keyed b WHERE b.doc_id % 3 = 0 ORDER BY b.doc_id""")(
+      (s, d) => {
+        val keyed = t(s, d, "documents").select(col("doc_id"),
+          array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 8), " ").as("k"))
+        BloomDedup.flagDups(
+          batch = keyed.filter(col("doc_id") % 3 === 0),
+          ref = keyed.filter(col("doc_id") % 3 =!= 0),
+          keyCol = "k")
+          .select(col("doc_id"), col("is_dup"))
+          .orderBy("doc_id")
+      }),
 
     // ── EXACT SUBSTRING duplication (Lee et al. 2022, "Deduplicating
     //    Training Data Makes Language Models Better"): a token position
