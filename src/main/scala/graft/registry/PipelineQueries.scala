@@ -434,6 +434,41 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // ── Deterministic per-epoch training order: each epoch salts a
+    //    stable hash of the doc id, the hash's low bits pick one of 8
+    //    shards, and a window PARTITIONED BY (epoch, shard) assigns the
+    //    within-shard position — so the "global shuffle before each
+    //    epoch" every trainer needs is a hash + a partitioned window,
+    //    never a corpus-wide total-order sort (a single-partition
+    //    row_number() would serialize 100 TB through one task; per-shard
+    //    numbering is embarrassingly parallel and the reader streams
+    //    shards in shard order). Re-derivable by any engine: no RNG, no
+    //    state; a new epoch is a new salt, nothing is rewritten.
+    sql("llm_shuffle_epoch",
+      s"""WITH e AS (
+        |  SELECT doc_id, epoch FROM documents, (VALUES (0), (1)) AS ep(epoch)
+        |), h AS (
+        |  SELECT doc_id, epoch,
+        |         ${QueryDef.hashBucketSql("'epoch:' || epoch || ':' || doc_id")} AS h
+        |  FROM e
+        |)
+        |SELECT doc_id, epoch, h % 8 AS shard,
+        |       CAST(row_number() OVER (PARTITION BY epoch, h % 8
+        |                               ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY epoch, shard, pos""")(
+      (s, d) => {
+        val h = Text.hash60(concat(lit("epoch:"), col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string")))
+        val w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+        t(s, d, "documents")
+          .select(col("doc_id"), explode(array(lit(0), lit(1))).as("epoch"))
+          .select(col("doc_id"), col("epoch"), h.as("h"))
+          .withColumn("shard", col("h") % 8)
+          .select(col("doc_id"), col("epoch"), col("shard"),
+            row_number().over(w).cast("bigint").as("pos"))
+          .orderBy("epoch", "shard", "pos")
+      }),
+
     // ── Bucketed co-located join: orders ⋈ customer on custkey over
     //    tables WRITTEN bucketed by the key — the join and the
     //    aggregation both run exchange-free (BucketingSpec pins zero

@@ -47,4 +47,33 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(gaps.isEmpty)
     df.unpersist()
   }
+
+  test("epoch shuffle: dense per-shard positions, real reshuffling, no global sort") {
+    val df = graft.SparkEntry.queries("llm_shuffle_epoch")(spark, sf()).cache()
+    // every (epoch, shard) position sequence is dense 1..n
+    val dense = df.groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("nd"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1 || col("nd") =!= col("n"))
+    assert(dense.isEmpty, "positions must be dense 1..n per (epoch, shard)")
+    // each epoch covers the whole corpus exactly once
+    val perEpoch = df.groupBy("epoch").agg(countDistinct("doc_id").as("n"))
+      .select("n").as[Long].collect().toSet
+    assert(perEpoch.size == 1)
+    // the two epochs genuinely reshuffle: most docs change (shard, pos)
+    val moved = df.groupBy("doc_id")
+      .agg(countDistinct(concat_ws(":", col("shard"), col("pos"))).as("k"))
+      .filter(col("k") === 2).count()
+    assert(moved.toDouble / perEpoch.head > 0.9, s"only $moved docs moved")
+    df.unpersist()
+    // scale shape: the window runs over a hash-partitioned exchange, not
+    // a SinglePartition gather (the final presentation ORDER BY is the
+    // only total order in the plan)
+    val plan = graft.SparkEntry.queries("llm_shuffle_epoch")(spark, sf())
+      .queryExecution.executedPlan.toString
+    val windowAt = plan.indexOf("Window")
+    assert(windowAt >= 0 &&
+      !plan.substring(windowAt).contains("Exchange SinglePartition"),
+      s"window must not gather to one partition:\n${plan.take(2000)}")
+  }
 }
