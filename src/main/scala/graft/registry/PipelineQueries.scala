@@ -469,6 +469,67 @@ object PipelineQueries {
           .orderBy("epoch", "shard", "pos")
       }),
 
+    // ── Incremental-ingest funnel composing the round's new operators
+    //    into the shape a standing 100 TB corpus actually runs nightly:
+    //    the incoming batch is Bloom-screened against the corpus head
+    //    fingerprints (corpus text never shuffles — llmops.BloomDedup),
+    //    survivors pass the quality gate (same arithmetic as
+    //    llm_text_quality, so both engines compare bit-identical
+    //    doubles), and the kept docs get their epoch-0 shard + position
+    //    (partitioned window — no global sort, as llm_shuffle_epoch).
+    //    One declarative plan end to end.
+    sql("llm_ingest_funnel",
+      s"""WITH keyed AS (
+        |  SELECT doc_id, text,
+        |         array_to_string((regexp_split_to_array(trim(lower(text)), '\\s+'))[1:8], ' ') AS k
+        |  FROM documents
+        |), fresh AS (
+        |  SELECT doc_id, text FROM keyed b
+        |  WHERE b.doc_id % 3 = 0
+        |    AND b.k NOT IN (SELECT k FROM keyed WHERE doc_id % 3 <> 0)
+        |), q AS (
+        |  SELECT doc_id,
+        |         0.5 * (CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+        |                  x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |                / len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+        |         + 0.5 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+        |                  / length(text)) AS quality
+        |  FROM fresh
+        |), kept AS (
+        |  SELECT doc_id, quality,
+        |         ${QueryDef.hashBucketSql("'epoch:0:' || doc_id")} AS h
+        |  FROM q WHERE quality >= 0.53
+        |)
+        |SELECT doc_id, h % 8 AS shard,
+        |       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos,
+        |       quality
+        |FROM kept ORDER BY shard, pos""")(
+      (s, d) => {
+        val keyed = t(s, d, "documents").select(col("doc_id"), col("text"),
+          array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 8), " ").as("k"))
+        val fresh = graft.llmops.BloomDedup.flagDups(
+            batch = keyed.filter(col("doc_id") % 3 === 0),
+            ref = keyed.filter(col("doc_id") % 3 =!= 0),
+            keyCol = "k")
+          .filter(!col("is_dup"))
+          .select(col("doc_id"), col("text"))
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+        val tk = Text.tokens(col("text"))
+        val q = fresh.select(col("doc_id"),
+          (lit(0.5) * (size(filter(tk, x => x.isInCollection(stops))).cast("double") /
+            size(tk)) +
+            lit(0.5) * (lit(1.0) -
+              regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("double") /
+                length(col("text")))).as("quality"))
+        val kept = q.filter(col("quality") >= 0.53)
+          .withColumn("h", Text.hash60(concat(lit("epoch:0:"), col("doc_id").cast("string"))))
+          .withColumn("shard", col("h") % 8)
+        val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+        kept.select(col("doc_id"), col("shard"),
+            row_number().over(w).cast("bigint").as("pos"), col("quality"))
+          .orderBy("shard", "pos")
+      }),
+
     // ── Bucketed co-located join: orders ⋈ customer on custkey over
     //    tables WRITTEN bucketed by the key — the join and the
     //    aggregation both run exchange-free (BucketingSpec pins zero
