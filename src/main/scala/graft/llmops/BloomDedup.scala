@@ -53,22 +53,25 @@ object BloomDedup {
         xxhash64(col(keyCol)), lit(estItems), lit(numBits)).as("bf"))
       .scalar()
 
-    val flagged = batch.withColumn("__cand",
-      coalesce(call_function("graft_bloom_contains", bloom, xxhash64(col(keyCol))), lit(false)))
-
-    // Screen-rejected rows skip the join entirely.
-    val misses = flagged.filter(!col("__cand")).withColumn("is_dup", lit(false))
-
-    // Candidates (true dups + false positives) are confirmed exactly
-    // against the DISTINCT corpus keys — dedup before the join keeps
-    // the probe side from fanning out on corpus-internal duplicates.
+    // One pass, one join: screen-rejected rows keep a per-row sentinel
+    // join key (NUL-prefixed per-row hash — ref keys are tokenized
+    // text, which cannot contain NUL) so they flow through the same
+    // equi-join as candidates and simply never match. This avoids a
+    // union of two batch re-scans AND keeps the miss majority spread
+    // across all partitions (a shared null/constant key would funnel
+    // every miss into one reducer — the classic null-skew kill).
+    // Candidates are confirmed against the DISTINCT corpus keys —
+    // dedup before the join keeps the probe side from fanning out on
+    // corpus-internal duplicates.
     val refKeys = ref.select(col(keyCol).as("__ref_k")).distinct()
-    val hits = flagged.filter(col("__cand"))
+    val cand = coalesce(
+      call_function("graft_bloom_contains", bloom, xxhash64(col(keyCol))), lit(false))
+    batch
+      .withColumn("__jk", when(cand, col(keyCol))
+        .otherwise(concat(lit("\u0000"), xxhash64(struct(batch.columns.map(col): _*)))))
       .join(refKeys.withColumn("__hit", lit(true)),
-        col(keyCol) === col("__ref_k"), "left")
+        col("__jk") === col("__ref_k"), "left")
       .withColumn("is_dup", coalesce(col("__hit"), lit(false)))
-      .drop("__ref_k", "__hit")
-
-    misses.unionByName(hits).drop("__cand")
+      .drop("__jk", "__ref_k", "__hit")
   }
 }

@@ -29,11 +29,17 @@ object CurationQueries {
   private def nTokens(text: Column): Column = Text.nTokens(text)
 
   /** Per-doc bigram-LM score aggregates `(doc_id, n_bigrams, score_fp)`
-    * under the English-reference add-1 bigram model — shared by
-    * llm_quality_lmscore and the curation funnel's LM gate; the model
-    * tables and the corpus bigram join run once per (session, dir). */
-  private def lmScores(s: SparkSession, d: String): DataFrame =
-    graft.core.Caching.memoDf(s, s"lmScores:$d") {
+    * under the English-reference add-1 bigram model — the shared
+    * builder for llm_quality_lmscore and the curation funnel's LM gate.
+    * Deliberately NOT session-cached: the output is doc-count-sized but
+    * persisting it costs a full extra materialization barrier per cache
+    * generation (measured: solo lmscore 0.75 s inline vs 1.96 s behind
+    * memoDf at sf0.1 — the cache build re-pays the corpus bigram join
+    * AND the InMemoryRelation write every generation, where the inline
+    * plan streams straight into the consumer). Plan construction is
+    * shared; execution stays declarative per query, riding the
+    * tokenArrays cache like every other text operator. */
+  private def lmScores(s: SparkSession, d: String): DataFrame = {
       val withLang = LlmQueries.tokenArrays(s, d)
         .join(t(s, d, "documents").select("doc_id", "lang"), Seq("doc_id"))
       val ref = withLang.filter(col("lang") === "en")
@@ -65,10 +71,12 @@ object CurationQueries {
     }
 
   /** Per-doc DSIR importance aggregates `(doc_id, n_tokens, weight_fp)`
-    * under the 4096-bucket hashed unigram target/raw models — shared by
-    * llm_mix_dsir and the curation funnel's selection stage. */
-  private def dsirWeights(s: SparkSession, d: String): DataFrame =
-    graft.core.Caching.memoDf(s, s"dsirWeights:$d") {
+    * under the 4096-bucket hashed unigram target/raw models — the
+    * shared builder for llm_mix_dsir and the curation funnel's
+    * selection stage. NOT session-cached, same rationale as
+    * [[lmScores]]: the persist barrier costs more than the one
+    * map-side-combined model shuffle it would save. */
+  private def dsirWeights(s: SparkSession, d: String): DataFrame = {
       val m = 4096
       val tokrows = LlmQueries.tokenArrays(s, d)
         .join(t(s, d, "documents").select(col("doc_id"),

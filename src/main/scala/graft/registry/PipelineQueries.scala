@@ -472,14 +472,24 @@ object PipelineQueries {
     // ── Incremental-ingest funnel composing the round's new operators
     //    into the shape a standing 100 TB corpus actually runs nightly:
     //    the incoming batch is Bloom-screened against the corpus head
-    //    fingerprints (corpus text never shuffles — llmops.BloomDedup),
-    //    survivors pass the quality gate (same arithmetic as
-    //    llm_text_quality, so both engines compare bit-identical
-    //    doubles), and the kept docs get their epoch-0 shard + position
-    //    (partitioned window — no global sort, as llm_shuffle_epoch).
-    //    One declarative plan end to end.
+    //    fingerprints (exact dedup; corpus text never shuffles —
+    //    llmops.BloomDedup), then near-dup-screened against the SimHash
+    //    pair graph (fuzzy dedup: a batch doc is dropped when it has a
+    //    hamming≤3 partner with a smaller id, or any corpus partner —
+    //    the shared simhashPairs machinery), survivors pass the quality
+    //    gate and the Gopher-style repetition gate (same arithmetic as
+    //    llm_text_quality and llm_quality_repetition, so both engines
+    //    compare bit-identical doubles), and the kept docs get their
+    //    epoch-0 shard + position (partitioned window — no global sort,
+    //    as llm_shuffle_epoch). One declarative plan end to end.
     sql("llm_ingest_funnel",
-      s"""WITH keyed AS (
+      s"""WITH ${LlmQueries.ShingleCtes}, ${LlmQueries.SimhashPairCtes}, nd AS (
+        |  SELECT a_id, b_id FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        |), neardup AS (
+        |  SELECT b_id AS doc_id FROM nd
+        |  UNION
+        |  SELECT a_id FROM nd WHERE b_id % 3 <> 0
+        |), keyed AS (
         |  SELECT doc_id, text,
         |         array_to_string((regexp_split_to_array(trim(lower(text)), '\\s+'))[1:8], ' ') AS k
         |  FROM documents
@@ -487,18 +497,30 @@ object PipelineQueries {
         |  SELECT doc_id, text FROM keyed b
         |  WHERE b.doc_id % 3 = 0
         |    AND b.k NOT IN (SELECT k FROM keyed WHERE doc_id % 3 <> 0)
+        |    AND b.doc_id NOT IN (SELECT doc_id FROM neardup)
         |), q AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, text,
         |         0.5 * (CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
         |                  x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
         |                / len(regexp_split_to_array(trim(lower(text)), '\\s+')))
         |         + 0.5 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
         |                  / length(text)) AS quality
         |  FROM fresh
-        |), kept AS (
-        |  SELECT doc_id, quality,
-        |         ${QueryDef.hashBucketSql("'epoch:0:' || doc_id")} AS h
+        |), tk AS (
+        |  SELECT doc_id, quality, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
         |  FROM q WHERE quality >= 0.53
+        |), occ AS (
+        |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+        |  FROM tk WHERE len(t) >= 2
+        |), cnt AS (
+        |  SELECT doc_id, g, count(*) AS c FROM occ GROUP BY doc_id, g
+        |), rep AS (
+        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_frac
+        |  FROM cnt GROUP BY doc_id
+        |), kept AS (
+        |  SELECT t.doc_id, t.quality,
+        |         ${QueryDef.hashBucketSql("'epoch:0:' || t.doc_id")} AS h
+        |  FROM tk t JOIN rep r USING (doc_id) WHERE r.top_frac < 0.06
         |)
         |SELECT doc_id, h % 8 AS shard,
         |       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos,
@@ -507,21 +529,62 @@ object PipelineQueries {
       (s, d) => {
         val keyed = t(s, d, "documents").select(col("doc_id"), col("text"),
           array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 8), " ").as("k"))
+        // fuzzy screen: near-dup ids off the shared SimHash pair graph
+        // (pair-graph-sized ≪ corpus, so the anti-join broadcasts it)
+        val nd = LlmQueries.simhashPairs(s, d).select("a_id", "b_id")
+        val nearDupIds = nd.select(col("b_id").as("doc_id"))
+          .unionByName(nd.filter(col("b_id") % 3 =!= 0)
+            .select(col("a_id").as("doc_id")))
+          .distinct()
         val fresh = graft.llmops.BloomDedup.flagDups(
             batch = keyed.filter(col("doc_id") % 3 === 0),
             ref = keyed.filter(col("doc_id") % 3 =!= 0),
             keyCol = "k")
           .filter(!col("is_dup"))
+          .join(broadcast(nearDupIds), Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("text"))
         val stops = Seq("the", "a", "of", "and", "to", "in", "is")
-        val tk = Text.tokens(col("text"))
-        val q = fresh.select(col("doc_id"),
-          (lit(0.5) * (size(filter(tk, x => x.isInCollection(stops))).cast("double") /
-            size(tk)) +
-            lit(0.5) * (lit(1.0) -
-              regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("double") /
-                length(col("text")))).as("quality"))
-        val kept = q.filter(col("quality") >= 0.53)
+        // token array BOUND to a column before anything references it —
+        // an expression-level tk inside the fold's lambda would
+        // re-tokenize the text per ELEMENT (the Generate/HOF
+        // re-evaluation trap documented at llm_quality_repetition;
+        // measured here: 2.09 s vs 0.43 s for this query at sf0.1)
+        val q = fresh
+          .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("tkc"))
+          .select(col("doc_id"), col("tkc"),
+            (lit(0.5) * (size(filter(col("tkc"), x => x.isInCollection(stops)))
+              .cast("double") / size(col("tkc"))) +
+              lit(0.5) * (lit(1.0) -
+                regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("double") /
+                  length(col("text")))).as("quality"))
+          .filter(col("quality") >= 0.53)
+        // repetition gate as explode → two map-side-combined
+        // aggregations (the oracle's own shape). NOT the fold-over-
+        // sorted-bigrams form llm_quality_repetition uses: a fold in a
+        // FILTER gets pushed below the join with its aliases inlined,
+        // and the inlined lambda re-tokenizes the text per bigram
+        // element (measured 2.07 s vs 0.43 s for this query at sf0.1).
+        // The aggregation is a barrier predicate pushdown cannot cross,
+        // and the (doc_id, gram) exchange is batch-sized — the
+        // incremental batch, not the corpus. quality rides as a
+        // grouping key (functionally dependent on doc_id).
+        val bg = transform(sequence(lit(1), size(col("tkc")) - 1), i =>
+          concat_ws(" ", element_at(col("tkc"), i), element_at(col("tkc"), i + 1)))
+        // explode_OUTER deliberately: plain explode triggers
+        // InferFiltersFromGenerate, which pushes an inferred
+        // size(bg) > 0 predicate to the scan with the transform lambda
+        // inlined — re-splitting the text per bigram element (measured
+        // 5.3 s vs 0.14 s for this stage at sf0.1). outer explode is
+        // exempt from that inference; the isNotNull filter on the
+        // OUTPUT column restores exact explode semantics (it cannot be
+        // pushed below the Generate that produces it).
+        val kept = q
+          .select(col("doc_id"), col("quality"), bg.as("bgc"))
+          .select(col("doc_id"), col("quality"), explode_outer(col("bgc")).as("g"))
+          .filter(col("g").isNotNull)
+          .groupBy("doc_id", "quality", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "quality").agg(max("c").as("mx"), sum("c").as("tot"))
+          .filter(col("mx").cast("double") / col("tot") < 0.06)
           .withColumn("h", Text.hash60(concat(lit("epoch:0:"), col("doc_id").cast("string"))))
           .withColumn("shard", col("h") % 8)
         val w = Window.partitionBy("shard").orderBy("h", "doc_id")
