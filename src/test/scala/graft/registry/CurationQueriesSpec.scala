@@ -340,4 +340,21 @@ class CurationQueriesSpec extends SparkSpec {
     }
     assert(run(1).toSeq == run(37).toSeq)
   }
+
+  test("trained quality classifier agrees with its reference label >90%") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("llm_quality_train")(spark, sf()).cache()
+    val n = out.count().toDouble
+    val agree = out.filter(col("predicted") === col("label")).count() / n
+    assert(agree > 0.9, s"train agreement $agree")
+    // the model actually discriminates: both predicted classes occur,
+    // and mean score of true-labeled docs clears that of false-labeled
+    val preds = out.groupBy("predicted").count().count()
+    assert(preds == 2, "degenerate all-one-class prediction")
+    val means = out.groupBy("label").agg(avg("score_fp").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > 0 && means(false) < 0,
+      s"class score means not separated: $means")
+    out.unpersist()
+  }
 }

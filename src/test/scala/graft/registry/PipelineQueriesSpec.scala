@@ -76,4 +76,25 @@ class PipelineQueriesSpec extends SparkSpec {
       !plan.substring(windowAt).contains("Exchange SinglePartition"),
       s"window must not gather to one partition:\n${plan.take(2000)}")
   }
+
+  test("ingest funnel output is consistent with its component operators") {
+    val funnel = graft.SparkEntry.queries("llm_ingest_funnel")(spark, sf()).cache()
+    val ids = funnel.select("doc_id").as[Long].collect().toSet
+    // only batch docs (doc_id % 3 == 0) can appear
+    assert(ids.forall(_ % 3 == 0))
+    // no kept doc is an exact head-fingerprint dup of the corpus
+    val bloomDups = graft.SparkEntry.queries("llm_dedup_bloom")(spark, sf())
+      .filter(col("is_dup")).select("doc_id").as[Long].collect().toSet
+    assert(ids.intersect(bloomDups).isEmpty)
+    // no kept doc fails the quality gate (same arithmetic as llm_text_quality)
+    val lowQ = graft.SparkEntry.queries("llm_text_quality")(spark, sf())
+      .filter(col("quality") < 0.53).select("doc_id").as[Long].collect().toSet
+    assert(ids.intersect(lowQ).isEmpty)
+    // positions are dense 1..n within every shard
+    val bad = funnel.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), countDistinct("pos").as("nd"))
+      .filter(col("mx") =!= col("n") || col("nd") =!= col("n"))
+    assert(bad.isEmpty)
+    funnel.unpersist()
+  }
 }
