@@ -357,4 +357,16 @@ class CurationQueriesSpec extends SparkSpec {
       s"class score means not separated: $means")
     out.unpersist()
   }
+
+  test("classifier generalizes: held-out agreement >85% on docs never trained on") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("llm_quality_train_holdout")(spark, sf()).cache()
+    // every scored doc is from the held-out fifth
+    assert(out.filter(col("doc_id") % 5 =!= 0).isEmpty)
+    val n = out.count().toDouble
+    assert(n > 0)
+    val agree = out.filter(col("predicted") === col("label")).count() / n
+    assert(agree > 0.85, s"held-out agreement $agree")
+    out.unpersist()
+  }
 }
