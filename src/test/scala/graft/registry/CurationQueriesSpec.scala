@@ -358,6 +358,23 @@ class CurationQueriesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("classifier training is bit-identical under different parallelism") {
+    // the operator's claim: every sum is an integer sum and every
+    // division a floor of an exactly-representable double, so the
+    // aggregation ORDER — which varies with partitioning — cannot
+    // change one bit of the trained weights or scores. Run the full
+    // training twice at different shuffle widths and compare exactly.
+    import org.apache.spark.sql.functions._
+    def run(parts: String): Seq[(Long, Long, Boolean, Boolean)] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try graft.SparkEntry.queries("llm_quality_train")(spark, sf())
+        .as[(Long, Long, Boolean, Boolean)].collect().toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(run("1") == run("13"))
+  }
+
   test("classifier generalizes: held-out agreement >85% on docs never trained on") {
     import org.apache.spark.sql.functions._
     val out = graft.SparkEntry.queries("llm_quality_train_holdout")(spark, sf()).cache()
