@@ -642,6 +642,31 @@ object PipelineQueries {
           .select(col("_docId").as("doc_key"), col("lang"),
             col("n_chars").cast("long").as("n_chars"))
           .orderBy("doc_key")
+      }),
+
+    // ── Metadata-only table statistics: per-partition row counts, file
+    //    counts, and key bounds answered ENTIRELY from the transaction
+    //    log — not one data file is opened (TxLogStatsSpec proves it by
+    //    deleting every parquet under the table and re-running). The
+    //    oracle recomputes the same numbers the expensive way, from the
+    //    source fixture. This is the Delta/Iceberg `SELECT count(*)`
+    //    fast path surfaced as an operator: at 100 TB the most common
+    //    catalog probes become a driver-sized log read.
+    sql("tx2_stats_rowcount",
+      """SELECT source AS partition, CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(source || '#' || lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS min_key,
+        |       max(source || '#' || lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS max_key
+        |FROM documents GROUP BY source ORDER BY partition""")(
+      (s, d) => {
+        val dir = TxSideTables.docs(s, d)
+        val stats = graft.sources.TxLog.statsAggregate(s, dir)
+          .getOrElse(sys.error("txlog files predate row stats"))
+        import s.implicits._
+        stats.map(p => (p.partition, p.rows,
+            p.minKey.getOrElse(sys.error(s"no key bounds for ${p.partition}")),
+            p.maxKey.getOrElse(sys.error(s"no key bounds for ${p.partition}"))))
+          .toDF("partition", "n_rows", "min_key", "max_key")
+          .orderBy("partition")
       })
   )
 }

@@ -728,6 +728,50 @@ object TxLog {
     }
   }
 
+  /** Per-partition metadata-only aggregates of [[statsAggregate]]:
+    * `rows` is always exact; the key bounds are Some only when EVERY
+    * file of the partition carries bounds. */
+  case class PartitionStats(partition: String, rows: Long, files: Int,
+      minKey: Option[String], maxKey: Option[String])
+
+  /** METADATA-ONLY aggregates from the committed log — row counts, file
+    * counts, and key bounds per partition WITHOUT opening a single data
+    * file (the same free-at-write-time stats answer Delta/Iceberg give
+    * `SELECT count(*)`). At 100 TB this turns the most common catalog
+    * probes — table size, partition sizes, key coverage — into a
+    * driver-sized log read.
+    *
+    * Fail-safe, never wrong: returns None when any selected live file
+    * predates row stats (`rows < 0`) — the caller must fall back to a
+    * scan; a partition whose files lack KEY bounds still gets its exact
+    * row count, with `minKey`/`maxKey` = None. Output sorted by
+    * partition. */
+  def statsAggregate(spark: SparkSession, path: String,
+      partitions: Option[Set[String]] = None,
+      asOfVersion: Option[Long] = None): Option[Seq[PartitionStats]] = {
+    val snap = asOfVersion match {
+      case Some(v) => snapshotAt(spark, path, v)
+      case None => snapshot(spark, path)
+    }
+    val live = partitions match {
+      case Some(ps) => snap.files.filter(f => ps(f.partition))
+      case None => snap.files
+    }
+    if (live.exists(_.rows < 0)) None
+    else Some(live.groupBy(_.partition).toSeq.sortBy(_._1).map {
+      case (p, fs) =>
+        val bounds =
+          if (fs.forall(f => f.minKey.isDefined && f.maxKey.isDefined))
+            Some((fs.flatMap(_.minKey).min(Ordering.fromLessThan[String](
+                   cmpUtf8(_, _) < 0)),
+                  fs.flatMap(_.maxKey).max(Ordering.fromLessThan[String](
+                   cmpUtf8(_, _) < 0))))
+          else None
+        PartitionStats(p, fs.map(_.rows).sum, fs.size,
+          bounds.map(_._1), bounds.map(_._2))
+    })
+  }
+
   /** CHANGE FEED between two committed versions (Delta CDF analogue):
     * row-level inserts, deletes, and update pre/post-images keyed on
     * `keyCol`, derived from the two pinned snapshots. Only the files
