@@ -1136,6 +1136,31 @@ object TxLog {
     * restore commit shows the rollback as ordinary row changes). The
     * target must still be readable: at-or-above the vacuum horizon, or
     * pinned by a [[tag]]. Optimistic like every commit. */
+  /** Row-level `DELETE WHERE` (Delta's predicate delete): keys of the
+    * rows matching `condition` are resolved with one read — the
+    * predicate pushes into the parquet scan; pass `partitions` /
+    * `keyRange` to ALSO prune at the log level like [[read]] — and
+    * removed through the same MERGE path as every other mutation
+    * (ACID, retry on conflict, change-feed visible as deletes).
+    * Returns the number of rows deleted. A predicate matching nothing
+    * commits nothing. */
+  def deleteWhere(spark: SparkSession, path: String,
+      condition: org.apache.spark.sql.Column,
+      keyCol: String = "_docId",
+      partitionCol: String = "str_databaseid",
+      partitions: Option[Set[String]] = None,
+      keyRange: Option[(String, String)] = None): Long = {
+    val victims = read(spark, path, partitions = partitions,
+        keyRange = keyRange).filter(condition)
+      .select(keyCol).localCheckpoint()
+    val n = victims.count()
+    if (n > 0)
+      merge(spark, path, updates = victims.limit(0).select(col(keyCol),
+          split(col(keyCol), "#").getItem(0).as(partitionCol)),
+        removedKeys = victims, keyCol = keyCol, partitionCol = partitionCol)
+    n
+  }
+
   def restore(spark: SparkSession, path: String, version: Long,
       maxAttempts: Int = 20): Unit = {
     var attempt = 0

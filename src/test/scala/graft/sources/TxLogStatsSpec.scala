@@ -65,6 +65,23 @@ class TxLogStatsSpec extends SparkSpec {
     assert(TxLog.statsAggregate(spark, dir).get.map(_.rows).sum == 6)
   }
 
+  test("deleteWhere removes exactly the matching rows, transactionally") {
+    val dir = freshTable()
+    val n = TxLog.deleteWhere(spark, dir, col("v") >= 9L, partitionCol = "part")
+    assert(n == 3) // 20, 10, 9
+    val left = TxLog.read(spark, dir).select("_docId").as[String].collect().sorted
+    assert(left.toSeq == Seq("p1#003", "p2#001"))
+    // stats stay consistent after the predicate delete
+    assert(TxLog.statsAggregate(spark, dir).get.map(_.rows).sum == 2)
+    // a no-match predicate commits nothing (version unchanged)
+    val v = TxLog.snapshot(spark, dir).version
+    assert(TxLog.deleteWhere(spark, dir, col("v") > 1000L, partitionCol = "part") == 0)
+    assert(TxLog.snapshot(spark, dir).version == v)
+    // the change feed shows the deletes as row-level deletes
+    val feed = TxLog.changes(spark, dir, v - 1, v, keyCol = "_docId")
+    assert(feed.filter(col("_change_type") === "delete").count() == 3)
+  }
+
   test("a file without row stats fails safe to None, not a wrong count") {
     val dir = freshTable()
     assert(TxLog.statsAggregate(spark, dir).isDefined)
