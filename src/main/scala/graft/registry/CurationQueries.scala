@@ -108,7 +108,10 @@ object CurationQueries {
   /** Oracle SQL of the trained quality classifier, parameterized by the
     * train/score split predicates (over doc_id). See the
     * llm_quality_train query comment for the algorithm. */
-  private def qualityTrainSql(trainWhere: String, scoreWhere: String): String =
+  private def qualityTrainSql(trainWhere: String, scoreWhere: String,
+      tail: String =
+        """SELECT doc_id, s AS score_fp, s >= 0 AS predicted, y AS label
+          |FROM sfin ORDER BY doc_id""".stripMargin): String =
     s"""WITH lab AS (
       |  SELECT doc_id,
       |    (0.5 * (CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
@@ -190,8 +193,7 @@ object CurationQueries {
       |           AS DOUBLE) / (n.n * $QtF)) AS BIGINT) AS s
       |  FROM afin d, n, b0
       |)
-      |SELECT doc_id, s AS score_fp, s >= 0 AS predicted, y AS label
-      |FROM sfin ORDER BY doc_id"""
+      |$tail"""
 
   /** Spark twin of [[qualityTrainSql]] — see the llm_quality_train
     * query comment for the algorithm and scale notes. */
@@ -315,6 +317,40 @@ object CurationQueries {
       qualityTrainSql(trainWhere = "doc_id % 5 <> 0", scoreWhere = "doc_id % 5 = 0"))(
       (s, d) => qualityTrainFrame(s, d,
         col("doc_id") % 5 =!= 0, col("doc_id") % 5 === 0)),
+
+    // ── The classifier put to WORK: per-source top-25% selection by
+    //    trained score (the GPT-3-style "classifier-filtered corpus",
+    //    stratified so no source is wiped out). Selection is a
+    //    partitioned window over the scored corpus — rank within
+    //    source by (score desc, doc_id) — so at scale it shuffles once
+    //    on the source key; the model itself is the shared 256-bucket
+    //    table from llm_quality_train.
+    sql("llm_mix_classifier",
+      qualityTrainSql(trainWhere = "TRUE", scoreWhere = "TRUE",
+        tail = """, ranked AS (
+          |  SELECT s.doc_id, d.source, s.s AS score_fp,
+          |         CAST(row_number() OVER (PARTITION BY d.source
+          |                ORDER BY s.s DESC, s.doc_id) AS BIGINT) AS rk,
+          |         CAST(count(*) OVER (PARTITION BY d.source) AS BIGINT) AS nd
+          |  FROM sfin s JOIN documents d USING (doc_id)
+          |)
+          |SELECT doc_id, source, score_fp, rk,
+          |       rk <= CAST(CEIL(0.25 * nd) AS BIGINT) AS selected
+          |FROM ranked ORDER BY doc_id""".stripMargin))(
+      (s, d) => {
+        val scored = qualityTrainFrame(s, d, lit(true), lit(true))
+          .select(col("doc_id"), col("score_fp"))
+          .join(t(s, d, "documents").select("doc_id", "source"), Seq("doc_id"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("score_fp").desc, col("doc_id"))
+        val wc = Window.partitionBy("source")
+        scored
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("nd", count(lit(1)).over(wc).cast("long"))
+          .select(col("doc_id"), col("source"), col("score_fp"), col("rk"),
+            (col("rk") <= ceil(lit(0.25) * col("nd")).cast("long")).as("selected"))
+          .orderBy("doc_id")
+      }),
 
     // ── Repetition quality gate (the Gopher-rule family): per-document
     //    word-bigram repetition stats — top-gram fraction and the
