@@ -211,14 +211,21 @@ object CurationQueries {
           lit(0.5) * (lit(1.0) -
             regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("double") /
               length(col("text")))) >= 0.53).as("y"))
-    val tokRows = LlmQueries.tokenArrays(s, d).join(lab, Seq("doc_id"))
-      .select(col("doc_id"), col("y"), size(col("tk")).as("nt"),
-        explode(col("tk")).as("tok"))
-    val featAll = tokRows
-      .groupBy(col("doc_id"), (Text.hash60(col("tok")) % M).as("b"))
-      .agg(first(col("y")).as("y"),
-        floor((lit(F) * count(lit(1))).cast("double") / first(col("nt")))
-          .cast("long").as("x"))
+    // The sparse feature table is consumed ~7× per training run (per
+    // iteration: scores, residual joins, bucket sums; plus dp and the
+    // final scoring) and shared by all three classifier queries, so —
+    // unlike the single-consumer lmScores case where the persist
+    // barrier cost more than it saved — memoizing it pays for itself
+    // several times over within one cache generation.
+    val featAll = graft.core.Caching.memoDf(s, s"qtFeat:$d") {
+      LlmQueries.tokenArrays(s, d).join(lab, Seq("doc_id"))
+        .select(col("doc_id"), col("y"), size(col("tk")).as("nt"),
+          explode(col("tk")).as("tok"))
+        .groupBy(col("doc_id"), (Text.hash60(col("tok")) % M).as("b"))
+        .agg(first(col("y")).as("y"),
+          floor((lit(F) * count(lit(1))).cast("double") / first(col("nt")))
+            .cast("long").as("x"))
+    }
     val feat = featAll.filter(trainPred)
     val featScore = featAll.filter(scorePred)
     val docs = feat.groupBy("doc_id").agg(first(col("y")).as("y"))
