@@ -259,6 +259,47 @@ object PipelineQueries {
           .orderBy("stage")
       }),
 
+    // ── User-journey transition matrix (first-order Markov sheet):
+    //    per-user event sequences → (from, to) transition counts and
+    //    probabilities. ONE shuffle on user_id for the lead() window
+    //    (ties broken by event_id for a total order), then a
+    //    map-side-combined pair aggregation; the per-row normalizer
+    //    joins back on the small (from_type) side.
+    sql("ev6_transition_matrix",
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events
+        |), seq AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS to_type
+        |  FROM e
+        |), pair AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS t FROM pair GROUP BY 1
+        |)
+        |SELECT p.from_type, p.to_type, p.n AS n_transitions,
+        |       CAST(p.n AS DOUBLE) / t.t AS p_transition
+        |FROM pair p JOIN tot t USING (from_type)
+        |ORDER BY from_type, to_type""")(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pair = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("to_type", lead("event_type", 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = pair.groupBy("from_type").agg(sum("n").as("t"))
+        pair.join(tot, Seq("from_type"))
+          .select(col("from_type"), col("to_type"),
+            col("n").as("n_transitions"),
+            (col("n").cast("double") / col("t")).as("p_transition"))
+          .orderBy("from_type", "to_type")
+      }),
+
     // ── Sequence packing: assign each document its span of fixed-length
     //    context windows in the concatenated token stream. Packing is
     //    SHARDED BY SOURCE — each shard packs independently (the window
