@@ -82,6 +82,43 @@ object EventOps {
       }
   }
 
+  /** Stateful per-user event-transition chaining — the streaming twin
+    * of `ev6_transition_matrix`'s lead() window: each user's state is
+    * their LAST event `(tsMicros, event_id, event_type)`, and every
+    * arriving event emits one `(from, to)` transition against it.
+    * Within a group/micro-batch events are ordered (ts, event_id);
+    * cross-batch order follows arrival (feed batches in event-time
+    * order, or add a watermark+timeout for production late data —
+    * same stance as [[sessionizeStateful]]). Cumulative emitted
+    * transitions over any in-order replay equal the batch lead() pairs
+    * (StreamingSpec asserts equality, single replay and chunked).
+    *
+    * At 100 TB: state is one small triple per active user, partitioned
+    * by the group key; the downstream matrix is a map-side-combined
+    * count over the emitted pairs. */
+  final case class TypedEvent(
+      user_id: Long, event_id: Long, tsMicros: Long, event_type: String)
+  final case class Transition(
+      user_id: Long, from_type: String, to_type: String, to_event_id: Long)
+
+  def transitionsStateful(ds: Dataset[TypedEvent]): Dataset[Transition] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, String), Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, events, state) =>
+          var last = state.getOption.orNull
+          val out = Seq.newBuilder[Transition]
+          events.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
+            if (last != null)
+              out += Transition(uid, last._3, e.event_type, e.event_id)
+            last = (e.tsMicros, e.event_id, e.event_type)
+          }
+          state.update(last)
+          out.result().iterator
+      }
+  }
+
   /** Session aggregates via Spark's built-in `session_window` — the
     * third (and most idiomatic) sessionization form beside the
     * window-function twin ([[sessionize]], what the SQL oracle mirrors)

@@ -271,6 +271,60 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stateful transitions over the REAL fixture (readStream) match the lead() pairs") {
+    val streamed = EventOps.transitionsStateful(
+      Tables.eventsStream(spark, sf())
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsMicros"), col("event_type"))
+        .as[EventOps.TypedEvent])
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("trans_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("trans_out")
+      .select("user_id", "from_type", "to_type", "to_event_id")
+      .as[(Long, String, String, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = Tables.events(spark, sf())
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .withColumn("to_event_id", lead("event_id", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("to_type"), col("to_event_id"))
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
+  test("stateful transitions chain ACROSS micro-batches (chunked in-order replay)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val streamed = EventOps.transitionsStateful(mem.toDS()
+      .toDF("user_id", "event_id", "tsMicros", "event_type")
+      .as[EventOps.TypedEvent])
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("trans_chunked")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: two users' first events + one transition
+    mem.addData((1L, 10L, 1000L, "view"), (1L, 11L, 2000L, "click"),
+      (2L, 20L, 1000L, "view"))
+    q.processAllAvailable()
+    // batch 2: continues BOTH users — the cross-batch edge must use the
+    // state stored from batch 1
+    mem.addData((1L, 12L, 3000L, "purchase"), (2L, 21L, 5000L, "click"))
+    q.processAllAvailable()
+    val got = spark.table("trans_chunked")
+      .select("user_id", "from_type", "to_type", "to_event_id")
+      .as[(Long, String, String, Long)].collect().toSet
+    q.stop()
+    assert(got == Set(
+      (1L, "view", "click", 11L),
+      (1L, "click", "purchase", 12L),
+      (2L, "view", "click", 21L)))
+  }
+
   test("sessionize splits on gap and keeps within-gap events together") {
     val t0 = 1700000000000000L // micros
     val rows = Seq(
