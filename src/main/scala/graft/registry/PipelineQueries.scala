@@ -475,6 +475,54 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // ── Length-grouped inference batching: docs are grouped into
+    //    fixed-size model batches of SIMILAR token length so per-batch
+    //    padding (to the batch max) is near-minimal — the standard
+    //    serving/inference packing step. Scalable form: a coarse
+    //    length bucket (64-token bands) partitions the ordering
+    //    window, so batch assignment is embarrassingly parallel — no
+    //    corpus-wide total-order row_number — at the cost of only
+    //    intra-band padding. Output is the per-batch padding sheet.
+    sql("llm_infer_batches",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), ordered AS (
+        |  SELECT doc_id, n_tokens, n_tokens // 64 AS bucket,
+        |         row_number() OVER (PARTITION BY n_tokens // 64
+        |             ORDER BY n_tokens, doc_id) AS rn
+        |  FROM tk
+        |), batched AS (
+        |  SELECT doc_id, n_tokens, bucket, (rn - 1) // 32 AS batch_seq
+        |  FROM ordered
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(batch_seq AS BIGINT) AS batch_seq,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+        |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding_waste
+        |FROM batched GROUP BY bucket, batch_seq
+        |ORDER BY bucket, batch_seq""")(
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("bucket", (col("n_tokens") / 64).cast("long"))
+        val w = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+        tk.withColumn("batch_seq",
+            ((row_number().over(w) - 1) / 32).cast("long"))
+          .groupBy("bucket", "batch_seq")
+          .agg(count(lit(1)).as("n_docs"),
+            max("n_tokens").as("max_tokens"),
+            sum("n_tokens").as("sum_tokens"))
+          .select(col("bucket"), col("batch_seq"), col("n_docs"),
+            col("max_tokens"), col("sum_tokens"),
+            (col("n_docs") * col("max_tokens") - col("sum_tokens")).as("padding_waste"))
+          .orderBy("bucket", "batch_seq")
+      }),
+
     // ── Deterministic per-epoch training order: each epoch salts a
     //    stable hash of the doc id, the hash's low bits pick one of 8
     //    shards, and a window PARTITIONED BY (epoch, shard) assigns the
