@@ -327,5 +327,63 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_bloom_contains",
       es => new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bloom_probe",
+      es => BloomProbeExpr(es(0), es(1)), "scala_udf")
+  }
+
+  /** Per-executor cache of deserialized Bloom filters, keyed by a
+    * content fingerprint of the blob — so a COLUMN-valued filter (the
+    * sharded-bloom join brings each row its shard's blob, and UnsafeRow
+    * hands back a fresh byte[] copy per access) deserializes once per
+    * executor, not once per row. A fingerprint collision could swap
+    * filters (a false NEGATIVE the confirm join cannot fix), so the key
+    * is (xxhash64, length, first8, last8) — vanishing for the handful
+    * of live blobs. Entries are few and bounded by shard count. */
+  object BloomProbeKernel {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      (Long, Int, Long, Long), org.apache.spark.util.sketch.BloomFilter]()
+    private def word(b: Array[Byte], off: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < 8 && off + i < b.length) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+      v
+    }
+    def mightContain(blob: Array[Byte], h: Long): Boolean = {
+      val key = (org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes(blob, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            blob.length, 42).toLong,
+        blob.length, word(blob, 0), word(blob, math.max(0, blob.length - 8)))
+      var bf = cache.get(key)
+      if (bf == null) {
+        bf = org.apache.spark.util.sketch.BloomFilter.readFrom(blob)
+        cache.putIfAbsent(key, bf)
+      }
+      bf.mightContainLong(h)
+    }
+  }
+
+  /** `graft_bloom_probe(blob, hash)` — like Spark's `might_contain` but
+    * accepting a NON-foldable (column-valued) filter, which the
+    * built-in rejects by design (it exists for runtime filters). Used
+    * by the sharded-bloom dedup screen, where each batch row probes its
+    * own shard's blob. Codegen'd; the kernel caches deserialization
+    * per executor (see [[BloomProbeKernel]]). */
+  case class BloomProbeExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (left.dataType == BinaryType && right.dataType == LongType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_probe expects (BINARY, BIGINT), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    override protected def nullSafeEval(blob: Any, h: Any): Any =
+      BloomProbeKernel.mightContain(blob.asInstanceOf[Array[Byte]],
+        h.asInstanceOf[Long])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (b, h) =>
+        s"graft.functions.GraftFunctions.BloomProbeKernel$$.MODULE$$.mightContain($b, $h)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): BloomProbeExpr = copy(l, r)
   }
 }

@@ -74,4 +74,46 @@ object BloomDedup {
       .withColumn("is_dup", coalesce(col("__hit"), lit(false)))
       .drop("__jk", "__ref_k", "__hit")
   }
+
+  /** The >10⁹-keys scale path promised by [[flagDups]]'s doc: the
+    * corpus Bloom is SHARDED by `pmod(xxhash64(k), shards)`, so no
+    * single blob must hold the whole key space — each shard's filter
+    * sizes to `estItems` keys, and total filter memory spreads across
+    * the S-row shard table instead of one driver-bounded blob. Each
+    * batch row joins its shard's blob (the shard table broadcasts: S ×
+    * numBits/8 bytes) and probes it with `graft_bloom_probe` — the
+    * column-valued cousin of `might_contain`, with per-executor
+    * deserialization caching. Same exactness contract as [[flagDups]]:
+    * the screen only prunes the confirm join's probe side. */
+  def flagDupsSharded(
+      batch: DataFrame,
+      ref: DataFrame,
+      keyCol: String,
+      shards: Int = 8,
+      estItems: Long = 1L << 17,
+      numBits: Long = 1L << 20): DataFrame = {
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    require(shards > 0, s"shards must be positive, got $shards")
+
+    val shardOf = pmod(xxhash64(col(keyCol)), lit(shards.toLong))
+    val blooms = ref.groupBy(shardOf.as("__shard"))
+      .agg(call_function("graft_bloom_agg",
+        xxhash64(col(keyCol)), lit(estItems), lit(numBits)).as("__bf"))
+
+    val refKeys = ref.select(col(keyCol).as("__ref_k")).distinct()
+    val withBlob = batch.withColumn("__shard", shardOf)
+      .join(broadcast(blooms), Seq("__shard"), "left")
+    val cand = coalesce(
+      call_function("graft_bloom_probe", col("__bf"), xxhash64(col(keyCol))),
+      lit(false))
+    withBlob
+      .withColumn("__jk", when(cand, col(keyCol))
+        .otherwise(concat(lit("\u0000"),
+          xxhash64(struct(batch.columns.map(col): _*)))))
+      .join(refKeys.withColumn("__hit", lit(true)),
+        col("__jk") === col("__ref_k"), "left")
+      .withColumn("is_dup", coalesce(col("__hit"), lit(false)))
+      .drop("__shard", "__bf", "__jk", "__ref_k", "__hit")
+  }
 }

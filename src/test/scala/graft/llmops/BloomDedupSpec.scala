@@ -52,6 +52,36 @@ class BloomDedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("sharded variant equals the exact twin and the single-blob variant") {
+    val ref = (0 until 300).map(i => s"ref_$i").toDF("k")
+    val batch = ((0 until 80).map(i => s"ref_${i * 3}") ++
+      (0 until 70).map(i => s"new_$i")).zipWithIndex.map(_.swap).toDF("id", "k")
+    val sharded = BloomDedup.flagDupsSharded(batch, ref, "k", shards = 5)
+      .select("id", "is_dup").as[(Int, Boolean)].collect().toMap
+    val single = BloomDedup.flagDups(batch, ref, "k")
+      .select("id", "is_dup").as[(Int, Boolean)].collect().toMap
+    assert(sharded == single)
+    assert(sharded.count(_._2) == 80 && sharded.size == 150)
+  }
+
+  test("sharded variant stays exact under saturated per-shard filters") {
+    val ref = (0 until 400).map(i => s"r$i").toDF("k")
+    val batch = ((0 until 100).map(i => s"r${i * 2}") ++
+      (0 until 100).map(i => s"x$i")).zipWithIndex.map(_.swap).toDF("id", "k")
+    val got = BloomDedup.flagDupsSharded(batch, ref, "k",
+        shards = 3, estItems = 8, numBits = 64)
+      .select("id", "is_dup").as[(Int, Boolean)].collect().toMap
+    assert(got.count(_._2) == 100 && got.size == 200)
+    assert((0 until 100).forall(i => got(i)) && (100 until 200).forall(i => !got(i)))
+  }
+
+  test("sharded variant with an empty reference flags nothing") {
+    val got = BloomDedup.flagDupsSharded(
+        Seq("a", "b").toDF("k"), Seq.empty[String].toDF("k"), "k", shards = 4)
+      .select("is_dup").as[Boolean].collect()
+    assert(got.toSeq == Seq(false, false))
+  }
+
   test("randomized: flags match exact membership under arbitrary overlap and a tight filter") {
     val rnd = new scala.util.Random(20260814)
     for (_ <- 1 to 5) {

@@ -77,6 +77,20 @@ class PipelineQueriesSpec extends SparkSpec {
       s"window must not gather to one partition:\n${plan.take(2000)}")
   }
 
+  test("inference batches: bounded size, exact padding, no global sort") {
+    val df = graft.SparkEntry.queries("llm_infer_batches")(spark, sf()).cache()
+    assert(df.filter(col("n_docs") > 32 || col("n_docs") < 1).isEmpty)
+    assert(df.filter(col("padding_waste") =!=
+      col("n_docs") * col("max_tokens") - col("sum_tokens")).isEmpty)
+    df.unpersist()
+    val plan = graft.SparkEntry.queries("llm_infer_batches")(spark, sf())
+      .queryExecution.executedPlan.toString
+    val windowAt = plan.indexOf("Window")
+    assert(windowAt >= 0 &&
+      !plan.substring(windowAt).contains("Exchange SinglePartition"),
+      s"batch assignment must not gather to one partition:\n${plan.take(2000)}")
+  }
+
   test("ingest funnel output is consistent with its component operators") {
     val funnel = graft.SparkEntry.queries("llm_ingest_funnel")(spark, sf()).cache()
     val ids = funnel.select("doc_id").as[Long].collect().toSet
