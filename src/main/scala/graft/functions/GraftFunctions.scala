@@ -329,6 +329,49 @@ object GraftFunctions {
         es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bloom_probe",
       es => BloomProbeExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_sorted_icount",
+      es => SortedIntersectCountExpr(es(0), es(1)), "scala_udf")
+  }
+
+  /** Two-pointer intersection COUNT over two SORTED distinct int
+    * arrays — what every dedup verify stage actually needs from
+    * `size(array_intersect(a, b))`, without materializing the
+    * intersection array (ArrayIntersect builds a hash set and an output
+    * array per pair; the verify joins evaluate this once per CANDIDATE
+    * PAIR, the hottest spot of the containment/jaccard paths). Inputs
+    * are the `gs` gram sets from docGramStats: sorted, distinct,
+    * non-null ints — the kernel is one allocation-free walk. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getInt(i); val y = b.getInt(j)
+      if (x == y) { c += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  case class SortedIntersectCountExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_sorted_icount expects two ARRAY<INT> inputs, got $other")
+      }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.GraftFunctions.sortedIntersectCount($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): SortedIntersectCountExpr = copy(l, r)
   }
 
   /** Per-executor cache of deserialized Bloom filters, keyed by a

@@ -1204,7 +1204,7 @@ object CurationQueries {
           .join(stats.select(col("doc_id").as("b_id"), col("gs").as("gs_b"),
             col("n").as("nb")), "b_id")
           .withColumn("shared",
-            size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+            LlmQueries.icount(s, col("gs_a"), col("gs_b")))
           .filter(cont >= 0.8)
           .select(col("a_id"), col("b_id"), col("shared"),
             cont.as("containment"))

@@ -21,6 +21,16 @@ object LlmQueries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
+
+  /** Codegen'd two-pointer intersection count over the sorted `gs`
+    * sets — the verify-stage replacement for
+    * `size(array_intersect(...))`, which builds a hash set and an
+    * output array per candidate pair just to take its size. */
+  private[registry] def icount(s: SparkSession, a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(s)
+    call_function("graft_sorted_icount", a, b)
+  }
+
   /** Document-frequency cap for n-gram candidate generation: grams seen in
     * more than this many documents are too common to identify a near-dup
     * pair and would contribute df² rows to the postings self-join. When
@@ -319,7 +329,7 @@ object LlmQueries {
       .join(stats.select(col("doc_id").as("b_id"), col("gs").as("gs_b"),
         col("n").as("nb")), "b_id")
       .withColumn("shared",
-        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+        icount(stats.sparkSession, col("gs_a"), col("gs_b")))
       .filter(jac >= 0.5)
     val qualified = capped match {
       case None => verified
@@ -333,7 +343,7 @@ object LlmQueries {
           .join(cs.select(col("doc_id").as("b_id"), col("gs").as("gs_cb"),
             col("n").as("nb_c")), "b_id")
           .withColumn("shared_c",
-            size(array_intersect(col("gs_ca"), col("gs_cb"))).cast("long"))
+            icount(stats.sparkSession, col("gs_ca"), col("gs_cb")))
           .filter(jacC >= 0.5)
     }
     qualified.select(col("a_id"), col("b_id"), col("shared"),
@@ -955,7 +965,7 @@ object LlmQueries {
               (x, y) => when(x === y, 1L).otherwise(0L)),
             lit(0L), (acc, v) => acc + v))
           .withColumn("shared",
-            size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+            icount(s, col("gs_a"), col("gs_b")))
           .select(col("a_id"), col("b_id"), col("n_match"), jac.as("jaccard"))
           .orderBy("a_id", "b_id")
       }),
