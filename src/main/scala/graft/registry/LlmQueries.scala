@@ -662,6 +662,31 @@ object LlmQueries {
           .orderBy("doc_id")
       }),
 
+    // ── SHARDED variant under the same oracle (identical exact
+    //    semantics — the screen shape is the only difference): the
+    //    corpus Bloom splits into 8 per-shard blobs probed through the
+    //    column-valued graft_bloom_probe expression, the >10⁹-key path
+    //    where no single driver-bounded blob can hold the key space.
+    sql("llm_dedup_bloom_sharded",
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |         array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[1:8], ' ') AS k
+        |  FROM documents
+        |)
+        |SELECT b.doc_id,
+        |       b.k IN (SELECT k FROM keyed WHERE doc_id % 3 <> 0) AS is_dup
+        |FROM keyed b WHERE b.doc_id % 3 = 0 ORDER BY b.doc_id""")(
+      (s, d) => {
+        val keyed = t(s, d, "documents").select(col("doc_id"),
+          array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 8), " ").as("k"))
+        BloomDedup.flagDupsSharded(
+          batch = keyed.filter(col("doc_id") % 3 === 0),
+          ref = keyed.filter(col("doc_id") % 3 =!= 0),
+          keyCol = "k")
+          .select(col("doc_id"), col("is_dup"))
+          .orderBy("doc_id")
+      }),
+
     // ── EXACT SUBSTRING duplication (Lee et al. 2022, "Deduplicating
     //    Training Data Makes Language Models Better"): a token position
     //    is duplicated when the k-token window starting there occurs
