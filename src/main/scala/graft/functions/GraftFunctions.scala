@@ -404,6 +404,13 @@ object GraftFunctions {
     }
   }
 
+  /** Static forwarder for [[BloomProbeExpr]]'s generated code: Janino
+    * cannot resolve a nested Scala object (`BloomProbeKernel$`) through
+    * the outer class, but top-level object methods get true static
+    * forwarders. */
+  def bloomMightContain(blob: Array[Byte], h: Long): Boolean =
+    BloomProbeKernel.mightContain(blob, h)
+
   /** `graft_bloom_probe(blob, hash)` — like Spark's `might_contain` but
     * accepting a NON-foldable (column-valued) filter, which the
     * built-in rejects by design (it exists for runtime filters). Used
@@ -425,7 +432,7 @@ object GraftFunctions {
         h.asInstanceOf[Long])
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, (b, h) =>
-        s"graft.functions.GraftFunctions.BloomProbeKernel$$.MODULE$$.mightContain($b, $h)")
+        s"graft.functions.GraftFunctions.bloomMightContain($b, $h)")
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): BloomProbeExpr = copy(l, r)
   }
