@@ -331,6 +331,41 @@ object GraftFunctions {
       es => BloomProbeExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_sorted_icount",
       es => SortedIntersectCountExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_sortable_double",
+      es => SortableDoubleExpr(es.head), "scala_udf")
+  }
+
+  /** Order-preserving DOUBLE → BIGINT: the standard IEEE-754 total-order
+    * transform (`bits ^ ((bits >> 63) & Long.MaxValue)`), so
+    * `a < b ⟺ sortable(a) < sortable(b)` for all non-NaN doubles and,
+    * crucially, EQUAL doubles map to equal longs. This is what makes an
+    * exact distributed top-fraction selection possible without a global
+    * sort: bucket rows by the high bits of this value, pick the
+    * boundary bucket from a histogram-sized cumulative sum, and rank
+    * only the boundary bucket — every comparison the original
+    * `rank() OVER (ORDER BY score)` would have made is preserved.
+    * (Caveat inherited from the transform: -0.0 sorts below +0.0,
+    * whereas SQL compares them equal — callers bucketing scores that
+    * can produce negative zero should normalize with `+ 0.0` first.) */
+  def sortableDoubleBits(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    b ^ ((b >> 63) & Long.MaxValue)
+  }
+
+  case class SortableDoubleExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == DoubleType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_sortable_double expects DOUBLE, got ${child.dataType.simpleString}")
+    override protected def nullSafeEval(input: Any): Any =
+      sortableDoubleBits(input.asInstanceOf[Double])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.GraftFunctions.sortableDoubleBits($c)")
+    override protected def withNewChildInternal(c: Expression): SortableDoubleExpr =
+      copy(c)
   }
 
   /** Two-pointer intersection COUNT over two SORTED distinct int
@@ -380,24 +415,30 @@ object GraftFunctions {
     * hands back a fresh byte[] copy per access) deserializes once per
     * executor, not once per row. A fingerprint collision could swap
     * filters (a false NEGATIVE the confirm join cannot fix), so the key
-    * is (xxhash64, length, first8, last8) — vanishing for the handful
-    * of live blobs. Entries are few and bounded by shard count. */
+    * is (xxhash64 of the full blob, murmur3_32 of the full blob,
+    * length): two independent full-content hashes ≈ 96 bits — NOT the
+    * old (murmur32, first8, last8) key, whose head/tail words were the
+    * serialization header (constant across shards) and a possibly-zero
+    * sparse bit-array tail, leaving ~32 effective bits. The cache is
+    * size-bounded so successive corpora over an executor's lifetime
+    * don't accumulate dead blobs: past [[MaxEntries]] it is cleared
+    * wholesale (entries are shard-count-few and cheap to re-admit). */
   object BloomProbeKernel {
+    private final val MaxEntries = 128
     private val cache = new java.util.concurrent.ConcurrentHashMap[
-      (Long, Int, Long, Long), org.apache.spark.util.sketch.BloomFilter]()
-    private def word(b: Array[Byte], off: Int): Long = {
-      var v = 0L; var i = 0
-      while (i < 8 && off + i < b.length) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
-      v
-    }
+      (Long, Int, Int), org.apache.spark.util.sketch.BloomFilter]()
     def mightContain(blob: Array[Byte], h: Long): Boolean = {
-      val key = (org.apache.spark.unsafe.hash.Murmur3_x86_32
-          .hashUnsafeBytes(blob, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-            blob.length, 42).toLong,
-        blob.length, word(blob, 0), word(blob, math.max(0, blob.length - 8)))
+      val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+      val key = (
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(blob, off, blob.length, 42L),
+        org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes(blob, off, blob.length, 42),
+        blob.length)
       var bf = cache.get(key)
       if (bf == null) {
         bf = org.apache.spark.util.sketch.BloomFilter.readFrom(blob)
+        if (cache.size >= MaxEntries) cache.clear()
         cache.putIfAbsent(key, bf)
       }
       bf.mightContainLong(h)

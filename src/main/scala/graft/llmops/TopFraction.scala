@@ -1,0 +1,104 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact top-fraction selection WITHOUT a corpus-wide single-task sort.
+  *
+  * `rank() OVER (ORDER BY score DESC)` — the obvious way to keep the
+  * top 25% of a corpus — serializes the whole corpus through one
+  * reducer: Spark plans an unpartitioned Window as a single-partition
+  * sort. At 100 TB that one task IS the job. This helper computes the
+  * same boolean exactly, in three corpus-parallel steps:
+  *
+  *  1. bucket every row by the high bits of the ORDER-PRESERVING long
+  *     image of its double score ([[graft.functions.GraftFunctions
+  *     .sortableDoubleBits]]) — a narrow map, no shuffle;
+  *  2. histogram the buckets (one map-side-combined aggregation; the
+  *     result is histogram-sized, ≤2^(64-shift) rows, in practice a few
+  *     thousand) and take a cumulative count ordered bucket-descending —
+  *     the only ordered scan runs over the HISTOGRAM, not the corpus —
+  *     to find the boundary bucket b* where the cumulative count crosses
+  *     k = ceil(fraction·n): every row in a higher bucket is in the
+  *     top-k, every row in a lower bucket is out;
+  *  3. broadcast the one-row-per-group boundary back onto the corpus
+  *     and rank ONLY within buckets (window PARTITIONED by the
+  *     fine-grained bucket) to break the boundary bucket by
+  *     (score DESC, tie ASC) — bit-identical to what the global rank
+  *     would have decided, because equal doubles share a bucket and
+  *     unequal doubles never compare across the b* boundary.
+  *
+  * Degenerate worst case: a corpus where every row has the SAME score
+  * collapses to one bucket and the tie-break rank is inherently a
+  * global order-by-tie — no algorithm can do better while preserving
+  * exact rank semantics. Real score distributions spread across many
+  * buckets (2^-12 relative width at the default shift).
+  *
+  * `groupCols` generalizes to per-group selection (e.g. top fraction
+  * PER SOURCE): histograms, boundaries and windows are all keyed by the
+  * group, so a low-cardinality group column never becomes a
+  * corpus-fraction single task — the window partition key is
+  * (group, bucket), not (group).
+  */
+object TopFraction {
+
+  /** Adds boolean `outCol`: whether the row is among the top
+    * `ceil(fraction·n)` of its group by (`scoreCol` DESC, `tieCol`
+    * ASC). `scoreCol` must be non-null DOUBLE or BIGINT (normalize
+    * -0.0 with `+ 0.0` upstream if reachable); `tieCol` must be unique
+    * per group for rank determinism. BIGINT scores are bucketed via
+    * their double image — only WEAKLY monotone past 2^53, which is
+    * safe: equal scores always share a bucket, and the within-bucket
+    * rank orders by the EXACT native score, so collapsed longs are
+    * re-separated before any selection decision. Adds no other
+    * columns; preserves the rest. */
+  def mark(df: DataFrame, scoreCol: String, tieCol: String,
+      fraction: Double, groupCols: Seq[String] = Nil,
+      outCol: String = "selected", bucketShift: Int = 40): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction in (0,1], got $fraction")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val gcols: Seq[Column] = groupCols.map(col)
+
+    val scored = df.withColumn("__bkt",
+      shiftright(call_function("graft_sortable_double",
+        col(scoreCol).cast("double")), bucketShift))
+
+    // Histogram (corpus-parallel, map-side combined), then the ordered
+    // cumulative count over the HISTOGRAM frame. The unpartitioned
+    // variant of this window is fine precisely because its child is the
+    // aggregate — PlanShapeSpec pins that every unpartitioned Window in
+    // these plans sits above an Aggregate.
+    val hist = scored.groupBy((gcols :+ col("__bkt")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wDesc = (if (gcols.isEmpty) Window.partitionBy()
+                 else Window.partitionBy(gcols: _*))
+      .orderBy(col("__bkt").desc)
+    val wAll = wDesc.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("__c_above", coalesce(sum(col("__c")).over(
+        wDesc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__k",
+        ceil(lit(fraction) * sum(col("__c")).over(wAll)).cast("long"))
+    val edge = cum
+      .filter(col("__c_above") < col("__k") &&
+        col("__c_above") + col("__c") >= col("__k"))
+      .select((gcols ++ Seq(col("__bkt").as("__bstar"),
+        col("__c_above").as("__above"), col("__k"))): _*)
+
+    // One broadcast join (edge is one row per group) + one window
+    // partitioned by the FINE bucket: only the boundary bucket's rank
+    // is consulted, every other bucket resolves from the bucket id.
+    val joined =
+      if (groupCols.isEmpty) scored.crossJoin(broadcast(edge))
+      else scored.join(broadcast(edge), groupCols)
+    val wTie = Window.partitionBy((gcols :+ col("__bkt")): _*)
+      .orderBy(col(scoreCol).desc, col(tieCol))
+    joined
+      .withColumn(outCol, col("__bkt") > col("__bstar") ||
+        (col("__bkt") === col("__bstar") &&
+          rank().over(wTie) <= col("__k") - col("__above")))
+      .drop("__bkt", "__bstar", "__above", "__k")
+  }
+}

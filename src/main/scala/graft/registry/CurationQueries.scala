@@ -327,35 +327,37 @@ object CurationQueries {
 
     // ── The classifier put to WORK: per-source top-25% selection by
     //    trained score (the GPT-3-style "classifier-filtered corpus",
-    //    stratified so no source is wiped out). Selection is a
-    //    partitioned window over the scored corpus — rank within
-    //    source by (score desc, doc_id) — so at scale it shuffles once
-    //    on the source key; the model itself is the shared 256-bucket
-    //    table from llm_quality_train.
+    //    stratified so no source is wiped out). The ORACLE states the
+    //    semantics the relational way (row_number per source — fine at
+    //    oracle scale); the Spark side must NOT: `source` is
+    //    low-cardinality by construction, so a window partitioned by it
+    //    is a corpus-fraction single task at 100×. TopFraction instead
+    //    finds each source's exact score boundary from a per-source
+    //    bucket histogram and ranks only within fine (source, bucket)
+    //    cells — identical `selected` booleans, corpus-parallel. (The
+    //    per-source raw rank was dropped from the surface for exactly
+    //    this reason: emitting rk for EVERY row is inherently a
+    //    per-source total order; `selected` is the semantic.)
     sql("llm_mix_classifier",
       qualityTrainSql(trainWhere = "TRUE", scoreWhere = "TRUE",
         tail = """, ranked AS (
           |  SELECT s.doc_id, d.source, s.s AS score_fp,
-          |         CAST(row_number() OVER (PARTITION BY d.source
-          |                ORDER BY s.s DESC, s.doc_id) AS BIGINT) AS rk,
-          |         CAST(count(*) OVER (PARTITION BY d.source) AS BIGINT) AS nd
+          |         row_number() OVER (PARTITION BY d.source
+          |                ORDER BY s.s DESC, s.doc_id) AS rk,
+          |         count(*) OVER (PARTITION BY d.source) AS nd
           |  FROM sfin s JOIN documents d USING (doc_id)
           |)
-          |SELECT doc_id, source, score_fp, rk,
+          |SELECT doc_id, source, score_fp,
           |       rk <= CAST(CEIL(0.25 * nd) AS BIGINT) AS selected
           |FROM ranked ORDER BY doc_id""".stripMargin))(
       (s, d) => {
         val scored = qualityTrainFrame(s, d, lit(true), lit(true))
           .select(col("doc_id"), col("score_fp"))
           .join(t(s, d, "documents").select("doc_id", "source"), Seq("doc_id"))
-        val w = Window.partitionBy("source")
-          .orderBy(col("score_fp").desc, col("doc_id"))
-        val wc = Window.partitionBy("source")
-        scored
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .withColumn("nd", count(lit(1)).over(wc).cast("long"))
-          .select(col("doc_id"), col("source"), col("score_fp"), col("rk"),
-            (col("rk") <= ceil(lit(0.25) * col("nd")).cast("long")).as("selected"))
+        graft.llmops.TopFraction.mark(scored, "score_fp", "doc_id", 0.25,
+            groupCols = Seq("source"))
+          .select(col("doc_id"), col("source"), col("score_fp"),
+            col("selected"))
           .orderBy("doc_id")
       }),
 
@@ -645,19 +647,16 @@ object CurationQueries {
         // token stream) and the doc aggregation riding the token
         // cache's partitioning — built once per (session, dir)
         val docw = dsirWeights(s, d)
-        val wAll = Window.orderBy(
-          (col("weight_fp").cast("double") / col("n_tokens")).desc,
-          col("doc_id"))
-        docw
-          .withColumn("importance",
-            col("weight_fp").cast("double") / col("n_tokens") / 1000000.0)
-          .withColumn("rk", rank().over(wAll))
-          .withColumn("nd", count(lit(1)).over(
-            Window.partitionBy(lit(1))))
+        // top-25% selection WITHOUT the corpus-wide one-reducer rank:
+        // TopFraction buckets the (always positive) importance score by
+        // its order-preserving bit image, finds the exact boundary from
+        // a histogram-sized cumsum, and ranks only within fine buckets
+        // — same boolean the oracle's RANK() OVER (ORDER BY …) yields
+        val scored = docw.withColumn("score",
+          col("weight_fp").cast("double") / col("n_tokens"))
+        graft.llmops.TopFraction.mark(scored, "score", "doc_id", 0.25)
           .select(col("doc_id"), col("n_tokens"), col("weight_fp"),
-            col("importance"),
-            (col("rk") <= ceil(lit(0.25) * col("nd")).cast("long"))
-              .as("selected"))
+            (col("score") / 1000000.0).as("importance"), col("selected"))
           .orderBy("doc_id")
       }),
 
@@ -880,15 +879,13 @@ object CurationQueries {
           .join(LlmQueries.substringDupTokens(s, d), Seq("doc_id"), "left")
           .filter(coalesce(col("dup_tokens"), lit(0L)) * 5 < col("ntok"))
           .select("doc_id")
-        // stage 3: DSIR top-25% among survivors (weights shared)
-        val wAll = Window.orderBy(
-          (col("weight_fp").cast("double") / col("n_tokens")).desc,
-          col("doc_id"))
-        val s3 = dsirWeights(s, d).join(s2, Seq("doc_id"))
-          .withColumn("rk", rank().over(wAll))
-          .withColumn("nd", count(lit(1)).over(Window.partitionBy(lit(1))))
-          .filter(col("rk") <= ceil(lit(0.25) * col("nd")).cast("long"))
-          .select("doc_id")
+        // stage 3: DSIR top-25% among survivors (weights shared) —
+        // exact boundary from the bucket histogram, no global rank
+        val s3 = graft.llmops.TopFraction.mark(
+            dsirWeights(s, d).join(s2, Seq("doc_id")).withColumn("score",
+              col("weight_fp").cast("double") / col("n_tokens")),
+            "score", "doc_id", 0.25)
+          .filter(col("selected")).select("doc_id")
         // stage 4: temperature sampling over the survivors' lang mix
         val lc = meta.join(s3, Seq("doc_id")).groupBy("lang").agg(
           count(lit(1)).as("n"),

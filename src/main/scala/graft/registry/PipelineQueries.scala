@@ -302,11 +302,12 @@ object PipelineQueries {
 
     // ── Sequence packing: assign each document its span of fixed-length
     //    context windows in the concatenated token stream. Packing is
-    //    SHARDED BY SOURCE — each shard packs independently (the window
-    //    partitions by source), which is the only shape that scales: a
-    //    corpus-global running total would serialize 100 TB through one
-    //    partition. Real pipelines pack per input shard for exactly this
-    //    reason.
+    //    per SOURCE (real pipelines pack per input shard), and the
+    //    per-source running total is computed with the two-level
+    //    stitched prefix scan — source is low-cardinality, so the naive
+    //    `SUM OVER (PARTITION BY source ORDER BY doc_id)` would still
+    //    serialize each source's corpus share through one reducer; the
+    //    oracle states it that way because oracle scale can afford to.
     sql("llm_pack_windows",
       s"""WITH toks AS (
         |  SELECT doc_id, source,
@@ -334,10 +335,14 @@ object PipelineQueries {
           .select(col("doc_id"), col("source"),
             nTokens(col("text")).as("n_tokens"))
           .filter(col("n_tokens") > 0)
-        val w = Window.partitionBy("source").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        docs
-          .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+        // the per-source running total via the two-level stitched scan:
+        // `source` is low-cardinality, so a window partitioned by it
+        // alone would serialize each source's corpus share through one
+        // task at 100× — PrefixSum range-shards on doc_id, scans each
+        // (source, shard) locally, and stitches shard offsets through
+        // the shard-totals-sized frame (core/PrefixSum.scala)
+        graft.core.PrefixSum.exclusive(docs, "n_tokens", "doc_id",
+            groupCols = Seq("source"))
           .select(col("doc_id"), col("source"), col("n_tokens"),
             expr(s"cum_before DIV $PackLen").as("window_start"),
             expr(s"(cum_before + n_tokens - 1) DIV $PackLen").as("window_end"),
@@ -479,10 +484,11 @@ object PipelineQueries {
     //    fixed-size model batches of SIMILAR token length so per-batch
     //    padding (to the batch max) is near-minimal — the standard
     //    serving/inference packing step. Scalable form: a coarse
-    //    length bucket (64-token bands) partitions the ordering
-    //    window, so batch assignment is embarrassingly parallel — no
-    //    corpus-wide total-order row_number — at the cost of only
-    //    intra-band padding. Output is the per-batch padding sheet.
+    //    length bucket (64-token bands) bounds padding, and the
+    //    intra-band ordering runs as a stitched two-level row-number
+    //    scan (core/PrefixSum) — no corpus-wide total-order
+    //    row_number, and no band-sized single task either. Output is
+    //    the per-batch padding sheet.
     sql("llm_infer_batches",
       """WITH tk AS (
         |  SELECT doc_id,
@@ -510,9 +516,15 @@ object PipelineQueries {
           .filter(length(trim(col("text"))) > 0)
           .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
           .withColumn("bucket", (col("n_tokens") / 64).cast("long"))
-        val w = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
-        tk.withColumn("batch_seq",
-            ((row_number().over(w) - 1) / 32).cast("long"))
+        // a common length band can hold a corpus-scale share of docs,
+        // so even the banded window is a fat single task at 100× —
+        // stitched row numbers subshard on (n_tokens, doc_id-range),
+        // a struct prefix of the sort key (weakly monotone, orderable)
+        graft.core.PrefixSum.rowNumber(tk, Seq("bucket"),
+            Seq(col("n_tokens"), col("doc_id")),
+            struct(col("n_tokens"), expr("doc_id DIV 4096")), "__rnum")
+          .withColumn("batch_seq", ((col("__rnum") - 1) / 32).cast("long"))
+          .drop("__rnum")
           .groupBy("bucket", "batch_seq")
           .agg(count(lit(1)).as("n_docs"),
             max("n_tokens").as("max_tokens"),
@@ -548,13 +560,18 @@ object PipelineQueries {
       (s, d) => {
         val h = Text.hash60(concat(lit("epoch:"), col("epoch").cast("string"),
           lit(":"), col("doc_id").cast("string")))
-        val w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
-        t(s, d, "documents")
+        // per-(epoch, shard) positions via the stitched row-number scan:
+        // 16 (epoch, shard) cells over the corpus would each be a
+        // corpus/16 single-task sort; PrefixSum subshards on the high
+        // bits of h (h < 2^31, so >>19 gives 4096 range buckets, weakly
+        // monotone in the (h, doc_id) order) and stitches counts
+        val base = t(s, d, "documents")
           .select(col("doc_id"), explode(array(lit(0), lit(1))).as("epoch"))
           .select(col("doc_id"), col("epoch"), h.as("h"))
           .withColumn("shard", col("h") % 8)
-          .select(col("doc_id"), col("epoch"), col("shard"),
-            row_number().over(w).cast("bigint").as("pos"))
+        graft.core.PrefixSum.rowNumber(base, Seq("epoch", "shard"),
+            Seq(col("h"), col("doc_id")), shiftright(col("h"), 19), "pos")
+          .select(col("doc_id"), col("epoch"), col("shard"), col("pos"))
           .orderBy("epoch", "shard", "pos")
       }),
 
@@ -647,6 +664,11 @@ object PipelineQueries {
                 regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("double") /
                   length(col("text")))).as("quality"))
           .filter(col("quality") >= 0.53)
+          // single-token docs have no bigrams: the oracle drops them via
+          // len(t) >= 2 + the rep inner join; without this guard,
+          // sequence(1, 0) yields the DESCENDING [1, 0] and
+          // element_at(tkc, 0) throws INVALID_INDEX_OF_ZERO
+          .filter(size(col("tkc")) >= 2)
         // repetition gate as explode → two map-side-combined
         // aggregations (the oracle's own shape). NOT the fold-over-
         // sorted-bigrams form llm_quality_repetition uses: a fold in a
@@ -676,9 +698,11 @@ object PipelineQueries {
           .filter(col("mx").cast("double") / col("tot") < 0.06)
           .withColumn("h", Text.hash60(concat(lit("epoch:0:"), col("doc_id").cast("string"))))
           .withColumn("shard", col("h") % 8)
-        val w = Window.partitionBy("shard").orderBy("h", "doc_id")
-        kept.select(col("doc_id"), col("shard"),
-            row_number().over(w).cast("bigint").as("pos"), col("quality"))
+        // stitched row numbers (8 shard cells would otherwise each be a
+        // batch-fraction single-task sort — same fix as llm_shuffle_epoch)
+        graft.core.PrefixSum.rowNumber(kept, Seq("shard"),
+            Seq(col("h"), col("doc_id")), shiftright(col("h"), 19), "pos")
+          .select(col("doc_id"), col("shard"), col("pos"), col("quality"))
           .orderBy("shard", "pos")
       }),
 

@@ -1143,7 +1143,17 @@ object TxLog {
     * removed through the same MERGE path as every other mutation
     * (ACID, retry on conflict, change-feed visible as deletes).
     * Returns the number of rows deleted. A predicate matching nothing
-    * commits nothing. */
+    * commits nothing.
+    *
+    * Isolation caveat (SNAPSHOT-isolation delete, not serializable):
+    * the victim KEY SET is resolved once against the snapshot current
+    * at call time; if the merge hits a commit conflict and retries, it
+    * restages from the fresh snapshot but deletes the SAME keys — a row
+    * concurrently updated to no longer match `condition` is still
+    * deleted (write skew). Delta's conflict-checked DELETE would fail
+    * that commit instead. Callers needing delete-if-still-matching
+    * should run deleteWhere under an external writer lock
+    * ([[LeaseFileCoordinator]]) or verify post-hoc via [[changes]]. */
   def deleteWhere(spark: SparkSession, path: String,
       condition: org.apache.spark.sql.Column,
       keyCol: String = "_docId",

@@ -13,8 +13,13 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * Per micro-batch (drive from `foreachBatch`, like [[DocMaintenance]]):
   *  1. redelivery guard: rows whose `doc_id` is already in the key
-  *     index are dropped (anti-join), so at-least-once delivery never
-  *     re-emits or re-indexes a document;
+  *     index are dropped (anti-join), so at-least-once delivery of an
+  *     already-INDEXED batch never re-emits or re-indexes a document.
+  *     The fold is not atomic: a crash in the window after the bloom
+  *     write but before the index append leaves those doc_ids
+  *     unindexed, and a replay of that micro-batch re-emits them
+  *     (exactness is preserved — this write order can only re-emit,
+  *     never silently drop, which is why the bloom goes first);
   *  2. screen: the batch probes the STANDING Bloom blob — a foldable
   *     binary literal in the plan, so the probe is a codegen'd filter,
   *     no join, no state read for the no-hit majority;

@@ -236,6 +236,42 @@ class PlanShapeSpec extends SparkSpec {
       s"expected map-side partial agg below the Exchange:\n${p.take(2000)}")
   }
 
+  test("no corpus-sized single-task window in any llm_* selection/packing plan") {
+    // The scale-killer pattern: a Window whose partition key is absent
+    // or low-cardinality (source/epoch/shard/bucket) over a CORPUS-sized
+    // child serializes the corpus through one (or few) reducer task(s).
+    // After the round-9 rewrite every such window must either
+    //   (a) carry a fine-grained partition component (__bkt/__shard/
+    //       doc_id/...), or
+    //   (b) sit above an Aggregate — i.e. scan a histogram- or
+    //       shard-totals-sized frame, not the corpus.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val lowCard = Set("source", "epoch", "shard", "bucket", "lang", "split")
+    def hasAggBelow(p: SparkPlan): Boolean =
+      p.collectFirst { case a: BaseAggregateExec => a }.isDefined ||
+        p.collect { case s: InMemoryTableScanExec => s.relation.cachedPlan }
+          .exists(hasAggBelow)
+    val queries = Seq("llm_mix_dsir", "llm_mix_classifier",
+      "llm_curate_pipeline2", "llm_pack_windows", "llm_shuffle_epoch",
+      "llm_infer_batches", "llm_ingest_funnel", "llm_token_budget")
+    for (q <- queries if graft.SparkEntry.queries.contains(q)) {
+      val sp = graft.SparkEntry.queries(q)(spark, sf())
+        .queryExecution.sparkPlan
+      val offenders = sp.collect {
+        case w: WindowExec
+            if w.partitionSpec.flatMap(_.references.map(_.name))
+              .forall(lowCard.contains) && // empty spec also lands here
+              !hasAggBelow(w.child) =>
+          s"$q: Window(partition=${w.partitionSpec.mkString(",")}) " +
+            "over a non-aggregated (corpus-sized) child"
+      }
+      assert(offenders.isEmpty, offenders.mkString("\n"))
+    }
+  }
+
   test("constraint-template fan-out is map-side: the only exchange is the output sort") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val sp = graft.SparkEntry.queries("ct1_constraint_template")(spark, sf())
