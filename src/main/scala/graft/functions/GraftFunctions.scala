@@ -333,6 +333,8 @@ object GraftFunctions {
       es => SortedIntersectCountExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_sortable_double",
       es => SortableDoubleExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_log2_fp",
+      es => Log2FpExpr(es(0), es(1)), "scala_udf")
   }
 
   /** Order-preserving DOUBLE → BIGINT: the standard IEEE-754 total-order
@@ -350,6 +352,57 @@ object GraftFunctions {
   def sortableDoubleBits(d: Double): Long = {
     val b = java.lang.Double.doubleToLongBits(d)
     b ^ ((b >> 63) & Long.MaxValue)
+  }
+
+  /** Fixed-point binary log of a rational: floor-ish log2(a/b) in
+    * 2^-20 units, computed ENTIRELY in 64-bit integer arithmetic — no
+    * libm, so the value is bit-identical in any engine that replays the
+    * same integer recurrence (the DuckDB oracle unrolls it as a 20-step
+    * CTE chain; see o3_bm25_rank). Algorithm: exponent from bit
+    * lengths, 21-bit mantissa by one integer division, then 20
+    * square-and-renormalize steps extracting one fraction bit each —
+    * the classic shift-and-square binary logarithm. Inputs must satisfy
+    * a ≥ b ≥ 1 (log ≥ 0) and a ≤ 2^42 (the mantissa shift must not
+    * overflow); BM25 callers pass a = 2N+2, b = 2df+1. Deterministic
+    * truncation error < 2^-19 — a SCORING definition (documented
+    * deviation: BM25 with log2 idf, a uniform positive rescale that
+    * preserves ranking), not an approximation to be compared against
+    * libm. */
+  def log2Fp(a: Long, b: Long): Long = {
+    val e0 = (63 - java.lang.Long.numberOfLeadingZeros(a)) -
+      (63 - java.lang.Long.numberOfLeadingZeros(b))
+    val e =
+      if (a >= (b << (e0 + 1))) e0 + 1
+      else if (a < (b << e0)) e0 - 1
+      else e0
+    var m = (a << 21) / (b << e) // in [2^21, 2^22)
+    var f = 0L
+    var i = 0
+    while (i < 20) {
+      m = (m * m) >> 21
+      if (m >= (1L << 22)) { m = m >> 1; f = 2 * f + 1 } else f = 2 * f
+      i += 1
+    }
+    (e.toLong << 20) + f
+  }
+
+  case class Log2FpExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (left.dataType == LongType && right.dataType == LongType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_log2_fp expects (BIGINT, BIGINT), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      log2Fp(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.GraftFunctions.log2Fp($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Log2FpExpr = copy(l, r)
   }
 
   case class SortableDoubleExpr(child: Expression) extends UnaryExpression {

@@ -271,6 +271,20 @@ object CoreQueries {
           .orderBy(col("score").desc, col("p_partkey").asc)
       }),
 
+    // ── O3 upgraded: deterministic fixed-point BM25 ranking
+    //    (search.py:614,994,1311 consume OpenSearch _score;
+    //    test_search.py:490-588 assert sort-by-score). All-integer
+    //    tf/idf/length-norm — see query/Bm25.scala; the oracle replays
+    //    the identical integer recurrences, so scores hash-match. The
+    //    query mixes a rare term (dup, high idf) with common ones.
+    sql("o3_bm25_rank",
+      graft.query.Bm25.oracleSql(Seq("dup", "merge", "scan"), 100))(
+      (s, d) => graft.query.Bm25.rank(
+        t(s, d, "documents").filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            graft.llmops.Text.tokens(col("text")).as("tk")),
+        "doc_id", "tk", Seq("dup", "merge", "scan"), 100)),
+
     // ── O1: multi-field sort compilation (search.py:1305-1371).
     sql("o1_multisort",
       """SELECT c_custkey, c_name, c_acctbal FROM customer

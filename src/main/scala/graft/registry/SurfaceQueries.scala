@@ -765,6 +765,136 @@ object SurfaceQueries {
           .orderBy("asset_id")
       }),
 
+    // ── NGSI-LD FILE entity export (the Garnet addon's third converter,
+    //    `garnetDataIndexFile.py:296-530` `convert_file_to_ngsi_ld`):
+    //    urn id with the URL-ENCODED file path, VAMSFile type,
+    //    /Database/../Asset/../File/.. scope, Property-wrapped
+    //    path/extension/S3 info/bucket/assetName/isArchived, the
+    //    `{"@type":"DateTime","@value":..}` wrapper for lastModified,
+    //    metadata_* properties switched on metadataValueType (an xyz
+    //    entry lands as JsonProperty with a `json` payload,
+    //    :477-484), attribute_* always Property (:500-516, file
+    //    attributes are string-only per VAMS validation), and the
+    //    belongsToAsset Relationship (:517-519). Files modeled on
+    //    lineitem under gx2's asset ids; key order matches the
+    //    reference's insertion order, emitted byte-identically by both
+    //    engines. Path encoding: the synthetic paths' only
+    //    reserved char is '/', so quote(path, safe='') reduces to the
+    //    %2F substitution both engines spell the same way. Scale shape:
+    //    fully narrow — one projection, no exchange except the output
+    //    sort.
+    sql("gx4_ngsild_file",
+      """WITH files AS (
+        |  SELECT 'db' || CAST(l_orderkey % 5 AS VARCHAR) AS db,
+        |         'o' || CAST(l_orderkey AS VARCHAR) AS aid,
+        |         'asset-' || CAST(l_orderkey AS VARCHAR) AS aname,
+        |         'renders/' || CAST(l_linenumber AS VARCHAR) || '/part_'
+        |           || CAST(l_partkey AS VARCHAR) || '.obj' AS path,
+        |         CAST(l_quantity AS BIGINT) * 1024 AS sizeb,
+        |         strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS lastmod,
+        |         'v' || CAST(l_suppkey % 7 AS VARCHAR) AS ver,
+        |         'bucket-b' || CAST(l_orderkey % 3 AS VARCHAR) AS bname,
+        |         (l_orderkey % 13 = 0) AS archived,
+        |         CASE l_returnflag WHEN 'R' THEN 'metal'
+        |              WHEN 'A' THEN 'wood' ELSE 'plastic' END AS material,
+        |         CAST(l_quantity AS BIGINT) AS dx,
+        |         CAST(l_linenumber AS BIGINT) AS dy,
+        |         CAST(l_partkey % 100 AS BIGINT) AS dz,
+        |         CASE l_linestatus WHEN 'O' THEN 'open'
+        |              ELSE 'finished' END AS stage
+        |  FROM lineitem WHERE l_orderkey < 200
+        |), enc AS (
+        |  SELECT *, replace(path, '/', '%2F') AS epath,
+        |         aid || ':' || path AS file_id
+        |  FROM files
+        |)
+        |SELECT file_id, CAST(json_object(
+        |  'id', 'urn:vams:file:' || db || ':' || aid || ':' || epath,
+        |  'type', 'VAMSFile',
+        |  'scope', json_array('/Database/' || db || '/Asset/' || aid
+        |    || '/File/' || epath),
+        |  'filePath', json_object('type', 'Property', 'value', path),
+        |  'fileExtension', json_object('type', 'Property', 'value', 'obj'),
+        |  'fileSize', json_object('type', 'Property', 'value', sizeb),
+        |  'lastModified', json_object('type', 'Property', 'value',
+        |    json_object('@type', 'DateTime', '@value', lastmod)),
+        |  'contentType', json_object('type', 'Property', 'value', 'model/obj'),
+        |  'etag', json_object('type', 'Property', 'value', md5(path)),
+        |  's3VersionId', json_object('type', 'Property', 'value', ver),
+        |  'bucketName', json_object('type', 'Property', 'value', bname),
+        |  's3Key', json_object('type', 'Property', 'value',
+        |    'assets/' || aid || '/' || path),
+        |  'assetName', json_object('type', 'Property', 'value', aname),
+        |  'isArchived', json_object('type', 'Property', 'value', archived),
+        |  'metadata_material',
+        |    json_object('type', 'Property', 'value', material),
+        |  'metadata_dims', json_object('type', 'JsonProperty', 'json',
+        |    json_object('x', dx, 'y', dy, 'z', dz)),
+        |  'attribute_stage', json_object('type', 'Property', 'value', stage),
+        |  'belongsToAsset', json_object('type', 'Relationship',
+        |    'object', 'urn:vams:asset:' || db || ':' || aid)
+        |) AS VARCHAR) AS ngsild
+        |FROM enc ORDER BY file_id, ngsild""")(
+      (s, d) => {
+        val files = t(s, d, "lineitem").filter(col("l_orderkey") < 200)
+          .select(
+            concat(lit("db"), (col("l_orderkey") % 5).cast("string")).as("db"),
+            concat(lit("o"), col("l_orderkey").cast("string")).as("aid"),
+            concat(lit("asset-"), col("l_orderkey").cast("string"))
+              .as("aname"),
+            concat(lit("renders/"), col("l_linenumber").cast("string"),
+              lit("/part_"), col("l_partkey").cast("string"), lit(".obj"))
+              .as("path"),
+            (col("l_quantity").cast("long") * 1024).as("sizeb"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("lastmod"),
+            concat(lit("v"), (col("l_suppkey") % 7).cast("string")).as("ver"),
+            concat(lit("bucket-b"), (col("l_orderkey") % 3).cast("string"))
+              .as("bname"),
+            (col("l_orderkey") % 13 === 0).as("archived"),
+            when(col("l_returnflag") === "R", "metal")
+              .when(col("l_returnflag") === "A", "wood")
+              .otherwise("plastic").as("material"),
+            col("l_quantity").cast("long").as("dx"),
+            col("l_linenumber").cast("long").as("dy"),
+            (col("l_partkey") % 100).as("dz"),
+            when(col("l_linestatus") === "O", "open")
+              .otherwise("finished").as("stage"))
+          .withColumn("epath", regexp_replace(col("path"), "/", "%2F"))
+          .withColumn("file_id", concat(col("aid"), lit(":"), col("path")))
+        def prop(v: Column): Column =
+          struct(lit("Property").as("type"), v.as("value"))
+        files.select(col("file_id"),
+            to_json(struct(
+              concat(lit("urn:vams:file:"), col("db"), lit(":"), col("aid"),
+                lit(":"), col("epath")).as("id"),
+              lit("VAMSFile").as("type"),
+              array(concat(lit("/Database/"), col("db"), lit("/Asset/"),
+                col("aid"), lit("/File/"), col("epath"))).as("scope"),
+              prop(col("path")).as("filePath"),
+              prop(lit("obj")).as("fileExtension"),
+              prop(col("sizeb")).as("fileSize"),
+              prop(struct(lit("DateTime").as("@type"),
+                col("lastmod").as("@value"))).as("lastModified"),
+              prop(lit("model/obj")).as("contentType"),
+              prop(md5(col("path"))).as("etag"),
+              prop(col("ver")).as("s3VersionId"),
+              prop(col("bname")).as("bucketName"),
+              prop(concat(lit("assets/"), col("aid"), lit("/"), col("path")))
+                .as("s3Key"),
+              prop(col("aname")).as("assetName"),
+              prop(col("archived")).as("isArchived"),
+              prop(col("material")).as("metadata_material"),
+              struct(lit("JsonProperty").as("type"),
+                struct(col("dx").as("x"), col("dy").as("y"),
+                  col("dz").as("z")).as("json")).as("metadata_dims"),
+              prop(col("stage")).as("attribute_stage"),
+              struct(lit("Relationship").as("type"),
+                concat(lit("urn:vams:asset:"), col("db"), lit(":"),
+                  col("aid")).as("object")).as("belongsToAsset")))
+              .as("ngsild"))
+          .orderBy("file_id", "ngsild")
+      }),
+
     // ── PageRank over the entity link graph (the importance rollup a
     //    knowledge-graph export ranks nodes by; edges = who-bought-
     //    from-whom, customer → supplier, modeled on lineitem⋈orders the
