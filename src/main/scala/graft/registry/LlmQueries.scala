@@ -1191,20 +1191,23 @@ object LlmQueries {
           .orderBy("q_id", "rank")
       }),
 
-    // ── IVF ANN (second scale path): distributed k-means lists,
-    //    narrow broadcast-literal assignment, nprobe-list search. The
-    //    centroid means fold floats in shuffle-fetch order, so the hit
-    //    LIST is legitimately run-dependent near assignment ties — the
-    //    one ANN query that cannot be row-gated. Instead it is SELF-
-    //    CHECKING: recall@5 against the brute-force exact baseline
-    //    (computed in the same plan, no collect) must clear a floor
-    //    BELOW measured behavior (measured: 0.54 sf0.01 / 0.57 sf0.001
-    //    / 0.60 sf0.1, run-stable across repeated executions), so the
-    //    emitted row tolerates residual centroid jitter yet fails the
-    //    hash gate the moment the index degrades. The floor is named in
-    //    the metric so the CORRECTNESS row encodes the bound it proves.
+    // ── IVF ANN (second scale path): distributed k-means lists with
+    //    deterministic farthest-point seeding, narrow broadcast-literal
+    //    assignment, nprobe-list search. The centroid means fold floats
+    //    in shuffle-fetch order, so the hit LIST is legitimately
+    //    run-dependent near assignment ties — the one ANN query that
+    //    cannot be row-gated. Instead it is SELF-CHECKING: recall@5
+    //    against the brute-force exact baseline (computed in the same
+    //    plan, no collect) must clear a floor BELOW measured behavior
+    //    (measured with k-means++-style seeding + nprobe 8: 0.82
+    //    sf0.001 / 0.78 sf0.01 / 0.92 sf0.1, run-stable across repeated
+    //    executions; the r8 stride-seeded nprobe-4 index sat at
+    //    0.54-0.60), so the emitted row tolerates residual centroid
+    //    jitter yet fails the hash gate the moment the index degrades.
+    //    The floor is named in the metric so the CORRECTNESS row
+    //    encodes the bound it proves.
     sql("llm_sim_ivf",
-      """SELECT 'ivf_recall_at_5_vs_brute_ge_0.45' AS metric,
+      """SELECT 'ivf_recall_at_5_vs_brute_ge_0.7' AS metric,
         |       CAST(count(*) AS BIGINT) AS n_queries,
         |       TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10""")(
@@ -1223,9 +1226,9 @@ object LlmQueries {
           .agg(countDistinct(col("q_id")).as("n_queries"),
             count(lit(1)).as("np"),
             coalesce(sum("hit"), lit(0L)).as("nh"))
-          .select(lit("ivf_recall_at_5_vs_brute_ge_0.45").as("metric"),
+          .select(lit("ivf_recall_at_5_vs_brute_ge_0.7").as("metric"),
             col("n_queries"),
-            (col("nh").cast("double") / col("np") >= 0.45).as("recall_ok"))
+            (col("nh").cast("double") / col("np") >= 0.7).as("recall_ok"))
       }),
 
     // ── PQ ANN (third scale path — the STORAGE one): per-subspace

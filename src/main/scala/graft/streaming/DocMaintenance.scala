@@ -175,15 +175,73 @@ object DocMaintenance {
       .distinct()
 
   /** ST8/W7 — auto-execute a workflow when files arrive: per micro-batch,
-    * submit each (db, asset) once (sqsAutoExecuteWorkflow shape). */
+    * submit each (db, asset) once (sqsAutoExecuteWorkflow shape — the
+    * reference's SQS delivery is naturally batch-bounded at 10
+    * messages; this is the corpus-scale analogue of that bound).
+    *
+    * The per-trigger driver collect is CAPPED at
+    * `maxSubmitsPerTrigger`: the submission protocol is inherently
+    * driver-side (one workflow call per key), but a pathological
+    * backfill batch must not collect unbounded keys. Keys beyond the
+    * cap SPILL to `spillDir` as parquet and drain on subsequent
+    * triggers (each trigger takes the ordered head of spill ∪ new,
+    * via a TakeOrdered plan — the driver never materializes more than
+    * the cap). Pass `spillDir = None` only when the source is known
+    * batch-bounded (e.g. a queue feed): overflow keys are then
+    * DEFERRED-LESS — the cap still holds but the remainder is dropped
+    * with a warning, matching at-most-once submission. */
   def autoExecOnArrival(
       newFiles: DataFrame,
-      submit: (String, String) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      submit: (String, String) => Unit,
+      maxSubmitsPerTrigger: Int = 10000,
+      spillDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     newFiles.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.select("databaseId", "assetId").distinct().collect()
-          .foreach(r => submit(r.getString(0), r.getString(1)))
+        val spark = batch.sparkSession
+        val incoming = batch.select("databaseId", "assetId").distinct()
+        val spillPath = spillDir.map(p => new org.apache.hadoop.fs.Path(p))
+        val fs = spillPath.map(_.getFileSystem(
+          spark.sessionState.newHadoopConf()))
+        val hasSpill = (spillPath, fs) match {
+          case (Some(p), Some(f)) => f.exists(p)
+          case _ => false
+        }
+        val pending =
+          if (hasSpill)
+            incoming.unionByName(
+              spark.read.parquet(spillDir.get)
+                .select("databaseId", "assetId")).distinct()
+          else incoming
+        // ordered head → TakeOrderedAndProject: the driver sees at most
+        // maxSubmitsPerTrigger rows regardless of batch size
+        val taken = pending.orderBy("databaseId", "assetId")
+          .limit(maxSubmitsPerTrigger).collect()
+        taken.foreach(r => submit(r.getString(0), r.getString(1)))
+        (spillPath, fs) match {
+          case (Some(p), Some(f)) =>
+            // remainder = pending minus the (≤cap, broadcastable) taken
+            // set; rewrite the spill via temp + rename so a crash
+            // mid-fold never truncates it (at-least-once resubmission
+            // is fine — submission is idempotent per the reference's
+            // redelivery semantics)
+            import spark.implicits._
+            val takenDf = taken.map(r => (r.getString(0), r.getString(1)))
+              .toSeq.toDF("databaseId", "assetId")
+            val rest = pending.join(org.apache.spark.sql.functions
+              .broadcast(takenDf), Seq("databaseId", "assetId"), "left_anti")
+            val tmp = new org.apache.hadoop.fs.Path(
+              p.getParent, s".${p.getName}.tmp")
+            rest.write.mode("overwrite").parquet(tmp.toString)
+            if (f.exists(p)) f.delete(p, true)
+            f.rename(tmp, p)
+            ()
+          case _ =>
+            if (taken.length == maxSubmitsPerTrigger)
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"autoExecOnArrival: batch hit the $maxSubmitsPerTrigger " +
+                  "submit cap with no spillDir — overflow keys dropped")
+        }
       }
       .start()
 

@@ -84,6 +84,67 @@ class LeaseCoordinatorSpec extends SparkSpec {
     } finally TxLog.clearCoordinator(dir)
   }
 
+  test("a REAL second JVM contends on the same table: loss-free, gap-free history") {
+    // the claim the in-JVM races cannot falsify: O_EXCL lease creation
+    // is arbitrated by the OS across PROCESSES. Spawn an actual
+    // `java -cp` child running LeaseRaceChild against the same table
+    // directory while this JVM merges concurrently.
+    val dir = java.nio.file.Files.createTempDirectory("graft-lease-xjvm").toString
+    TxLog.setCoordinator(dir, new LeaseFileCoordinator())
+    val K = 5
+    val log = java.nio.file.Files.createTempFile("graft-lease-child", ".log").toFile
+    try {
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = Seq(
+        s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++ Seq(
+        "-Xmx2g", "-cp", System.getProperty("java.class.path"),
+        "graft.sources.LeaseRaceChild", dir, "dbB", K.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(log)
+      val child = pb.start()
+      // overlap the contention window: wait for the child session, then
+      // merge from THIS JVM while the child merges from its own
+      val ready = java.nio.file.Paths.get(dir, "_child.ready")
+      val deadline = System.currentTimeMillis() + 120000
+      while (!java.nio.file.Files.exists(ready) && child.isAlive &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(java.nio.file.Files.exists(ready),
+        s"child JVM never came up:\n${scala.io.Source.fromFile(log).mkString.takeRight(2000)}")
+      (0 until K).foreach { i =>
+        TxLog.merge(spark, dir,
+          Seq((s"dbA#k$i", "dbA", s"dbA-v$i"))
+            .toDF("_docId", "str_databaseid", "payload"))
+      }
+      assert(child.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "child JVM did not finish")
+      assert(child.exitValue() == 0,
+        s"child JVM failed:\n${scala.io.Source.fromFile(log).mkString.takeRight(2000)}")
+      // loss-free: every row from both processes, exactly once
+      val rows = TxLog.read(spark, dir)
+        .select("_docId", "payload").as[(String, String)].collect().toSeq.sorted
+      val expected = (for {
+        db <- Seq("dbA", "dbB"); i <- 0 until K
+      } yield (s"$db#k$i", s"$db-v$i")).sorted
+      assert(rows == expected, s"lost/extra rows: $rows")
+      // gap-free serial history across the two processes
+      val versions = TxLog.history(spark, dir).map(_._1).sorted
+      assert(versions == (0L until 2L * K).toVector, versions.toString)
+      assert(!fsFor(dir).exists(new Path(dir, "_commit.lease")))
+    } finally {
+      TxLog.clearCoordinator(dir)
+      log.delete()
+    }
+  }
+
   test("four-writer stress: every version has exactly one winner and an intact body") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lease-stress").toString
     val fs = fsFor(dir)

@@ -139,6 +139,49 @@ class DocMaintenanceSpec extends SparkSpec {
     assert(submitted.values.forall(_ == 1))
   }
 
+  test("autoExecOnArrival caps the per-trigger collect and drains a backfill via spill (ST8)") {
+    // a pathological 10^5-key backfill batch must NOT collect to the
+    // driver at once: with cap 30k, the first trigger submits exactly
+    // 30k, the remainder spills, and subsequent triggers drain it
+    val dir = java.nio.file.Files.createTempDirectory("graft-backfill").toString
+    val spill = java.nio.file.Files.createTempDirectory("graft-spill").toString + "/keys"
+    val n = 100000
+    val files = spark.range(n).selectExpr(
+      "concat('db', id % 7) AS databaseId",
+      "concat('asset', id) AS assetId",
+      "concat('f', id) AS fileKey")
+    files.write.mode("overwrite").parquet(dir)
+    val submitted = scala.collection.concurrent.TrieMap.empty[(String, String), Int]
+    val perTrigger = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val stream = spark.readStream.schema(files.schema).parquet(dir)
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = DocMaintenance.autoExecOnArrival(stream,
+      (db, a) => {
+        submitted.updateWith((db, a))(v => Some(v.getOrElse(0) + 1))
+        counter.incrementAndGet(); ()
+      },
+      maxSubmitsPerTrigger = 30000, spillDir = Some(spill))
+    try {
+      q.processAllAvailable()
+      perTrigger += counter.getAndSet(0)
+      assert(perTrigger.head == 30000, s"cap not enforced: ${perTrigger.head}")
+      // marker batches fire further triggers that drain the spill
+      var round = 0
+      while (submitted.size < n + round && round < 6) {
+        round += 1
+        Seq((s"zz$round", s"marker$round", "m"))
+          .toDF("databaseId", "assetId", "fileKey")
+          .write.mode("append").parquet(dir)
+        q.processAllAvailable()
+        perTrigger += counter.getAndSet(0)
+      }
+      assert(perTrigger.forall(_ <= 30000), s"a trigger broke the cap: $perTrigger")
+      assert(submitted.size == n + round,
+        s"backfill not fully drained: ${submitted.size} of ${n + round}")
+      assert(submitted.values.forall(_ == 1), "a key was submitted twice")
+    } finally q.stop()
+  }
+
   test("mergeDocsIncremental rewrites only touched partitions; redelivery converges") {
     val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
     def docs(rows: (String, String, String)*) =
