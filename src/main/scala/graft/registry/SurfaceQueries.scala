@@ -33,6 +33,33 @@ object SurfaceQueries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
+  /** Long-form metadata KV table (f7's model: order = entity, line =
+    * key, value = LWW'd quantity rendered 'qty-N'), MATERIALIZED
+    * range-clustered on the value — the layout the indexed catch-all
+    * path reads. Written once per (session, sf dir), like
+    * [[graft.sources.Bucketing]]'s side tables. */
+  private val kvDirs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def metadataKvDir(s: SparkSession, d: String): String =
+    kvDirs.computeIfAbsent((s, d), { case (spark, dir) =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val pid = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getName.replaceAll("[^A-Za-z0-9]", "")
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-mdkv-$digest-$pid").getPath
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        t(spark, dir, "lineitem")
+          .groupBy("l_orderkey", "l_linenumber")
+          .agg(max(col("l_quantity").cast("int")).as("q"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            concat(lit("qty-"), col("q").cast("string")).as("v"))
+          .repartitionByRange(8, col("v"))
+          .write.mode("overwrite").parquet(out)
+      }
+      out
+    })
+
   /** Comment rows modeled from lineitem: SK = 'v<partkey%4>:c<linenumber>',
     * body/date synthesized deterministically, soft-delete flag =
     * (l_returnflag = 'R'). */
@@ -97,6 +124,33 @@ object SurfaceQueries {
       (s, d) => TextIndex.prunedSearch(s, s"$d/documents.parquet", "text", "dup")
         .select("doc_id", "lang")
         .orderBy("doc_id")),
+
+    // ── F7 scale path: the metadata VALUE CATCH-ALL (`MD_._value`,
+    //    search.py:787,893-899 — the wildcard a user types against "any
+    //    metadata value") served through the trigram-postings index
+    //    instead of a full scan of the long-form KV table. The KV table
+    //    is materialized range-clustered on the value (the layout a
+    //    metadata indexer would maintain; Layout.optimizeZOrder's
+    //    1-column case), so the literal's trigrams prune to the files
+    //    whose value range can match — TextIndexSpec asserts the
+    //    pruning; this gate proves row-equivalence to the full scan.
+    //    Identical rows to filtering all values with the wildcard.
+    sql("f7_metadata_kv_indexed",
+      """WITH kv AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         'qty-' || CAST(MAX(CAST(l_quantity AS INTEGER)) AS VARCHAR)
+        |           AS v
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM kv WHERE contains(v, 'qty-4')
+        |GROUP BY l_orderkey ORDER BY l_orderkey""")(
+      (s, d) => {
+        val kvDir = metadataKvDir(s, d)
+        TextIndex.prunedSearch(s, kvDir, "v", "qty-4")
+          .groupBy("l_orderkey").agg(count(lit(1)).as("n_hits"))
+          .orderBy("l_orderkey")
+      }),
 
     // ── Comments: per-asset listing, keyset-paged on the SK, deleted
     //    excluded (get_comments :86-117 + showDeleted handling :234-241).

@@ -38,6 +38,28 @@ class TextIndexSpec extends SparkSpec {
       s"no pruning: ${df.inputFiles.length} of $allFiles files read")
   }
 
+  test("metadata value catch-all prunes a range-clustered KV table (F7 indexed)") {
+    // the f7_metadata_kv_indexed layout: long-form (entity, key, value)
+    // rows written range-clustered on the value, searched through the
+    // index on the value column — the 'MD_._value' catch-all shape
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-ti-kv").toString
+    (1 to 4000).map { i => (i.toLong % 500, i.toLong % 7, s"qty-${i % 50}") }
+      .toDF("entity_id", "key_id", "v")
+      .repartitionByRange(16, col("v"))
+      .write.mode("overwrite").parquet(d)
+    val full = spark.read.parquet(d)
+      .filter(QueryCompiler.wildcard(col("v"), "qty-4"))
+      .select("entity_id", "key_id").as[(Long, Long)].collect().sorted.toSeq
+    val df = TextIndex.prunedSearch(spark, d, "v", "qty-4")
+    val got = df.select("entity_id", "key_id")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == full && full.nonEmpty)
+    val allFiles = spark.read.parquet(d).inputFiles.length
+    assert(df.inputFiles.length < allFiles,
+      s"value catch-all did not prune: ${df.inputFiles.length} of $allFiles")
+  }
+
   test("wildcard patterns prune with every literal segment's trigrams") {
     val exact = fullScan("*dup*join*")
     val got = pruned("*dup*join*")
