@@ -39,8 +39,11 @@ object PrefixSum {
       shardWidth: Long = 4096L): DataFrame = {
     require(shardWidth > 0, s"shardWidth must be positive, got $shardWidth")
     val gcols: Seq[Column] = groupCols.map(col)
+    // two passes over the rows (shard totals, then local scan) —
+    // snapshot so the second pass re-reads this narrow table instead of
+    // recomputing the caller's upstream twice (see TopFraction)
     val sharded = df.withColumn("__shard",
-      expr(s"$orderCol DIV $shardWidth"))
+      expr(s"$orderCol DIV $shardWidth")).localCheckpoint()
 
     val wLoc = Window.partitionBy((gcols :+ col("__shard")): _*)
       .orderBy(col(orderCol))
@@ -58,9 +61,13 @@ object PrefixSum {
       .withColumn("__off", coalesce(sum(col("__t")).over(wSh), lit(0L)))
       .drop("__t")
 
+    // offsets is shard-totals-sized (rows/width, plus group keys) —
+    // broadcast keeps the stitch exchange-free on the corpus side; at
+    // 10^10 rows and width 4096 that is ~2.4M small rows, tens of MB on
+    // big executors, and a caller can widen shardWidth to shrink it
     val joined =
-      if (groupCols.isEmpty) local.join(offsets, Seq("__shard"))
-      else local.join(offsets, groupCols :+ "__shard")
+      if (groupCols.isEmpty) local.join(broadcast(offsets), Seq("__shard"))
+      else local.join(broadcast(offsets), groupCols :+ "__shard")
     joined
       .withColumn(outCol, col("__off") + col("__loc"))
       .drop("__shard", "__loc", "__off")
@@ -85,7 +92,7 @@ object PrefixSum {
       orderCols: Seq[Column], shardCol: Column,
       outCol: String = "rn"): DataFrame = {
     val gcols: Seq[Column] = groupCols.map(col)
-    val sharded = df.withColumn("__shard", shardCol)
+    val sharded = df.withColumn("__shard", shardCol).localCheckpoint()
 
     val wLoc = Window.partitionBy((gcols :+ col("__shard")): _*)
       .orderBy(orderCols: _*)
@@ -103,8 +110,8 @@ object PrefixSum {
       .drop("__t")
 
     val joined =
-      if (groupCols.isEmpty) local.join(offsets, Seq("__shard"))
-      else local.join(offsets, groupCols :+ "__shard")
+      if (groupCols.isEmpty) local.join(broadcast(offsets), Seq("__shard"))
+      else local.join(broadcast(offsets), groupCols :+ "__shard")
     joined
       .withColumn(outCol, col("__off") + col("__rn"))
       .drop("__shard", "__rn", "__off")

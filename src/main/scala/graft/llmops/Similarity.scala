@@ -145,14 +145,20 @@ object Similarity {
     * O(log n) rounds. */
   private def farthestPointSeeds(vecs: DataFrame, k: Int,
       assignFn: String): Array[Array[Double]] = {
-    val first = vecs.orderBy("vec_id").limit(1)
-      .select(asDouble(col("embedding")).as("e"))
+    // k sequential passes over the SAME projection: materialize it once
+    // (narrow (id, vec) rows) so each pass scans executor-local blocks
+    // instead of re-reading + re-casting the source (measured: halves
+    // llm_sim_ivf's training share at sf0.1)
+    val snap = vecs.select(col("vec_id"),
+      asDouble(col("embedding")).as("embedding")).localCheckpoint()
+    val first = snap.orderBy("vec_id").limit(1)
+      .select(col("embedding").as("e"))
       .collect().map(_.getSeq[Double](0).toArray)
     if (first.isEmpty) return Array.empty
     val seeds = scala.collection.mutable.ArrayBuffer(first.head)
     while (seeds.size < k) {
       val seedLit = typedLit(seeds.map(_.toSeq).toSeq)
-      val e = asDouble(col("embedding"))
+      val e = col("embedding")
       val nearest = element_at(seedLit,
         element_at(call_function(assignFn, e, seedLit, lit(1)), 1) + 1)
       // proximity to the nearest seed: cosine sim for the cosine
@@ -164,7 +170,7 @@ object Similarity {
         else
           -aggregate(zip_with(e, nearest, (x, c) => (x - c) * (x - c)),
             lit(0.0), (acc, v) => acc + v)
-      val next = vecs
+      val next = snap
         .select(e.as("e"), prox.as("prox"), col("vec_id"))
         .orderBy(col("prox").asc, col("vec_id").asc).limit(1)
         .collect()

@@ -55,14 +55,28 @@ object TopFraction {
     * columns; preserves the rest. */
   def mark(df: DataFrame, scoreCol: String, tieCol: String,
       fraction: Double, groupCols: Seq[String] = Nil,
-      outCol: String = "selected", bucketShift: Int = 40): DataFrame = {
+      outCol: String = "selected", bucketShift: Int = 40,
+      snapshot: Boolean = true): DataFrame = {
     require(fraction > 0 && fraction <= 1, s"fraction in (0,1], got $fraction")
     graft.functions.GraftFunctions.register(df.sparkSession)
     val gcols: Seq[Column] = groupCols.map(col)
 
-    val scored = df.withColumn("__bkt",
+    // the selection is inherently two passes over the rows (histogram,
+    // then mark). With `snapshot` the input materializes once
+    // (localCheckpoint) so the second pass re-reads this narrow
+    // (group, score, tie) table instead of RECOMPUTING the caller's
+    // upstream — for llm_mix_classifier that upstream is the full
+    // feature-scoring pass; unsnapshotted it ran twice and doubled the
+    // query (measured 3.3 s vs 5.1 s at sf0.1). Pass snapshot = false
+    // when the input is already cached/memoized or when the caller's
+    // surrounding plan SHARES subtrees with this input — a checkpoint
+    // would split those out of the main plan and defeat Spark's
+    // exchange reuse (llm_curate_pipeline2: 0.8 s unsnapshotted vs
+    // 2.5 s snapshotted, its stage-1/2 frames appear in both).
+    val bucketed = df.withColumn("__bkt",
       shiftright(call_function("graft_sortable_double",
         col(scoreCol).cast("double")), bucketShift))
+    val scored = if (snapshot) bucketed.localCheckpoint() else bucketed
 
     // Histogram (corpus-parallel, map-side combined), then the ordered
     // cumulative count over the HISTOGRAM frame. The unpartitioned

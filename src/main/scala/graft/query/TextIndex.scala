@@ -55,8 +55,10 @@ object TextIndex {
     * Writers that know WHICH files changed should use [[addFiles]] /
     * [[removeFiles]] instead: they update the side table incrementally,
     * so the next search pays a lookup join, not a corpus rebuild. */
-  def invalidate(path: String, textCol: String): Unit =
-    cache.remove(s"$path:$textCol")
+  def invalidate(path: String, textCol: String): Unit = {
+    val loc = cache.remove(s"$path:$textCol")
+    if (loc != null) postingsSnapshots.remove(loc)
+  }
 
   /** Active postings directory of (path, textCol) in this process —
     * None if nothing has been built or attached yet. Introspection for
@@ -324,23 +326,75 @@ object TextIndex {
     pattern.toLowerCase.split("[*?]").filter(_.length >= 3)
       .flatMap(seg => seg.sliding(3)).toSet
 
+  /** Driver-side postings snapshot: `loc → (fingerprint, tri → files)`.
+    * The pruning decision is index METADATA — exactly what a lakehouse
+    * keeps on the driver (Delta's per-file stats live in the driver
+    * snapshot the same way), and re-running a small Spark job per query
+    * to consult it charged every search a fixed ~0.3 s of datasource
+    * setup. Bounded: snapshots above [[SnapshotMaxRows]] postings rows
+    * fall back to the join path (a 100 TB corpus with millions of files
+    * keeps the index distributed); staleness is caught by the
+    * fingerprint (TxLog version for managed tables, the file listing
+    * digest for ad-hoc dirs), so an [[addFiles]]/[[removeFiles]] swap
+    * invalidates the cached map. */
+  private final val SnapshotMaxRows = 2000000L
+  private val postingsSnapshots =
+    new ConcurrentHashMap[String, (String, Map[String, Array[String]])]()
+
+  private def postingsFingerprint(spark: SparkSession, loc: String): String =
+    if (graft.sources.TxLog.isTable(spark, loc))
+      s"tx:${graft.sources.TxLog.snapshot(spark, loc).version}"
+    else {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val parts = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted
+      s"fs:${parts.mkString(",").hashCode}:${parts.length}"
+    }
+
+  private def postingsMap(spark: SparkSession, path: String,
+      textCol: String): Option[Map[String, Array[String]]] = {
+    val df = postings(spark, path, textCol) // ensures the loc is populated
+    val key = cache.get(s"$path:$textCol")
+    val fp = postingsFingerprint(spark, key)
+    val hit = postingsSnapshots.get(key)
+    if (hit != null && hit._1 == fp) Some(hit._2)
+    else if (df.limit((SnapshotMaxRows + 1).toInt).count() > SnapshotMaxRows)
+      None
+    else {
+      val m = df.collect()
+        .groupBy(_.getString(1))
+        .map { case (tri, rows) => tri -> rows.map(_.getString(0)).sorted }
+      postingsSnapshots.put(key, (fp, m))
+      Some(m)
+    }
+  }
+
   /** Candidate files of the table at `path` that can contain a match of
     * `pattern` on `textCol` — files whose postings hold EVERY required
     * trigram. None ⇒ the pattern has no literal segment ≥ 3 chars and
-    * cannot prune. Only the file LIST reaches the driver, never rows —
-    * the same driver-side footprint as partition pruning. */
+    * cannot prune. Only the file LIST (or the bounded driver snapshot)
+    * reaches the driver, never rows — the same driver-side footprint as
+    * partition pruning. */
   def candidateFiles(spark: SparkSession, path: String, textCol: String,
       pattern: String): Option[Array[String]] = {
     val required = requiredTrigrams(pattern)
     if (required.isEmpty) None
     else {
-      val fromIndex = postings(spark, path, textCol)
-        .filter(col("tri").isin(required.toSeq: _*))
-        .groupBy("file")
-        .agg(countDistinct(col("tri")).as("hits"))
-        .filter(col("hits") === required.size)
-        .select("file")
-        .collect().map(_.getString(0))
+      val fromIndex = postingsMap(spark, path, textCol) match {
+        case Some(m) =>
+          required.toSeq.map(tri => m.getOrElse(tri, Array.empty[String]).toSet)
+            .reduce(_ intersect _).toArray
+        case None =>
+          postings(spark, path, textCol)
+            .filter(col("tri").isin(required.toSeq: _*))
+            .groupBy("file")
+            .agg(countDistinct(col("tri")).as("hits"))
+            .filter(col("hits") === required.size)
+            .select("file")
+            .collect().map(_.getString(0))
+      }
       // intersect with the table's LIVE listing: postings of a deleted
       // file (not yet cleaned by removeFiles) must never steer the scan
       // onto a missing path — staleness degrades to hygiene, not errors

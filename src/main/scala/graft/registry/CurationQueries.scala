@@ -654,7 +654,10 @@ object CurationQueries {
         // — same boolean the oracle's RANK() OVER (ORDER BY …) yields
         val scored = docw.withColumn("score",
           col("weight_fp").cast("double") / col("n_tokens"))
-        graft.llmops.TopFraction.mark(scored, "score", "doc_id", 0.25)
+        // snapshot = false: docw rides the dsirWeights session memo, so
+        // the two TopFraction passes re-read the cache, not the corpus
+        graft.llmops.TopFraction.mark(scored, "score", "doc_id", 0.25,
+            snapshot = false)
           .select(col("doc_id"), col("n_tokens"), col("weight_fp"),
             (col("score") / 1000000.0).as("importance"), col("selected"))
           .orderBy("doc_id")
@@ -881,10 +884,13 @@ object CurationQueries {
           .select("doc_id")
         // stage 3: DSIR top-25% among survivors (weights shared) —
         // exact boundary from the bucket histogram, no global rank
+        // snapshot = false: s2's stage frames also appear in the final
+        // funnel accounting joins — a checkpoint would split them out
+        // of the main plan and defeat exchange reuse (measured 3x)
         val s3 = graft.llmops.TopFraction.mark(
             dsirWeights(s, d).join(s2, Seq("doc_id")).withColumn("score",
               col("weight_fp").cast("double") / col("n_tokens")),
-            "score", "doc_id", 0.25)
+            "score", "doc_id", 0.25, snapshot = false)
           .filter(col("selected")).select("doc_id")
         // stage 4: temperature sampling over the survivors' lang mix
         val lc = meta.join(s3, Seq("doc_id")).groupBy("lang").agg(
