@@ -106,6 +106,10 @@ object SearchApi {
       case f     => Seq(col(f))
     })
     val textPred = req.query match {
+      // bm25 mode is OpenSearch's `match` semantics: terms OR-combined,
+      // membership decided by relevance (> min_score) — the substring
+      // predicate would wrongly demand the whole query string verbatim
+      case Some(_) if req.scorer == "bm25" => lit(true)
       case Some(q) =>
         QC.multiField(ScoredFields.map(_._1).filter(fieldsPresent).map(col), q)
       case None => lit(true)
@@ -116,8 +120,16 @@ object SearchApi {
       must = Seq(tokenPred, textPred),
       filter = Seq(archived, access, policyPred) ++ termFilters))
 
-    // O3 scoring + F13 cut when a free-text query is present.
+    // O3 scoring + F13 cut when a free-text query is present. Two
+    // scorers: the weighted match count (filter-style, the original
+    // deterministic deviation) and fixed-point BM25 (query/Bm25.scala)
+    // — the reference's actual `_score` ordering, with corpus stats
+    // from the FULL doc table like OpenSearch's index-wide idf.
     val scored = req.query match {
+      case Some(q) if req.scorer == "bm25" =>
+        graft.query.Bm25.scoreSearch(docs,
+            filtered, ScoredFields.map(_._1).filter(fieldsPresent), q)
+          .filter(col("_score") > QC.MinScore)
       case Some(q) =>
         filtered.withColumn("_score", QC.score(
             ScoredFields.filter(f => fieldsPresent(f._1))

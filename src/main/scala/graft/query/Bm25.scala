@@ -75,19 +75,87 @@ object Bm25 {
       .select(idCol, "score_fp")
   }
 
-  /** DuckDB twin of [[rank]] over the `documents` table: replays the
-    * IDENTICAL integer recurrences (the log2 chain unrolled as 20 CTE
-    * steps, bit lengths via printf('%b', …)), so values hash-match the
-    * Spark side exactly. */
-  def oracleSql(terms: Seq[String], k: Int): String = {
-    val termVals = terms.map(t => s"('$t')").mkString(", ")
-    val steps = (1 to 20).map { i =>
+  /** BM25 `_score` COLUMN for the search façade: scores `target` rows
+    * (already filtered) with corpus statistics taken from the FULL
+    * `corpus` frame — OpenSearch computes scores from index-wide stats,
+    * not from the filtered hit set, so the reference's `_score` for a
+    * given doc does not move when filters change. The per-row document
+    * is the lower-cased concatenation of the searched fields (the
+    * "all-fields" match the reference's multi_match issues). Adds
+    * `outCol` (the fixed-point score as DOUBLE — exact, scores are
+    * < 2^53) and removes every helper column. */
+  def scoreSearch(corpus: DataFrame, target: DataFrame,
+      fields: Seq[String], query: String,
+      outCol: String = "_score"): DataFrame = {
+    val terms = query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "BM25 search needs at least one query term")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def tkOf(df: DataFrame): Column =
+      split(trim(lower(concat_ws(" ", fields.map(col): _*))), "\\s+")
+    val aggs = (count(lit(1)).cast("long").as("__n") +:
+      sum(size(tkOf(corpus)).cast("long")).as("__sumdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(array_contains(tkOf(corpus), t).cast("long")).as(s"__df_$i")
+      }).toList
+    val stats = corpus.agg(aggs.head, aggs.tail: _*)
+    var cur = target.crossJoin(broadcast(stats))
+      .withColumn("__tk", tkOf(target))
+      .withColumn("__dl", size(col("__tk")).cast("long"))
+    terms.zipWithIndex.foreach { case (t, i) =>
+      cur = cur
+        .withColumn(s"__tf_$i",
+          size(filter(col("__tk"), x => x === lit(t))).cast("long"))
+        .withColumn(s"__idf_$i", call_function("graft_log2_fp",
+          col("__n") * 2L + lit(2L), col(s"__df_$i") * 2L + lit(1L)))
+    }
+    val scoreSum = terms.indices.map { i =>
+      s"(__idf_$i * 44 * __tf_$i * 1024) DIV " +
+        s"((__tf_$i * 20 + 6) * 1024 + (__dl * 18 * __n * 1024) DIV __sumdl)"
+    }.mkString(" + ")
+    cur.withColumn(outCol, expr(scoreSum).cast("double"))
+      .drop(Seq("__tk", "__dl", "__n", "__sumdl") ++
+        terms.indices.flatMap(i => Seq(s"__tf_$i", s"__df_$i", s"__idf_$i")): _*)
+  }
+
+  /** The 20 unrolled square-and-renormalize steps of the integer log2
+    * recurrence as DuckDB CTEs `l1..l20` (input CTE `l0(term, e, m, f)`)
+    * — shared by every BM25 oracle so both gates replay the ONE
+    * definition [[graft.functions.GraftFunctions.log2Fp]] executes. */
+  def idfStepsSql: String =
+    (1 to 20).map { i =>
       s"""l$i AS (SELECT term,  e,
          |  CASE WHEN ((m*m) >> 21) >= 4194304 THEN ((m*m) >> 21) >> 1
          |       ELSE (m*m) >> 21 END AS m,
          |  f*2 + CASE WHEN ((m*m) >> 21) >= 4194304 THEN 1 ELSE 0 END AS f
          |  FROM l${i - 1})""".stripMargin
     }.mkString(",\n")
+
+  /** The `l0` seed CTE: exponent + 21-bit mantissa of (2n+2)/(2df+1)
+    * per term, from CTEs `tdf(term, df)` and `stats(n, …)`. */
+  def idfSeedSql: String =
+    """l0 AS (
+      |  SELECT term, e, (a << 21) // (b << e) AS m, CAST(0 AS BIGINT) AS f
+      |  FROM (
+      |    SELECT term, a, b,
+      |           CASE WHEN a >= (b << (e0 + 1)) THEN e0 + 1
+      |                WHEN a < (b << e0) THEN e0 - 1
+      |                ELSE e0 END AS e
+      |    FROM (
+      |      SELECT term, 2*n + 2 AS a, 2*df + 1 AS b,
+      |             CAST(length(printf('%b', 2*n + 2))
+      |                  - length(printf('%b', 2*df + 1)) AS BIGINT) AS e0
+      |      FROM tdf, stats
+      |    )
+      |  )
+      |)""".stripMargin
+
+  /** DuckDB twin of [[rank]] over the `documents` table: replays the
+    * IDENTICAL integer recurrences (the log2 chain unrolled as 20 CTE
+    * steps, bit lengths via printf('%b', …)), so values hash-match the
+    * Spark side exactly. */
+  def oracleSql(terms: Seq[String], k: Int): String = {
+    val termVals = terms.map(t => s"('$t')").mkString(", ")
+    val steps = idfStepsSql
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
        |  FROM documents WHERE length(trim(text)) > 0
@@ -102,21 +170,7 @@ object Bm25 {
        |                       THEN 1 ELSE 0 END) AS BIGINT) AS df
        |  FROM terms t CROSS JOIN toks d GROUP BY t.term
        |),
-       |l0 AS (
-       |  SELECT term, e, (a << 21) // (b << e) AS m, CAST(0 AS BIGINT) AS f
-       |  FROM (
-       |    SELECT term, a, b,
-       |           CASE WHEN a >= (b << (e0 + 1)) THEN e0 + 1
-       |                WHEN a < (b << e0) THEN e0 - 1
-       |                ELSE e0 END AS e
-       |    FROM (
-       |      SELECT term, 2*n + 2 AS a, 2*df + 1 AS b,
-       |             CAST(length(printf('%b', 2*n + 2))
-       |                  - length(printf('%b', 2*df + 1)) AS BIGINT) AS e0
-       |      FROM tdf, stats
-       |    )
-       |  )
-       |),
+       |$idfSeedSql,
        |$steps,
        |idf AS (SELECT term, (e << 20) + f AS idf_fp FROM l20),
        |dt AS (

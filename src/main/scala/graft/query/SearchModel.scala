@@ -24,7 +24,8 @@ final case class SearchRequest(
     sort: Seq[SortField] = Nil,                // O1
     from: Int = 0,                             // O4
     size: Int = 100,
-    explain: Boolean = false)                  // F15/F16 highlight+explanation
+    explain: Boolean = false,                  // F15/F16 highlight+explanation
+    scorer: String = "weighted")               // O3: weighted | bm25
 
 /** handlers/search/search.py:1305-1371 — one sort key. */
 final case class SortField(field: String, descending: Boolean = false)

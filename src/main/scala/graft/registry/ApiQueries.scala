@@ -78,6 +78,74 @@ object ApiQueries {
         SearchApi.search(docs(s, d), req).hits
           .select("_docId", "str_assetname", "str_assettype",
             "str_databaseid", "_score")
+      }),
+
+    // ── The same façade under the BM25 scorer (search.py's actual
+    //    `_score` ordering): multi-term match semantics (terms OR'd,
+    //    membership by relevance), corpus stats from the FULL doc table
+    //    like OpenSearch's index-wide idf, fixed-point arithmetic so
+    //    the oracle hash-matches (see query/Bm25.scala). The oracle
+    //    replays the identical integer idf recurrence over the docs CTE.
+    sql("search_advanced_bm25", {
+      val fields = Seq("str_assetname", "str_description", "str_assetid",
+        "str_databaseid", "str_assettype")
+      val catSql = fields.mkString(" || ' ' || ")
+      s"""WITH docs AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS _docid,
+        |         c_name AS str_assetname,
+        |         o_orderstatus AS str_assettype,
+        |         o_orderpriority AS str_databaseid,
+        |         c_mktsegment AS str_description,
+        |         CAST(o_orderkey AS VARCHAR) AS str_assetid,
+        |         (o_orderstatus = 'F') AS bool_archived
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |), toks AS (
+        |  SELECT *, regexp_split_to_array(trim(lower($catSql)), '\\s+') AS tk
+        |  FROM docs
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(len(tk)) AS BIGINT) AS sumdl
+        |  FROM toks
+        |), terms(term) AS (VALUES ('building'), ('2-high')),
+        |tdf AS (
+        |  SELECT t.term,
+        |         CAST(SUM(CASE WHEN list_contains(d.tk, t.term)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS df
+        |  FROM terms t CROSS JOIN toks d GROUP BY t.term
+        |),
+        |${graft.query.Bm25.idfSeedSql},
+        |${graft.query.Bm25.idfStepsSql},
+        |idf AS (SELECT term, (e << 20) + f AS idf_fp FROM l20),
+        |f AS (
+        |  SELECT * FROM toks
+        |  WHERE NOT bool_archived
+        |    AND str_databaseid IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        |    AND str_assettype = 'O'
+        |), scored AS (
+        |  SELECT d._docid, d.str_assetname, d.str_databaseid,
+        |         CAST(SUM(
+        |           (i.idf_fp * 44
+        |             * len(list_filter(d.tk, x -> x = i.term)) * 1024) //
+        |           ((len(list_filter(d.tk, x -> x = i.term)) * 20 + 6) * 1024
+        |             + (len(d.tk) * 18 * s.n * 1024) // s.sumdl)
+        |         ) AS BIGINT) AS score_fp
+        |  FROM f d CROSS JOIN idf i, stats s
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT _docid, str_assetname, str_databaseid,
+        |       CAST(score_fp AS DOUBLE) AS _score
+        |FROM scored WHERE score_fp >= 1
+        |ORDER BY _score DESC, _docid
+        |LIMIT 20 OFFSET 5"""})(
+      (s, d) => {
+        val req = SearchRequest(
+          query = Some("building 2-high"),
+          filters = Map("str_assettype" -> "O"),
+          accessibleDatabases = Some(Seq("1-URGENT", "2-HIGH", "3-MEDIUM")),
+          scorer = "bm25",
+          from = 5, size = 20)
+        SearchApi.search(docs(s, d), req).hits
+          .select("_docId", "str_assetname", "str_databaseid", "_score")
       })
   )
 }

@@ -1022,10 +1022,18 @@ object TxLog {
     * (their base did not change); overlapping ones rebuild the merge
     * from the fresh snapshot. Every retry path re-derives from committed
     * state, so the result is as if the merges ran serially. */
+  /** Thrown by [[merge]] when `expectedVersion` is set and the head
+    * moved — the caller's read set may be stale, so the merge must NOT
+    * silently restage (conflict-checked DML; [[deleteWhere]] re-derives
+    * its victims and retries). */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       removedKeys: DataFrame = null, keyCol: String = "_docId",
       partitionCol: String = "str_databaseid",
-      maxAttempts: Int = 20): Unit = {
+      maxAttempts: Int = 20,
+      expectedVersion: Option[Long] = None): Unit = {
     val updParts: Set[String] = updates.select(partitionCol).distinct()
       .collect().map(_.getString(0)).filter(_ != null).toSet
     val rmParts: Set[String] = Option(removedKeys)
@@ -1065,6 +1073,11 @@ object TxLog {
       attempt += 1
       require(attempt <= maxAttempts, s"merge: $maxAttempts commit conflicts")
       val snap = snapshot(spark, path)
+      expectedVersion.filter(_ != snap.version).foreach { v =>
+        throw new ConcurrentCommitException(
+          s"merge: expected to commit on version $v but the head is " +
+            s"${snap.version} — caller's read set may be stale")
+      }
       if (attempt == 1) {
         // KEY SHAPE CONTRACT, half 2: every delete key's derived
         // partition must be committed or introduced by this batch's
@@ -1145,30 +1158,46 @@ object TxLog {
     * Returns the number of rows deleted. A predicate matching nothing
     * commits nothing.
     *
-    * Isolation caveat (SNAPSHOT-isolation delete, not serializable):
-    * the victim KEY SET is resolved once against the snapshot current
-    * at call time; if the merge hits a commit conflict and retries, it
-    * restages from the fresh snapshot but deletes the SAME keys — a row
-    * concurrently updated to no longer match `condition` is still
-    * deleted (write skew). Delta's conflict-checked DELETE would fail
-    * that commit instead. Callers needing delete-if-still-matching
-    * should run deleteWhere under an external writer lock
-    * ([[LeaseFileCoordinator]]) or verify post-hoc via [[changes]]. */
+    * CONFLICT-CHECKED (serializable delete, Delta's semantics): the
+    * victim key set is resolved against a pinned version and committed
+    * through [[merge]] with `expectedVersion` — if any writer commits
+    * in between, the merge fails with [[ConcurrentCommitException]] and
+    * the predicate is RE-EVALUATED against the fresh snapshot before
+    * retrying. A row concurrently updated to no longer match
+    * `condition` is therefore never deleted (no write skew: every
+    * committed delete saw the table state it committed over). */
   def deleteWhere(spark: SparkSession, path: String,
       condition: org.apache.spark.sql.Column,
       keyCol: String = "_docId",
       partitionCol: String = "str_databaseid",
       partitions: Option[Set[String]] = None,
-      keyRange: Option[(String, String)] = None): Long = {
-    val victims = read(spark, path, partitions = partitions,
-        keyRange = keyRange).filter(condition)
-      .select(keyCol).localCheckpoint()
-    val n = victims.count()
-    if (n > 0)
-      merge(spark, path, updates = victims.limit(0).select(col(keyCol),
-          split(col(keyCol), "#").getItem(0).as(partitionCol)),
-        removedKeys = victims, keyCol = keyCol, partitionCol = partitionCol)
-    n
+      keyRange: Option[(String, String)] = None,
+      maxAttempts: Int = 20): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= maxAttempts,
+        s"deleteWhere: $maxAttempts conflict retries exhausted")
+      // pin the version FIRST: if the head moves before the victim read,
+      // the read sees a newer state and the expectedVersion check fails
+      // the commit — a spurious retry, never a stale delete
+      val v0 = snapshot(spark, path).version
+      val victims = read(spark, path, partitions = partitions,
+          keyRange = keyRange).filter(condition)
+        .select(keyCol).localCheckpoint()
+      val n = victims.count()
+      if (n == 0) return 0
+      try {
+        merge(spark, path, updates = victims.limit(0).select(col(keyCol),
+            split(col(keyCol), "#").getItem(0).as(partitionCol)),
+          removedKeys = victims, keyCol = keyCol, partitionCol = partitionCol,
+          expectedVersion = Some(v0))
+        return n
+      } catch {
+        case _: ConcurrentCommitException => () // re-derive and retry
+      }
+    }
+    -1L // unreachable
   }
 
   def restore(spark: SparkSession, path: String, version: Long,

@@ -82,6 +82,53 @@ class TxLogStatsSpec extends SparkSpec {
     assert(feed.filter(col("_change_type") === "delete").count() == 3)
   }
 
+  test("merge with a stale expectedVersion refuses instead of restaging") {
+    val dir = freshTable()
+    val v0 = TxLog.snapshot(spark, dir).version
+    // another writer moves the head
+    TxLog.merge(spark, dir,
+      Seq(("p1#009", "p1", 1L)).toDF("_docId", "part", "v"),
+      partitionCol = "part")
+    intercept[TxLog.ConcurrentCommitException] {
+      TxLog.merge(spark, dir,
+        Seq(("p1#010", "p1", 2L)).toDF("_docId", "part", "v"),
+        partitionCol = "part", expectedVersion = Some(v0))
+    }
+    // the refused merge left no commit behind
+    assert(TxLog.snapshot(spark, dir).version == v0 + 1)
+    assert(TxLog.read(spark, dir).filter(col("_docId") === "p1#010").count() == 0)
+  }
+
+  test("deleteWhere is serializable: a concurrent un-matching update is never clobbered") {
+    // T1 deletes WHERE v = 10; T2 updates the only matching row to v = 11.
+    // Serializable outcomes: delete-then-update (row re-upserted, v=11)
+    // or update-then-delete (predicate re-evaluated, no match, v=11).
+    // The old snapshot-isolation delete allowed a third, NON-serial
+    // outcome — stale victim list applied after the update (row gone).
+    (1 to 5).foreach { round =>
+      val dir = Files.createTempDirectory(s"txser$round").toString
+      TxLog.merge(spark, dir,
+        Seq(("p1#001", "p1", 10L)).toDF("_docId", "part", "v"),
+        partitionCol = "part")
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val t1 = new Thread(() => try { gate.await()
+        TxLog.deleteWhere(spark, dir, col("v") === 10L, partitionCol = "part")
+        () } catch { case t: Throwable => errs.add(t) })
+      val t2 = new Thread(() => try { gate.await()
+        TxLog.merge(spark, dir,
+          Seq(("p1#001", "p1", 11L)).toDF("_docId", "part", "v"),
+          partitionCol = "part") } catch { case t: Throwable => errs.add(t) })
+      t1.start(); t2.start(); gate.countDown()
+      t1.join(120000); t2.join(120000)
+      assert(errs.isEmpty, errs.toString)
+      val rows = TxLog.read(spark, dir).select("_docId", "v")
+        .as[(String, Long)].collect().toSeq
+      assert(rows == Seq(("p1#001", 11L)),
+        s"round $round: non-serializable state $rows")
+    }
+  }
+
   test("a file without row stats fails safe to None, not a wrong count") {
     val dir = freshTable()
     assert(TxLog.statsAggregate(spark, dir).isDefined)
