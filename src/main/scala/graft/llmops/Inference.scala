@@ -65,4 +65,46 @@ object Inference {
     implicit val enc = org.apache.spark.sql.Encoders.product[AssetPayload]
     labelAssets(df.as[AssetPayload]).toDF()
   }
+
+  /** The labeling pipeline's CONSOLIDATION stage, made deterministic
+    * (reference: `metadataGenerationPipeline.py:296-370` delegates this
+    * to a final summarization prompt whose stated criteria are exactly
+    * relational — we implement the criteria, not the model):
+    *
+    *  - per-view `none` results are dropped (:267-270);
+    *  - labels dedup case-INsensitively, output lowercased unless the
+    *    label is an acronym (all-caps, e.g. 'CAD' — the prompt's
+    *    explicit carve-out);
+    *  - outlier cut: labels appearing in < 10% of the asset's view
+    *    labels are removed (the prompt's threshold filter);
+    *  - the survivors become ONE long-form metadata row per asset:
+    *    key `metadataKey`, value = the sorted JSON array rendered
+    *    compactly, type `string` (:345-357 output_data shape).
+    *
+    * Input: `(databaseId, assetId, view, label)` — one row per label
+    * per rendered view. Scale shape: one map-side-combined count per
+    * (asset, label), one per-asset total via a second aggregation,
+    * the 10% cut as an integer compare (count·10 ≥ total), and the
+    * array assembled with sort_array + to_json — no window, no
+    * collect, broadcast-free. */
+  def consolidateLabels(viewLabels: DataFrame,
+      metadataKey: String = "aiKeywords"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val norm = when(col("label") === upper(col("label")), col("label"))
+      .otherwise(lower(col("label")))
+    val counts = viewLabels
+      .filter(col("label").isNotNull && lower(col("label")) =!= "none")
+      .select(col("databaseId"), col("assetId"), norm.as("norm"))
+      .groupBy("databaseId", "assetId", "norm")
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy("databaseId", "assetId")
+      .agg(sum("c").as("total"),
+        collect_list(struct(col("norm"), col("c"))).as("ls"))
+      .select(col("databaseId"), col("assetId"),
+        lit(metadataKey).as("metadataKey"),
+        to_json(sort_array(expr(
+          "filter(ls, x -> x.c * 10 >= total).norm"))).as("metadataValue"),
+        lit("string").as("metadataValueType"))
+  }
 }

@@ -438,6 +438,88 @@ object CurationQueries {
           .orderBy("doc_id")
       }),
 
+    // ── Token-distribution ENTROPY as a quality signal (the
+    //    information-density cousin of the Gopher repetition rules: a
+    //    templated/boilerplate doc has low unigram entropy even when no
+    //    single bigram dominates). EXACT fixed-point Shannon entropy —
+    //    H·2^20 bits/token = lg(n) − (Σ cᵢ·lg(cᵢ)) DIV n with lg the
+    //    integer shift-and-square log2 (graft_log2_fp), so the value is
+    //    a BIGINT both engines compute bit-identically; the oracle
+    //    replays the recurrence once per DISTINCT count value through
+    //    the shared 20-step CTE chain. Spark side is ZERO-SHUFFLE
+    //    narrow: sort the token array, ONE fold accumulates run lengths
+    //    and Σ run·lg(run) in a single pass (the llm_quality_repetition
+    //    fold discipline: every upstream array referenced exactly once).
+    sql("llm_quality_entropy",
+      s"""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), occ AS (
+        |  SELECT doc_id, unnest(tk) AS tok FROM toks
+        |), cnt AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM occ GROUP BY 1, 2
+        |), nd AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+        |         CAST(COUNT(*) AS BIGINT) AS u
+        |  FROM cnt GROUP BY 1
+        |), vals AS (
+        |  SELECT DISTINCT c AS term FROM cnt
+        |  UNION SELECT DISTINCT n FROM nd
+        |), l0 AS (
+        |  SELECT term, CAST(length(printf('%b', term)) - 1 AS BIGINT) AS e,
+        |         (term << 21) >> (length(printf('%b', term)) - 1) AS m,
+        |         CAST(0 AS BIGINT) AS f
+        |  FROM vals
+        |),
+        |${graft.query.Bm25.idfStepsSql},
+        |lg AS (SELECT term AS v, (e << 20) + f AS lg_fp FROM l20),
+        |s AS (
+        |  SELECT cnt.doc_id, CAST(SUM(cnt.c * lg.lg_fp) AS BIGINT) AS sc
+        |  FROM cnt JOIN lg ON lg.v = cnt.c GROUP BY 1
+        |)
+        |SELECT nd.doc_id, nd.n AS n_tokens, nd.u AS n_distinct,
+        |       CAST(ln.lg_fp - s.sc // nd.n AS BIGINT) AS entropy_fp
+        |FROM nd JOIN lg ln ON ln.v = nd.n JOIN s ON s.doc_id = nd.doc_id
+        |ORDER BY nd.doc_id""")(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        def lg(c: Column): Column =
+          call_function("graft_log2_fp", c, lit(1L))
+        val docs = t(s, d, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+          .withColumn("st", array_sort(col("tk")))
+        val zero = struct(
+          lit(null).cast("string").as("prev"), lit(0L).as("run"),
+          lit(0L).as("sc"), lit(0L).as("nruns"))
+        val folded = aggregate(col("st"), zero,
+          (st, x) => {
+            val same = x <=> st.getField("prev")
+            val run2 = when(same, st.getField("run") + 1L).otherwise(lit(1L))
+            struct(
+              x.as("prev"), run2.as("run"),
+              (st.getField("sc") + when(same, 0L).otherwise(
+                when(st.getField("run") > 0L,
+                  st.getField("run") * lg(st.getField("run")))
+                  .otherwise(0L))).as("sc"),
+              (st.getField("nruns") + when(same, 0L).otherwise(1L))
+                .as("nruns"))
+          },
+          st => struct(
+            (st.getField("sc") + when(st.getField("run") > 0L,
+              st.getField("run") * lg(st.getField("run"))).otherwise(0L))
+              .as("sc"),
+            st.getField("nruns").as("nruns")))
+        docs
+          .select(col("doc_id"), size(col("tk")).cast("long").as("n"),
+            folded.as("f"))
+          .select(col("doc_id"), col("n").as("n_tokens"),
+            col("f.nruns").as("n_distinct"),
+            (lg(col("n")) - expr("f.sc DIV n")).as("entropy_fp"))
+          .orderBy("doc_id")
+      }),
+
     // ── Deterministic source-weighted mixing: each source keeps a
     //    configured fraction of its documents, selected by a stable
     //    content-free hash — every engine (and every rerun) keeps the

@@ -535,6 +535,73 @@ object PipelineQueries {
           .orderBy("bucket", "batch_seq")
       }),
 
+    // ── W6: the GenAI labeling pipeline's CONSOLIDATION stage
+    //    (metadataGenerationPipeline.py:296-370) — the reference hands
+    //    a summarization PROMPT a list of per-view labels and asks for
+    //    case-insensitive dedup (lowercase unless acronym), a <10%
+    //    frequency outlier cut, and one JSON keywords array; those
+    //    criteria are exactly relational, so the engine implements
+    //    them deterministically (llmops/Inference.consolidateLabels)
+    //    and the model boundary shrinks to the per-view label call.
+    //    View labels modeled on lineitem (asset = order, view = line):
+    //    a category label, a casing-variant label ('Red Car'/'red
+    //    car' must merge; 'CAD' must stay upper), per-view 'none'
+    //    results (dropped), and rare per-part labels the 10% cut
+    //    removes. Scale shape: two map-side-combined aggregations, an
+    //    integer-compare cut inside the array fold — no window, no
+    //    collect.
+    sql("w6_label_consolidate",
+      """WITH vl AS (
+        |  SELECT 'db' || CAST(l_orderkey % 5 AS VARCHAR) AS db,
+        |         'o' || CAST(l_orderkey AS VARCHAR) AS aid,
+        |         unnest([
+        |           CASE l_partkey % 4 WHEN 0 THEN 'vehicle'
+        |                WHEN 1 THEN 'building' WHEN 2 THEN 'terrain'
+        |                ELSE 'none' END,
+        |           CASE l_suppkey % 3 WHEN 0 THEN 'CAD'
+        |                WHEN 1 THEN 'Red Car' ELSE 'red car' END,
+        |           CASE WHEN l_partkey % 17 = 0
+        |                THEN 'rare-' || CAST(l_partkey AS VARCHAR)
+        |                ELSE 'metal' END]) AS label
+        |  FROM lineitem WHERE l_orderkey < 300
+        |), f AS (
+        |  SELECT db, aid,
+        |         CASE WHEN label = upper(label) THEN label
+        |              ELSE lower(label) END AS norm
+        |  FROM vl WHERE lower(label) <> 'none'
+        |), c AS (
+        |  SELECT db, aid, norm, count(*) AS c FROM f GROUP BY 1, 2, 3
+        |), t AS (
+        |  SELECT db, aid, SUM(c) AS total FROM c GROUP BY 1, 2
+        |)
+        |SELECT c.db AS databaseId, c.aid AS assetId,
+        |       'aiKeywords' AS metadataKey,
+        |       to_json(list(norm ORDER BY norm)
+        |         FILTER (WHERE c.c * 10 >= t.total)) AS metadataValue,
+        |       'string' AS metadataValueType
+        |FROM c JOIN t ON c.db = t.db AND c.aid = t.aid
+        |GROUP BY 1, 2 ORDER BY 1, 2""")(
+      (s, d) => {
+        val vl = t(s, d, "lineitem").filter(col("l_orderkey") < 300)
+          .select(
+            concat(lit("db"), (col("l_orderkey") % 5).cast("string"))
+              .as("databaseId"),
+            concat(lit("o"), col("l_orderkey").cast("string")).as("assetId"),
+            explode(array(
+              when(col("l_partkey") % 4 === 0, "vehicle")
+                .when(col("l_partkey") % 4 === 1, "building")
+                .when(col("l_partkey") % 4 === 2, "terrain")
+                .otherwise("none"),
+              when(col("l_suppkey") % 3 === 0, "CAD")
+                .when(col("l_suppkey") % 3 === 1, "Red Car")
+                .otherwise("red car"),
+              when(col("l_partkey") % 17 === 0,
+                  concat(lit("rare-"), col("l_partkey").cast("string")))
+                .otherwise("metal"))).as("label"))
+        graft.llmops.Inference.consolidateLabels(vl)
+          .orderBy("databaseId", "assetId")
+      }),
+
     // ── Deterministic per-epoch training order: each epoch salts a
     //    stable hash of the doc id, the hash's low bits pick one of 8
     //    shards, and a window PARTITIONED BY (epoch, shard) assigns the

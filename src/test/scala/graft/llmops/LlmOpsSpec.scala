@@ -157,6 +157,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(Inference.labelAssets(payloads).collect().toSeq == rows.toSeq)
   }
 
+  test("label consolidation: casing merges, acronyms survive, none drops, 10% cut") {
+    val vl = (
+      Seq.fill(5)(("db1", "a1", "Red Car")) ++  // merges with the lowercase run
+      Seq.fill(4)(("db1", "a1", "red car")) ++
+      Seq.fill(2)(("db1", "a1", "CAD")) ++      // acronym keeps its case
+      Seq.fill(3)(("db1", "a1", "none")) ++     // per-view 'none' results drop
+      Seq(("db1", "a1", "outlier")) ++          // 1 of 12 kept < 10% → cut
+      Seq(("db2", "b1", "tree"))                // second asset, freq 100%
+    ).toDF("databaseId", "assetId", "label")
+    val out = Inference.consolidateLabels(vl)
+      .as[(String, String, String, String, String)].collect().sortBy(_._2)
+    assert(out.length == 2)
+    val (_, _, k1, v1, t1) = out(0)
+    assert(k1 == "aiKeywords" && t1 == "string")
+    // 12 occurrences total after the 'none' drop: red car 9, CAD 2,
+    // outlier 1 → outlier (8.3%) cut, CAD (16.7%) kept
+    assert(v1 == """["CAD","red car"]""", v1)
+    assert(out(1)._4 == """["tree"]""")
+  }
+
   test("multimodal batch extraction is deterministic and batch-shaped") {
     val media = Seq(
       (1L, "img", "hello".getBytes("UTF-8")),

@@ -272,6 +272,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("entropy quality signal is a zero-shuffle narrow pass") {
+    // sort-the-array + one fold per row: no explode, no (doc, token)
+    // exchange — the only permitted exchange is the output ORDER BY
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sp = graft.SparkEntry.queries("llm_quality_entropy")(spark, sf())
+      .queryExecution.executedPlan
+    val ex = sp.collect {
+      case e: ShuffleExchangeExec => e.outputPartitioning.toString }
+    assert(ex.forall(_.contains("range")), ex.toString)
+  }
+
   test("constraint-template fan-out is map-side: the only exchange is the output sort") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val sp = graft.SparkEntry.queries("ct1_constraint_template")(spark, sf())
