@@ -1200,6 +1200,60 @@ object TxLog {
     -1L // unreachable
   }
 
+  /** Row-level `UPDATE WHERE` (Delta's predicate update): rows matching
+    * `condition` get the `set` expressions applied (each evaluated over
+    * the OLD row, like SQL UPDATE ... SET) and merge back through the
+    * same upsert path. CONFLICT-CHECKED like [[deleteWhere]]: the read
+    * set is pinned to a version and the commit refuses if the head
+    * moved, re-evaluating the predicate before retrying — a row
+    * concurrently changed to no longer match is never updated from
+    * stale state. `set` may not touch the key or partition column (that
+    * would be a move, not an update — delete + insert explicitly).
+    * Returns the number of rows updated. */
+  def updateWhere(spark: SparkSession, path: String,
+      condition: org.apache.spark.sql.Column,
+      set: Seq[(String, org.apache.spark.sql.Column)],
+      keyCol: String = "_docId",
+      partitionCol: String = "str_databaseid",
+      partitions: Option[Set[String]] = None,
+      keyRange: Option[(String, String)] = None,
+      maxAttempts: Int = 20): Long = {
+    require(set.nonEmpty, "updateWhere: empty SET")
+    set.foreach { case (c, _) =>
+      require(c != keyCol && c != partitionCol,
+        s"updateWhere: SET may not touch '$c' (key/partition) — a key " +
+          "move is a delete + insert, do it explicitly")
+    }
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= maxAttempts,
+        s"updateWhere: $maxAttempts conflict retries exhausted")
+      val v0 = snapshot(spark, path).version
+      val base = read(spark, path, partitions = partitions,
+        keyRange = keyRange).filter(condition)
+      val setMap = set.toMap
+      setMap.keys.foreach(c => require(base.columns.contains(c),
+        s"updateWhere: SET column '$c' not in the table schema"))
+      // every SET expression evaluates over the OLD row (SQL UPDATE
+      // semantics) — one select, not chained withColumns, so a later
+      // assignment never sees an earlier one's result
+      val updated = base.select(base.columns.map(c =>
+          setMap.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+        .localCheckpoint()
+      val n = updated.count()
+      if (n == 0) return 0
+      try {
+        merge(spark, path, updates = updated, keyCol = keyCol,
+          partitionCol = partitionCol, expectedVersion = Some(v0))
+        return n
+      } catch {
+        case _: ConcurrentCommitException => () // re-derive and retry
+      }
+    }
+    -1L // unreachable
+  }
+
   def restore(spark: SparkSession, path: String, version: Long,
       maxAttempts: Int = 20): Unit = {
     var attempt = 0

@@ -129,6 +129,73 @@ class TxLogStatsSpec extends SparkSpec {
     }
   }
 
+  test("updateWhere applies SET over the OLD row, transactionally, feed-visible") {
+    val dir = freshTable()
+    val vBefore = TxLog.snapshot(spark, dir).version
+    val n = TxLog.updateWhere(spark, dir, col("v") >= 9L,
+      Seq("v" -> (col("v") + 1L)), partitionCol = "part")
+    assert(n == 3) // 20, 10, 9
+    val vs = TxLog.read(spark, dir).select("_docId", "v")
+      .as[(String, Long)].collect().toMap
+    assert(vs == Map("p1#001" -> 11L, "p1#002" -> 21L, "p1#003" -> 5L,
+      "p2#001" -> 7L, "p2#002" -> 10L))
+    // untouched partition-less rows intact; no-match commits nothing
+    val v = TxLog.snapshot(spark, dir).version
+    assert(v == vBefore + 1)
+    assert(TxLog.updateWhere(spark, dir, col("v") > 1000L,
+      Seq("v" -> lit(0L)), partitionCol = "part") == 0)
+    assert(TxLog.snapshot(spark, dir).version == v)
+    // the change feed shows the rewrite as row-level updates
+    val feed = TxLog.changes(spark, dir, vBefore, v, keyCol = "_docId")
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .count() == 3)
+    // SET on the key/partition column refuses loudly
+    intercept[IllegalArgumentException] {
+      TxLog.updateWhere(spark, dir, lit(true),
+        Seq("_docId" -> lit("x")), partitionCol = "part")
+    }
+  }
+
+  test("updateWhere is serializable under a concurrent un-matching update") {
+    // T1: updateWhere(v = 10 → flag 'hit'); T2: merge(v = 10 → 99).
+    // Serializable outcomes both end with flag unset only if T2 ran
+    // first AND T1 re-evaluated (v=99 no longer matches) — flag 'hit'
+    // with v=10+1=11 means T1 first, then T2's 99 overwrote v. The
+    // forbidden (stale) outcome is flag 'hit' AND v = 100: T1 applying
+    // over T2's committed row without re-reading it.
+    (1 to 5).foreach { round =>
+      val dir = Files.createTempDirectory(s"txupd$round").toString
+      TxLog.merge(spark, dir,
+        Seq(("p1#001", "p1", 10L, "clean")).toDF("_docId", "part", "v", "flag"),
+        partitionCol = "part")
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val t1 = new Thread(() => try { gate.await()
+        TxLog.updateWhere(spark, dir, col("v") === 10L,
+          Seq("v" -> (col("v") + 1L), "flag" -> lit("hit")),
+          partitionCol = "part")
+        () } catch { case t: Throwable => errs.add(t) })
+      val t2 = new Thread(() => try { gate.await()
+        TxLog.merge(spark, dir,
+          Seq(("p1#001", "p1", 99L, "clean")).toDF("_docId", "part", "v", "flag"),
+          partitionCol = "part") } catch { case t: Throwable => errs.add(t) })
+      t1.start(); t2.start(); gate.countDown()
+      t1.join(120000); t2.join(120000)
+      assert(errs.isEmpty, errs.toString)
+      val rows = TxLog.read(spark, dir).select("_docId", "v", "flag")
+        .as[(String, Long, String)].collect().toSeq
+      assert(rows.length == 1)
+      val (_, vFinal, flag) = rows.head
+      // every serial order ends (99, clean): T2's whole-row merge is
+      // last, or T1 re-evaluates after T2 and no longer matches. The
+      // forbidden stale outcome is (11, 'hit') — T1 applying its
+      // pre-T2 read AFTER T2's commit (the write skew expectedVersion
+      // eliminates)
+      assert((vFinal, flag) == ((99L, "clean")),
+        s"round $round: non-serializable state ($vFinal, $flag)")
+    }
+  }
+
   test("a file without row stats fails safe to None, not a wrong count") {
     val dir = freshTable()
     assert(TxLog.statsAggregate(spark, dir).isDefined)
