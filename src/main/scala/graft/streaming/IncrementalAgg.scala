@@ -82,6 +82,98 @@ object IncrementalAgg {
       partitionCol = partitionDim)
   }
 
+  /** IVM for MIN/MAX — the NON-additive aggregates, where a delete can
+    * break the maintained bound. The standard refinement (self-
+    * maintainability literature: min/max are self-maintainable under
+    * inserts, not deletes): inserts fold into the bounds with
+    * least/greatest; a batch whose deleted values TOUCH a group's
+    * current bound (delMin ≤ cur_min or delMax ≥ cur_max) triggers a
+    * GROUP-LOCAL rescan — the source read is filtered to exactly those
+    * groups (broadcast semi-join; partition/footer pruning applies), so
+    * the rescan cost is proportional to the touched groups' rows, never
+    * the corpus. `sourceAtBatchEnd` must be the source AS OF the
+    * batch's end version (same-batch inserts are visible, deleted rows
+    * are not). Rollup rows: (dims, n, mn, mx); zero-count groups are
+    * deleted like [[applyChanges]]. */
+  def applyChangesMinMax(spark: SparkSession, rollupPath: String,
+      sourceAtBatchEnd: DataFrame, changes: DataFrame, dims: Seq[String],
+      valueCol: String, partitionDim: String = "facet_part"): Unit = {
+    val v = col(valueCol).cast("double")
+    val isIns = col("_change_type").isin("insert", "update_postimage")
+    val isDel = col("_change_type").isin("delete", "update_preimage")
+    val d = changes.groupBy(dims.map(col): _*).agg(
+      (sum(when(isIns, 1L).otherwise(0L)) -
+        sum(when(isDel, 1L).otherwise(0L))).as("d_n"),
+      min(when(isIns, v)).as("ins_min"),
+      max(when(isIns, v)).as("ins_max"),
+      min(when(isDel, v)).as("del_min"),
+      max(when(isDel, v)).as("del_max"))
+    if (d.isEmpty) return
+    val keyed = d.withColumn("_docId",
+      concat(lit("all#"), concat_ws("|",
+        dims.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*)))
+    val current =
+      if (TxLog.isTable(spark, rollupPath))
+        TxLog.read(spark, rollupPath)
+          .select(col("_docId"), col("n").as("cur_n"),
+            col("mn").as("cur_mn"), col("mx").as("cur_mx"))
+      else {
+        import spark.implicits._
+        Seq.empty[(String, Long, Double, Double)]
+          .toDF("_docId", "cur_n", "cur_mn", "cur_mx")
+      }
+    val joined = keyed.join(current, Seq("_docId"), "left")
+      .withColumn("new_n", coalesce(col("cur_n"), lit(0L)) + col("d_n"))
+      .withColumn("rescan", coalesce(
+        col("del_min") <= col("cur_mn") || col("del_max") >= col("cur_mx"),
+        lit(false)))
+      .localCheckpoint() // read twice below (rescan set + final merge)
+    // group-local rescan: only bound-touching, still-populated groups
+    // the source table carries its own _docId — alias the GROUP key so
+    // the semi-join and the regroup are unambiguous
+    val rescanGroups = joined
+      .filter(col("rescan") && col("new_n") > 0)
+      .select((col("_docId").as("__grp_id") +: dims.map(col)): _*)
+    val fresh = sourceAtBatchEnd
+      .join(broadcast(rescanGroups), dims)
+      .groupBy("__grp_id").agg(min(v).as("r_mn"), max(v).as("r_mx"))
+      .withColumnRenamed("__grp_id", "_docId")
+    val merged = joined.join(fresh, Seq("_docId"), "left")
+      .select((Seq(col("_docId"), lit("all").as(partitionDim)) ++
+        dims.map(col) ++ Seq(
+          col("new_n").as("n"),
+          when(col("rescan"), col("r_mn"))
+            .otherwise(least(col("cur_mn"), col("ins_min"))).as("mn"),
+          when(col("rescan"), col("r_mx"))
+            .otherwise(greatest(col("cur_mx"), col("ins_max"))).as("mx"))): _*)
+    val upserts = merged.filter(col("n") > 0)
+    val removes = merged.filter(col("n") <= 0).select("_docId")
+    TxLog.merge(spark, rollupPath, upserts, removes,
+      partitionCol = partitionDim)
+  }
+
+  /** [[maintainRange]] for the min/max rollup: replays committed
+    * versions `(from, to]` batch-wise, each rescan reading the source
+    * AS OF its own batch's version. Same exactly-once cursor contract. */
+  def maintainRangeMinMax(spark: SparkSession, sourcePath: String,
+      rollupPath: String, fromVersion: Long, toVersion: Long,
+      dims: Seq[String], valueCol: String): Unit = {
+    var from = fromVersion
+    if (from < 0) {
+      applyChangesMinMax(spark, rollupPath,
+        TxLog.read(spark, sourcePath, asOfVersion = Some(0L)),
+        TxLog.read(spark, sourcePath, asOfVersion = Some(0L))
+          .withColumn("_change_type", lit("insert")),
+        dims, valueCol)
+      from = 0
+    }
+    (from + 1 to toVersion).foreach { ver =>
+      applyChangesMinMax(spark, rollupPath,
+        TxLog.read(spark, sourcePath, asOfVersion = Some(ver)),
+        TxLog.changes(spark, sourcePath, ver - 1, ver), dims, valueCol)
+    }
+  }
+
   /** Replay the source table's committed versions `(from, to]` into the
     * rollup one batch per version — the catch-up/bootstrap path
     * (`fromVersion = -1` bootstraps from v0's snapshot as inserts, the

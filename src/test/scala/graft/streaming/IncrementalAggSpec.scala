@@ -122,6 +122,91 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  private def recomputeMinMax(src: String): Set[(String, Long, Double, Double)] =
+    TxLog.read(spark, src).groupBy("category")
+      .agg(count(lit(1)).as("n"), min(col("value")).as("mn"),
+        max(col("value")).as("mx"))
+      .as[(String, Long, Double, Double)].collect().toSet
+
+  private def minMaxRows(roll: String): Set[(String, Long, Double, Double)] =
+    TxLog.read(spark, roll).select(col("category"), col("n"),
+        col("mn"), col("mx"))
+      .as[(String, Long, Double, Double)].collect().toSet
+
+  test("min/max rollup survives bound-deletes via group-local rescans") {
+    val src = java.nio.file.Files.createTempDirectory("graft-ivm-src").toString
+    val roll = java.nio.file.Files.createTempDirectory("graft-ivm-roll").toString + "/r"
+    TxLog.merge(spark, src, docs(
+      ("dbA#1", "dbA", "red", 1.0), ("dbA#2", "dbA", "red", 9.0),
+      ("dbA#3", "dbA", "red", 5.0), ("dbA#4", "dbA", "blue", 3.0)))
+    // v1: delete the red MAX (9.0) — the non-self-maintainable case:
+    // the bound must re-derive from the remaining rows, not linger
+    TxLog.merge(spark, src, docs(("dbA#5", "dbA", "blue", 2.0)),
+      Seq("dbA#2").toDF("_docId"))
+    // v2: update moves the red MIN into blue (pre-image breaks red's
+    // min, post-image extends blue's)
+    TxLog.merge(spark, src, docs(("dbA#1", "dbA", "blue", 11.0)))
+    val head = TxLog.snapshot(spark, src).version
+    IncrementalAgg.maintainRangeMinMax(spark, src, roll, -1, head,
+      dims = Seq("category"), valueCol = "value")
+    assert(minMaxRows(roll) === recomputeMinMax(src))
+    assert(minMaxRows(roll) === Set(
+      ("red", 1L, 5.0, 5.0), ("blue", 3L, 2.0, 11.0)))
+    // interior delete (bounds untouched) maintains WITHOUT a rescan
+    // reaching different values; emptied group disappears
+    TxLog.merge(spark, src, docs(), Seq("dbA#5").toDF("_docId")) // blue 2.0 = min! rescan
+    TxLog.merge(spark, src, docs(), Seq("dbA#3").toDF("_docId")) // red emptied
+    val head2 = TxLog.snapshot(spark, src).version
+    IncrementalAgg.maintainRangeMinMax(spark, src, roll, head, head2,
+      dims = Seq("category"), valueCol = "value")
+    assert(minMaxRows(roll) === recomputeMinMax(src))
+    assert(minMaxRows(roll) === Set(("blue", 2L, 3.0, 11.0)))
+  }
+
+  test("min/max rollup equals recompute under a seeded random op sequence") {
+    val src = java.nio.file.Files.createTempDirectory("graft-ivm2-src").toString
+    val roll = java.nio.file.Files.createTempDirectory("graft-ivm2-roll").toString + "/r"
+    val rnd = new scala.util.Random(4242)
+    val model = scala.collection.mutable.Map[Int, (String, Double)]()
+    var nextId = 0
+    var applied = -1L
+    (1 to 20).foreach { step =>
+      val op = if (model.isEmpty) 0 else rnd.nextInt(3)
+      op match {
+        case 0 => // insert 1-3 rows
+          val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            nextId += 1
+            val cat = Seq("red", "blue", "green")(rnd.nextInt(3))
+            val v = math.floor(rnd.nextDouble() * 100) // exact doubles
+            model(nextId) = (cat, v)
+            (s"dbA#$nextId", "dbA", cat, v)
+          }
+          TxLog.merge(spark, src, docs(rows: _*))
+        case 1 => // update a row (possibly cross-group, possibly a bound)
+          val k = model.keys.toSeq(rnd.nextInt(model.size))
+          val cat = Seq("red", "blue", "green")(rnd.nextInt(3))
+          val v = math.floor(rnd.nextDouble() * 100)
+          model(k) = (cat, v)
+          TxLog.merge(spark, src, docs((s"dbA#$k", "dbA", cat, v)))
+        case _ => // delete a row
+          val k = model.keys.toSeq(rnd.nextInt(model.size))
+          model.remove(k)
+          TxLog.merge(spark, src, docs(), Seq(s"dbA#$k").toDF("_docId"))
+      }
+      val head = TxLog.snapshot(spark, src).version
+      IncrementalAgg.maintainRangeMinMax(spark, src, roll, applied, head,
+        dims = Seq("category"), valueCol = "value")
+      applied = head
+      if (step % 4 == 0) {
+        assert(minMaxRows(roll) === recomputeMinMax(src), s"step $step")
+        val expect = model.values.groupBy(_._1).map { case (c, vs) =>
+          (c, vs.size.toLong, vs.map(_._2).min, vs.map(_._2).max)
+        }.toSet
+        assert(minMaxRows(roll) === expect, s"step $step vs model")
+      }
+    }
+  }
+
   test("rollup batches are atomic commits: a reader never sees a half-applied version") {
     val src = java.nio.file.Files.createTempDirectory("graft-iva2-src").toString
     val roll = java.nio.file.Files.createTempDirectory("graft-iva2-roll").toString + "/r"
