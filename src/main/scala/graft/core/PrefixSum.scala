@@ -36,14 +36,17 @@ object PrefixSum {
     * unique within its group. */
   def exclusive(df: DataFrame, valueCol: String, orderCol: String,
       groupCols: Seq[String] = Nil, outCol: String = "cum_before",
-      shardWidth: Long = 4096L): DataFrame = {
+      shardWidth: Long = 4096L, snapshot: Boolean = true): DataFrame = {
     require(shardWidth > 0, s"shardWidth must be positive, got $shardWidth")
     val gcols: Seq[Column] = groupCols.map(col)
-    // two passes over the rows (shard totals, then local scan) —
-    // snapshot so the second pass re-reads this narrow table instead of
-    // recomputing the caller's upstream twice (see TopFraction)
-    val sharded = df.withColumn("__shard",
-      expr(s"$orderCol DIV $shardWidth")).localCheckpoint()
+    // two passes over the rows (shard totals, then local scan) — with
+    // `snapshot` the second pass re-reads a materialized narrow table
+    // instead of recomputing the caller's upstream twice (see
+    // TopFraction); pass false when the upstream is a cheap narrow
+    // scan, where re-reading the source beats the checkpoint job
+    val bucketed = df.withColumn("__shard",
+      expr(s"$orderCol DIV $shardWidth"))
+    val sharded = if (snapshot) bucketed.localCheckpoint() else bucketed
 
     val wLoc = Window.partitionBy((gcols :+ col("__shard")): _*)
       .orderBy(col(orderCol))
@@ -90,9 +93,10 @@ object PrefixSum {
     * window. */
   def rowNumber(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[Column], shardCol: Column,
-      outCol: String = "rn"): DataFrame = {
+      outCol: String = "rn", snapshot: Boolean = true): DataFrame = {
     val gcols: Seq[Column] = groupCols.map(col)
-    val sharded = df.withColumn("__shard", shardCol).localCheckpoint()
+    val bucketed = df.withColumn("__shard", shardCol)
+    val sharded = if (snapshot) bucketed.localCheckpoint() else bucketed
 
     val wLoc = Window.partitionBy((gcols :+ col("__shard")): _*)
       .orderBy(orderCols: _*)

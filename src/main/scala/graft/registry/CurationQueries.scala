@@ -73,10 +73,12 @@ object CurationQueries {
   /** Per-doc DSIR importance aggregates `(doc_id, n_tokens, weight_fp)`
     * under the 4096-bucket hashed unigram target/raw models — the
     * shared builder for llm_mix_dsir and the curation funnel's
-    * selection stage. NOT session-cached, same rationale as
-    * [[lmScores]]: the persist barrier costs more than the one
-    * map-side-combined model shuffle it would save. */
-  private def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    * selection stage. Session-cached SINCE r9: TopFraction's histogram
+    * + mark passes read the weights twice per query (the single-reader
+    * rationale that kept this uncached, like [[lmScores]], no longer
+    * holds). */
+  private def dsirWeights(s: SparkSession, d: String): DataFrame =
+    graft.core.Caching.memoDf(s, s"dsirW:$d") {
       val m = 4096
       val tokrows = LlmQueries.tokenArrays(s, d)
         .join(t(s, d, "documents").select(col("doc_id"),
@@ -354,6 +356,10 @@ object CurationQueries {
         val scored = qualityTrainFrame(s, d, lit(true), lit(true))
           .select(col("doc_id"), col("score_fp"))
           .join(t(s, d, "documents").select("doc_id", "source"), Seq("doc_id"))
+        // snapshot = true (TopFraction's default): the scoring chain is
+        // the expensive upstream; the checkpoint materializes it once
+        // for both selection passes (measured better than a persist
+        // barrier or a double compute at sf0.1)
         graft.llmops.TopFraction.mark(scored, "score_fp", "doc_id", 0.25,
             groupCols = Seq("source"))
           .select(col("doc_id"), col("source"), col("score_fp"),

@@ -342,7 +342,8 @@ object PipelineQueries {
         // (source, shard) locally, and stitches shard offsets through
         // the shard-totals-sized frame (core/PrefixSum.scala)
         graft.core.PrefixSum.exclusive(docs, "n_tokens", "doc_id",
-            groupCols = Seq("source"))
+            groupCols = Seq("source"),
+            snapshot = false) // upstream = one narrow token-count scan
           .select(col("doc_id"), col("source"), col("n_tokens"),
             expr(s"cum_before DIV $PackLen").as("window_start"),
             expr(s"(cum_before + n_tokens - 1) DIV $PackLen").as("window_end"),
@@ -483,12 +484,17 @@ object PipelineQueries {
     // ── Length-grouped inference batching: docs are grouped into
     //    fixed-size model batches of SIMILAR token length so per-batch
     //    padding (to the batch max) is near-minimal — the standard
-    //    serving/inference packing step. Scalable form: a coarse
-    //    length bucket (64-token bands) bounds padding, and the
-    //    intra-band ordering runs as a stitched two-level row-number
-    //    scan (core/PrefixSum) — no corpus-wide total-order
-    //    row_number, and no band-sized single task either. Output is
-    //    the per-batch padding sheet.
+    //    serving/inference packing step. The batch ORDER sorts by
+    //    (n_tokens, doc_id) within a 64-token band, so all docs of one
+    //    exact length are interchangeable for the PADDING SHEET — which
+    //    means the whole output derives from the (bucket, n_tokens)
+    //    HISTOGRAM: each length run occupies positions
+    //    [cum, cum + count) in its band, batch membership is interval
+    //    arithmetic on those positions, and the per-batch stats are
+    //    overlap-weighted sums. ONE map-side-combined corpus pass, a
+    //    cumsum over the ≤64-row-per-band histogram, a histogram-sized
+    //    explode, and a tiny final agg — no per-doc rank at any scale
+    //    (the oracle states the per-doc window because oracle scale can).
     sql("llm_infer_batches",
       """WITH tk AS (
         |  SELECT doc_id,
@@ -514,21 +520,29 @@ object PipelineQueries {
       (s, d) => {
         val tk = t(s, d, "documents")
           .filter(length(trim(col("text"))) > 0)
-          .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+          .select(col("doc_id"),
+            size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
           .withColumn("bucket", (col("n_tokens") / 64).cast("long"))
-        // a common length band can hold a corpus-scale share of docs,
-        // so even the banded window is a fat single task at 100× —
-        // stitched row numbers subshard on (n_tokens, doc_id-range),
-        // a struct prefix of the sort key (weakly monotone, orderable)
-        graft.core.PrefixSum.rowNumber(tk, Seq("bucket"),
-            Seq(col("n_tokens"), col("doc_id")),
-            struct(col("n_tokens"), expr("doc_id DIV 4096")), "__rnum")
-          .withColumn("batch_seq", ((col("__rnum") - 1) / 32).cast("long"))
-          .drop("__rnum")
-          .groupBy("bucket", "batch_seq")
-          .agg(count(lit(1)).as("n_docs"),
+        // the one corpus-touching pass
+        val hist = tk.groupBy("bucket", "n_tokens")
+          .agg(count(lit(1)).as("c"))
+        // positions of each length run within its band — a cumsum over
+        // the HISTOGRAM (≤64 rows per band; sits above the aggregate)
+        val wb = Window.partitionBy("bucket").orderBy("n_tokens")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val pos = hist.withColumn("start",
+          coalesce(sum("c").over(wb), lit(0L)))
+        // batches the run [start, start+c) overlaps, with overlap sizes
+        val batches = pos
+          .withColumn("batch_seq", explode(sequence(
+            expr("start DIV 32"), expr("(start + c - 1) DIV 32"))))
+          .withColumn("overlap",
+            least(col("start") + col("c"), (col("batch_seq") + 1) * 32) -
+              greatest(col("start"), col("batch_seq") * 32))
+        batches.groupBy("bucket", "batch_seq")
+          .agg(sum("overlap").as("n_docs"),
             max("n_tokens").as("max_tokens"),
-            sum("n_tokens").as("sum_tokens"))
+            sum(col("n_tokens") * col("overlap")).as("sum_tokens"))
           .select(col("bucket"), col("batch_seq"), col("n_docs"),
             col("max_tokens"), col("sum_tokens"),
             (col("n_docs") * col("max_tokens") - col("sum_tokens")).as("padding_waste"))
@@ -637,7 +651,8 @@ object PipelineQueries {
           .select(col("doc_id"), col("epoch"), h.as("h"))
           .withColumn("shard", col("h") % 8)
         graft.core.PrefixSum.rowNumber(base, Seq("epoch", "shard"),
-            Seq(col("h"), col("doc_id")), shiftright(col("h"), 19), "pos")
+            Seq(col("h"), col("doc_id")), shiftright(col("h"), 19), "pos",
+            snapshot = false) // upstream = one narrow id+hash projection
           .select(col("doc_id"), col("epoch"), col("shard"), col("pos"))
           .orderBy("epoch", "shard", "pos")
       }),
