@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only single-query timing harness (same session config as Bench). */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("graft-micro")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    args.drop(1).foreach { q =>
+      (1 to 3).foreach { p =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, sf).count()
+        println(f"MICRO $q pass$p ${(System.nanoTime() - t0) / 1e9}%.3f")
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
+      }
+    }
+    spark.stop()
+  }
+}

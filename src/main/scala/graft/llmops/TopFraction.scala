@@ -101,18 +101,37 @@ object TopFraction {
       .select((gcols ++ Seq(col("__bkt").as("__bstar"),
         col("__c_above").as("__above"), col("__k"))): _*)
 
-    // One broadcast join (edge is one row per group) + one window
-    // partitioned by the FINE bucket: only the boundary bucket's rank
-    // is consulted, every other bucket resolves from the bucket id.
+    // One broadcast join (edge is one row per group); then the tie
+    // rank runs over ONLY the boundary bucket's rows — the non-tie
+    // majority never shuffles for a window at all (the earlier form
+    // windowed the whole frame by (group, bucket); correct, but that
+    // full-frame exchange was most of the operator's cost). The tie
+    // winners broadcast back as a flag join: ≤ boundary-bucket-sized,
+    // i.e. one 2^-12-relative score slice — except the degenerate
+    // all-equal-scores corpus, where the tie bucket IS the corpus and
+    // exact rank semantics are inherently a global order (same caveat
+    // as the class doc; no algorithm does better).
     val joined =
       if (groupCols.isEmpty) scored.crossJoin(broadcast(edge))
       else scored.join(broadcast(edge), groupCols)
     val wTie = Window.partitionBy((gcols :+ col("__bkt")): _*)
       .orderBy(col(scoreCol).desc, col(tieCol))
+    // winner-side columns are RENAMED (__tw_*) — tieWinners derives
+    // from `joined`, so this is a self-join and unqualified names
+    // would be ambiguous
+    val tieWinners = joined
+      .filter(col("__bkt") === col("__bstar"))
+      .withColumn("__r", rank().over(wTie))
+      .filter(col("__r") <= col("__k") - col("__above"))
+      .select((groupCols.map(c => col(c).as(s"__tw_$c")) ++
+        Seq(col(tieCol).as("__tie_key"), lit(true).as("__tiesel"))): _*)
+    val tieCond = (groupCols.map(c => col(c) === col(s"__tw_$c")) :+
+      (col(tieCol) === col("__tie_key"))).reduce(_ && _)
     joined
+      .join(broadcast(tieWinners), tieCond, "left")
       .withColumn(outCol, col("__bkt") > col("__bstar") ||
-        (col("__bkt") === col("__bstar") &&
-          rank().over(wTie) <= col("__k") - col("__above")))
-      .drop("__bkt", "__bstar", "__above", "__k")
+        coalesce(col("__tiesel"), lit(false)))
+      .drop((Seq("__tie_key", "__tiesel", "__bkt", "__bstar", "__above",
+        "__k") ++ groupCols.map(c => s"__tw_$c")): _*)
   }
 }
