@@ -13,14 +13,15 @@ object MicroBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
-    args.drop(1).foreach { q =>
+    val noClear = args.contains("-nc")
+    val rest = args.filterNot(_ == "-nc")
+    val sf = rest.headOption.getOrElse("/root/testdata/sf0.1")
+    rest.drop(1).foreach { q =>
       (1 to 3).foreach { p =>
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, sf).count()
         println(f"MICRO $q pass$p ${(System.nanoTime() - t0) / 1e9}%.3f")
-        spark.sharedState.cacheManager.clearCache()
-        System.gc()
+        if (!noClear) { spark.sharedState.cacheManager.clearCache(); System.gc() }
       }
     }
     spark.stop()
