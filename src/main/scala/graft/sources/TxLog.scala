@@ -243,7 +243,12 @@ object TxLog {
     * them — see [[addCheckConstraint]]). */
   case class Snapshot(version: Long, files: Seq[AddFile],
       schemaDdl: Option[String] = None,
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      // COLUMN MAPPING (Delta's rename-without-rewrite): physical
+      // (as-stored-in-parquet) name → current logical name. The stored
+      // schemaDdl stays PHYSICAL; reads rename at the boundary, merges
+      // translate logical batches back. Empty for unmapped tables.
+      colMap: Map[String, String] = Map.empty)
 
   val CheckpointInterval = 10
 
@@ -589,12 +594,14 @@ object TxLog {
     val fromCk = if (ckVersions.isEmpty) -1L else ckVersions.max
     var schema: Option[String] = None
     var constraints = Map.empty[String, String]
+    var colMap = Map.empty[String, String]
     var files = if (fromCk < 0) Map.empty[String, AddFile]
     else {
       val ck = readJson(fs, checkpointPath(table, fromCk))
       schema = (ck \ "schema").toOption.collect { case JString(d) => d }
       constraints = parseConstraints(ck \ "constraints")
         .getOrElse(Map.empty)
+      colMap = parseConstraints(ck \ "colmap").getOrElse(Map.empty)
       parseFiles(ck \ "files").map(f => f.path -> f).toMap
     }
     val commits = commitVersions
@@ -608,6 +615,7 @@ object TxLog {
       }
       // absent field = no change; present (possibly empty) = new set
       parseConstraints(j \ "constraints").foreach(constraints = _)
+      parseConstraints(j \ "colmap").foreach(colMap = _)
       parseFiles(j \ "removes").foreach(f => files -= f.path)
       // removes may also arrive as plain path strings
       (j \ "removes") match {
@@ -620,7 +628,8 @@ object TxLog {
       parseFiles(j \ "adds").foreach(f => files += (f.path -> f))
       v = cv
     }
-    Snapshot(v, files.values.toSeq.sortBy(_.path), schema, constraints)
+    Snapshot(v, files.values.toSeq.sortBy(_.path), schema, constraints,
+      colMap)
   }
 
   /** Parse a commit/checkpoint "constraints" object: None when the
@@ -709,7 +718,7 @@ object TxLog {
         }
       }
     }
-    if (live.isEmpty) {
+    val physical = if (live.isEmpty) {
       // an emptied (or fully-pruned) table still reads with its full
       // schema: commits carry the table DDL, so projections and
       // filters on the empty frame resolve. Only a log written before
@@ -726,7 +735,18 @@ object TxLog {
       // null-fill it, and the footer-inference pass is skipped entirely
       readAddFiles(spark, path, live, snap.schemaDdl)
     }
+    applyColMap(physical, snap.colMap)
   }
+
+  /** Surface the LOGICAL column names over a physically-named frame —
+    * the read-boundary half of column mapping (a rename is metadata
+    * only: parquet keeps the physical name forever; see
+    * [[renameColumn]]). */
+  private def applyColMap(df: DataFrame,
+      colMap: Map[String, String]): DataFrame =
+    colMap.toSeq.sortBy(_._1).foldLeft(df) { case (d, (ph, lg)) =>
+      if (d.columns.contains(ph)) d.withColumnRenamed(ph, lg) else d
+    }
 
   /** Per-partition metadata-only aggregates of [[statsAggregate]]:
     * `rows` is always exact; the key bounds are Some only when EVERY
@@ -805,7 +825,7 @@ object TxLog {
         Some(readAddFiles(spark, path, fs,
           toS.schemaDdl.orElse(fromS.schemaDdl)))
       }
-    (readFiles(removed), readFiles(added)) match {
+    applyColMap((readFiles(removed), readFiles(added)) match {
       case (None, None) =>
         // no files differ (idle poll, from == to): still honor the
         // documented output schema so a CDC consumer's projections and
@@ -845,7 +865,7 @@ object TxLog {
               struct(lit("update_postimage").as("ct"), col("a._row").as("r"))))
             .otherwise(array().cast(chType))).as("c"))
           .select(col("c.r.*"), col("c.ct").as("_change_type"))
-    }
+    }, toS.colMap)
   }
 
   private val utf8Ordering: Ordering[String] =
@@ -969,7 +989,8 @@ object TxLog {
   def tryCommit(spark: SparkSession, path: String, version: Long,
       adds: Seq[AddFile], removes: Seq[AddFile],
       schemaDdl: Option[String] = None,
-      constraints: Option[Map[String, String]] = None): Boolean = {
+      constraints: Option[Map[String, String]] = None,
+      colMap: Option[Map[String, String]] = None): Boolean = {
     val table = new Path(path)
     val fs = fsOf(spark, table)
     fs.mkdirs(logDir(table))
@@ -980,7 +1001,10 @@ object TxLog {
       schemaDdl.map(d => "schema" -> (JString(d): JValue)).toList ++
       constraints.map(cs => "constraints" -> (JObject(
         cs.toList.sortBy(_._1).map { case (n, e) =>
-          n -> (JString(e): JValue) }): JValue)).toList
+          n -> (JString(e): JValue) }): JValue)).toList ++
+      colMap.map(m => "colmap" -> (JObject(
+        m.toList.sortBy(_._1).map { case (ph, lg) =>
+          ph -> (JString(lg): JValue) }): JValue)).toList
     val body = JsonMethods.compact(JsonMethods.render(JObject(fields: _*)))
     val coordinator = coordinatorOf(path)
     val ok = coordinator.tryPublish(fs, commitPath(table, version), body)
@@ -996,7 +1020,11 @@ object TxLog {
                 (if (snap.constraints.isEmpty) Nil
                  else List("constraints" -> (JObject(
                    snap.constraints.toList.sortBy(_._1).map { case (n, e) =>
-                     n -> (JString(e): JValue) }): JValue)))): _*))))
+                     n -> (JString(e): JValue) }): JValue))) ++
+                (if (snap.colMap.isEmpty) Nil
+                 else List("colmap" -> (JObject(
+                   snap.colMap.toList.sortBy(_._1).map { case (ph, lg) =>
+                     ph -> (JString(lg): JValue) }): JValue)))): _*))))
       } catch { case _: Exception => () }
     }
     ok
@@ -1050,13 +1078,35 @@ object TxLog {
         "their partition as the prefix before the first '#', so rows in " +
         "this partition could never be deleted (KEY SHAPE CONTRACT)"))
     // micro-batch inputs are re-read on every retry; pin them once
-    val up = updates.localCheckpoint()
+    val upLogical = updates.localCheckpoint()
     val rm = Option(removedKeys).map(_.select(keyCol).localCheckpoint())
     // CHECK constraints: validate the pinned batch ONCE, before anything
     // stages — a violating batch leaves the table untouched. (Read off
     // the current snapshot; a constraint added concurrently governs
-    // commits AFTER its own, same as Delta.)
-    validateConstraints(up, snapshot(spark, path).constraints)
+    // commits AFTER its own, same as Delta.) Constraints are written
+    // against LOGICAL names, so they validate before the mapping.
+    val snap0 = snapshot(spark, path)
+    validateConstraints(upLogical, snap0.constraints)
+    // COLUMN MAPPING: batches arrive under LOGICAL names and are
+    // translated to the physical (as-stored) names before any staging.
+    // Two guards fail loud instead of corrupting: a batch still using a
+    // RENAMED-AWAY physical name is a stale writer; and a mapped
+    // key/partition column is unsupported (every key contract below
+    // speaks the caller's names).
+    val liveMap = snap0.colMap.filter { case (ph, lg) => ph != lg }
+    val stale = upLogical.columns.toSet.intersect(liveMap.keySet)
+    require(stale.isEmpty,
+      s"merge: column(s) ${stale.toSeq.sorted.mkString(", ")} were " +
+        "renamed — write under the current name(s): " +
+        stale.toSeq.sorted.map(liveMap).mkString(", "))
+    require(!liveMap.exists { case (ph, lg) =>
+        ph == keyCol || lg == keyCol || ph == partitionCol ||
+          lg == partitionCol },
+      s"merge: key/partition column under a rename mapping is not " +
+        "supported — rename it back first")
+    val up = liveMap.foldLeft(upLogical) { case (d, (ph, lg)) =>
+      if (d.columns.contains(lg)) d.withColumnRenamed(lg, ph) else d
+    }
     var attempt = 0
     var done = false
     var staged: Seq[AddFile] = Seq.empty
@@ -1198,6 +1248,88 @@ object TxLog {
       }
     }
     -1L // unreachable
+  }
+
+  /** The table's LOGICAL schema field names (physical DDL + mapping) —
+    * what [[read]] surfaces. */
+  private def logicalNames(snap: Snapshot): Seq[String] =
+    snap.schemaDdl.map(ddl =>
+      org.apache.spark.sql.types.StructType.fromDDL(ddl).fieldNames.toSeq
+        .map(n => snap.colMap.getOrElse(n, n))).getOrElse(Seq.empty)
+
+  /** RENAME COLUMN without rewriting a byte (Delta's column-mapping
+    * rename): a metadata-only commit extends the physical→logical map —
+    * parquet files keep the original (physical) name forever, [[read]]/
+    * [[changes]] surface the logical name, and [[merge]] translates
+    * logical batches back to physical before staging (a batch still
+    * written under the old name is refused as a stale writer). Chained
+    * renames collapse to one mapping; renaming back to the physical
+    * name drops it. Time travel below the rename commit shows the old
+    * name — the mapping is versioned state like the schema.
+    * Restriction: the table's key and partition columns must not be
+    * renamed (every merge contract speaks those names; merge refuses a
+    * mapped key/partition loudly). */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+      to: String, maxAttempts: Int = 20): Unit = {
+    require(from != to, "renameColumn: from == to")
+    require(to.nonEmpty && !to.contains("#") && !to.contains("`"),
+      s"renameColumn: invalid target name '$to'")
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      require(attempt <= maxAttempts,
+        s"renameColumn: $maxAttempts commit conflicts")
+      val snap = snapshot(spark, path)
+      require(snap.version >= 0, s"renameColumn: no table at $path")
+      require(snap.schemaDdl.isDefined,
+        "renameColumn: table predates schema tracking")
+      val logical = logicalNames(snap)
+      require(logical.contains(from),
+        s"renameColumn: no column '$from' (have: ${logical.mkString(", ")})")
+      require(!logical.contains(to),
+        s"renameColumn: column '$to' already exists")
+      // physical name of `from`: the key mapping to it, or itself
+      val physical = snap.colMap.collectFirst {
+        case (ph, lg) if lg == from => ph }.getOrElse(from)
+      val newMap0 = snap.colMap.filter { case (_, lg) => lg != from }
+      val newMap = if (to == physical) newMap0
+                   else newMap0 + (physical -> to)
+      done = tryCommit(spark, path, snap.version + 1, Seq.empty, Seq.empty,
+        snap.schemaDdl, Some(snap.constraints), Some(newMap))
+    }
+  }
+
+  /** DROP COLUMN without rewriting a byte: the physical field leaves
+    * the committed DDL (and its mapping, if any), so reads stop
+    * projecting it — the bytes stay in the old files until natural
+    * rewrites (compaction/merge) age them out, exactly Delta's
+    * column-mapping drop. Key/partition columns refuse. */
+  def dropColumn(spark: SparkSession, path: String, name: String,
+      maxAttempts: Int = 20): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      require(attempt <= maxAttempts,
+        s"dropColumn: $maxAttempts commit conflicts")
+      val snap = snapshot(spark, path)
+      require(snap.version >= 0, s"dropColumn: no table at $path")
+      require(snap.schemaDdl.isDefined,
+        "dropColumn: table predates schema tracking")
+      val logical = logicalNames(snap)
+      require(logical.contains(name),
+        s"dropColumn: no column '$name' (have: ${logical.mkString(", ")})")
+      val physical = snap.colMap.collectFirst {
+        case (ph, lg) if lg == name => ph }.getOrElse(name)
+      val struct0 = org.apache.spark.sql.types.StructType.fromDDL(
+        snap.schemaDdl.get)
+      val newDdl = org.apache.spark.sql.types.StructType(
+        struct0.filterNot(_.name == physical)).toDDL
+      done = tryCommit(spark, path, snap.version + 1, Seq.empty, Seq.empty,
+        Some(newDdl), Some(snap.constraints),
+        Some(snap.colMap - physical))
+    }
   }
 
   /** Row-level `UPDATE WHERE` (Delta's predicate update): rows matching
@@ -1441,7 +1573,8 @@ object TxLog {
     fsOf(spark, new Path(destPath)).mkdirs(new Path(destPath))
     require(tryCommit(spark, destPath, 0L, borrowed, Seq.empty,
       snap.schemaDdl,
-      if (snap.constraints.isEmpty) None else Some(snap.constraints)),
+      if (snap.constraints.isEmpty) None else Some(snap.constraints),
+      if (snap.colMap.isEmpty) None else Some(snap.colMap)),
       s"shallowClone: concurrent writer created $destPath first")
     snap.version
   }
