@@ -865,6 +865,33 @@ object PipelineQueries {
           .orderBy("doc_key")
       }),
 
+    // ── Incremental view maintenance, min/max flavor, END TO END: a
+    //    txlog source takes three committed mutations (bootstrap
+    //    inserts, an update batch that MOVES values, a delete batch
+    //    that removes per-group BOUNDS), the (n, min, max) rollup is
+    //    maintained from the change feed with group-local rescans
+    //    (streaming/IncrementalAgg.applyChangesMinMax), and the gate
+    //    reads the MAINTAINED table — the oracle recomputes the same
+    //    final state from the source fixture, so the row proves the
+    //    delta algebra + rescan logic, not a recompute.
+    sql("iv1_minmax_rollup",
+      """WITH st AS (
+        |  SELECT lang,
+        |         CAST(CASE WHEN doc_id % 10 = 0 THEN n_chars + 7
+        |              ELSE n_chars END AS DOUBLE) AS v
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(v) AS mn, max(v) AS mx
+        |FROM st GROUP BY lang ORDER BY lang""")(
+      (s, d) => {
+        val roll = TxSideTables.minmaxRollup(s, d)
+        graft.sources.TxLog.read(s, roll)
+          .select(col("str_databaseid").as("lang"),
+            col("n").as("n_docs"), col("mn"), col("mx"))
+          .orderBy("lang")
+      }),
+
     // ── Metadata-only table statistics: per-partition row counts, file
     //    counts, and key bounds answered ENTIRELY from the transaction
     //    log — not one data file is opened (TxLogStatsSpec proves it by
@@ -920,6 +947,42 @@ private[registry] object TxSideTables {
     * keep seeing the pristine fixture; the update runs once per
     * (process, sf dir) inside the memo, so repeated bench passes read
     * the same committed state. */
+  /** Source + MAINTAINED min/max rollup for iv1_minmax_rollup: three
+    * committed mutations on a fresh source table, then the rollup
+    * maintained version-by-version from the change feed (bound-breaking
+    * deletes exercise the group-local rescan path). Built once per
+    * (process, sf dir); returns the ROLLUP table path. */
+  def minmaxRollup(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"ivm:$d", _ => {
+      val src = java.nio.file.Files
+        .createTempDirectory("graft-ivm-src").toString
+      val roll = java.nio.file.Files
+        .createTempDirectory("graft-ivm-roll").toString + "/r"
+      def rows(df: org.apache.spark.sql.DataFrame) = df.select(
+        concat(col("lang"), lit("#"),
+          lpad(col("doc_id").cast("string"), 8, "0")).as("_docId"),
+        col("lang").as("str_databaseid"),
+        col("n_chars").cast("double").as("v"))
+      val docs = Tables.load(s, d, "documents")
+      // v0: bootstrap inserts
+      graft.sources.TxLog.merge(s, src, rows(docs))
+      // v1: an update batch that moves every 10th doc's value
+      graft.sources.TxLog.merge(s, src,
+        rows(docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("n_chars", col("n_chars") + 7)))
+      // v2: a delete batch that removes per-group bounds
+      graft.sources.TxLog.merge(s, src,
+        rows(docs).limit(0),
+        removedKeys = docs.filter(col("doc_id") % 13 === 0)
+          .select(concat(col("lang"), lit("#"),
+            lpad(col("doc_id").cast("string"), 8, "0")).as("_docId")))
+      val head = graft.sources.TxLog.snapshot(s, src).version
+      graft.streaming.IncrementalAgg.maintainRangeMinMax(
+        s, src, roll, -1, head,
+        dims = Seq("str_databaseid"), valueCol = "v")
+      roll
+    })
+
   def updatedDocs(s: SparkSession, d: String): String =
     built.computeIfAbsent(s"upd:$d", _ => {
       val dir = java.nio.file.Files
