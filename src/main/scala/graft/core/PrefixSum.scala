@@ -28,6 +28,22 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
+  /** Broadcast-joins `small` back onto `big` on `keys`, NULL-SAFELY:
+    * a plain equi-USING join drops rows whose group value is NULL,
+    * silently diverging from the `PARTITION BY` window these helpers
+    * replace (a window treats NULL as a normal partition value). The
+    * small side's key columns are renamed away before the join so the
+    * output keeps exactly `big`'s columns plus `small`'s payload. */
+  private[core] def stitchJoin(big: DataFrame, small: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val renamed = keys.foldLeft(small) { (d, c) =>
+      d.withColumnRenamed(c, s"__stitch_$c") }
+    val cond = keys.map(c => col(c) <=> col(s"__stitch_$c"))
+      .reduce(_ && _)
+    big.join(broadcast(renamed), cond)
+      .drop(keys.map(c => s"__stitch_$c"): _*)
+  }
+
   /** Adds `outCol` = exclusive per-group running total of `valueCol`
     * in `orderCol` order (rows BEFORE this one; first row gets 0) —
     * exactly `SUM(valueCol) OVER (PARTITION BY groupCols ORDER BY
@@ -68,10 +84,7 @@ object PrefixSum {
     // broadcast keeps the stitch exchange-free on the corpus side; at
     // 10^10 rows and width 4096 that is ~2.4M small rows, tens of MB on
     // big executors, and a caller can widen shardWidth to shrink it
-    val joined =
-      if (groupCols.isEmpty) local.join(broadcast(offsets), Seq("__shard"))
-      else local.join(broadcast(offsets), groupCols :+ "__shard")
-    joined
+    stitchJoin(local, offsets, groupCols :+ "__shard")
       .withColumn(outCol, col("__off") + col("__loc"))
       .drop("__shard", "__loc", "__off")
   }
@@ -113,10 +126,7 @@ object PrefixSum {
       .withColumn("__off", coalesce(sum(col("__t")).over(wSh), lit(0L)))
       .drop("__t")
 
-    val joined =
-      if (groupCols.isEmpty) local.join(broadcast(offsets), Seq("__shard"))
-      else local.join(broadcast(offsets), groupCols :+ "__shard")
-    joined
+    stitchJoin(local, offsets, groupCols :+ "__shard")
       .withColumn(outCol, col("__off") + col("__rn"))
       .drop("__shard", "__rn", "__off")
   }

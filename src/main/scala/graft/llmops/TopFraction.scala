@@ -111,9 +111,16 @@ object TopFraction {
     // all-equal-scores corpus, where the tie bucket IS the corpus and
     // exact rank semantics are inherently a global order (same caveat
     // as the class doc; no algorithm does better).
+    // NULL-SAFE stitch (<=>): a plain equi-join would drop rows whose
+    // group value is NULL, diverging from the PARTITION BY window this
+    // operator replaces (a window treats NULL as a normal partition)
+    val edgeR = groupCols.foldLeft(edge) { (d, c) =>
+      d.withColumnRenamed(c, s"__e_$c") }
     val joined =
       if (groupCols.isEmpty) scored.crossJoin(broadcast(edge))
-      else scored.join(broadcast(edge), groupCols)
+      else scored.join(broadcast(edgeR),
+          groupCols.map(c => col(c) <=> col(s"__e_$c")).reduce(_ && _))
+        .drop(groupCols.map(c => s"__e_$c"): _*)
     val wTie = Window.partitionBy((gcols :+ col("__bkt")): _*)
       .orderBy(col(scoreCol).desc, col(tieCol))
     // winner-side columns are RENAMED (__tw_*) — tieWinners derives
@@ -125,7 +132,7 @@ object TopFraction {
       .filter(col("__r") <= col("__k") - col("__above"))
       .select((groupCols.map(c => col(c).as(s"__tw_$c")) ++
         Seq(col(tieCol).as("__tie_key"), lit(true).as("__tiesel"))): _*)
-    val tieCond = (groupCols.map(c => col(c) === col(s"__tw_$c")) :+
+    val tieCond = (groupCols.map(c => col(c) <=> col(s"__tw_$c")) :+
       (col(tieCol) === col("__tie_key"))).reduce(_ && _)
     joined
       .join(broadcast(tieWinners), tieCond, "left")

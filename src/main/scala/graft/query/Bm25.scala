@@ -17,7 +17,15 @@ import org.apache.spark.sql.functions._
   *  - k1 = 1.2 and b = 0.75 enter as the exact rationals 6/5 and 3/4,
   *    so the Robertson tf saturation term
   *    tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) becomes the integer
-  *    quotient 44·tf·2^10 DIV ((20·tf+6)·2^10 + (18·dl·N·2^10) DIV Σdl);
+  *    quotient 44·tf·2^10 DIV ((20·tf+6)·2^10 + (18·dl·N·2^10) DIV Σdl).
+  *    The length-norm summand is evaluated as the floor-identical
+  *    decomposition  dl·q + (dl·r) DIV Σdl  with
+  *    q = (18432·N) DIV Σdl, r = (18432·N) MOD Σdl — never forming the
+  *    triple product dl·N·18432, which overflows int64 once dl·N
+  *    exceeds ~5·10^14 (e.g. a 50k-token doc in a 10^10-doc corpus).
+  *    Remaining bound (documented, ~18·avgdl× weaker): dl·Σdl < 2^63,
+  *    i.e. a 10^13-token corpus still scores megatoken documents;
+  *    18432·N < 2^63 holds for any N < 5·10^14 docs;
   *  - idf = log2((N+1)/(df+0.5)) = log2((2N+2)/(2df+1)) in 2^-20
   *    fixed point via [[graft.functions.GraftFunctions.log2Fp]] — an
   *    integer shift-and-square recurrence, no libm, which the DuckDB
@@ -65,7 +73,9 @@ object Bm25 {
     }
     val scoreSum = terms.indices.map { i =>
       s"(idf_$i * 44 * tf_$i * 1024) DIV " +
-        s"((tf_$i * 20 + 6) * 1024 + (dl * 18 * n * 1024) DIV sumdl)"
+        s"((tf_$i * 20 + 6) * 1024 + " +
+        s"dl * ((n * 18432) DIV sumdl) + " +
+        s"(dl * ((n * 18432) % sumdl)) DIV sumdl)"
     }.mkString(" + ")
     cur
       .withColumn("score_fp", expr(scoreSum))
@@ -110,7 +120,9 @@ object Bm25 {
     }
     val scoreSum = terms.indices.map { i =>
       s"(__idf_$i * 44 * __tf_$i * 1024) DIV " +
-        s"((__tf_$i * 20 + 6) * 1024 + (__dl * 18 * __n * 1024) DIV __sumdl)"
+        s"((__tf_$i * 20 + 6) * 1024 + " +
+        s"__dl * ((__n * 18432) DIV __sumdl) + " +
+        s"(__dl * ((__n * 18432) % __sumdl)) DIV __sumdl)"
     }.mkString(" + ")
     cur.withColumn(outCol, expr(scoreSum).cast("double"))
       .drop(Seq("__tk", "__dl", "__n", "__sumdl") ++
@@ -181,7 +193,8 @@ object Bm25 {
        |scored AS (
        |  SELECT doc_id, CAST(SUM(
        |    (idf_fp * 44 * tf * 1024) //
-       |    ((tf * 20 + 6) * 1024 + (dl * 18 * n * 1024) // sumdl)
+       |    ((tf * 20 + 6) * 1024 + dl * ((n * 18432) // sumdl)
+       |     + (dl * ((n * 18432) % sumdl)) // sumdl)
        |  ) AS BIGINT) AS score_fp
        |  FROM dt, stats GROUP BY doc_id
        |)

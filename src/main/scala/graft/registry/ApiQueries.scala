@@ -127,7 +127,8 @@ object ApiQueries {
         |           (i.idf_fp * 44
         |             * len(list_filter(d.tk, x -> x = i.term)) * 1024) //
         |           ((len(list_filter(d.tk, x -> x = i.term)) * 20 + 6) * 1024
-        |             + (len(d.tk) * 18 * s.n * 1024) // s.sumdl)
+        |             + len(d.tk) * ((s.n * 18432) // s.sumdl)
+        |             + (len(d.tk) * ((s.n * 18432) % s.sumdl)) // s.sumdl)
         |         ) AS BIGINT) AS score_fp
         |  FROM f d CROSS JOIN idf i, stats s
         |  GROUP BY 1, 2, 3

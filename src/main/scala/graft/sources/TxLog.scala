@@ -743,10 +743,23 @@ object TxLog {
     * only: parquet keeps the physical name forever; see
     * [[renameColumn]]). */
   private def applyColMap(df: DataFrame,
-      colMap: Map[String, String]): DataFrame =
-    colMap.toSeq.sortBy(_._1).foldLeft(df) { case (d, (ph, lg)) =>
-      if (d.columns.contains(ph)) d.withColumnRenamed(ph, lg) else d
+      colMap: Map[String, String]): DataFrame = {
+    val live = colMap.toSeq.sortBy(_._1)
+      .filter { case (ph, _) => df.columns.contains(ph) }
+    if (live.isEmpty) df
+    else {
+      // two-phase through unique temp names: a map like {x->y, y->z}
+      // (refused by renameColumn, but defended against here too) would
+      // otherwise have x's rename capture the still-present physical y
+      // mid-fold, silently duplicating and clobbering columns
+      val staged = live.zipWithIndex.map { case ((ph, lg), i) =>
+        (ph, s"__graft_colmap_tmp_${i}__", lg) }
+      val mid = staged.foldLeft(df) { case (d, (ph, t, _)) =>
+        d.withColumnRenamed(ph, t) }
+      staged.foldLeft(mid) { case (d, (_, t, lg)) =>
+        d.withColumnRenamed(t, lg) }
     }
+  }
 
   /** Per-partition metadata-only aggregates of [[statsAggregate]]:
     * `rows` is always exact; the key bounds are Some only when EVERY
@@ -1292,6 +1305,16 @@ object TxLog {
       // physical name of `from`: the key mapping to it, or itself
       val physical = snap.colMap.collectFirst {
         case (ph, lg) if lg == from => ph }.getOrElse(from)
+      // the target must also avoid every OTHER column's PHYSICAL name:
+      // committing {x->y} while physical y exists (mapped elsewhere)
+      // would let merge's stale-writer guard misfire and would make the
+      // read-side map collision-prone ({x->y, y->z} renames y twice)
+      val physicalFields = snap.schemaDdl.map(ddl =>
+        org.apache.spark.sql.types.StructType.fromDDL(ddl)
+          .fieldNames.toSeq).getOrElse(Seq.empty)
+      require(to == physical || !physicalFields.contains(to),
+        s"renameColumn: '$to' is the physical name of an existing " +
+        "column; pick a name not present in the stored schema")
       val newMap0 = snap.colMap.filter { case (_, lg) => lg != from }
       val newMap = if (to == physical) newMap0
                    else newMap0 + (physical -> to)

@@ -203,6 +203,23 @@ object DocMaintenance {
         val spillPath = spillDir.map(p => new org.apache.hadoop.fs.Path(p))
         val fs = spillPath.map(_.getFileSystem(
           spark.sessionState.newHadoopConf()))
+        // crash recovery for the delete-then-rename window below: an
+        // orphaned tmp with no live spill means the rewrite died between
+        // delete(p) and rename(tmp, p) — the tmp IS the complete spill,
+        // promote it before reading. If BOTH exist the tmp is either
+        // partial (crash mid-write) or a complete-but-unswapped copy; in
+        // both cases p still holds every unsubmitted key (plus possibly
+        // already-submitted ones — at-least-once), so drop the tmp.
+        (spillPath, fs) match {
+          case (Some(p), Some(f)) =>
+            val tmp0 = new org.apache.hadoop.fs.Path(
+              p.getParent, s".${p.getName}.tmp")
+            if (f.exists(tmp0)) {
+              if (!f.exists(p)) f.rename(tmp0, p)
+              else f.delete(tmp0, true)
+            }
+          case _ => ()
+        }
         val hasSpill = (spillPath, fs) match {
           case (Some(p), Some(f)) => f.exists(p)
           case _ => false
@@ -221,9 +238,11 @@ object DocMaintenance {
         (spillPath, fs) match {
           case (Some(p), Some(f)) =>
             // remainder = pending minus the (≤cap, broadcastable) taken
-            // set; rewrite the spill via temp + rename so a crash
-            // mid-fold never truncates it (at-least-once resubmission
-            // is fine — submission is idempotent per the reference's
+            // set; rewrite the spill via temp + rename, with the
+            // orphaned-tmp recovery at the top of the trigger covering
+            // the delete→rename crash window — so a crash at any point
+            // never loses queued keys (at-least-once resubmission is
+            // fine — submission is idempotent per the reference's
             // redelivery semantics)
             import spark.implicits._
             val takenDf = taken.map(r => (r.getString(0), r.getString(1)))

@@ -133,9 +133,14 @@ object IncrementalAgg {
     // the semi-join and the regroup are unambiguous
     val rescanGroups = joined
       .filter(col("rescan") && col("new_n") > 0)
-      .select((col("_docId").as("__grp_id") +: dims.map(col)): _*)
+      .select((col("_docId").as("__grp_id") +:
+        dims.map(c => col(c).as(s"__grp_$c"))): _*)
+    // NULL-SAFE (<=>) semi-join: the _docId key treats NULL dims as a
+    // real group ("<null>"), so the rescan must match them too — a
+    // plain equi-join would find no rows and write NULL mn/mx
     val fresh = sourceAtBatchEnd
-      .join(broadcast(rescanGroups), dims)
+      .join(broadcast(rescanGroups),
+        dims.map(c => col(c) <=> col(s"__grp_$c")).reduce(_ && _))
       .groupBy("__grp_id").agg(min(v).as("r_mn"), max(v).as("r_mx"))
       .withColumnRenamed("__grp_id", "_docId")
     val merged = joined.join(fresh, Seq("_docId"), "left")

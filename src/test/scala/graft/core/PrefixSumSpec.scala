@@ -39,6 +39,30 @@ class PrefixSumSpec extends SparkSpec {
     assert(sameRows(naive, stitched))
   }
 
+  test("NULL group values survive the stitch (window treats NULL as a partition)") {
+    import spark.implicits._
+    // every third row's group is NULL — a plain equi-stitch would drop
+    // them; the window semantics we claim keep them as one partition
+    val df = mkDocs(3000, 3).withColumn("source",
+      when(col("doc_id") % 3 === 0, lit(null: String))
+        .otherwise(col("source")))
+    val naive = df.withColumn("cum_before",
+      coalesce(sum("v").over(Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val stitched = PrefixSum.exclusive(df, "v", "doc_id", Seq("source"),
+      shardWidth = 128L)
+    assert(stitched.count() == df.count(), "stitch dropped NULL-group rows")
+    assert(sameRows(naive, stitched))
+    // rowNumber path too
+    val naiveRn = df.withColumn("rn",
+      row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+        .cast("long"))
+    val stitchedRn = PrefixSum.rowNumber(df, Seq("source"),
+      Seq(col("doc_id")), expr("doc_id DIV 128"))
+    assert(stitchedRn.count() == df.count())
+    assert(sameRows(naiveRn, stitchedRn))
+  }
+
   test("exclusive running total, ungrouped (global) variant") {
     val df = mkDocs(2000, 1).drop("source")
     val naive = df.withColumn("cum_before",

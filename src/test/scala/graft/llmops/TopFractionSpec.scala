@@ -71,6 +71,18 @@ class TopFractionSpec extends SparkSpec {
     assert(sameRows(naive, fast))
   }
 
+  test("NULL group values form a real partition, matching the naive window") {
+    import spark.implicits._
+    val df = (1 to 4000).map { i =>
+      val g: String = if (i % 4 == 0) null else s"src${i % 3}"
+      (i.toLong, g, (i * 48271L % 997L).toDouble)
+    }.toDF("doc_id", "source", "score")
+    val naive = naiveMark(df, "score", 0.25, Seq("source"))
+    val fast = TopFraction.mark(df, "score", "doc_id", 0.25, Seq("source"))
+    assert(fast.count() == df.count(), "mark dropped NULL-group rows")
+    assert(sameRows(naive, fast))
+  }
+
   test("BIGINT scores above 2^53 keep exact order despite double bucketing") {
     import spark.implicits._
     // adjacent longs that collapse to the SAME double: the bucket can't

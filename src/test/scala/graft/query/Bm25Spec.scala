@@ -43,6 +43,28 @@ class Bm25Spec extends SparkSpec {
     assert(out(3L) > out(4L) && out(3L) < 4 * out(4L), s"tf shape: $out")
   }
 
+  test("length-norm decomposition is floor-exact and survives dl*N past int64") {
+    import spark.implicits._
+    // the decomposed summand dl*q + (dl*r) DIV sumdl must equal
+    // floor(dl*18432*n / sumdl) exactly (BigInt ground truth), at
+    // corpus shapes where the naive triple product dl*18432*n
+    // overflows int64 (dl*n > ~5e14)
+    val cases = Seq(
+      // (dl, n, sumdl): 10^10-doc corpus, avg 1k tokens, 50k-token doc
+      (50000L, 10000000000L, 10000000000000L),
+      (1000000L, 10000000000L, 10000000000000L), // megatoken doc
+      (3L, 7L, 21L), (1L, 1L, 1L), (4096L, 123456789L, 98765432100L))
+    val df = cases.toDF("dl", "n", "sumdl")
+    val got = df.selectExpr(
+      "dl", "n", "sumdl",
+      "dl * ((n * 18432) DIV sumdl) + (dl * ((n * 18432) % sumdl)) DIV sumdl AS norm")
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (dl, n, sumdl, norm) =>
+      val exact = (BigInt(dl) * 18432 * n / sumdl)
+      assert(BigInt(norm) == exact, s"dl=$dl n=$n sumdl=$sumdl: $norm != $exact")
+    }
+  }
+
   test("BM25 plan: top-k via TakeOrderedAndProject, no corpus sort or explode") {
     import spark.implicits._
     val docs = (1L to 500L).map(i => (i, s"alpha beta doc$i"))

@@ -75,6 +75,27 @@ class TxLogColumnMapSpec extends SparkSpec {
     assert(TxLog.read(spark, dir).columns.contains("payload"))
   }
 
+  test("renaming onto another column's live PHYSICAL name refuses") {
+    val dir = freshTable()
+    // free the logical name "payload" while physical field `payload`
+    // stays in the stored schema forever
+    TxLog.renameColumn(spark, dir, "payload", "body")
+    // {v -> payload} would make applyColMap's map {payload -> body,
+    // v -> payload} collide on the still-present physical `payload`
+    // (x,y rename-shuffle corruption) — must refuse
+    val e = intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, dir, "v", "payload")
+    }
+    assert(e.getMessage.contains("physical"), e.getMessage)
+    // renaming `body` back onto ITS OWN physical name stays allowed
+    TxLog.renameColumn(spark, dir, "body", "payload")
+    assert(TxLog.snapshot(spark, dir).colMap.isEmpty)
+    // and the table still reads exactly
+    assert(TxLog.read(spark, dir).select("_docId", "payload", "v")
+      .as[(String, String, Long)].collect().toSet ==
+      Set(("p1#001", "a", 1L), ("p1#002", "b", 2L), ("p2#001", "c", 3L)))
+  }
+
   test("mapping survives checkpoints and rides the change feed") {
     val dir = freshTable()
     TxLog.renameColumn(spark, dir, "payload", "body")

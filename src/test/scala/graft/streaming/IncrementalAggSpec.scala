@@ -163,6 +163,29 @@ class IncrementalAggSpec extends SparkSpec {
     assert(minMaxRows(roll) === Set(("blue", 2L, 3.0, 11.0)))
   }
 
+  test("min/max rescan finds NULL-dim groups (null-safe stitch join)") {
+    val src = java.nio.file.Files.createTempDirectory("graft-ivmN-src").toString
+    val roll = java.nio.file.Files.createTempDirectory("graft-ivmN-roll").toString + "/r"
+    // the NULL category is a real group (the rollup keys it "<null>")
+    TxLog.merge(spark, src, docs(
+      ("dbA#1", "dbA", null, 4.0), ("dbA#2", "dbA", null, 9.0),
+      ("dbA#3", "dbA", "red", 1.0)))
+    // delete the NULL group's MAX → group-local rescan of a NULL-dim
+    // group; a null-dropping equi-join would find no rows and write
+    // NULL mn/mx
+    TxLog.merge(spark, src, docs(), Seq("dbA#2").toDF("_docId"))
+    val head = TxLog.snapshot(spark, src).version
+    IncrementalAgg.maintainRangeMinMax(spark, src, roll, -1, head,
+      dims = Seq("category"), valueCol = "value")
+    val got = TxLog.read(spark, roll)
+      .select(col("category"), col("n"), col("mn"), col("mx"))
+      .as[(Option[String], Long, Option[Double], Option[Double])]
+      .collect().toSet
+    assert(got === Set(
+      (None, 1L, Some(4.0), Some(4.0)),
+      (Some("red"), 1L, Some(1.0), Some(1.0))))
+  }
+
   test("min/max rollup equals recompute under a seeded random op sequence") {
     val src = java.nio.file.Files.createTempDirectory("graft-ivm2-src").toString
     val roll = java.nio.file.Files.createTempDirectory("graft-ivm2-roll").toString + "/r"
