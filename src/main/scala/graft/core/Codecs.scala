@@ -50,6 +50,20 @@ object Codecs {
   /** fileIndexer.py:511,555 — strip quotes from an ETag. */
   def stripEtagQuotes(c: Column): Column = regexp_replace(c, "\"", "")
 
+  /** S11 — the S3 multipart composite ETag (public algorithm: the MD5
+    * of the CONCATENATED BINARY MD5 digests of the parts, suffixed with
+    * `-{numParts}`), over an array of per-part lowercase hex MD5 strings
+    * already in part order. uploadFile.py completes multipart uploads
+    * against per-part ETags (:897-941 verifies the part inventory,
+    * :1583-1658 calls complete_multipart_upload) — S3 computes this
+    * value server-side; a reconciliation pipeline recomputes it to
+    * verify assembled objects. Pure Column expression (concat the hex
+    * digests, `unhex` back to the binary digest stream, md5) — codegen
+    * friendly, no UDF. */
+  def multipartETag(partMd5Hex: Column): Column =
+    concat(md5(unhex(array_join(partMd5Hex, ""))),
+      lit("-"), size(partMd5Hex).cast("string"))
+
   /** C5 — validity of a typed metadata value per its declared type tag
     * (metadata.py:44-221): structured types parse against their schema
     * (Schemas.XyzSchema etc.), `lla` additionally range-checks

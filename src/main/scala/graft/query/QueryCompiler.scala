@@ -134,6 +134,30 @@ object QueryCompiler {
     filtered.orderBy(key.asc).limit(pageSize)
   }
 
+  /** O5 — authorization over-fetch pagination, reproduced as a
+    * REFERENCE-COMPATIBILITY shim (search.py:969-976: buffer_multiplier
+    * = 2.0, opensearch_size = min((from+size)*2, 10000); Casbin
+    * post-filter at search.py:1520-1536; page slice at :1739-1748 with
+    * total = the filtered count WITHIN the fetched window). The default
+    * graft path pushes authorization into the scan (F11) and pages the
+    * exact result — O5 is obsolete there — but the reference's shape has
+    * two OBSERVABLE artifacts a compatibility consumer may depend on:
+    * a page can come back short when auth rejects more than the 2×
+    * buffer allowed for, and `total_hits` counts only survivors of the
+    * over-fetched window, not the true corpus total. This reproduces
+    * both, deterministically. Scale: the pre-auth window is a bounded
+    * top-K (TakeOrderedAndProject — never a global sort), and the
+    * post-filter + count run on ≤ 10 000 rows. */
+  def overfetchPage(df: DataFrame, sortKey: Seq[Column], auth: Column,
+      from: Int, size: Int, bufferMultiplier: Double = 2.0): DataFrame = {
+    require(from >= 0 && size > 0, "from must be >= 0 and size > 0")
+    val window = math.min(((from + size) * bufferMultiplier).toInt, 10000)
+    val filtered = df.orderBy(sortKey: _*).limit(window).filter(auth)
+    val total = filtered.agg(count(lit(1)).cast("long").as("total_hits"))
+    val page = filtered.crossJoin(broadcast(total)).orderBy(sortKey: _*)
+    (if (from > 0) page.offset(from) else page).limit(size)
+  }
+
   /** A1 — faceted term counts (search.py:1392-1486): bucket cap 1000,
     * count-desc with key tiebreak for determinism (SURVEY §7.5.4). */
   def facet(df: DataFrame, field: Column,

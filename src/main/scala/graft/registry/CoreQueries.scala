@@ -306,6 +306,37 @@ object CoreQueries {
         t(s, d, "customer").orderBy("c_custkey").select("c_custkey", "c_name"),
         from = 100, size = 50)),
 
+    // ── O5: auth over-fetch pagination, as a reference-compatibility
+    //    shim (search.py:969-976 over-fetch 2×/10k cap; :1520-1536
+    //    post-auth filter; :1739-1748 slice with window-local total).
+    //    from=20,size=30 ⇒ window=100; the ABAC gate passes well under
+    //    70 of those 100, so the page comes back SHORT and total_hits
+    //    undercounts — the two artifacts the shim exists to reproduce
+    //    (the default graft path pushes auth down, F11, and never
+    //    exhibits them).
+    sql("o5_auth_overfetch",
+      """WITH win AS (
+        |  SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |  ORDER BY c_custkey LIMIT 100
+        |), filt AS (
+        |  SELECT * FROM win WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS total_hits FROM filt
+        |)
+        |SELECT f.c_custkey, f.c_name, f.c_mktsegment, t.total_hits
+        |FROM filt f CROSS JOIN tot t
+        |ORDER BY f.c_custkey LIMIT 30 OFFSET 20""")(
+      (s, d) => {
+        val base = t(s, d, "customer")
+          .select("c_custkey", "c_name", "c_mktsegment")
+        val policy = Abac.Policy(
+          allow = Seq(Seq(Abac.Criterion("c_mktsegment", "is_one_of",
+            values = Seq("BUILDING", "AUTOMOBILE")))),
+          deny = Seq.empty)
+        QC.overfetchPage(base, Seq(col("c_custkey").asc),
+          Abac.compile(base, policy), from = 20, size = 30)
+      }),
+
     // ── O6: keyset (token) pagination (common/dynamodb.py:98-144) — the
     //    100 TB-safe pagination: no global skip, filter + limit only.
     sql("o6_keyset_pagination",

@@ -513,6 +513,98 @@ object SurfaceQueries {
           .orderBy("upload_id")
       }),
 
+    // ── S11: multipart upload completion — the analytic remainder of
+    //    the byte-transport handler (uploadFile.py): part-inventory
+    //    verification (:897-941, the same check up1 reconciles), the
+    //    7-day upload TTL sweep (:59 UPLOAD_EXPIRATION_DAYS, :1011
+    //    expiresAt = createdAt + 7d — expired uploads are abort
+    //    candidates), and assembled-object integrity via the composite
+    //    ETag. `etag_surrogate` is the MD5 of the CONCATENATED HEX part
+    //    digests — the oracle-hashable stand-in for the true S3
+    //    algorithm (MD5 over the concatenated BINARY digests), which
+    //    `Codecs.multipartETag` implements and `CodecsSpec` pins against
+    //    S3-reference vectors (DuckDB's md5 is VARCHAR-only, so the
+    //    binary form can't be replayed in the oracle). Presigned-URL
+    //    issuance itself stays a non-goal (pure transport, no analytic
+    //    content). Scale: two partial-aggregated groupBys on upload_id
+    //    + a broadcastable dim join — no windows, no skew (parts per
+    //    upload ≤ 10 000 by S3's own limit).
+    sql("s11_multipart_complete",
+      """WITH ups AS (
+        |  SELECT o_orderkey AS upload_id,
+        |         'a' || CAST(o_custkey % 50 AS VARCHAR) AS asset_id,
+        |         o_orderkey % 5 + 2 AS expected_n,
+        |         o_orderkey % 10 AS age_days
+        |  FROM orders WHERE o_orderkey < 400
+        |), p0 AS (
+        |  SELECT l_orderkey AS upload_id, l_linenumber AS pn,
+        |         min(l_returnflag || l_linestatus ||
+        |             CAST(l_partkey AS VARCHAR)) AS content
+        |  FROM lineitem WHERE l_orderkey < 400 GROUP BY 1, 2
+        |), parts AS (
+        |  SELECT upload_id,
+        |         list_sort(list(CAST(pn AS BIGINT))) AS present,
+        |         string_agg(md5(content), '' ORDER BY pn) AS cat,
+        |         CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |         CAST(SUM(length(content)) AS BIGINT) AS sz
+        |  FROM p0 GROUP BY 1
+        |), recon AS (
+        |  SELECT u.upload_id, u.asset_id, u.age_days + 7 <= 8 AS expired,
+        |         p.present = range(1, u.expected_n + 1) AS complete,
+        |         p.cat, p.n_parts, p.sz
+        |  FROM ups u JOIN parts p USING (upload_id)
+        |)
+        |SELECT upload_id, asset_id,
+        |       CASE WHEN expired THEN 'expired'
+        |            WHEN complete THEN 'complete'
+        |            ELSE 'incomplete' END AS status,
+        |       CASE WHEN complete AND NOT expired
+        |            THEN md5(cat) || '-' || CAST(n_parts AS VARCHAR)
+        |       END AS etag_surrogate,
+        |       CASE WHEN complete AND NOT expired THEN sz ELSE 0 END
+        |         AS total_size
+        |FROM recon ORDER BY upload_id""")(
+      (s, d) => {
+        val ups = t(s, d, "orders").filter(col("o_orderkey") < 400)
+          .select(col("o_orderkey").as("upload_id"),
+            concat(lit("a"), (col("o_custkey") % 50).cast("string"))
+              .as("asset_id"),
+            (col("o_orderkey") % 5 + 2).as("expected_n"),
+            (col("o_orderkey") % 10).as("age_days"))
+        val p0 = t(s, d, "lineitem").filter(col("l_orderkey") < 400)
+          .groupBy(col("l_orderkey").as("upload_id"),
+            col("l_linenumber").cast("long").as("pn"))
+          .agg(min(concat(col("l_returnflag"), col("l_linestatus"),
+            col("l_partkey").cast("string"))).as("content"))
+        // ONE sorted collect carries part number, digest and size; the
+        // digest concatenation and byte total are narrow array folds
+        val parts = p0
+          .select(col("upload_id"),
+            struct(col("pn"), md5(col("content")).as("h"),
+              length(col("content")).cast("long").as("b")).as("e"))
+          .groupBy("upload_id")
+          .agg(sort_array(collect_list(col("e"))).as("arr"))
+          .select(col("upload_id"),
+            transform(col("arr"), e => e.getField("pn")).as("present"),
+            array_join(transform(col("arr"), e => e.getField("h")), "")
+              .as("cat"),
+            size(col("arr")).cast("long").as("n_parts"),
+            aggregate(col("arr"), lit(0L),
+              (a, e) => a + e.getField("b")).as("sz"))
+        val expired = col("age_days") + 7 <= 8
+        val complete = col("present") === sequence(lit(1L), col("expected_n"))
+        ups.join(parts, "upload_id")
+          .select(col("upload_id"), col("asset_id"),
+            when(expired, "expired").when(complete, "complete")
+              .otherwise("incomplete").as("status"),
+            when(complete && !expired,
+              concat(md5(col("cat")), lit("-"), col("n_parts").cast("string")))
+              .as("etag_surrogate"),
+            when(complete && !expired, col("sz")).otherwise(0L)
+              .as("total_size"))
+          .orderBy("upload_id")
+      }),
+
     // ── API keys: the authorizer's key-state resolution rolled up per
     //    user (apiKeyService.py:145-175 stores sha256 hash + isActive +
     //    expiresAt; apiGatewayAuthorizerHttp.py:318-336 rejects inactive

@@ -1,0 +1,161 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** S7 — the SNS→SQS re-queue loop re-expressed on micro-batches.
+  *
+  * The reference wires its indexing and workflow consumers to SQS
+  * (`sqsBucketSync.py`, `sqsAutoExecuteWorkflow.py`): a message whose
+  * handler fails returns to the queue after its visibility timeout and
+  * is REDELIVERED with an incremented receive count; queues configured
+  * with a redrive policy park a message on its dead-letter queue once
+  * `maxReceiveCount` deliveries have failed (the reference's own queues
+  * mostly decline DLQs — `apiBuilder-nestedStack.ts:693,1389` — and
+  * rely on redelivery + idempotent handlers, which is exactly the
+  * at-least-once contract this twin preserves).
+  *
+  * Mapping to micro-batches:
+  *  - one trigger = one delivery round; the visibility timeout becomes
+  *    `backoffTriggers(receiveCount)` — how many TRIGGERS a failed
+  *    record waits before redelivery (trigger-denominated so tests and
+  *    replays are deterministic; wall-clock backoff for throttled
+  *    CALLS inside a delivery is [[Retry.withBackoff]]'s job, ST6);
+  *  - the queue becomes a parquet pending store rewritten atomically
+  *    per trigger (temp + rename, with the orphaned-tmp promotion
+  *    [[DocMaintenance.autoExecOnArrival]] uses — a crash at any point
+  *    loses nothing, it only redelivers, which SQS does too);
+  *  - the DLQ becomes an append-only parquet dir; a crash between the
+  *    DLQ append and the pending rewrite can duplicate a parked row on
+  *    replay — the at-least-once face of the same contract (consumers
+  *    of a real DLQ dedupe by message id; readers here dedupe by key).
+  *
+  * Scale: per trigger the driver touches at most `maxPerTrigger` rows
+  * (ordered head, TakeOrderedAndProject — never the full backlog); the
+  * pending/DLQ stores stay distributed parquet. The backlog drains
+  * across triggers exactly like autoExecOnArrival's spill.
+  */
+object Requeue {
+
+  /** Pending-store schema: (key, payload, receive_count, not_before). */
+  private val PendingCols = Seq("key", "payload", "receive_count", "not_before")
+
+  /** Promote an orphaned `.name.tmp` (crash between delete and rename)
+    * or drop it when the live store survived — same recovery contract
+    * as autoExecOnArrival's spill. */
+  private def recoverTmp(fs: org.apache.hadoop.fs.FileSystem, p: Path): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    if (fs.exists(tmp)) {
+      if (!fs.exists(p)) { fs.rename(tmp, p); () }
+      else { fs.delete(tmp, true); () }
+    }
+  }
+
+  private def rewriteAtomic(df: DataFrame, fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(tmp, p)
+    ()
+  }
+
+  /** Consume `events` (columns `key`, `payload`) with bounded-redelivery
+    * semantics: `deliver(key, payload)` returning false marks a
+    * transient failure — the record re-queues and redelivers after
+    * `backoffTriggers(receiveCount)` triggers, until its
+    * `maxReceiveCount`-th delivery has failed, at which point it parks
+    * in `dlqDir` carrying its final `receive_count` and the trigger it
+    * was parked on. A key redelivered while already pending collapses
+    * to ONE pending row at the highest receive count (idempotent
+    * delivery — the reference's handlers tolerate duplicates, so
+    * collapsing is safe and keeps the store key-bounded).
+    *
+    * `deliver` must not throw for data-level failures (return false);
+    * a throw fails the batch and replays it wholesale — reserve that
+    * for infrastructure errors, mirroring a Lambda crash (SQS
+    * redelivers the whole receive batch). */
+  def requeueOnFailure(
+      events: DataFrame,
+      deliver: (String, String) => Boolean,
+      pendingDir: String,
+      dlqDir: String,
+      maxReceiveCount: Int = 5,
+      maxPerTrigger: Int = 10000,
+      backoffTriggers: Int => Long = _ => 1L): StreamingQuery = {
+    require(maxReceiveCount >= 1, s"maxReceiveCount must be >= 1")
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val pendingPath = new Path(pendingDir)
+        val fs = pendingPath.getFileSystem(spark.sessionState.newHadoopConf())
+        recoverTmp(fs, pendingPath)
+        val pending =
+          if (fs.exists(pendingPath))
+            spark.read.parquet(pendingDir).select(PendingCols.map(col): _*)
+          else
+            spark.emptyDataFrame
+              .select(lit("").as("key"), lit("").as("payload"),
+                lit(0).as("receive_count"), lit(0L).as("not_before"))
+              .limit(0)
+        val fresh = batch.select(col("key"), col("payload"),
+          lit(0).as("receive_count"), lit(batchId).as("not_before"))
+        // one row per key, at the key's HIGHEST receive count (struct
+        // max orders by receive_count first) — new arrivals of a
+        // pending key neither reset its count nor fork a second row
+        val all = pending.unionByName(fresh)
+          .groupBy("key")
+          .agg(max(struct(col("receive_count"), col("not_before"),
+            col("payload"))).as("m"))
+          .select(col("key"), col("m.payload").as("payload"),
+            col("m.receive_count").as("receive_count"),
+            col("m.not_before").as("not_before"))
+        val due = all.filter(col("not_before") <= batchId)
+        val notDue = all.filter(col("not_before") > batchId)
+        // bounded delivery round: the driver never sees more than the
+        // cap; the rest of the backlog stays pending (still due) and
+        // drains on later triggers
+        val taken = due.orderBy("key").limit(maxPerTrigger)
+          .select("key", "payload", "receive_count").collect()
+        val results = taken.map { r =>
+          val ok = deliver(r.getString(0), r.getString(1))
+          (r.getString(0), r.getString(1), r.getInt(2), ok)
+        }.toSeq
+        val takenDf = results
+          .map { case (k, p, rc, ok) => (k, p, rc, ok) }
+          .toDF("key", "payload", "receive_count", "ok")
+        val failed = takenDf.filter(!col("ok"))
+          .withColumn("receive_count", col("receive_count") + 1)
+        // park after the maxReceiveCount-th failed delivery; DLQ append
+        // is at-least-once (see object doc) — DLQ readers dedupe by key
+        val parked = failed.filter(col("receive_count") >= maxReceiveCount)
+          .select(col("key"), col("payload"), col("receive_count"),
+            lit(batchId).as("parked_at"))
+        if (!parked.isEmpty)
+          parked.write.mode("append").parquet(dlqDir)
+        val retries = failed.filter(col("receive_count") < maxReceiveCount)
+          .withColumn("not_before",
+            lit(batchId) + udf((rc: Int) => backoffTriggers(rc))
+              .apply(col("receive_count")))
+          .select(PendingCols.map(col): _*)
+        val overflow = due.join(
+          broadcast(takenDf.select("key")), Seq("key"), "left_anti")
+        rewriteAtomic(
+          notDue.unionByName(overflow).unionByName(retries),
+          fs, pendingPath)
+      }
+      .start()
+  }
+
+  /** Count of records still pending redelivery (diagnostic). */
+  def pendingCount(spark: SparkSession, pendingDir: String): Long = {
+    val p = new Path(pendingDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else spark.read.parquet(pendingDir).count()
+  }
+}

@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** S7 — bounded-redelivery re-queue semantics (see [[Requeue]]): failed
+  * deliveries redeliver with an incremented receive count, park on the
+  * DLQ after `maxReceiveCount` failures, and the pending store survives
+  * the same crash windows the autoExec spill does.
+  */
+class RequeueSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(pfx: String): String =
+    java.nio.file.Files.createTempDirectory(pfx).toString
+
+  /** Drive `n` extra triggers by appending dummy rows (foreachBatch only
+    * fires on new data — each dummy is its own delivery round). */
+  private def pump(srcDir: String, q: org.apache.spark.sql.streaming.StreamingQuery,
+      n: Int): Unit =
+    (1 to n).foreach { i =>
+      Seq((s"__pump_$i", "noop")).toDF("key", "payload")
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    }
+
+  test("transient failures redeliver and succeed; poison parks on the DLQ") {
+    val src = tmpDir("graft-rq-src")
+    val pend = tmpDir("graft-rq-pend") + "/queue"
+    val dlq = tmpDir("graft-rq-dlq") + "/dlq"
+    val attempts = scala.collection.concurrent.TrieMap.empty[String, Int]
+    // k_flaky fails its first 2 deliveries; k_poison always fails
+    val deliver = (k: String, _: String) => {
+      val n = attempts.updateWith(k)(v => Some(v.getOrElse(0) + 1)).get
+      k match {
+        case "k_poison" => false
+        case "k_flaky"  => n > 2
+        case _          => true
+      }
+    }
+    Seq(("k_ok", "p1"), ("k_flaky", "p2"), ("k_poison", "p3"))
+      .toDF("key", "payload").write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("key STRING, payload STRING").parquet(src)
+    val q = Requeue.requeueOnFailure(stream, deliver, pend, dlq,
+      maxReceiveCount = 4)
+    try {
+      q.processAllAvailable()
+      // rounds 2..5: flaky succeeds on its 3rd delivery; poison fails
+      // deliveries 2,3,4 and parks after the 4th
+      pump(src, q, 5)
+    } finally q.stop()
+    assert(attempts("k_ok") == 1)
+    assert(attempts("k_flaky") == 3, s"flaky attempts: ${attempts.get("k_flaky")}")
+    assert(attempts("k_poison") == 4, "poison must stop at maxReceiveCount")
+    val parked = spark.read.parquet(dlq)
+      .select("key", "receive_count").as[(String, Int)].collect().toSet
+    assert(parked == Set(("k_poison", 4)))
+    // nothing but (possibly) nothing pending — flaky drained, poison parked
+    assert(Requeue.pendingCount(spark, pend) == 0L,
+      "pending store must drain once every key succeeded or parked")
+  }
+
+  test("backoffTriggers delays redelivery by whole delivery rounds") {
+    val src = tmpDir("graft-rq2-src")
+    val pend = tmpDir("graft-rq2-pend") + "/queue"
+    val dlq = tmpDir("graft-rq2-dlq") + "/dlq"
+    val log = scala.collection.mutable.ArrayBuffer.empty[String]
+    val deliver = (k: String, _: String) =>
+      if (k != "k") true // pump rows always succeed
+      else log.synchronized { log += k; log.size > 1 } // fail only the 1st
+    Seq(("k", "p")).toDF("key", "payload").write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("key STRING, payload STRING").parquet(src)
+    // backoff of 3 triggers after the 1st failure
+    val q = Requeue.requeueOnFailure(stream, deliver, pend, dlq,
+      maxReceiveCount = 5, backoffTriggers = _ => 3L)
+    try {
+      q.processAllAvailable()
+      assert(log.size == 1)
+      // two pumps later it is still waiting out its backoff
+      pump(src, q, 2)
+      assert(log.size == 1, "redelivered before its backoff elapsed")
+      // the 3rd pump reaches not_before and redelivers (succeeds)
+      pump(src, q, 1)
+      assert(log.size == 2, s"expected redelivery after 3 rounds: $log")
+    } finally q.stop()
+    assert(Requeue.pendingCount(spark, pend) == 0L)
+  }
+
+  test("per-trigger cap bounds the delivery round; backlog drains in order") {
+    val src = tmpDir("graft-rq3-src")
+    val pend = tmpDir("graft-rq3-pend") + "/queue"
+    val dlq = tmpDir("graft-rq3-dlq") + "/dlq"
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[String]
+    val deliver = (k: String, _: String) => {
+      delivered.synchronized { delivered += k }; true
+    }
+    val keys = (1 to 25).map(i => (f"k$i%03d", "p"))
+    keys.toDF("key", "payload").write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("key STRING, payload STRING").parquet(src)
+    val q = Requeue.requeueOnFailure(stream, deliver, pend, dlq,
+      maxPerTrigger = 10)
+    try {
+      q.processAllAvailable()
+      assert(delivered.size == 10, "first round must stop at the cap")
+      assert(Requeue.pendingCount(spark, pend) == 15L)
+      pump(src, q, 3)
+    } finally q.stop()
+    // every real key delivered exactly once, in ordered-head batches
+    val real = delivered.filterNot(_.startsWith("__pump"))
+    assert(real.size == 25 && real.distinct.size == 25)
+    assert(real.take(10) == real.take(10).sorted)
+    assert(Requeue.pendingCount(spark, pend) == 0L)
+  }
+
+  test("an orphaned pending tmp (crash between delete and rename) is promoted") {
+    val src = tmpDir("graft-rq4-src")
+    val base = tmpDir("graft-rq4-pend")
+    val pend = base + "/queue"
+    val dlq = tmpDir("graft-rq4-dlq") + "/dlq"
+    // simulate the crash: only .queue.tmp exists, holding a queued record
+    Seq(("k_lost", "p", 1, 0L))
+      .toDF("key", "payload", "receive_count", "not_before")
+      .write.mode("overwrite").parquet(base + "/.queue.tmp")
+    val delivered = scala.collection.concurrent.TrieMap.empty[String, Int]
+    val deliver = (k: String, _: String) => {
+      delivered.updateWith(k)(v => Some(v.getOrElse(0) + 1)); true
+    }
+    Seq(("k_new", "p")).toDF("key", "payload").write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("key STRING, payload STRING").parquet(src)
+    val q = Requeue.requeueOnFailure(stream, deliver, pend, dlq)
+    try q.processAllAvailable() finally q.stop()
+    assert(delivered.keySet == Set("k_lost", "k_new"),
+      s"recovered delivery set: ${delivered.keySet}")
+  }
+}
