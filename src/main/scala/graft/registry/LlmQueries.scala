@@ -995,6 +995,59 @@ object LlmQueries {
           .orderBy("a_id", "b_id")
       }),
 
+    // ── Incremental batch-vs-corpus screening — the daily-ingest shape:
+    //    the delta (doc_id % 4 = 0 here) is screened against the
+    //    accumulated corpus WITHOUT a corpus self-join, from signatures
+    //    alone (llmops/IncrementalDedup: batch bands broadcast, corpus
+    //    cells semi-joined down to batch-touched ones then capped to the
+    //    64 smallest ids via the bounded top-k aggregate, verify =
+    //    matching permutation slots ≥ 32 of 64 ⇒ est. Jaccard ≥ 0.5).
+    //    The oracle replays the identical signatures, the identical
+    //    row_number-≤-64 cell cap, and the identical slot count.
+    sql("llm_dedup_incremental",
+      s"""WITH $ShingleCtes, sig AS (
+        |  SELECT doc_id, j,
+        |         min((((((j+1)*2654435761) % 2147483647) * g)
+        |              + (((j+17)*40503) % 2147483647)) % 2147483647) AS h
+        |  FROM gh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+        |  GROUP BY doc_id, j
+        |), bands AS (
+        |  SELECT doc_id, j // 4 AS band,
+        |         string_agg(CAST(h AS VARCHAR), '_' ORDER BY j) AS bkey
+        |  FROM sig GROUP BY doc_id, j // 4
+        |), bb AS (
+        |  SELECT doc_id AS b_id, band, bkey FROM bands WHERE doc_id % 4 = 0
+        |), cb AS (
+        |  SELECT doc_id AS c_id, band, bkey FROM bands WHERE doc_id % 4 <> 0
+        |  QUALIFY row_number() OVER (PARTITION BY band, bkey
+        |                             ORDER BY doc_id) <= 64
+        |), cand AS (
+        |  SELECT DISTINCT b.b_id, c.c_id
+        |  FROM bb b JOIN cb c USING (band, bkey)
+        |), est AS (
+        |  SELECT c.b_id, c.c_id,
+        |         CAST(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_match
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.b_id
+        |  JOIN sig sb ON sb.doc_id = c.c_id AND sb.j = sa.j
+        |  GROUP BY 1, 2
+        |)
+        |SELECT b_id, c_id, n_match,
+        |       CAST(n_match AS DOUBLE) / 64 AS est_jaccard
+        |FROM est WHERE n_match >= 32
+        |ORDER BY b_id, c_id""")(
+      (s, d) => {
+        // signatures ride the shared fused-aggregation cache; the split
+        // models "stored corpus sigs + today's delta" (the library's
+        // TxLog-backed store path is spec-gated in IncrementalDedupSpec)
+        val sigs = docGramStats(s, d).select(col("doc_id"), col("sig"))
+        graft.llmops.IncrementalDedup.screen(
+            sigs.filter(col("doc_id") % 4 === 0),
+            sigs.filter(col("doc_id") % 4 =!= 0))
+          .orderBy("b_id", "c_id")
+      }),
+
     // ── SimHash near-dup detection: vote aggregate → 31-bit fingerprint;
     //    pigeonhole chunk join bounds the pair search (hamming ≤ 3 ⇒ one
     //    of 4 chunks equal).
