@@ -35,4 +35,14 @@ object Text {
   val HashP = 2147483647L // 2^31 - 1; keeps a*g+b inside signed 64-bit
   def hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long") % HashP
+
+  /** Driver-side twin of [[hash60]] — bit-identical for any input (the
+    * index layer uses it to map a QUERY term to its postings shard
+    * without a Spark job). */
+  def hash60Value(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % HashP
+  }
 }

@@ -1,0 +1,187 @@
+package graft.query
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llmops.Text
+import graft.sources.TxLog
+
+/** O3 at 100 TB — a TERM-level inverted index serving BM25 without a
+  * corpus scan.
+  *
+  * The reference's `_score` ordering is OpenSearch's term index at work
+  * (`search.py:614,994,1311`): a query touches the postings of ITS OWN
+  * terms, never the corpus. [[Bm25.rank]] reproduces the scores exactly
+  * but pays a full tokenize+scan per query; this component is the
+  * lakehouse analogue of the inverted index itself:
+  *
+  *  - `postings` — one row per (doc, term): `(term, doc_id, tf, dl)`,
+  *    a [[TxLog]] table PARTITIONED BY a term-hash shard. A query reads
+  *    only its terms' shards (metadata-level partition pruning — at 64
+  *    shards and 3 query terms, ≤ 3/64ths of the postings, then the
+  *    term equality prunes further via parquet pushdown). The document
+  *    length is DENORMALIZED into the posting row — the classic index
+  *    layout choice — so scoring never joins a corpus-sized side.
+  *  - `stats` — a single-row table `(n, sumdl)` maintained
+  *    INCREMENTALLY by the index writers (add = +Δ, remove = −Δ):
+  *    index-wide idf comes from one broadcast row, not a corpus agg.
+  *
+  * Query cost is therefore Θ(postings of the query's terms): one pruned
+  * scan → broadcast idf/stats → per-row integer score → one map-side-
+  * combined doc aggregation → TakeOrderedAndProject top-k. The scores
+  * are the IDENTICAL fixed-point integers [[Bm25.rank]] computes — the
+  * `o3_bm25_rank_indexed` gate runs against the very same oracle SQL.
+  *
+  * Writers follow the [[TextIndex]] contract: the indexer that lands
+  * the documents maintains the index ([[indexDocs]]/[[removeDocs]] —
+  * idempotent keyed merges, atomic per batch, snapshot-isolated
+  * readers); one logical writer at a time (the multi-writer case is
+  * [[graft.sources.TxLog]]'s lease coordinator, as for any table).
+  */
+object TermIndex {
+
+  /** Term-hash partition count of the postings table. 64 keeps the
+    * shard count far below the file count at any real scale while
+    * pruning a few-term query's read to a few 64ths of the postings. */
+  val Shards = 64
+
+  private def postingsPath(root: String) = s"$root/postings"
+  private def statsPath(root: String) = s"$root/stats"
+
+  private def shardOf(term: Column): Column =
+    pmod(Text.hash60(term), lit(Shards)).cast("string")
+
+  /** Postings rows of a doc batch: `(shard, term, doc_id, tf, dl)`,
+    * keyed `shard#term#doc_id` for idempotent merge/remove. */
+  private def postingRows(docs: DataFrame, idCol: String,
+      tkCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(tkCol).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("long").as("tf"), first(col("dl")).as("dl"))
+      .select(
+        concat(shardOf(col("term")), lit("#"), col("term"), lit("#"),
+          col("doc_id").cast("string")).as("_docId"),
+        shardOf(col("term")).as("shard"),
+        col("term"), col("doc_id"), col("tf"), col("dl"))
+
+  private def readStats(spark: SparkSession, root: String): (Long, Long) =
+    if (!TxLog.isTable(spark, statsPath(root))) (0L, 0L)
+    else {
+      val r = TxLog.read(spark, statsPath(root))
+        .select("n", "sumdl").collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+
+  private def writeStats(spark: SparkSession, root: String,
+      n: Long, sumdl: Long): Unit = {
+    import spark.implicits._
+    TxLog.merge(spark, statsPath(root),
+      Seq(("s#corpus", "s", n, sumdl)).toDF("_docId", "_p", "n", "sumdl"),
+      keyCol = "_docId", partitionCol = "_p")
+  }
+
+  /** Add (or re-add — idempotent per doc content) a batch of documents
+    * `(idCol, tkCol)` to the index: one keyed merge into the touched
+    * postings shards plus the stats increment. Re-indexing a CHANGED
+    * doc must [[removeDocs]] the old version first (same contract as
+    * every inverted index: the writer knows the before-image). */
+  def indexDocs(spark: SparkSession, root: String, docs: DataFrame,
+      idCol: String = "doc_id", tkCol: String = "tk"): Unit = {
+    val rows = postingRows(docs, idCol, tkCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val d = rows.groupBy("doc_id").agg(first("dl").as("dl"))
+        .agg(count(lit(1)).cast("long"), sum("dl").cast("long")).collect()(0)
+      TxLog.merge(spark, postingsPath(root), rows,
+        keyCol = "_docId", partitionCol = "shard")
+      val (n0, s0) = readStats(spark, root)
+      writeStats(spark, root, n0 + d.getLong(0), s0 + d.getLong(1))
+    } finally { rows.unpersist(); () }
+  }
+
+  /** Remove a batch of documents. Takes the docs WITH their token
+    * arrays (the writer's before-image) so the delete is KEYED —
+    * precise `shard#term#doc` removals, never a postings scan. */
+  def removeDocs(spark: SparkSession, root: String, docs: DataFrame,
+      idCol: String = "doc_id", tkCol: String = "tk"): Unit = {
+    val rows = postingRows(docs, idCol, tkCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val d = rows.groupBy("doc_id").agg(first("dl").as("dl"))
+        .agg(count(lit(1)).cast("long"), sum("dl").cast("long")).collect()(0)
+      TxLog.merge(spark, postingsPath(root),
+        rows.limit(0), rows.select("_docId"),
+        keyCol = "_docId", partitionCol = "shard")
+      val (n0, s0) = readStats(spark, root)
+      writeStats(spark, root, n0 - d.getLong(0), s0 - d.getLong(1))
+    } finally { rows.unpersist(); () }
+  }
+
+  /** BM25 top-`k` served from the index — identical output contract to
+    * [[Bm25.rank]] over the same corpus: `(doc_id, score_fp)`, scores
+    * `> 0`, ordered `(score_fp DESC, doc_id)`. */
+  def rank(spark: SparkSession, root: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    graft.functions.GraftFunctions.register(spark)
+    val (n, sumdl) = readStats(spark, root)
+    if (n == 0L) { // empty index: nothing can match
+      import spark.implicits._
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score_fp")
+    }
+    val termShards: Set[String] = terms
+      .map(t => (math.floorMod(Text.hash60Value(t), Shards.toLong)).toString)
+      .toSet
+    // metadata-level partition pruning to the query terms' shards, then
+    // parquet-pushed term equality inside them
+    val posts = TxLog.read(spark, postingsPath(root),
+        partitions = Some(termShards))
+      .filter(col("term").isin(terms: _*))
+      .select("term", "doc_id", "tf", "dl")
+    // per-query-term document frequencies: an aggregation of the pruned
+    // postings themselves (tiny: ≤ |terms| rows out)
+    val idf = posts.groupBy("term")
+      .agg(count(lit(1)).cast("long").as("df"))
+      .select(col("term"), call_function("graft_log2_fp",
+        lit(n * 2 + 2), col("df") * 2L + lit(1L)).as("idf_fp"))
+    val scored = posts.join(broadcast(idf), "term")
+      .withColumn("score_t", expr(
+        s"(idf_fp * 44 * tf * 1024) DIV " +
+          s"((tf * 20 + 6) * 1024 + " +
+          s"dl * (($n * 18432) DIV $sumdl) + " +
+          s"(dl * (($n * 18432) % $sumdl)) DIV $sumdl)"))
+      .groupBy("doc_id")
+      .agg(sum("score_t").as("score_fp"))
+      .filter(col("score_fp") > 0)
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "score_fp")
+    scored
+  }
+
+  // ── build-once attachment for the gated query (dev/test shape; in
+  //    production the document writer maintains the index, TextIndex
+  //    contract) ─────────────────────────────────────────────────────
+
+  private val attached = new ConcurrentHashMap[String, String]()
+  private val processScope =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "-")
+
+  /** Index root for corpus `key`, built by `docs` on first use in this
+    * process (keyed merge — concurrent first callers converge). */
+  def attach(spark: SparkSession, key: String,
+      docs: => DataFrame): String =
+    attached.computeIfAbsent(key, { _ =>
+      val root = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-termindex-$processScope/${math.abs(key.hashCode)}"
+      indexDocs(spark, root, docs)
+      root
+    })
+}

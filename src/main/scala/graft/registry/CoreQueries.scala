@@ -285,6 +285,23 @@ object CoreQueries {
             graft.llmops.Text.tokens(col("text")).as("tk")),
         "doc_id", "tk", Seq("dup", "merge", "scan"), 100)),
 
+    // ── O3 served from the INVERTED INDEX (query/TermIndex): same
+    //    oracle as o3_bm25_rank — proving index-served ≡ scan-served —
+    //    but query cost is Θ(postings of the query's terms): term-shard
+    //    partition pruning + pushed term filter, corpus stats from the
+    //    incrementally-maintained one-row stats table, idf from the
+    //    pruned postings themselves. This is the OpenSearch shape the
+    //    reference actually queries (search.py:614,994,1311).
+    sql("o3_bm25_rank_indexed",
+      graft.query.Bm25.oracleSql(Seq("dup", "merge", "scan"), 100))(
+      (s, d) => {
+        val root = graft.query.TermIndex.attach(s, s"docs:$d",
+          t(s, d, "documents").filter(length(trim(col("text"))) > 0)
+            .select(col("doc_id"),
+              graft.llmops.Text.tokens(col("text")).as("tk")))
+        graft.query.TermIndex.rank(s, root, Seq("dup", "merge", "scan"), 100)
+      }),
+
     // ── O1: multi-field sort compilation (search.py:1305-1371).
     sql("o1_multisort",
       """SELECT c_custkey, c_name, c_acctbal FROM customer

@@ -1,0 +1,99 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.llmops.Text
+
+/** [[TermIndex]] — the BM25-serving inverted index: score parity with
+  * the corpus-scan ranker, incremental add/remove maintenance with
+  * stats tracking, and shard-level read pruning.
+  */
+class TermIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+
+  private def corpus(n: Int, offset: Int = 0): Seq[(Long, String)] =
+    (1 to n).map { i =>
+      val words = (1 to 20 + i % 30).map { k =>
+        val r = (i + offset) * 131 + k * 17
+        if (r % 11 == 0) "alpha" else if (r % 7 == 0) "beta" else s"w${r % 997}"
+      }
+      ((i + offset).toLong, words.mkString(" "))
+    }
+
+  private def ranked(df: DataFrame): Seq[(Long, Long)] =
+    df.as[(Long, Long)].collect().toSeq
+
+  private def fresh(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/idx"
+
+  test("index-served rank equals the corpus-scan ranker, term by term") {
+    val docs = docsOf(corpus(120))
+    val root = fresh("graft-ti")
+    TermIndex.indexDocs(spark, root, docs)
+    for (terms <- Seq(Seq("alpha"), Seq("alpha", "beta"),
+        Seq("beta", "w131", "nosuchterm"))) {
+      val viaIndex = ranked(TermIndex.rank(spark, root, terms, 50))
+      val viaScan = ranked(Bm25.rank(docs, "doc_id", "tk", terms, 50))
+      assert(viaIndex == viaScan, s"terms=$terms")
+    }
+  }
+
+  test("incremental adds and keyed removes match a fresh rebuild; stats track") {
+    val a = corpus(60)
+    val b = corpus(40, offset = 1000)
+    val root = fresh("graft-ti2")
+    TermIndex.indexDocs(spark, root, docsOf(a))
+    TermIndex.indexDocs(spark, root, docsOf(b))
+    val full = fresh("graft-ti2f")
+    TermIndex.indexDocs(spark, full, docsOf(a ++ b))
+    val terms = Seq("alpha", "beta")
+    assert(ranked(TermIndex.rank(spark, root, terms, 100)) ==
+      ranked(TermIndex.rank(spark, full, terms, 100)))
+    // remove half of batch b with its before-image tokens
+    val removed = b.filter(_._1 % 2 == 0)
+    TermIndex.removeDocs(spark, root, docsOf(removed))
+    val expect = fresh("graft-ti2r")
+    TermIndex.indexDocs(spark, expect,
+      docsOf(a ++ b.filterNot(_._1 % 2 == 0)))
+    assert(ranked(TermIndex.rank(spark, root, terms, 100)) ==
+      ranked(TermIndex.rank(spark, expect, terms, 100)))
+    // and the scan ranker agrees with the maintained index end-to-end
+    assert(ranked(TermIndex.rank(spark, root, terms, 100)) ==
+      ranked(Bm25.rank(docsOf(a ++ b.filterNot(_._1 % 2 == 0)),
+        "doc_id", "tk", terms, 100)))
+  }
+
+  test("a query's postings read prunes to its terms' shards") {
+    val root = fresh("graft-ti3")
+    TermIndex.indexDocs(spark, root, docsOf(corpus(200)))
+    val all = graft.sources.TxLog.read(spark, s"$root/postings")
+    val shard = math.floorMod(Text.hash60Value("alpha"),
+      TermIndex.Shards.toLong).toString
+    val pruned = graft.sources.TxLog.read(spark, s"$root/postings",
+      partitions = Some(Set(shard)))
+    assert(all.inputFiles.length > 1, "fixture must span multiple shards")
+    assert(pruned.inputFiles.length < all.inputFiles.length,
+      s"pruned ${pruned.inputFiles.length} vs ${all.inputFiles.length}")
+    // the pruned shard serves alpha completely: same posting rows
+    val a1 = all.filter(col("term") === "alpha").select("doc_id", "tf")
+      .as[(Long, Long)].collect().toSet
+    val a2 = pruned.filter(col("term") === "alpha").select("doc_id", "tf")
+      .as[(Long, Long)].collect().toSet
+    assert(a1 == a2 && a1.nonEmpty)
+  }
+
+  test("hash60Value is bit-identical to the hash60 column") {
+    val samples = Seq("alpha", "beta", "dup", "merge", "scan", "w131",
+      "Ünïcode-émoji", "", "a b", "0", "zzz")
+    val viaCol = samples.toDF("s")
+      .select(Text.hash60(col("s")).as("h")).as[Long].collect().toSeq
+    assert(viaCol == samples.map(Text.hash60Value))
+  }
+}
