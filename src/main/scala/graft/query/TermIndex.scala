@@ -165,6 +165,47 @@ object TermIndex {
     scored
   }
 
+  /** Maintain the index from a document table's CHANGE FEED — the
+    * reference's core indexing flow (`assetIndexer.py` consumes the
+    * DynamoDB stream and upserts OpenSearch docs; here the TxLog change
+    * feed drives the same maintenance): deletions and update
+    * pre-images are KEYED removals (the feed carries the before-image,
+    * satisfying [[removeDocs]]' contract for free), inserts and update
+    * post-images are merges. Returns the document-table version the
+    * index now reflects — callers loop `from = syncTx(...)` exactly
+    * like [[TextIndex.syncTx]] / `ChangeFeed.follow`. */
+  def syncTx(spark: SparkSession, docsTable: String, root: String,
+      fromVersion: Long, idCol: String = "doc_id",
+      textCol: String = "text"): Long = {
+    val head = TxLog.snapshot(spark, docsTable)
+    var from = fromVersion
+    if (from < 0) { // bootstrap: v0's snapshot as inserts (the
+      // change-feed stream source's first-batch convention)
+      indexDocs(spark, root,
+        TxLog.read(spark, docsTable, asOfVersion = Some(0L))
+          .filter(length(trim(col(textCol))) > 0)
+          .select(col(idCol), Text.tokens(col(textCol)).as("tk")),
+        idCol)
+      from = 0
+    }
+    if (head.version <= from) return head.version
+    val ch = TxLog.changes(spark, docsTable, from, head.version)
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), col(textCol), col("_change_type"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def toks(df: DataFrame): DataFrame =
+        df.select(col(idCol), Text.tokens(col(textCol)).as("tk"))
+      val removed = ch.filter(
+        col("_change_type").isin("delete", "update_preimage"))
+      if (!removed.isEmpty) removeDocs(spark, root, toks(removed), idCol)
+      val added = ch.filter(
+        col("_change_type").isin("insert", "update_postimage"))
+      if (!added.isEmpty) indexDocs(spark, root, toks(added), idCol)
+    } finally { ch.unpersist(); () }
+    head.version
+  }
+
   // ── build-once attachment for the gated query (dev/test shape; in
   //    production the document writer maintains the index, TextIndex
   //    contract) ─────────────────────────────────────────────────────

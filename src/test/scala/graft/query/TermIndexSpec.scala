@@ -89,6 +89,39 @@ class TermIndexSpec extends SparkSpec {
     assert(a1 == a2 && a1.nonEmpty)
   }
 
+  test("syncTx maintains the index from the document table's change feed") {
+    import graft.sources.TxLog
+    val docsTable = fresh("graft-ti4-docs")
+    val root = fresh("graft-ti4-idx")
+    def docRows(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text").select(
+        concat(lit("p"), (col("doc_id") % 4).cast("string"), lit("#"),
+          col("doc_id").cast("string")).as("_docId"),
+        concat(lit("p"), (col("doc_id") % 4).cast("string")).as("_p"),
+        col("doc_id"), col("text"))
+    def truth(): DataFrame = docsOf(
+      TxLog.read(spark, docsTable).select("doc_id", "text")
+        .as[(Long, String)].collect().toSeq)
+    val terms = Seq("alpha", "beta")
+    // v1: initial corpus → index catches up from 0
+    TxLog.merge(spark, docsTable, docRows(corpus(50)),
+      keyCol = "_docId", partitionCol = "_p")
+    var v = TermIndex.syncTx(spark, docsTable, root, -1L)
+    assert(ranked(TermIndex.rank(spark, root, terms, 100)) ==
+      ranked(Bm25.rank(truth(), "doc_id", "tk", terms, 100)))
+    // v2: update one doc's text, delete one, insert one → feed-driven
+    // remove (pre-image) + add (post-image) must keep exact parity
+    TxLog.merge(spark, docsTable,
+      docRows(Seq((7L, "alpha alpha beta only"), (1001L, "beta alpha new doc"))),
+      docRows(Seq((12L, ""))).select("_docId").limit(1),
+      keyCol = "_docId", partitionCol = "_p")
+    v = TermIndex.syncTx(spark, docsTable, root, v)
+    assert(ranked(TermIndex.rank(spark, root, terms, 100)) ==
+      ranked(Bm25.rank(truth(), "doc_id", "tk", terms, 100)))
+    // idle poll: version unchanged, index untouched
+    assert(TermIndex.syncTx(spark, docsTable, root, v) == v)
+  }
+
   test("hash60Value is bit-identical to the hash60 column") {
     val samples = Seq("alpha", "beta", "dup", "merge", "scan", "w131",
       "Ünïcode-émoji", "", "a b", "0", "zzz")
