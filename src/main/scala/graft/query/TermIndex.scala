@@ -70,12 +70,25 @@ object TermIndex {
         shardOf(col("term")).as("shard"),
         col("term"), col("doc_id"), col("tf"), col("dl"))
 
+  /** (root → (stats-table version, n, sumdl)): the one-row stats read
+    * costs a log replay + parquet read per query otherwise; caching by
+    * the COMMITTED VERSION keeps it correct under maintenance (any
+    * writer bumps the version, invalidating the entry) at the cost of
+    * a directory listing per query. */
+  private val statsCache = new ConcurrentHashMap[String, (Long, Long, Long)]()
+
   private def readStats(spark: SparkSession, root: String): (Long, Long) =
     if (!TxLog.isTable(spark, statsPath(root))) (0L, 0L)
     else {
-      val r = TxLog.read(spark, statsPath(root))
-        .select("n", "sumdl").collect()(0)
-      (r.getLong(0), r.getLong(1))
+      val v = TxLog.snapshot(spark, statsPath(root)).version
+      val hit = statsCache.get(root)
+      if (hit != null && hit._1 == v) (hit._2, hit._3)
+      else {
+        val r = TxLog.read(spark, statsPath(root), asOfVersion = Some(v))
+          .select("n", "sumdl").collect()(0)
+        statsCache.put(root, (v, r.getLong(0), r.getLong(1)))
+        (r.getLong(0), r.getLong(1))
+      }
     }
 
   private def writeStats(spark: SparkSession, root: String,
