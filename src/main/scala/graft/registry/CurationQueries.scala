@@ -1422,6 +1422,55 @@ object CurationQueries {
           .orderBy("cluster_size")
       }),
 
+    // ── Dedup APPLICATION — the operational endpoint of the pair/
+    //    component machinery: per source, the keep-list accounting a
+    //    training pipeline actually consumes. Cluster representative =
+    //    the component's min doc id (the component label itself), every
+    //    other member drops; docs outside any component are singletons
+    //    and keep. One corpus scan + a left join against the pair-graph-
+    //    sized label frame (broadcast: labels ≤ 2·|pairs|, tiny next to
+    //    the corpus by the banding contract) + one map-side-combined
+    //    groupBy.
+    sql("llm_dedup_apply",
+      s"""WITH RECURSIVE ${LlmQueries.ShingleCtes},
+        |${LlmQueries.SimhashPairCtes}, ${LlmQueries.ComponentCtes}, nt AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+        |         END AS n_tokens
+        |  FROM documents
+        |), k AS (
+        |  SELECT nt.source, nt.n_tokens,
+        |         (c.doc_id IS NULL OR c.comp = nt.doc_id) AS keep
+        |  FROM nt LEFT JOIN comp c ON c.doc_id = nt.doc_id
+        |)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_kept,
+        |       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+        |         AS n_dropped,
+        |       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+        |       CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+        |         AS tokens_kept
+        |FROM k GROUP BY source ORDER BY source""")(
+      (s, d) => {
+        val labels = LlmQueries.simhashComponents(s, d)
+          .select(col("node").as("doc_id"), col("comp"))
+        val nt = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            Text.nTokens(col("text")).as("n_tokens"))
+        val keep = coalesce(col("comp") === col("doc_id"), lit(true))
+        nt.join(broadcast(labels), Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(keep.cast("long")).as("n_kept"),
+            sum((!keep).cast("long")).as("n_dropped"),
+            sum(col("n_tokens")).as("tokens_total"),
+            sum(when(keep, col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+          .orderBy("source")
+      }),
+
     // ── Length-distribution histogram per source: documents binned by
     //    character count (64-char integer-division buckets — exact on
     //    both engines, no float binning). One map-side-combined groupBy
