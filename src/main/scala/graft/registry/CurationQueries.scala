@@ -1471,6 +1471,78 @@ object CurationQueries {
           .orderBy("source")
       }),
 
+    // ── Approximate token-count quantiles by DETERMINISTIC hash
+    //    sampling — the mergeable-sketch capability in an oracle-exact
+    //    form: the sample is the docs whose stable content-free hash
+    //    falls under the rate (here 1/8 for test-scale density;
+    //    production uses 1/2^k to size the sample), quantiles are the
+    //    exact nearest-rank elements OF THE SAMPLE, and exact global
+    //    min/max ride the same corpus scan as partial aggregates. Error
+    //    contract: each reported quantile's true rank deviates by
+    //    O(sqrt(q(1-q)/m)) for sample size m — honest, documented, and
+    //    every engine/rerun draws the SAME sample (no RNG state across
+    //    1000 executors). The only sort is sample-sized BY CONSTRUCTION
+    //    (the window partitions a frame the rate already shrank).
+    sql("llm_profile_quantiles",
+      s"""WITH nt AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+        |         END AS n
+        |  FROM documents
+        |), samp AS (
+        |  SELECT doc_id, n FROM nt
+        |  WHERE ${QueryDef.hashBucketSql(
+              "'quant:' || CAST(doc_id AS VARCHAR)")} % 8 = 0
+        |), r AS (
+        |  SELECT n, row_number() OVER (ORDER BY n, doc_id) AS rk,
+        |         count(*) OVER () AS m
+        |  FROM samp
+        |), q AS (
+        |  SELECT CAST(max(m) AS BIGINT) AS sample_n,
+        |         CAST(max(CASE WHEN rk = CAST(CEIL(0.25 * m) AS BIGINT)
+        |                       THEN n END) AS BIGINT) AS q25,
+        |         CAST(max(CASE WHEN rk = CAST(CEIL(0.50 * m) AS BIGINT)
+        |                       THEN n END) AS BIGINT) AS q50,
+        |         CAST(max(CASE WHEN rk = CAST(CEIL(0.75 * m) AS BIGINT)
+        |                       THEN n END) AS BIGINT) AS q75,
+        |         CAST(max(CASE WHEN rk = CAST(CEIL(0.95 * m) AS BIGINT)
+        |                       THEN n END) AS BIGINT) AS q95
+        |  FROM r
+        |), g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(min(n) AS BIGINT) AS min_tokens,
+        |         CAST(max(n) AS BIGINT) AS max_tokens
+        |  FROM nt
+        |)
+        |SELECT g.n_docs, g.min_tokens, g.max_tokens,
+        |       q.sample_n, q.q25, q.q50, q.q75, q.q95
+        |FROM g CROSS JOIN q""")(
+      (s, d) => {
+        val nt = t(s, d, "documents")
+          .select(col("doc_id"), Text.nTokens(col("text")).as("n"))
+        val h = Text.hash60(
+          concat(lit("quant:"), col("doc_id").cast("string")))
+        val samp = nt.filter(h % 8 === 0)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n"), col("doc_id"))
+        val r = samp
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("m", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)))
+        def qAt(p: Double, name: String) =
+          max(when(col("rk") === ceil(lit(p) * col("m")).cast("long"),
+            col("n"))).cast("long").as(name)
+        val q = r.agg(max(col("m")).cast("long").as("sample_n"),
+          qAt(0.25, "q25"), qAt(0.50, "q50"), qAt(0.75, "q75"),
+          qAt(0.95, "q95"))
+        val g = nt.agg(count(lit(1)).cast("long").as("n_docs"),
+          min("n").cast("long").as("min_tokens"),
+          max("n").cast("long").as("max_tokens"))
+        g.crossJoin(broadcast(q))
+      }),
+
     // ── Length-distribution histogram per source: documents binned by
     //    character count (64-char integer-division buckets — exact on
     //    both engines, no float binning). One map-side-combined groupBy

@@ -182,6 +182,27 @@ class PlanShapeSpec extends SparkSpec {
       }
   }
 
+  test("O5 over-fetch shim: bounded top-k window, no row_number shuffle") {
+    // the pre-auth window is ≤ 10k rows by the reference's own cap —
+    // it must plan as a top-k, and the whole shim must never fall back
+    // to a Window operator (the page slice is native offset+limit)
+    val p = plan("o5_auth_overfetch")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("Window"), s"row_number fallback in o5:\n${p.take(1500)}")
+  }
+
+  test("S11 multipart completion has no windows; rollups partial-aggregate") {
+    // two upload-keyed groupBys + a broadcastable dim join — the sorted
+    // part collect is an aggregate (sort_array over collect_list), not
+    // a Window; the only sort is the output ORDER BY
+    val p = plan("s11_multipart_complete")
+    assert(!p.contains("Window"), p.take(1500))
+    val exchangeIdx = p.indexOf("Exchange")
+    val partialIdx = p.indexOf("partial_")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"expected map-side partial agg below the Exchange:\n${p.take(2000)}")
+  }
+
   test("keyset cursor predicate reaches the parquet scan") {
     val p = plan("o6_keyset_pagination")
     assert(p.contains("PushedFilters:") && p.contains("GreaterThan(c_custkey"),
