@@ -136,11 +136,13 @@ object TermIndex {
     } finally { rows.unpersist(); () }
   }
 
-  /** BM25 top-`k` served from the index — identical output contract to
-    * [[Bm25.rank]] over the same corpus: `(doc_id, score_fp)`, scores
-    * `> 0`, ordered `(score_fp DESC, doc_id)`. */
-  def rank(spark: SparkSession, root: String, terms: Seq[String],
-      k: Int): DataFrame = {
+  /** Fixed-point BM25 scores of EVERY doc matching ≥ 1 query term,
+    * served from the index: `(doc_id, score_fp)` with `score_fp > 0`.
+    * The building block under [[rank]] (top-k) and under index-served
+    * search façades (join the filtered hit set against this — still
+    * Θ(postings of the query's terms), never a corpus pass). */
+  def scores(spark: SparkSession, root: String,
+      terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
     graft.functions.GraftFunctions.register(spark)
     val (n, sumdl) = readStats(spark, root)
@@ -172,11 +174,19 @@ object TermIndex {
       .groupBy("doc_id")
       .agg(sum("score_t").as("score_fp"))
       .filter(col("score_fp") > 0)
-      .orderBy(col("score_fp").desc, col("doc_id"))
-      .limit(k)
       .select("doc_id", "score_fp")
     scored
   }
+
+  /** BM25 top-`k` served from the index — identical output contract to
+    * [[Bm25.rank]] over the same corpus: `(doc_id, score_fp)`, scores
+    * `> 0`, ordered `(score_fp DESC, doc_id)`, as a
+    * TakeOrderedAndProject over [[scores]]. */
+  def rank(spark: SparkSession, root: String, terms: Seq[String],
+      k: Int): DataFrame =
+    scores(spark, root, terms)
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(k)
 
   /** Maintain the index from a document table's CHANGE FEED — the
     * reference's core indexing flow (`assetIndexer.py` consumes the

@@ -29,6 +29,63 @@ object ApiQueries {
 
   private val Q = "customer#00000012"
 
+  /** Oracle SQL of the BM25 facade — shared by the corpus-scan gate
+    * (`search_advanced_bm25`) and the index-served twin
+    * (`search_advanced_bm25_indexed`): identical expected output proves
+    * index-served ≡ scan-served at the facade level too. */
+  private val Bm25FacadeOracle: String = {
+      val fields = Seq("str_assetname", "str_description", "str_assetid",
+        "str_databaseid", "str_assettype")
+      val catSql = fields.mkString(" || ' ' || ")
+      s"""WITH docs AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS _docid,
+        |         c_name AS str_assetname,
+        |         o_orderstatus AS str_assettype,
+        |         o_orderpriority AS str_databaseid,
+        |         c_mktsegment AS str_description,
+        |         CAST(o_orderkey AS VARCHAR) AS str_assetid,
+        |         (o_orderstatus = 'F') AS bool_archived
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |), toks AS (
+        |  SELECT *, regexp_split_to_array(trim(lower($catSql)), '\\s+') AS tk
+        |  FROM docs
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(len(tk)) AS BIGINT) AS sumdl
+        |  FROM toks
+        |), terms(term) AS (VALUES ('building'), ('2-high')),
+        |tdf AS (
+        |  SELECT t.term,
+        |         CAST(SUM(CASE WHEN list_contains(d.tk, t.term)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS df
+        |  FROM terms t CROSS JOIN toks d GROUP BY t.term
+        |),
+        |${graft.query.Bm25.idfSeedSql},
+        |${graft.query.Bm25.idfStepsSql},
+        |idf AS (SELECT term, (e << 20) + f AS idf_fp FROM l20),
+        |f AS (
+        |  SELECT * FROM toks
+        |  WHERE NOT bool_archived
+        |    AND str_databaseid IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        |    AND str_assettype = 'O'
+        |), scored AS (
+        |  SELECT d._docid, d.str_assetname, d.str_databaseid,
+        |         CAST(SUM(
+        |           (i.idf_fp * 44
+        |             * len(list_filter(d.tk, x -> x = i.term)) * 1024) //
+        |           ((len(list_filter(d.tk, x -> x = i.term)) * 20 + 6) * 1024
+        |             + len(d.tk) * ((s.n * 18432) // s.sumdl)
+        |             + (len(d.tk) * ((s.n * 18432) % s.sumdl)) // s.sumdl)
+        |         ) AS BIGINT) AS score_fp
+        |  FROM f d CROSS JOIN idf i, stats s
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT _docid, str_assetname, str_databaseid,
+        |       CAST(score_fp AS DOUBLE) AS _score
+        |FROM scored WHERE score_fp >= 1
+        |ORDER BY _score DESC, _docid
+        |LIMIT 20 OFFSET 5"""}
+
   val defs: Seq[QueryDef] = Seq(
     sql("search_advanced",
       s"""WITH docs AS (
@@ -86,58 +143,7 @@ object ApiQueries {
     //    like OpenSearch's index-wide idf, fixed-point arithmetic so
     //    the oracle hash-matches (see query/Bm25.scala). The oracle
     //    replays the identical integer idf recurrence over the docs CTE.
-    sql("search_advanced_bm25", {
-      val fields = Seq("str_assetname", "str_description", "str_assetid",
-        "str_databaseid", "str_assettype")
-      val catSql = fields.mkString(" || ' ' || ")
-      s"""WITH docs AS (
-        |  SELECT CAST(o_orderkey AS VARCHAR) AS _docid,
-        |         c_name AS str_assetname,
-        |         o_orderstatus AS str_assettype,
-        |         o_orderpriority AS str_databaseid,
-        |         c_mktsegment AS str_description,
-        |         CAST(o_orderkey AS VARCHAR) AS str_assetid,
-        |         (o_orderstatus = 'F') AS bool_archived
-        |  FROM orders JOIN customer ON o_custkey = c_custkey
-        |), toks AS (
-        |  SELECT *, regexp_split_to_array(trim(lower($catSql)), '\\s+') AS tk
-        |  FROM docs
-        |), stats AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        |         CAST(SUM(len(tk)) AS BIGINT) AS sumdl
-        |  FROM toks
-        |), terms(term) AS (VALUES ('building'), ('2-high')),
-        |tdf AS (
-        |  SELECT t.term,
-        |         CAST(SUM(CASE WHEN list_contains(d.tk, t.term)
-        |                       THEN 1 ELSE 0 END) AS BIGINT) AS df
-        |  FROM terms t CROSS JOIN toks d GROUP BY t.term
-        |),
-        |${graft.query.Bm25.idfSeedSql},
-        |${graft.query.Bm25.idfStepsSql},
-        |idf AS (SELECT term, (e << 20) + f AS idf_fp FROM l20),
-        |f AS (
-        |  SELECT * FROM toks
-        |  WHERE NOT bool_archived
-        |    AND str_databaseid IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
-        |    AND str_assettype = 'O'
-        |), scored AS (
-        |  SELECT d._docid, d.str_assetname, d.str_databaseid,
-        |         CAST(SUM(
-        |           (i.idf_fp * 44
-        |             * len(list_filter(d.tk, x -> x = i.term)) * 1024) //
-        |           ((len(list_filter(d.tk, x -> x = i.term)) * 20 + 6) * 1024
-        |             + len(d.tk) * ((s.n * 18432) // s.sumdl)
-        |             + (len(d.tk) * ((s.n * 18432) % s.sumdl)) // s.sumdl)
-        |         ) AS BIGINT) AS score_fp
-        |  FROM f d CROSS JOIN idf i, stats s
-        |  GROUP BY 1, 2, 3
-        |)
-        |SELECT _docid, str_assetname, str_databaseid,
-        |       CAST(score_fp AS DOUBLE) AS _score
-        |FROM scored WHERE score_fp >= 1
-        |ORDER BY _score DESC, _docid
-        |LIMIT 20 OFFSET 5"""})(
+    sql("search_advanced_bm25", Bm25FacadeOracle)(
       (s, d) => {
         val req = SearchRequest(
           query = Some("building 2-high"),
@@ -147,6 +153,37 @@ object ApiQueries {
           from = 5, size = 20)
         SearchApi.search(docs(s, d), req).hits
           .select("_docId", "str_assetname", "str_databaseid", "_score")
+      }),
+
+    // ── The facade served from the INVERTED INDEX (query/TermIndex)
+    //    under the SAME oracle: pushed-down filters select the hit set,
+    //    `_score` comes from the postings of the query's two terms
+    //    (shard-pruned read, never a corpus tokenize), and the page is
+    //    native top-k + offset. This is the reference's actual split of
+    //    labor — OpenSearch filters AND scores from its index — now
+    //    reproduced end-to-end with hash-identical scores.
+    sql("search_advanced_bm25_indexed", Bm25FacadeOracle)(
+      (s, d) => {
+        val fields = Seq("str_assetname", "str_description", "str_assetid",
+          "str_databaseid", "str_assettype")
+        val corpus = docs(s, d)
+        val tk = split(trim(lower(concat_ws(" ", fields.map(col): _*))),
+          "\\s+")
+        val root = graft.query.TermIndex.attach(s, s"facade:$d",
+          corpus.select(col("_docId").cast("long").as("doc_id"), tk.as("tk")))
+        val scores = graft.query.TermIndex
+          .scores(s, root, Seq("building", "2-high"))
+          .select(col("doc_id").cast("string").as("_docId"), col("score_fp"))
+        corpus
+          .filter(!col("bool_archived") &&
+            col("str_databaseid").isin("1-URGENT", "2-HIGH", "3-MEDIUM") &&
+            col("str_assettype") === "O")
+          .join(scores, "_docId")
+          .filter(col("score_fp") >= 1)
+          .select(col("_docId"), col("str_assetname"), col("str_databaseid"),
+            col("score_fp").cast("double").as("_score"))
+          .orderBy(col("_score").desc, col("_docId"))
+          .offset(5).limit(20)
       })
   )
 }
