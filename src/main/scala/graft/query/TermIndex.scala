@@ -165,12 +165,18 @@ object TermIndex {
       .agg(count(lit(1)).cast("long").as("df"))
       .select(col("term"), call_function("graft_log2_fp",
         lit(n * 2 + 2), col("df") * 2L + lit(1L)).as("idf_fp"))
+    // the length-norm constants q = (18432·n) DIV Σdl, r = (18432·n)
+    // MOD Σdl are LONG math on the driver (18432·n is safe for any
+    // n < 5·10^14 docs — Bm25.scala's documented bound) and enter the
+    // SQL as L-suffixed BIGINT literals: a bare interpolated integer
+    // parses as INT32 and overflows under ANSI once n·18432 > 2^31
+    val q = n * 18432L / sumdl
+    val r = n * 18432L % sumdl
     val scored = posts.join(broadcast(idf), "term")
       .withColumn("score_t", expr(
         s"(idf_fp * 44 * tf * 1024) DIV " +
           s"((tf * 20 + 6) * 1024 + " +
-          s"dl * (($n * 18432) DIV $sumdl) + " +
-          s"(dl * (($n * 18432) % $sumdl)) DIV $sumdl)"))
+          s"dl * ${q}L + (dl * ${r}L) DIV ${sumdl}L)"))
       .groupBy("doc_id")
       .agg(sum("score_t").as("score_fp"))
       .filter(col("score_fp") > 0)
