@@ -194,6 +194,22 @@ object TermIndex {
       .orderBy(col("score_fp").desc, col("doc_id"))
       .limit(k)
 
+  /** Index maintenance hygiene: every [[indexDocs]]/[[syncTx]] batch
+    * adds a file per touched shard, so a long-lived follower fragments
+    * the postings table. Key-clustered COMPACTION folds the fragments
+    * (per shard, key-disjoint output files with tight footer stats —
+    * the same TxLog maintenance every table gets) and the VACUUM
+    * reclaims superseded files: postings are DERIVED data nobody
+    * time-travels, the [[TextIndex.syncTx]] precedent. Safe to run
+    * concurrently with readers (snapshot isolation) and retried under
+    * writer conflicts. */
+  def optimize(spark: SparkSession, root: String): Unit = {
+    TxLog.compact(spark, postingsPath(root),
+      partitionCol = "shard", keyCol = "_docId")
+    TxLog.vacuum(spark, postingsPath(root))
+    ()
+  }
+
   /** Maintain the index from a document table's CHANGE FEED — the
     * reference's core indexing flow (`assetIndexer.py` consumes the
     * DynamoDB stream and upserts OpenSearch docs; here the TxLog change

@@ -122,6 +122,50 @@ class TermIndexSpec extends SparkSpec {
     assert(TermIndex.syncTx(spark, docsTable, root, v) == v)
   }
 
+  test("live follower + optimize: CDC-maintained index stays exact; compaction defragments") {
+    import graft.sources.TxLog
+    val docsTable = fresh("graft-ti5-docs")
+    val root = fresh("graft-ti5-idx")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ti5-ck").toString
+    def docRows(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text").select(
+        concat(lit("p"), (col("doc_id") % 4).cast("string"), lit("#"),
+          col("doc_id").cast("string")).as("_docId"),
+        concat(lit("p"), (col("doc_id") % 4).cast("string")).as("_p"),
+        col("doc_id"), col("text"))
+    TxLog.merge(spark, docsTable, docRows(corpus(20)),
+      keyCol = "_docId", partitionCol = "_p")
+    // live follower: the change feed drives syncTx exactly like the
+    // TextIndex chain — cursor state is the index's reflected version
+    var cursor = -1L
+    val q = graft.streaming.ChangeFeed.follow(spark, docsTable, ckpt) {
+      (_, _, _) => cursor = TermIndex.syncTx(spark, docsTable, root, cursor)
+    }
+    try {
+      q.processAllAvailable()
+      // five more commits arriving while the follower runs — each adds
+      // a file per touched shard (fragmentation under maintenance)
+      (1 to 5).foreach { i =>
+        TxLog.merge(spark, docsTable,
+          docRows(corpus(6, offset = 1000 * i)),
+          keyCol = "_docId", partitionCol = "_p")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val truth = docsOf(TxLog.read(spark, docsTable).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq)
+    val terms = Seq("alpha", "beta")
+    val before = ranked(TermIndex.rank(spark, root, terms, 100))
+    assert(before == ranked(Bm25.rank(truth, "doc_id", "tk", terms, 100)))
+    val filesBefore = TxLog.read(spark, s"$root/postings").inputFiles.length
+    TermIndex.optimize(spark, root)
+    val filesAfter = TxLog.read(spark, s"$root/postings").inputFiles.length
+    assert(filesAfter < filesBefore,
+      s"compaction did not shrink the postings: $filesBefore -> $filesAfter")
+    assert(ranked(TermIndex.rank(spark, root, terms, 100)) == before,
+      "optimize changed ranking results")
+  }
+
   test("hash60Value is bit-identical to the hash60 column") {
     val samples = Seq("alpha", "beta", "dup", "merge", "scan", "w131",
       "Ünïcode-émoji", "", "a b", "0", "zzz")
