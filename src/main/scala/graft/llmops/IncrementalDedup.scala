@@ -22,8 +22,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * store scale the gram sets are long gone, and n_match/64 is the
   * standard unbiased Jaccard estimator. The screen is therefore
   * probabilistic BY CONTRACT (the same contract every production
-  * signature store accepts); batch-internal duplicates get the exact
-  * path, which still has the full text.
+  * signature store accepts); a caller holding the delta's full text can
+  * always exact-verify the reported pairs afterwards.
   *
   * Skew: a corpus band cell holding k exact duplicates would emit k
   * rows per colliding batch doc. Cells are capped to the `maxCell`
@@ -152,9 +152,10 @@ object IncrementalDedup {
     * signatures into the store so later batches screen against them —
     * the arrival order of batches defines who is "first" (the
     * reference's CDC consumers make the same choice; LWW on
-    * redelivery). Batch-INTERNAL duplicates resolve in step 3's merge
-    * (one signature survives per key) and in later screens, mirroring
-    * SQS at-least-once. */
+    * redelivery). Batch-INTERNAL duplicates are screened too — the
+    * delta self-screens (small×small) and the LOWER doc id wins, so
+    * two copies arriving in one micro-batch yield one novel doc and
+    * one flagged dup, exactly as if they had arrived in order. */
   def streamScreen(newDocs: DataFrame, storePath: String,
       sink: DataFrame => Unit, idCol: String = "doc_id",
       textCol: String = "text"): StreamingQuery =
@@ -169,7 +170,11 @@ object IncrementalDedup {
             if (graft.sources.TxLog.isTable(spark, storePath))
               loadSignatures(spark, storePath)
             else sigs.limit(0)
+          // store screen ∪ batch-internal self-screen (lower id wins;
+          // self-pairs drop on the strict inequality)
           val hits = screen(sigs, store, idCol)
+            .unionByName(screen(sigs, sigs, idCol)
+              .filter(col("b_id") > col("c_id")))
             .groupBy(col("b_id").as(idCol))
             .agg(max(struct(col("n_match"), col("c_id"))).as("m"))
             .select(col(idCol), col("m.c_id").as("dup_of"),

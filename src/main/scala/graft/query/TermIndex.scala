@@ -24,9 +24,15 @@ import graft.sources.TxLog
   *    term equality prunes further via parquet pushdown). The document
   *    length is DENORMALIZED into the posting row — the classic index
   *    layout choice — so scoring never joins a corpus-sized side.
-  *  - `stats` — a single-row table `(n, sumdl)` maintained
-  *    INCREMENTALLY by the index writers (add = +Δ, remove = −Δ):
-  *    index-wide idf comes from one broadcast row, not a corpus agg.
+  *  - `doclen` — one row per doc `(doc_id, dl)`, keyed and partitioned
+  *    by a doc-id shard. The corpus stats (n, Σdl) derive from it by ONE
+  *    aggregation per COMMITTED VERSION (cached below): queries between
+  *    maintenance cycles pay zero, and because doclen mutates only
+  *    through keyed merges/removes, add/remove are IDEMPOTENT — a
+  *    replayed batch cannot drift the stats (an incremental +Δ/−Δ
+  *    counter would double-count on redelivery). At extreme scale the
+  *    aggregate itself can be maintained by `IncrementalAgg` off the
+  *    doclen change feed; the contract here stays the same.
   *
   * Query cost is therefore Θ(postings of the query's terms): one pruned
   * scan → broadcast idf/stats → per-row integer score → one map-side-
@@ -48,7 +54,7 @@ object TermIndex {
   val Shards = 64
 
   private def postingsPath(root: String) = s"$root/postings"
-  private def statsPath(root: String) = s"$root/stats"
+  private def doclenPath(root: String) = s"$root/doclen"
 
   private def shardOf(term: Column): Column =
     pmod(Text.hash60(term), lit(Shards)).cast("string")
@@ -70,70 +76,80 @@ object TermIndex {
         shardOf(col("term")).as("shard"),
         col("term"), col("doc_id"), col("tf"), col("dl"))
 
-  /** (root → (stats-table version, n, sumdl)): the one-row stats read
-    * costs a log replay + parquet read per query otherwise; caching by
-    * the COMMITTED VERSION keeps it correct under maintenance (any
-    * writer bumps the version, invalidating the entry) at the cost of
-    * a directory listing per query. */
+  /** Doclen rows of a doc batch: keyed `shard#doc_id`, partitioned by
+    * a doc-id shard (independent of the TERM sharding — a doc's length
+    * row has one home regardless of its vocabulary). */
+  private def doclenRows(docs: DataFrame, idCol: String,
+      tkCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(tkCol).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(
+        concat(pmod(col("doc_id"), lit(Shards.toLong)).cast("string"),
+          lit("#"), col("doc_id").cast("string")).as("_docId"),
+        pmod(col("doc_id"), lit(Shards.toLong)).cast("string").as("dshard"),
+        col("doc_id"), size(col("tk")).cast("long").as("dl"))
+
+  /** (root → (doclen version, n, sumdl)): corpus stats derive from the
+    * doclen table by ONE aggregation per committed version — the cache
+    * key IS the version, so any maintenance invalidates it and queries
+    * between maintenance cycles pay a directory listing, not a job. */
   private val statsCache = new ConcurrentHashMap[String, (Long, Long, Long)]()
 
   private def readStats(spark: SparkSession, root: String): (Long, Long) =
-    if (!TxLog.isTable(spark, statsPath(root))) (0L, 0L)
+    if (!TxLog.isTable(spark, doclenPath(root))) (0L, 0L)
     else {
-      val v = TxLog.snapshot(spark, statsPath(root)).version
+      val v = TxLog.snapshot(spark, doclenPath(root)).version
       val hit = statsCache.get(root)
       if (hit != null && hit._1 == v) (hit._2, hit._3)
       else {
-        val r = TxLog.read(spark, statsPath(root), asOfVersion = Some(v))
-          .select("n", "sumdl").collect()(0)
+        val r = TxLog.read(spark, doclenPath(root), asOfVersion = Some(v))
+          .agg(count(lit(1)).cast("long"),
+            coalesce(sum("dl"), lit(0L)).cast("long")).collect()(0)
         statsCache.put(root, (v, r.getLong(0), r.getLong(1)))
         (r.getLong(0), r.getLong(1))
       }
     }
 
-  private def writeStats(spark: SparkSession, root: String,
-      n: Long, sumdl: Long): Unit = {
-    import spark.implicits._
-    TxLog.merge(spark, statsPath(root),
-      Seq(("s#corpus", "s", n, sumdl)).toDF("_docId", "_p", "n", "sumdl"),
-      keyCol = "_docId", partitionCol = "_p")
-  }
-
-  /** Add (or re-add — idempotent per doc content) a batch of documents
-    * `(idCol, tkCol)` to the index: one keyed merge into the touched
-    * postings shards plus the stats increment. Re-indexing a CHANGED
-    * doc must [[removeDocs]] the old version first (same contract as
-    * every inverted index: the writer knows the before-image). */
+  /** Add (or re-add) a batch of documents `(idCol, tkCol)`: keyed
+    * merges into the touched postings shards and the doclen table.
+    * IDEMPOTENT — replaying the same batch converges (both merges are
+    * keyed; the stats derive from doclen, so nothing double-counts).
+    * Re-indexing a CHANGED doc must [[removeDocs]] the old version
+    * first (same contract as every inverted index: the writer knows
+    * the before-image). */
   def indexDocs(spark: SparkSession, root: String, docs: DataFrame,
       idCol: String = "doc_id", tkCol: String = "tk"): Unit = {
-    val rows = postingRows(docs, idCol, tkCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val d = rows.groupBy("doc_id").agg(first("dl").as("dl"))
-        .agg(count(lit(1)).cast("long"), sum("dl").cast("long")).collect()(0)
-      TxLog.merge(spark, postingsPath(root), rows,
-        keyCol = "_docId", partitionCol = "shard")
-      val (n0, s0) = readStats(spark, root)
-      writeStats(spark, root, n0 + d.getLong(0), s0 + d.getLong(1))
-    } finally { rows.unpersist(); () }
+    TxLog.merge(spark, postingsPath(root), postingRows(docs, idCol, tkCol),
+      keyCol = "_docId", partitionCol = "shard")
+    TxLog.merge(spark, doclenPath(root), doclenRows(docs, idCol, tkCol),
+      keyCol = "_docId", partitionCol = "dshard")
   }
 
   /** Remove a batch of documents. Takes the docs WITH their token
     * arrays (the writer's before-image) so the delete is KEYED —
-    * precise `shard#term#doc` removals, never a postings scan. */
+    * precise `shard#term#doc` removals, never a postings scan.
+    * Idempotent like [[indexDocs]] (removing an absent key no-ops). */
   def removeDocs(spark: SparkSession, root: String, docs: DataFrame,
       idCol: String = "doc_id", tkCol: String = "tk"): Unit = {
-    val rows = postingRows(docs, idCol, tkCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val d = rows.groupBy("doc_id").agg(first("dl").as("dl"))
-        .agg(count(lit(1)).cast("long"), sum("dl").cast("long")).collect()(0)
-      TxLog.merge(spark, postingsPath(root),
-        rows.limit(0), rows.select("_docId"),
-        keyCol = "_docId", partitionCol = "shard")
-      val (n0, s0) = readStats(spark, root)
-      writeStats(spark, root, n0 - d.getLong(0), s0 - d.getLong(1))
-    } finally { rows.unpersist(); () }
+    // idempotence requires tolerating keys whose partition has already
+    // emptied out (a replayed removal): restrict the delete set to the
+    // partitions the table still commits — removing an absent key from
+    // a LIVE partition is already a no-op, and a fully-gone partition
+    // has nothing left to remove (TxLog's key-shape guard would refuse
+    // the dangling reference otherwise)
+    def rm(path: String, rows: DataFrame, partCol: String): Unit = {
+      if (!TxLog.isTable(spark, path)) return
+      val live = TxLog.snapshot(spark, path).files.map(_.partition).toSet
+      if (live.isEmpty) return
+      val keys = rows.select("_docId").filter(
+        split(col("_docId"), "#").getItem(0).isin(live.toSeq: _*))
+      if (!keys.isEmpty)
+        TxLog.merge(spark, path, rows.limit(0), keys,
+          keyCol = "_docId", partitionCol = partCol)
+    }
+    rm(postingsPath(root), postingRows(docs, idCol, tkCol), "shard")
+    rm(doclenPath(root), doclenRows(docs, idCol, tkCol), "dshard")
   }
 
   /** Fixed-point BM25 scores of EVERY doc matching ≥ 1 query term,
@@ -207,6 +223,9 @@ object TermIndex {
     TxLog.compact(spark, postingsPath(root),
       partitionCol = "shard", keyCol = "_docId")
     TxLog.vacuum(spark, postingsPath(root))
+    TxLog.compact(spark, doclenPath(root),
+      partitionCol = "dshard", keyCol = "_docId")
+    TxLog.vacuum(spark, doclenPath(root))
     ()
   }
 

@@ -70,6 +70,31 @@ class TermIndexSpec extends SparkSpec {
         "doc_id", "tk", terms, 100)))
   }
 
+  test("replaying an index batch is idempotent: no stats drift, same ranking") {
+    val batch = docsOf(corpus(80))
+    val once = fresh("graft-ti-i1")
+    TermIndex.indexDocs(spark, once, batch)
+    val thrice = fresh("graft-ti-i3")
+    // redelivery: the same batch indexed three times (crash-replay shape)
+    TermIndex.indexDocs(spark, thrice, batch)
+    TermIndex.indexDocs(spark, thrice, batch)
+    TermIndex.indexDocs(spark, thrice, batch)
+    val terms = Seq("alpha", "beta")
+    // scores embed (n, sumdl): equal rankings prove the stats did not
+    // double-count (an incremental +delta counter would have tripled them)
+    assert(ranked(TermIndex.rank(spark, thrice, terms, 100)) ==
+      ranked(TermIndex.rank(spark, once, terms, 100)))
+    // and double-removal converges too
+    val removed = corpus(80).filter(_._1 % 3 == 0)
+    TermIndex.removeDocs(spark, thrice, docsOf(removed))
+    TermIndex.removeDocs(spark, thrice, docsOf(removed))
+    val expect = fresh("graft-ti-i1r")
+    TermIndex.indexDocs(spark, expect,
+      docsOf(corpus(80).filterNot(_._1 % 3 == 0)))
+    assert(ranked(TermIndex.rank(spark, thrice, terms, 100)) ==
+      ranked(TermIndex.rank(spark, expect, terms, 100)))
+  }
+
   test("a query's postings read prunes to its terms' shards") {
     val root = fresh("graft-ti3")
     TermIndex.indexDocs(spark, root, docsOf(corpus(200)))
