@@ -155,7 +155,11 @@ object IncrementalDedup {
     * redelivery). Batch-INTERNAL duplicates are screened too — the
     * delta self-screens (small×small) and the LOWER doc id wins, so
     * two copies arriving in one micro-batch yield one novel doc and
-    * one flagged dup, exactly as if they had arrived in order. */
+    * one flagged dup, exactly as if they had arrived in order. Docs too
+    * short to shingle (< 3 tokens) carry no signature: they surface in
+    * the sink as is_dup = false and are never stored — sub-shingle
+    * dedup is exact-hash territory (`llm_dedup_exact`/BloomDedup), not
+    * MinHash's. */
   def streamScreen(newDocs: DataFrame, storePath: String,
       sink: DataFrame => Unit, idCol: String = "doc_id",
       textCol: String = "text"): StreamingQuery =
@@ -179,7 +183,12 @@ object IncrementalDedup {
             .agg(max(struct(col("n_match"), col("c_id"))).as("m"))
             .select(col(idCol), col("m.c_id").as("dup_of"),
               col("m.n_match").as("n_match"))
-          val flagged = sigs.select(col(idCol))
+          // the sink contract covers EVERY batch doc: docs too short to
+          // shingle (< 3 tokens, or empty) have no signature, cannot be
+          // screened, and pass as is_dup = false with a null dup_of —
+          // deriving the id set from `batch` (not from `sigs`) is what
+          // keeps them from silently vanishing from the verdict frame
+          val flagged = batch.select(col(idCol)).distinct()
             .join(hits, Seq(idCol), "left")
             .withColumn("is_dup", col("dup_of").isNotNull)
           sink(flagged)

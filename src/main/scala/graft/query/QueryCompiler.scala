@@ -153,8 +153,16 @@ object QueryCompiler {
     require(from >= 0 && size > 0, "from must be >= 0 and size > 0")
     val window = math.min(((from + size) * bufferMultiplier).toInt, 10000)
     val filtered = df.orderBy(sortKey: _*).limit(window).filter(auth)
-    val total = filtered.agg(count(lit(1)).cast("long").as("total_hits"))
-    val page = filtered.crossJoin(broadcast(total)).orderBy(sortKey: _*)
+    // total_hits via an unpartitioned window COUNT over the filtered
+    // frame: ≤ `window` (10k) rows by construction, and it keeps the
+    // whole shim ONE pass over the top-k scan — a separate count
+    // aggregate cross-joined back would execute the ordered window
+    // twice
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val page = filtered
+      .withColumn("total_hits", count(lit(1)).over(w).cast("long"))
+      .orderBy(sortKey: _*)
     (if (from > 0) page.offset(from) else page).limit(size)
   }
 

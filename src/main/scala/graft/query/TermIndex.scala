@@ -45,6 +45,14 @@ import graft.sources.TxLog
   * idempotent keyed merges, atomic per batch, snapshot-isolated
   * readers); one logical writer at a time (the multi-writer case is
   * [[graft.sources.TxLog]]'s lease coordinator, as for any table).
+  *
+  * Consistency note: postings and doclen are two tables, each
+  * snapshot-isolated but not atomically co-committed — a query racing
+  * an in-flight index batch can score new postings against the
+  * previous batch's (n, Σdl). Between maintenance cycles reads are
+  * exact; during one they are eventually consistent, the refresh-in-
+  * progress contract search indexes conventionally give. A reader
+  * needing a frozen view pins both tables' versions (TxLog tags).
   */
 object TermIndex {
 
@@ -284,8 +292,11 @@ object TermIndex {
   def attach(spark: SparkSession, key: String,
       docs: => DataFrame): String =
     attached.computeIfAbsent(key, { _ =>
+      // the directory embeds the FULL sanitized key (a hashCode-only
+      // path would silently merge two corpora on a 32-bit collision)
+      val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").take(80)
       val root = s"${System.getProperty("java.io.tmpdir")}" +
-        s"/graft-termindex-$processScope/${math.abs(key.hashCode)}"
+        s"/graft-termindex-$processScope/$safe"
       indexDocs(spark, root, docs)
       root
     })

@@ -517,8 +517,10 @@ object SurfaceQueries {
     //    the byte-transport handler (uploadFile.py): part-inventory
     //    verification (:897-941, the same check up1 reconciles), the
     //    7-day upload TTL sweep (:59 UPLOAD_EXPIRATION_DAYS, :1011
-    //    expiresAt = createdAt + 7d — expired uploads are abort
-    //    candidates), and assembled-object integrity via the composite
+    //    expiresAt = createdAt + 7d; age_days models days since the
+    //    upload initialized, so expired ⟺ age_days ≥ 7 — expired
+    //    uploads are abort candidates), and assembled-object integrity
+    //    via the composite
     //    ETag. `etag_surrogate` is the MD5 of the CONCATENATED HEX part
     //    digests — the oracle-hashable stand-in for the true S3
     //    algorithm (MD5 over the concatenated BINARY digests), which
@@ -549,7 +551,7 @@ object SurfaceQueries {
         |         CAST(SUM(length(content)) AS BIGINT) AS sz
         |  FROM p0 GROUP BY 1
         |), recon AS (
-        |  SELECT u.upload_id, u.asset_id, u.age_days + 7 <= 8 AS expired,
+        |  SELECT u.upload_id, u.asset_id, u.age_days >= 7 AS expired,
         |         p.present = range(1, u.expected_n + 1) AS complete,
         |         p.cat, p.n_parts, p.sz
         |  FROM ups u JOIN parts p USING (upload_id)
@@ -591,7 +593,7 @@ object SurfaceQueries {
             size(col("arr")).cast("long").as("n_parts"),
             aggregate(col("arr"), lit(0L),
               (a, e) => a + e.getField("b")).as("sz"))
-        val expired = col("age_days") + 7 <= 8
+        val expired = col("age_days") >= 7
         val complete = col("present") === sequence(lit(1L), col("expected_n"))
         ups.join(parts, "upload_id")
           .select(col("upload_id"), col("asset_id"),

@@ -203,21 +203,11 @@ object DocMaintenance {
         val spillPath = spillDir.map(p => new org.apache.hadoop.fs.Path(p))
         val fs = spillPath.map(_.getFileSystem(
           spark.sessionState.newHadoopConf()))
-        // crash recovery for the delete-then-rename window below: an
-        // orphaned tmp with no live spill means the rewrite died between
-        // delete(p) and rename(tmp, p) — the tmp IS the complete spill,
-        // promote it before reading. If BOTH exist the tmp is either
-        // partial (crash mid-write) or a complete-but-unswapped copy; in
-        // both cases p still holds every unsubmitted key (plus possibly
-        // already-submitted ones — at-least-once), so drop the tmp.
+        // crash recovery for the rewrite protocol (all three windows —
+        // partial tmp, committed-but-unswapped tmp, deleted live store —
+        // see AtomicSpill, the ONE shared copy of this logic)
         (spillPath, fs) match {
-          case (Some(p), Some(f)) =>
-            val tmp0 = new org.apache.hadoop.fs.Path(
-              p.getParent, s".${p.getName}.tmp")
-            if (f.exists(tmp0)) {
-              if (!f.exists(p)) f.rename(tmp0, p)
-              else f.delete(tmp0, true)
-            }
+          case (Some(p), Some(f)) => AtomicSpill.recover(f, p)
           case _ => ()
         }
         val hasSpill = (spillPath, fs) match {
@@ -249,12 +239,7 @@ object DocMaintenance {
               .toSeq.toDF("databaseId", "assetId")
             val rest = pending.join(org.apache.spark.sql.functions
               .broadcast(takenDf), Seq("databaseId", "assetId"), "left_anti")
-            val tmp = new org.apache.hadoop.fs.Path(
-              p.getParent, s".${p.getName}.tmp")
-            rest.write.mode("overwrite").parquet(tmp.toString)
-            if (f.exists(p)) f.delete(p, true)
-            f.rename(tmp, p)
-            ()
+            AtomicSpill.rewrite(rest, f, p)
           case _ =>
             if (taken.length == maxSubmitsPerTrigger)
               org.slf4j.LoggerFactory.getLogger(getClass).warn(

@@ -137,10 +137,14 @@ object IncrementalAgg {
         dims.map(c => col(c).as(s"__grp_$c"))): _*)
     // NULL-SAFE (<=>) semi-join: the _docId key treats NULL dims as a
     // real group ("<null>"), so the rescan must match them too — a
-    // plain equi-join would find no rows and write NULL mn/mx
+    // plain equi-join would find no rows and write NULL mn/mx. The
+    // un-dimensioned rollup (dims empty) has ONE global group: every
+    // source row matches it (a reduce over zero conditions would throw)
+    val rescanCond =
+      if (dims.isEmpty) lit(true)
+      else dims.map(c => col(c) <=> col(s"__grp_$c")).reduce(_ && _)
     val fresh = sourceAtBatchEnd
-      .join(broadcast(rescanGroups),
-        dims.map(c => col(c) <=> col(s"__grp_$c")).reduce(_ && _))
+      .join(broadcast(rescanGroups), rescanCond)
       .groupBy("__grp_id").agg(min(v).as("r_mn"), max(v).as("r_mx"))
       .withColumnRenamed("__grp_id", "_docId")
     val merged = joined.join(fresh, Seq("_docId"), "left")

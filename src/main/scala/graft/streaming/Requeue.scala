@@ -19,10 +19,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Mapping to micro-batches:
   *  - one trigger = one delivery round; the visibility timeout becomes
-  *    `backoffTriggers(receiveCount)` — how many TRIGGERS a failed
-  *    record waits before redelivery (trigger-denominated so tests and
+  *    `backoffTriggers(receiveCount)` — how many ROUNDS a failed
+  *    record waits before redelivery (round-denominated so tests and
   *    replays are deterministic; wall-clock backoff for throttled
-  *    CALLS inside a delivery is [[Retry.withBackoff]]'s job, ST6);
+  *    CALLS inside a delivery is [[Retry.withBackoff]]'s job, ST6).
+  *    Rounds are counted by a DURABLE clock file beside the pending
+  *    store, not the streaming batchId — batchIds reset to 0 on a
+  *    checkpoint-less restart, which would future-date every persisted
+  *    backoff by the previous run's length;
   *  - the queue becomes a parquet pending store rewritten atomically
   *    per trigger (temp + rename, with the orphaned-tmp promotion
   *    [[DocMaintenance.autoExecOnArrival]] uses — a crash at any point
@@ -42,23 +46,31 @@ object Requeue {
   /** Pending-store schema: (key, payload, receive_count, not_before). */
   private val PendingCols = Seq("key", "payload", "receive_count", "not_before")
 
-  /** Promote an orphaned `.name.tmp` (crash between delete and rename)
-    * or drop it when the live store survived — same recovery contract
-    * as autoExecOnArrival's spill. */
-  private def recoverTmp(fs: org.apache.hadoop.fs.FileSystem, p: Path): Unit = {
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
-    if (fs.exists(tmp)) {
-      if (!fs.exists(p)) { fs.rename(tmp, p); () }
-      else { fs.delete(tmp, true); () }
+  /** Durable trigger clock beside the pending store: `not_before` is
+    * denominated in DELIVERY ROUNDS, and the streaming batchId resets
+    * to 0 whenever the query starts without (or with a fresh)
+    * checkpoint — which would future-date every persisted backoff by
+    * the whole previous run's length. The clock is a tiny file bumped
+    * once per trigger via temp+rename; a crash can lose at most one
+    * increment (a backoff stretches by one round — harmless). */
+  private def readClock(fs: org.apache.hadoop.fs.FileSystem, p: Path): Long = {
+    val cp = new Path(p.getParent, s".${p.getName}.clock")
+    if (!fs.exists(cp)) 0L
+    else {
+      val in = fs.open(cp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
     }
   }
 
-  private def rewriteAtomic(df: DataFrame, fs: org.apache.hadoop.fs.FileSystem,
-      p: Path): Unit = {
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(p)) fs.delete(p, true)
-    fs.rename(tmp, p)
+  private def writeClock(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      v: Long): Unit = {
+    val cp = new Path(p.getParent, s".${p.getName}.clock")
+    val tmp = new Path(p.getParent, s".${p.getName}.clock.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(cp)) fs.delete(cp, true)
+    fs.rename(tmp, cp)
     ()
   }
 
@@ -84,16 +96,23 @@ object Requeue {
       dlqDir: String,
       maxReceiveCount: Int = 5,
       maxPerTrigger: Int = 10000,
-      backoffTriggers: Int => Long = _ => 1L): StreamingQuery = {
+      backoffTriggers: Int => Long = _ => 1L,
+      // production callers SET this: without a checkpoint the file
+      // source reprocesses every old event on restart, re-enqueuing
+      // previously-parked keys as fresh deliveries (at-least-once
+      // stretched to its worst case)
+      checkpointDir: Option[String] = None): StreamingQuery = {
     require(maxReceiveCount >= 1, s"maxReceiveCount must be >= 1")
-    events.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    val writer0 = events.writeStream.outputMode("append")
+    checkpointDir.fold(writer0)(c =>
+        writer0.option("checkpointLocation", c))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
         val pendingPath = new Path(pendingDir)
         val fs = pendingPath.getFileSystem(spark.sessionState.newHadoopConf())
-        recoverTmp(fs, pendingPath)
+        AtomicSpill.recover(fs, pendingPath)
+        val nowTick = readClock(fs, pendingPath)
         val pending =
           if (fs.exists(pendingPath))
             spark.read.parquet(pendingDir).select(PendingCols.map(col): _*)
@@ -103,7 +122,7 @@ object Requeue {
                 lit(0).as("receive_count"), lit(0L).as("not_before"))
               .limit(0)
         val fresh = batch.select(col("key"), col("payload"),
-          lit(0).as("receive_count"), lit(batchId).as("not_before"))
+          lit(0).as("receive_count"), lit(nowTick).as("not_before"))
         // one row per key, at the key's HIGHEST receive count (struct
         // max orders by receive_count first) — new arrivals of a
         // pending key neither reset its count nor fork a second row
@@ -114,8 +133,8 @@ object Requeue {
           .select(col("key"), col("m.payload").as("payload"),
             col("m.receive_count").as("receive_count"),
             col("m.not_before").as("not_before"))
-        val due = all.filter(col("not_before") <= batchId)
-        val notDue = all.filter(col("not_before") > batchId)
+        val due = all.filter(col("not_before") <= nowTick)
+        val notDue = all.filter(col("not_before") > nowTick)
         // bounded delivery round: the driver never sees more than the
         // cap; the rest of the backlog stays pending (still due) and
         // drains on later triggers
@@ -134,19 +153,20 @@ object Requeue {
         // is at-least-once (see object doc) — DLQ readers dedupe by key
         val parked = failed.filter(col("receive_count") >= maxReceiveCount)
           .select(col("key"), col("payload"), col("receive_count"),
-            lit(batchId).as("parked_at"))
+            lit(nowTick).as("parked_at"))
         if (!parked.isEmpty)
           parked.write.mode("append").parquet(dlqDir)
         val retries = failed.filter(col("receive_count") < maxReceiveCount)
           .withColumn("not_before",
-            lit(batchId) + udf((rc: Int) => backoffTriggers(rc))
+            lit(nowTick) + udf((rc: Int) => backoffTriggers(rc))
               .apply(col("receive_count")))
           .select(PendingCols.map(col): _*)
         val overflow = due.join(
           broadcast(takenDf.select("key")), Seq("key"), "left_anti")
-        rewriteAtomic(
+        AtomicSpill.rewrite(
           notDue.unionByName(overflow).unionByName(retries),
           fs, pendingPath)
+        writeClock(fs, pendingPath, nowTick + 1)
       }
       .start()
   }

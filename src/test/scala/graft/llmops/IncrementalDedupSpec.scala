@@ -103,9 +103,11 @@ class IncrementalDedupSpec extends SparkSpec {
         .as[(Long, Boolean, Option[Long])].collect()
         .foreach { case (id, d, of) => flags(id) = (d, of) }
     // batch 1: 101 dup-of-5, 102 novel, 103 batch-INTERNAL copy of 102
-    // (the lower id wins: 102 stays novel, 103 flags dup_of 102)
+    // (the lower id wins: 102 stays novel, 103 flags dup_of 102), 104
+    // too short to shingle — must still surface in the verdict frame
     Seq((101L, doc(5)), (102L, (1 to 40).map(k => s"q$k").mkString(" ")),
-        (103L, (1 to 40).map(k => s"q$k").mkString(" ")))
+        (103L, (1 to 40).map(k => s"q$k").mkString(" ")),
+        (104L, "too short"))
       .toDF("doc_id", "text").write.mode("append").parquet(src)
     val stream = spark.readStream
       .schema("doc_id LONG, text STRING").parquet(src)
@@ -116,6 +118,8 @@ class IncrementalDedupSpec extends SparkSpec {
       assert(!flags(102L)._1)
       assert(flags(103L)._1 && flags(103L)._2.contains(102L),
         s"batch-internal dup not caught: $flags")
+      assert(flags.contains(104L) && !flags(104L)._1,
+        s"sub-shingle doc missing from the verdict frame: $flags")
       // batch 2: 201 dup of batch-1's NOVEL doc 102 — caught only if
       // 102's signature was merged into the store
       Seq((201L, (1 to 40).map(k => s"q$k").mkString(" ")))

@@ -182,13 +182,25 @@ class PlanShapeSpec extends SparkSpec {
       }
   }
 
-  test("O5 over-fetch shim: bounded top-k window, no row_number shuffle") {
+  test("O5 over-fetch shim: bounded top-k window, no row_number pagination") {
     // the pre-auth window is ≤ 10k rows by the reference's own cap —
-    // it must plan as a top-k, and the whole shim must never fall back
-    // to a Window operator (the page slice is native offset+limit)
+    // it must plan as a top-k, the page slice is native offset+limit
+    // (never row_number), and the only Window operator allowed is the
+    // total_hits COUNT over the already-limited frame
     val p = plan("o5_auth_overfetch")
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
-    assert(!p.contains("Window"), s"row_number fallback in o5:\n${p.take(1500)}")
+    assert(!p.contains("row_number"),
+      s"row_number pagination fallback in o5:\n${p.take(1500)}")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = graft.SparkEntry.queries("o5_auth_overfetch")(spark, sf())
+      .queryExecution.sparkPlan
+    sp.collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.child.collectFirst {
+        case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.isDefined,
+        s"o5 Window over an unbounded child:\n${w.child.treeString.take(800)}")
+    }
   }
 
   test("S11 multipart completion has no windows; rollups partial-aggregate") {

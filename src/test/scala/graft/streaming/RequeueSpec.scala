@@ -116,6 +116,61 @@ class RequeueSpec extends SparkSpec {
     assert(Requeue.pendingCount(spark, pend) == 0L)
   }
 
+  test("a PARTIAL pending tmp (crash mid-write, no live store) is discarded, not promoted") {
+    val src = tmpDir("graft-rq5-src")
+    val base = tmpDir("graft-rq5-pend")
+    val pend = base + "/queue"
+    val dlq = tmpDir("graft-rq5-dlq") + "/dlq"
+    // crash DURING the first rewrite: tmp exists as a parquet dir with
+    // data files but NO _SUCCESS commit marker, and no live store
+    val tmp = new java.io.File(base, ".queue.tmp")
+    Seq(("k_partial", "p", 0, 0L))
+      .toDF("key", "payload", "receive_count", "not_before")
+      .write.mode("overwrite").parquet(tmp.toString)
+    assert(new java.io.File(tmp, "_SUCCESS").delete(), "fixture: drop marker")
+    val delivered = scala.collection.concurrent.TrieMap.empty[String, Int]
+    Seq(("k_new", "p")).toDF("key", "payload").write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("key STRING, payload STRING").parquet(src)
+    val q = Requeue.requeueOnFailure(stream,
+      (k, _) => { delivered.updateWith(k)(v => Some(v.getOrElse(0) + 1)); true },
+      pend, dlq)
+    // must not wedge on (or resurrect keys from) the uncommitted tmp
+    try q.processAllAvailable() finally q.stop()
+    assert(delivered.keySet == Set("k_new"), s"${delivered.keySet}")
+    assert(!tmp.exists(), "partial tmp must be discarded")
+  }
+
+  test("backoff survives a restart: rounds come from the durable clock, not batchId") {
+    val src = tmpDir("graft-rq6-src")
+    val pend = tmpDir("graft-rq6-pend") + "/queue"
+    val dlq = tmpDir("graft-rq6-dlq") + "/dlq"
+    val log = scala.collection.mutable.ArrayBuffer.empty[String]
+    val deliver = (k: String, _: String) =>
+      if (k != "k") true
+      else log.synchronized { log += k; log.size > 1 }
+    Seq(("k", "p")).toDF("key", "payload").write.mode("append").parquet(src)
+    def freshQuery() = Requeue.requeueOnFailure(
+      spark.readStream.schema("key STRING, payload STRING").parquet(src),
+      deliver, pend, dlq, maxReceiveCount = 5, backoffTriggers = _ => 2L)
+    val q1 = freshQuery()
+    try { q1.processAllAvailable(); assert(log.size == 1) } finally q1.stop()
+    // RESTART without a checkpoint: the new query's batchIds start at 0
+    // again; the durable clock keeps counting rounds where they left
+    // off, so the 2-round backoff elapses after exactly 2 more rounds
+    val q2 = freshQuery()
+    try {
+      // round 2: the re-read of src redelivers k's original event as
+      // fresh data, but the pending row holds the HIGHER receive count
+      // and its not_before — still waiting
+      q2.processAllAvailable()
+      assert(log.size == 1, s"redelivered before the clock caught up: $log")
+      pump(src, q2, 1) // round 3 reaches not_before → success
+      assert(log.size == 2, s"expected post-restart redelivery: $log")
+    } finally q2.stop()
+    assert(Requeue.pendingCount(spark, pend) == 0L)
+  }
+
   test("an orphaned pending tmp (crash between delete and rename) is promoted") {
     val src = tmpDir("graft-rq4-src")
     val base = tmpDir("graft-rq4-pend")
