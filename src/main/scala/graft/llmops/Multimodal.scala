@@ -91,6 +91,39 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Perceptual average-hash of a media payload: 4 × 16-bit bands. */
+  final case class MediaAHash(doc_id: Long, kind: String,
+      b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** STUB perceptual hash (aHash family): a real implementation decodes
+    * the image and downsamples to an 8×8 grayscale grid; the stand-in
+    * "downsamples" the payload to 64 evenly-spaced bytes (the same 1-D
+    * nearest-neighbor geometry as [[resizeStub]]). Bit i = sampled
+    * byte i strictly above the integer mean of the 64 samples; bits
+    * pack into four 16-bit bands so near-dup candidate generation can
+    * band-join (pigeonhole: any pair within hamming distance 3 shares
+    * at least one of 4 bands). Deterministic byte math — the oracle
+    * replays it on the VARCHAR (ASCII corpus: byte == char). */
+  def aHashStub(r: MediaRecord): MediaAHash = {
+    val len = r.media.length
+    val sb = Array.tabulate(64)(i => r.media((len.toLong * i / 64).toInt) & 0xff)
+    val mean = sb.sum / 64
+    def band(j: Int) = (0 until 16).foldLeft(0) { (acc, b) =>
+      if (sb(16 * j + b) > mean) acc | (1 << b) else acc
+    }
+    MediaAHash(r.doc_id, r.kind, band(0), band(1), band(2), band(3))
+  }
+
+  /** Perceptual hashing over a payload DataFrame (doc_id, kind, media
+    * binary with ≥ 64 bytes) — batch-local, narrow, no shuffle. */
+  def aHashDF(df: DataFrame): DataFrame = {
+    implicit val in = org.apache.spark.sql.Encoders.product[MediaRecord]
+    implicit val out = org.apache.spark.sql.Encoders.product[MediaAHash]
+    df.as[MediaRecord].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.iterator.map(aHashStub))
+    }.toDF()
+  }
+
   /** Audio input contract: payload + the sample-rate metadata a real
     * resampler/segmenter reads. */
   final case class AudioRecord(doc_id: Long, media: Array[Byte],

@@ -23,6 +23,10 @@ object CurationQueries {
 
   /** Per-stratum sampling head size. */
   val StratumK = 50
+  /** Per-cluster quota ceiling for cluster-balanced sampling (the
+    * bounded-aggregator k; the effective quota scales with corpus size
+    * below it). */
+  val ClusterQuotaCap = 64
   /** Global token budget for the epoch plan (tokens). */
   val TokenBudget = 1000000L
 
@@ -1049,6 +1053,75 @@ object CurationQueries {
           .select(col("lang"), col("e.rank").as("rank"),
             col("e.doc_id").as("doc_id"), col("e.bucket").as("bucket"))
           .orderBy("lang", "rank")
+      }),
+
+    // ── CLUSTER-BALANCED diversity sampling: cap each semantic
+    //    cluster's contribution so dominant modes can't crowd the
+    //    sample — the embedding-space analog of per-language
+    //    stratification (llm_sample_stratified), used to diversify a
+    //    corpus before expensive annotation/training. Cluster id = one
+    //    LSH table's 6 hyperplane sign bits (64 clusters; pure integer
+    //    plane arithmetic shared with llm_sim_lsh, so the oracle
+    //    replays assignment exactly — no k-means state to ship).
+    //    Selection inside a cluster is the deterministic hash head;
+    //    quota scales with corpus size, capped by the aggregator bound.
+    //    Scale shape: assignment is a NARROW codegen'd pass; selection
+    //    is the bounded top-k aggregate (map-side combine, shuffle ≤
+    //    k × clusters per partition); the quota is a broadcast 1-row
+    //    scalar — no corpus-wide window, nothing driver-sized.
+    sql("llm_sample_cluster",
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |b AS (
+        |  SELECT vec_id,
+        |         SUM(CASE WHEN list_dot_product(e,
+        |               [CAST((i*131 + d) * 2654435761 % 1000003 AS DOUBLE)
+        |                  / 1000003.0 - 0.5 for d in range(0, 64)]) >= 0
+        |             THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS cluster
+        |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS i)
+        |  GROUP BY vec_id
+        |), n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM b),
+        |k AS (SELECT least($ClusterQuotaCap,
+        |               greatest(2, (n_total + 255) // 256)) AS quota FROM n),
+        |cs AS (SELECT cluster, count(*) AS n_cluster FROM b GROUP BY cluster),
+        |r AS (
+        |  SELECT cluster, vec_id,
+        |         row_number() OVER (PARTITION BY cluster ORDER BY
+        |           ${QueryDef.hashBucketSql(
+                      "'cluster:' || CAST(vec_id AS VARCHAR)")}, vec_id)
+        |           AS rank
+        |  FROM b
+        |)
+        |SELECT CAST(r.cluster AS BIGINT) AS cluster,
+        |       CAST(r.rank AS BIGINT) AS rank, r.vec_id,
+        |       CAST(cs.n_cluster AS BIGINT) AS n_cluster
+        |FROM r JOIN cs USING (cluster) CROSS JOIN k
+        |WHERE r.rank <= k.quota
+        |ORDER BY cluster, rank""")(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val withC = e.select(col("vec_id"),
+          element_at(Similarity.lshBucketArray(
+            Similarity.asDouble(col("embedding"))), 1).as("cluster"))
+        val selKey = Text.hash60(
+          concat(lit("cluster:"), col("vec_id").cast("string")))
+        val packed = withC
+          .select(col("cluster"), selKey.as("h"), col("vec_id"))
+          .groupBy("cluster")
+          .agg(TopK.smallestK(ClusterQuotaCap)(col("h"), col("vec_id")).as("p"),
+            count(lit(1)).as("n_cluster"))
+        val nTotal = e.agg(count(lit(1)).cast("long").as("n_total"))
+        packed.crossJoin(broadcast(nTotal))
+          .withColumn("quota", least(lit(ClusterQuotaCap.toLong),
+            greatest(lit(2L), expr("(n_total + 255) DIV 256"))))
+          .select(col("cluster"), col("n_cluster"),
+            explode(transform(
+              sequence(lit(1), least((size(col("p")) / lit(2)).cast("int"),
+                col("quota").cast("int"))), i =>
+                struct(i.cast("long").as("rank"),
+                  element_at(col("p"), i * 2).as("vec_id")))).as("e2"))
+          .select(col("cluster"), col("e2.rank").as("rank"),
+            col("e2.vec_id").as("vec_id"), col("n_cluster"))
+          .orderBy("cluster", "rank")
       }),
 
     // ── Token-budget epoch planning: allocate a global token budget

@@ -1772,6 +1772,86 @@ object LlmQueries {
       (s, d) => Multimodal.extractFeaturesDF(
           t(s, d, "documents").select(col("doc_id"), col("source").as("kind"),
             col("text").cast("binary").as("media")))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ── Multimodal NEAR-DUP (perceptual hash): the image-dedup shape —
+    //    per-payload 64-bit average-hash packed as 4 × 16-bit bands
+    //    (decode stubbed to the resize stub's byte sampling; see
+    //    Multimodal.aHashStub), banded equi-join for candidates with the
+    //    SkewGuard star cap, exact hamming verify on candidates only.
+    //    Candidate recall contract: pigeonhole guarantees every pair
+    //    within hamming 3 shares a band; pairs 4..10 surface only on a
+    //    band collision (standard banded-LSH semantics, same contract
+    //    family as llm_dedup_minhash). No all-pairs join at any scale:
+    //    pair volume is Σ_cell O(cell²) under the cap, O(cell) above it.
+    sql("llm_mm_phash",
+      s"""WITH m AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE length(text) >= 64
+        |), sb AS (
+        |  SELECT doc_id,
+        |         [ascii(substring(text, CAST((len * i) // 64 AS INT) + 1, 1))
+        |          for i in range(0, 64)] AS s
+        |  FROM m
+        |), ph AS (
+        |  SELECT doc_id, s, list_sum(s) // 64 AS mean FROM sb
+        |), bands AS (
+        |  SELECT doc_id,
+        |         list_sum([CASE WHEN s[b + 1]  > mean THEN 1 << b ELSE 0 END
+        |                   for b in range(0, 16)]) AS b0,
+        |         list_sum([CASE WHEN s[b + 17] > mean THEN 1 << b ELSE 0 END
+        |                   for b in range(0, 16)]) AS b1,
+        |         list_sum([CASE WHEN s[b + 33] > mean THEN 1 << b ELSE 0 END
+        |                   for b in range(0, 16)]) AS b2,
+        |         list_sum([CASE WHEN s[b + 49] > mean THEN 1 << b ELSE 0 END
+        |                   for b in range(0, 16)]) AS b3
+        |  FROM ph
+        |), rows0 AS (
+        |  SELECT doc_id, 0 AS j, b0 AS band FROM bands UNION ALL
+        |  SELECT doc_id, 1, b1 FROM bands UNION ALL
+        |  SELECT doc_id, 2, b2 FROM bands UNION ALL
+        |  SELECT doc_id, 3, b3 FROM bands
+        |), ${graft.llmops.SkewGuard.oracleCandSql(
+             "rows0", Seq("j", "band"), "doc_id", "a_id", "b_id")}, h AS (
+        |  SELECT c.a_id, c.b_id,
+        |         bit_count(xor(ba.b0, bb.b0)) + bit_count(xor(ba.b1, bb.b1)) +
+        |         bit_count(xor(ba.b2, bb.b2)) + bit_count(xor(ba.b3, bb.b3))
+        |           AS hamming
+        |  FROM cand c JOIN bands ba ON ba.doc_id = c.a_id
+        |              JOIN bands bb ON bb.doc_id = c.b_id
+        |)
+        |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
+        |FROM h WHERE hamming <= 10 ORDER BY a_id, b_id""")(
+      (s, d) => {
+        // hash pass is narrow batch-local work; the tiny (doc × 4 ints)
+        // hash table is NOT broadcast — the verify joins hint
+        // shuffle_hash with the candidate side as build, the same
+        // corpus-scale contract as the minhash verify
+        val hashes = Multimodal.aHashDF(
+          t(s, d, "documents").filter(length(col("text")) >= 64)
+            .select(col("doc_id"), col("source").as("kind"),
+              col("text").cast("binary").as("media")))
+        val bandRows = hashes.select(col("doc_id"), explode(array(
+            (0 until 4).map(j => struct(lit(j).as("j"),
+              col(s"b$j").as("band"))): _*)).as("e"))
+          .select(col("doc_id"), col("e.j").as("j"), col("e.band").as("band"))
+        val cand = graft.llmops.SkewGuard
+          .cellPairs(bandRows, Seq("j", "band"), "doc_id")
+          .distinct()
+        val ham = (0 until 4).map(j =>
+          bit_count(col(s"a_b$j").bitwiseXOR(col(s"b_b$j")))).reduce(_ + _)
+        cand.hint("shuffle_hash")
+          .join(hashes.select(col("doc_id").as("a_id"),
+            col("b0").as("a_b0"), col("b1").as("a_b1"),
+            col("b2").as("a_b2"), col("b3").as("a_b3")), "a_id")
+          .hint("shuffle_hash")
+          .join(hashes.select(col("doc_id").as("b_id"),
+            col("b0").as("b_b0"), col("b1").as("b_b1"),
+            col("b2").as("b_b2"), col("b3").as("b_b3")), "b_id")
+          .withColumn("hamming", ham.cast("long"))
+          .filter(col("hamming") <= 10)
+          .select("a_id", "b_id", "hamming")
+          .orderBy("a_id", "b_id")
+      })
   )
 }

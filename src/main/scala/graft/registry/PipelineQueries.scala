@@ -457,6 +457,72 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // ── Train-side DECONTAMINATION (the removal step llm_contamination
+    //    only measures): drop every TRAIN document sharing ≥ 8 distinct
+    //    shingles with the eval holdout — the GPT-3-style n-gram filter
+    //    a pipeline actually executes before training — and account the
+    //    doc/token cost per source. Scale shape: the contaminated
+    //    vocabulary comes off the SHARED per-gram flag cache (one
+    //    gram-hash shuffle for the whole dedup/contamination family),
+    //    the per-doc overlap count is a semi-join + partial-aggregated
+    //    groupBy on doc_id (reusing the gram cache's hash partitioning,
+    //    no extra exchange), and the rollup partial-aggregates per
+    //    source — nothing doc-pair-shaped, nothing corpus-sorted.
+    sql("llm_decontaminate_rm",
+      s"""WITH ${LlmQueries.ShingleCtes}, ghd AS (
+        |  SELECT DISTINCT doc_id, g FROM gh
+        |), flags AS (
+        |  SELECT g,
+        |         max(CASE WHEN doc_id % 50 <> 0 THEN 1 ELSE 0 END) AS in_train,
+        |         max(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS in_eval
+        |  FROM ghd GROUP BY g
+        |), shared AS (
+        |  SELECT doc_id, count(*) AS n_shared FROM ghd
+        |  WHERE doc_id % 50 <> 0
+        |    AND g IN (SELECT g FROM flags WHERE in_train = 1 AND in_eval = 1)
+        |  GROUP BY doc_id
+        |), d AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+        |         END AS n_tok,
+        |         CASE WHEN COALESCE(
+        |           (SELECT n_shared FROM shared s WHERE s.doc_id = documents.doc_id),
+        |           0) >= 8 THEN 1 ELSE 0 END AS dropped
+        |  FROM documents WHERE doc_id % 50 <> 0
+        |)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(dropped) AS BIGINT) AS n_dropped,
+        |       CAST(sum(CASE WHEN dropped = 0 THEN n_tok ELSE 0 END) AS BIGINT)
+        |         AS tokens_kept,
+        |       CAST(sum(CASE WHEN dropped = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+        |         AS tokens_dropped
+        |FROM d GROUP BY source ORDER BY source""")(
+      (s, d) => {
+        val contam = LlmQueries.gramDfFlags(s, d)
+          .filter(col("in_train") === 1 && col("in_eval") === 1)
+          .select("g")
+        val nShared = LlmQueries.gramSetRows(s, d)
+          .filter(!LlmQueries.isEvalDoc)
+          .join(contam, Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        t(s, d, "documents")
+          .filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), col("source"), nTokens(col("text")).as("n_tok"))
+          .join(nShared, Seq("doc_id"), "left")
+          .withColumn("dropped",
+            when(coalesce(col("n_shared"), lit(0L)) >= 8, 1L).otherwise(0L))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("dropped")).as("n_dropped"),
+            sum(when(col("dropped") === 0, col("n_tok")).otherwise(0L))
+              .as("tokens_kept"),
+            sum(when(col("dropped") === 1, col("n_tok")).otherwise(0L))
+              .as("tokens_dropped"))
+          .orderBy("source")
+      }),
+
     // ── Deterministic stratified split assignment: a content-free,
     //    coordination-free train/val/test split from a stable hash of
     //    the key — every engine that re-derives it gets the same answer

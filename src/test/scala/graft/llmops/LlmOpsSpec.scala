@@ -188,6 +188,46 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(1)._3 == 0L && got(1)._5 == 1)
   }
 
+  test("aHash matches an independent computation and bands catch planted near-dups") {
+    // independent re-derivation of the 4x16 band packing for one payload
+    val payload = ("the quick brown fox jumps over the lazy dog " * 4).getBytes("UTF-8")
+    val got = Multimodal.aHashStub(Multimodal.MediaRecord(7L, "img", payload))
+    val len = payload.length
+    val sb = Array.tabulate(64)(i => payload((len.toLong * i / 64).toInt) & 0xff)
+    val mean = sb.sum / 64
+    val bits = sb.map(b => if (b > mean) 1 else 0)
+    def expectBand(j: Int) =
+      (0 until 16).map(b => bits(16 * j + b) << b).sum
+    assert((got.b0, got.b1, got.b2, got.b3) ==
+      ((expectBand(0), expectBand(1), expectBand(2), expectBand(3))))
+    // DF path equals the per-row stub (batching must not change results)
+    val df = Seq((1L, "img", payload), (2L, "img", payload.reverse))
+      .toDF("doc_id", "kind", "media")
+    val viaDf = Multimodal.aHashDF(df)
+      .as[(Long, String, Int, Int, Int, Int)].collect().sortBy(_._1)
+    val direct = Seq((1L, payload), (2L, payload.reverse)).map { case (id, p) =>
+      val h = Multimodal.aHashStub(Multimodal.MediaRecord(id, "img", p))
+      (id, "img", h.b0, h.b1, h.b2, h.b3)
+    }
+    assert(viaDf.toSeq == direct)
+    // a sum-preserving perturbation (swap two sampled bytes) keeps the
+    // integer mean fixed, so at most the two swapped positions flip =>
+    // hamming <= 2 and pigeonhole (4 bands) leaves >= 1 band identical,
+    // so the band join finds the pair
+    val si = Array.tabulate(64)(i => (len.toLong * i / 64).toInt)
+    val (pi, pj) = (for { i <- si; j <- si if payload(i) != payload(j) }
+      yield (i, j)).head
+    val near = payload.clone()
+    near(pi) = payload(pj); near(pj) = payload(pi)
+    val a = Multimodal.aHashStub(Multimodal.MediaRecord(1L, "img", payload))
+    val b = Multimodal.aHashStub(Multimodal.MediaRecord(2L, "img", near))
+    val hamming = Integer.bitCount(a.b0 ^ b.b0) + Integer.bitCount(a.b1 ^ b.b1) +
+      Integer.bitCount(a.b2 ^ b.b2) + Integer.bitCount(a.b3 ^ b.b3)
+    assert(hamming <= 2, s"hamming $hamming")
+    assert(Seq(a.b0 == b.b0, a.b1 == b.b1, a.b2 == b.b2, a.b3 == b.b3)
+      .count(identity) >= 1)
+  }
+
   test("language-id marker scoring is deterministic with precedence ties") {
     val q = graft.registry.LlmQueries.defs.find(_.name == "llm_text_langid").get
     val out = q.fn(spark, sf())

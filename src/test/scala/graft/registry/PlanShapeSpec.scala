@@ -289,7 +289,8 @@ class PlanShapeSpec extends SparkSpec {
           .exists(hasAggBelow)
     val queries = Seq("llm_mix_dsir", "llm_mix_classifier",
       "llm_curate_pipeline2", "llm_pack_windows", "llm_shuffle_epoch",
-      "llm_infer_batches", "llm_ingest_funnel", "llm_token_budget")
+      "llm_infer_batches", "llm_ingest_funnel", "llm_token_budget",
+      "llm_sample_cluster", "llm_decontaminate_rm")
     for (q <- queries if graft.SparkEntry.queries.contains(q)) {
       val sp = graft.SparkEntry.queries(q)(spark, sf())
         .queryExecution.sparkPlan
@@ -303,6 +304,47 @@ class PlanShapeSpec extends SparkSpec {
       }
       assert(offenders.isEmpty, offenders.mkString("\n"))
     }
+  }
+
+  test("phash near-dup shuffle-joins its verify stage (no corpus hash broadcast)") {
+    // the per-doc 4-band hash table is corpus-sized: both verify joins
+    // must be shuffle joins, never a broadcast of the hash table
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val sp = graft.SparkEntry.queries("llm_mm_phash")(spark, sf())
+      .queryExecution.sparkPlan
+    val hashAttrs = Set("a_b0", "b_b0", "b0", "b1", "b2", "b3")
+    val bad = sp.collect {
+      case b: BroadcastExchangeExec
+          if b.output.exists(a => hashAttrs.contains(a.name)) =>
+        b.output.map(_.name).mkString(",")
+    }
+    assert(bad.isEmpty, s"corpus hash table broadcast: $bad")
+    assert(shuffledHashJoins("llm_mm_phash") >= 2)
+  }
+
+  test("cluster-balanced sampling is a bounded aggregate, not a per-cluster window") {
+    // selection must flow through the TopK bounded aggregator (map-side
+    // combine, shuffle <= k rows per cluster per partition); a
+    // row_number window over 64 clusters would serialize the corpus
+    // through 64 tasks at scale
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = graft.SparkEntry.queries("llm_sample_cluster")(spark, sf())
+      .queryExecution.sparkPlan
+    assert(sp.collect { case w: WindowExec => w }.isEmpty,
+      "unexpected Window in llm_sample_cluster")
+    val aggs = sp.collect { case a: ObjectHashAggregateExec => a }
+    assert(aggs.size >= 2, // partial + final of the TopK aggregate
+      s"expected partial+final TopK aggregate, got ${aggs.size}")
+  }
+
+  test("decontamination counts overlap via semi-join + aggregate, no window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = graft.SparkEntry.queries("llm_decontaminate_rm")(spark, sf())
+      .queryExecution.sparkPlan
+    assert(sp.collect { case w: WindowExec => w }.isEmpty,
+      "unexpected Window in llm_decontaminate_rm")
+    assert(sp.toString.contains("LeftSemi"), "expected a semi-join")
   }
 
   test("entropy quality signal is a zero-shuffle narrow pass") {
