@@ -69,23 +69,17 @@ object StreamBloomDedup {
     }
   }
 
-  /** Process one micro-batch of (doc_id, k): returns the batch rows
-    * flagged `is_dup` (duplicate of anything seen in PRIOR batches or
-    * earlier in this one — first occurrence wins by doc_id order), then
-    * folds the fresh keys into the standing state.
-    *
-    * @param estItems expected keys per batch; with `numBits` it fixes
-    *                 the filter's hash-function count, and
-    *                 `mergeInPlace` requires every blob under one
-    *                 stateDir to agree on BOTH — keep them constant
-    * @param numBits  Bloom size in bits (blob = numBits/8 bytes)
-    */
-  def processBatch(
+  /** Read-only screen of one micro-batch of (doc_id, k): replayed
+    * (already-indexed) doc_ids are dropped; the rest come back flagged
+    * `is_dup` exactly as [[processBatch]] would flag them, but NO state
+    * is written. Callers that sequence their own idempotent writes
+    * between verdict and state fold (see [[CurationStream]]'s crash
+    * ordering) call [[foldState]] on the returned frame afterwards;
+    * everyone else uses [[processBatch]]. */
+  def screenBatch(
       spark: SparkSession,
       batch: DataFrame,
-      stateDir: String,
-      estItems: Long = 1L << 16,
-      numBits: Long = 1L << 20): DataFrame = {
+      stateDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val existing = StreamState.readIfExists(spark, indexPath(stateDir))
     val standing = readBloom(spark, stateDir)
@@ -129,28 +123,60 @@ object StreamBloomDedup {
       .drop("dup_seen", "__rk")
 
     val out = flagged.localCheckpoint(true)
+    fresh0.unpersist()
+    out
+  }
 
-    // 4. fold state: EVERY processed doc_id is indexed (the redelivery
-    // guard keys on doc_id, so dup rows must be remembered too — their
-    // keys are already members, the confirm join's distinct() absorbs
-    // the repeats); batch bloom OR-merges into the standing blob
-    // (associative + idempotent — replaying a folded batch changes
-    // nothing).
-    val processed = out.select("doc_id", "k")
+  /** Fold a screened batch into the standing state: EVERY processed
+    * doc_id is indexed (the redelivery guard keys on doc_id, so dup
+    * rows must be remembered too — their keys are already members, the
+    * confirm join's distinct() absorbs the repeats); the batch's Bloom
+    * OR-merges into the standing blob (associative + idempotent —
+    * replaying a folded batch changes nothing). The bloom goes FIRST: a
+    * crash between it and the index append can only cause false screen
+    * candidates, which the confirm join absorbs.
+    *
+    * @param estItems expected keys per batch; with `numBits` it fixes
+    *                 the filter's hash-function count, and
+    *                 `mergeInPlace` requires every blob under one
+    *                 stateDir to agree on BOTH — keep them constant
+    * @param numBits  Bloom size in bits (blob = numBits/8 bytes)
+    */
+  def foldState(
+      spark: SparkSession,
+      screened: DataFrame,
+      stateDir: String,
+      estItems: Long = 1L << 16,
+      numBits: Long = 1L << 20): Unit = {
+    val processed = screened.select("doc_id", "k")
     val batchBlob = processed
       .agg(call_function("graft_bloom_agg",
         xxhash64(col("k")), lit(estItems), lit(numBits)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     if (batchBlob != null) {
       val batchBf = BloomFilter.readFrom(batchBlob)
-      val merged = standing match {
+      val merged = readBloom(spark, stateDir) match {
         case Some(bf) => bf.mergeInPlace(batchBf)
         case None => batchBf
       }
       writeBloom(spark, stateDir, merged)
     }
     processed.write.mode("append").parquet(indexPath(stateDir))
-    fresh0.unpersist()
+  }
+
+  /** Process one micro-batch of (doc_id, k): returns the batch rows
+    * flagged `is_dup` (duplicate of anything seen in PRIOR batches or
+    * earlier in this one — first occurrence wins by doc_id order), then
+    * folds the fresh keys into the standing state — [[screenBatch]]
+    * followed by [[foldState]]. */
+  def processBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      stateDir: String,
+      estItems: Long = 1L << 16,
+      numBits: Long = 1L << 20): DataFrame = {
+    val out = screenBatch(spark, batch, stateDir)
+    foldState(spark, out, stateDir, estItems, numBits)
     out
   }
 }
