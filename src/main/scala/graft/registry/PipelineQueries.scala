@@ -981,8 +981,127 @@ object PipelineQueries {
             p.maxKey.getOrElse(sys.error(s"no key bounds for ${p.partition}"))))
           .toDF("partition", "n_rows", "min_key", "max_key")
           .orderBy("partition")
+      }),
+
+    // ── The INCREMENTAL curation funnel END TO END under the value
+    //    gate (not just specs): the documents fixture streams through
+    //    streaming/CurationStream in three deterministic micro-batches
+    //    (doc_id % 3 = 0, 1, 2, in that arrival order) — quality
+    //    expectations → Bloom+index exact screen → MinHash store screen
+    //    → split merge — and the gate reads the maintained DECISIONS
+    //    table. The oracle unrolls the three batches (the llm_bpe_merges
+    //    precedent): per batch, candidates against prior batches'
+    //    SURVIVORS under the same 64-smallest-per-cell cap and the same
+    //    32-of-64 slot verify, self-screen with lower-doc-id-wins,
+    //    exact tier as first-(batch, doc_id)-wins per content hash.
+    //    So the row proves the streaming state machine — store growth by
+    //    novel docs only, stage-order contract, arrival-order firsts —
+    //    not a batch recompute.
+    sql("st_curate_stream",
+      s"""WITH ${LlmQueries.ShingleCtes}, base AS (
+        |  SELECT doc_id, source, text, doc_id % 3 AS b,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+        |         END AS n_tokens,
+        |         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+        |             x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop,
+        |         ${QueryDef.hashBucketSql("CAST(doc_id AS VARCHAR)")} AS bucket
+        |  FROM documents
+        |), q AS (
+        |  SELECT *, (n_tokens >= 20 AND n_stop * 50 >= n_tokens) AS q_pass
+        |  FROM base
+        |), ek AS (
+        |  SELECT doc_id, b FROM (
+        |    SELECT doc_id, b,
+        |           row_number() OVER (PARTITION BY md5(text)
+        |                              ORDER BY b, doc_id) AS rn
+        |    FROM q WHERE q_pass) WHERE rn = 1
+        |), sig AS (
+        |  SELECT gh.doc_id, j,
+        |         min((((((j+1)*2654435761) % 2147483647) * g)
+        |              + (((j+17)*40503) % 2147483647)) % 2147483647) AS h
+        |  FROM gh JOIN ek ON ek.doc_id = gh.doc_id
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+        |  GROUP BY gh.doc_id, j
+        |), bands AS (
+        |  SELECT s.doc_id, e.b, j // 4 AS band,
+        |         string_agg(CAST(h AS VARCHAR), '_' ORDER BY j) AS bkey
+        |  FROM sig s JOIN ek e USING (doc_id) GROUP BY s.doc_id, e.b, j // 4
+        |), ${curateBatchSql(0)}, ${curateBatchSql(1)}, ${curateBatchSql(2)},
+        |nd AS (
+        |  SELECT doc_id FROM nd0 UNION ALL SELECT doc_id FROM nd1
+        |  UNION ALL SELECT doc_id FROM nd2
+        |)
+        |SELECT q.doc_id, q.source, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+        |       CASE WHEN NOT q.q_pass THEN 'quality_fail'
+        |            WHEN e.doc_id IS NULL THEN 'exact_dup'
+        |            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+        |            WHEN q.bucket < 0.9 * 2147483647 THEN 'train'
+        |            WHEN q.bucket < 0.95 * 2147483647 THEN 'val'
+        |            ELSE 'test' END AS stage
+        |FROM q LEFT JOIN ek e ON e.doc_id = q.doc_id
+        |       LEFT JOIN nd n ON n.doc_id = q.doc_id
+        |ORDER BY q.doc_id""")(
+      (s, d) => {
+        val root = TxSideTables.curationRun(s, d)
+        graft.sources.TxLog.read(s,
+            graft.streaming.CurationStream.decisionsPath(root))
+          .select(col("doc_id"), col("source"),
+            col("n_tokens").cast("long").as("n_tokens"), col("stage"))
+          .orderBy("doc_id")
       })
   )
+
+  /** One unrolled batch of the `st_curate_stream` oracle: batch `k`'s
+    * near-dup screen — candidates against prior batches' survivors
+    * (`cs$k`) and the batch self-screen (`cb$k`), both under the
+    * 64-smallest-per-cell cap, slot-verified at ≥ 32 of 64 with
+    * lower-doc-id-wins on the self pairs — and its survivor set
+    * (`sv$k`), which is exactly what the streaming signature store
+    * grows by. */
+  private def curateBatchSql(k: Int): String = {
+    val store =
+      if (k == 0) ""
+      else {
+        val union = (0 until k).map(i => s"SELECT doc_id FROM sv$i")
+          .mkString(" UNION ALL ")
+        s"""cs$k AS (
+           |  SELECT doc_id AS c_id, band, bkey FROM bands
+           |  WHERE doc_id IN ($union)
+           |  QUALIFY row_number() OVER (PARTITION BY band, bkey
+           |                             ORDER BY doc_id) <= 64
+           |), """.stripMargin
+      }
+    val storePairs =
+      if (k == 0) ""
+      else s"""
+           |    UNION
+           |    SELECT x.doc_id, c.c_id, FALSE
+           |    FROM bands x JOIN cs$k c USING (band, bkey)
+           |    WHERE x.b = $k""".stripMargin
+    s"""${store}cb$k AS (
+       |  SELECT doc_id AS c_id, band, bkey FROM bands WHERE b = $k
+       |  QUALIFY row_number() OVER (PARTITION BY band, bkey
+       |                             ORDER BY doc_id) <= 64
+       |), pr$k AS (
+       |  SELECT DISTINCT * FROM (
+       |    SELECT x.doc_id AS b_id, c.c_id, TRUE AS self
+       |    FROM bands x JOIN cb$k c USING (band, bkey)
+       |    WHERE x.b = $k$storePairs)
+       |), nd$k AS (
+       |  SELECT DISTINCT b_id AS doc_id FROM (
+       |    SELECT p.b_id, p.c_id
+       |    FROM pr$k p
+       |    JOIN sig sa ON sa.doc_id = p.b_id
+       |    JOIN sig sb ON sb.doc_id = p.c_id AND sb.j = sa.j
+       |    WHERE (NOT p.self) OR p.b_id > p.c_id
+       |    GROUP BY p.b_id, p.c_id
+       |    HAVING SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) >= 32)
+       |), sv$k AS (
+       |  SELECT e.doc_id FROM ek e WHERE e.b = $k
+       |    AND e.doc_id NOT IN (SELECT doc_id FROM nd$k)
+       |)""".stripMargin
+  }
 }
 
 /** Side TxLog tables built from the fixtures, once per (JVM, sf dir) —
@@ -999,6 +1118,24 @@ private[registry] object TxSideTables {
         .createTempDirectory("graft-txq").toString
       graft.sources.TxLog.merge(s, dir, docRows(s, d))
       dir
+    })
+
+  /** The incremental curation funnel driven over the fixture in three
+    * deterministic micro-batches (doc_id % 3 = 0, 1, 2 — arrival order
+    * matters: it defines who is "first" for both dedup tiers), once per
+    * (process, sf dir). Replaying the run converges (CurationStreamSpec),
+    * so repeated bench passes read identical decision state. Returns
+    * the stream's root directory. */
+  def curationRun(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"cur:$d", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-curgate").toString
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      for (k <- 0 until 3)
+        graft.streaming.CurationStream.processBatch(s, root,
+          docs.filter(pmod(col("doc_id"), lit(3)) === k), k.toLong)
+      root
     })
 
   private def docRows(s: SparkSession, d: String) =

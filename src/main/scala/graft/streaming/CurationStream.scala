@@ -93,9 +93,12 @@ object CurationStream {
   /** Split thresholds = the batch pipeline's (90/5/5 on the doc-id
     * hash). */
   private def splitOf(idCol: org.apache.spark.sql.Column) = {
+    // double compares, not truncated longs — the exact form the batch
+    // pipeline (and its oracle) uses, so the boundary hash behaves
+    // identically
     val h = Text.hash60(idCol.cast("string"))
-    when(h < (0.9 * 2147483647L).toLong, "train")
-      .when(h < (0.95 * 2147483647L).toLong, "val")
+    when(h < 0.9 * 2147483647L, "train")
+      .when(h < 0.95 * 2147483647L, "val")
       .otherwise("test")
   }
 
