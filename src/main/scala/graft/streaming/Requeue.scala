@@ -147,19 +147,22 @@ object Requeue {
         val takenDf = results
           .map { case (k, p, rc, ok) => (k, p, rc, ok) }
           .toDF("key", "payload", "receive_count", "ok")
-        val failed = takenDf.filter(!col("ok"))
-          .withColumn("receive_count", col("receive_count") + 1)
+        // failures stay driver-side (the round is maxPerTrigger-bounded
+        // already), so the caller's backoff function applies as plain
+        // Scala — no UDF enters any plan
+        val failed = results.collect {
+          case (k, p, rc, false) => (k, p, rc + 1)
+        }
         // park after the maxReceiveCount-th failed delivery; DLQ append
         // is at-least-once (see object doc) — DLQ readers dedupe by key
-        val parked = failed.filter(col("receive_count") >= maxReceiveCount)
-          .select(col("key"), col("payload"), col("receive_count"),
-            lit(nowTick).as("parked_at"))
-        if (!parked.isEmpty)
-          parked.write.mode("append").parquet(dlqDir)
-        val retries = failed.filter(col("receive_count") < maxReceiveCount)
-          .withColumn("not_before",
-            lit(nowTick) + udf((rc: Int) => backoffTriggers(rc))
-              .apply(col("receive_count")))
+        val parked = failed.filter(_._3 >= maxReceiveCount)
+          .map { case (k, p, rc) => (k, p, rc, nowTick) }
+        if (parked.nonEmpty)
+          parked.toDF("key", "payload", "receive_count", "parked_at")
+            .write.mode("append").parquet(dlqDir)
+        val retries = failed.filter(_._3 < maxReceiveCount)
+          .map { case (k, p, rc) => (k, p, rc, nowTick + backoffTriggers(rc)) }
+          .toDF(PendingCols: _*)
           .select(PendingCols.map(col): _*)
         val overflow = due.join(
           broadcast(takenDf.select("key")), Seq("key"), "left_anti")
