@@ -43,32 +43,50 @@ object SkewGuard {
 
   /** Candidate pairs (a_id, b_id), a < b, per cell of `cellCols`, with
     * the oversized-cell star guard. Callers dedup across cells with
-    * `.distinct()` exactly as they did over the raw self-join. */
+    * `.distinct()` exactly as they did over the raw self-join.
+    *
+    * `carryCols` propagate per-item payload columns onto the pairs as
+    * `a_<name>`/`b_<name>` — for SMALL payloads (a few scalars, e.g.
+    * phash bands) this removes the two verify joins downstream; large
+    * payloads (signature arrays, gram sets) should stay on the
+    * join-back path, since every band row duplicates the carried
+    * values. Dedup across cells with `.dropDuplicates("a_id", "b_id")`
+    * (carried values are functions of the id, so any row of a pair is
+    * the same row). */
   def cellPairs(items: DataFrame, cellCols: Seq[String], idCol: String,
-      maxCell: Int = MaxCellSize): DataFrame = {
+      maxCell: Int = MaxCellSize,
+      carryCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyCols = cellCols.map(col)
-    val sized = items.select((cellCols :+ idCol).map(col): _*)
-      .withColumn("_rn",
-        row_number().over(Window.partitionBy(keyCols: _*).orderBy(col(idCol))))
-      .withColumn("_cnt",
-        count(lit(1)).over(Window.partitionBy(keyCols: _*)))
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(idCol))
+    val sized = items.select((cellCols ++ (idCol +: carryCols)).map(col): _*)
+      .withColumn("_rn", row_number().over(w))
+      // same partition AND order spec as _rn with an unbounded frame:
+      // both window functions evaluate in ONE WindowExec / one sort
+      .withColumn("_cnt", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       // one window pass feeds both size classes; cached so the two
       // branches (and the self-join's two sides) don't recompute it —
       // entry is deduped by plan and released with the session cache
       .persist()
+    def side(p: String, d: DataFrame) =
+      d.select(cellCols.map(c => col(c).as(s"${p}_$c")) ++
+        (col(idCol).as(s"${p}_id") +:
+          carryCols.map(c => col(c).as(s"${p}_$c"))): _*)
+    val cellEq = cellCols.map(c => col(s"a_$c") === col(s"b_$c"))
+      .reduce(_ && _)
+    val outCols = (Seq("a_id", "b_id") ++
+      carryCols.flatMap(c => Seq(s"a_$c", s"b_$c"))).map(col)
     val small = sized.filter(col("_cnt") <= maxCell)
-    val smallPairs = small.as("x").hint("shuffle_hash").join(small.as("y"),
-        cellCols.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+    val smallPairs = side("a", small).hint("shuffle_hash")
+      .join(side("b", small), cellEq && col("a_id") < col("b_id"))
+      .select(outCols: _*)
     val reps = sized.filter(col("_cnt") > maxCell && col("_rn") === 1)
     val members = sized.filter(col("_cnt") > maxCell && col("_rn") > 1)
-    val starPairs = reps
-      .select((keyCols :+ col(idCol).as("a_id")): _*)
+    val starPairs = side("a", reps)
       .hint("shuffle_hash")
-      .join(members.select((keyCols :+ col(idCol).as("b_id")): _*), cellCols)
-      .select("a_id", "b_id")
+      .join(side("b", members), cellEq)
+      .select(outCols: _*)
     smallPairs.unionByName(starPairs)
   }
 

@@ -1785,79 +1785,127 @@ object LlmQueries {
     //    family as llm_dedup_minhash). No all-pairs join at any scale:
     //    pair volume is Σ_cell O(cell²) under the cap, O(cell) above it.
     sql("llm_mm_phash",
-      s"""WITH m AS (
-        |  SELECT doc_id, text, length(text) AS len
-        |  FROM documents WHERE length(text) >= 64
-        |), sb AS (
-        |  SELECT doc_id,
-        |         [ascii(substring(text, CAST((len * i) // 64 AS INT) + 1, 1))
-        |          for i in range(0, 64)] AS s
-        |  FROM m
-        |), ph AS (
-        |  SELECT doc_id, s, list_sum(s) // 64 AS mean FROM sb
-        |), bands AS (
-        |  SELECT doc_id,
-        |         list_sum([CASE WHEN s[b + 1]  > mean THEN 1 << b ELSE 0 END
-        |                   for b in range(0, 16)]) AS b0,
-        |         list_sum([CASE WHEN s[b + 17] > mean THEN 1 << b ELSE 0 END
-        |                   for b in range(0, 16)]) AS b1,
-        |         list_sum([CASE WHEN s[b + 33] > mean THEN 1 << b ELSE 0 END
-        |                   for b in range(0, 16)]) AS b2,
-        |         list_sum([CASE WHEN s[b + 49] > mean THEN 1 << b ELSE 0 END
-        |                   for b in range(0, 16)]) AS b3
-        |  FROM ph
-        |), rows0 AS (
-        |  SELECT doc_id, 0 AS j, b0 AS band FROM bands UNION ALL
-        |  SELECT doc_id, 1, b1 FROM bands UNION ALL
-        |  SELECT doc_id, 2, b2 FROM bands UNION ALL
-        |  SELECT doc_id, 3, b3 FROM bands
-        |), ${graft.llmops.SkewGuard.oracleCandSql(
-             "rows0", Seq("j", "band"), "doc_id", "a_id", "b_id")}, h AS (
-        |  SELECT c.a_id, c.b_id,
-        |         bit_count(xor(ba.b0, bb.b0)) + bit_count(xor(ba.b1, bb.b1)) +
-        |         bit_count(xor(ba.b2, bb.b2)) + bit_count(xor(ba.b3, bb.b3))
-        |           AS hamming
-        |  FROM cand c JOIN bands ba ON ba.doc_id = c.a_id
-        |              JOIN bands bb ON bb.doc_id = c.b_id
-        |)
+      s"""WITH $MmPhashCtes
         |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
-        |FROM h WHERE hamming <= 10 ORDER BY a_id, b_id""")(
+        |FROM mmdup ORDER BY a_id, b_id""")(
+      (s, d) => mmPhashPairs(s, d).orderBy("a_id", "b_id")),
+
+    // ── Image-dedup CLUSTERS + keep-list: the step a media pipeline
+    //    actually consumes after pair generation — connected components
+    //    over the perceptual-hash pair graph, min-id canonical per
+    //    cluster, per-doc keeper flag (the phash analog of
+    //    llm_dedup_components + llm_dedup_apply). Spark: min-label
+    //    propagation on the PAIR graph only (pairs ≪ corpus); docs with
+    //    no near-twin never enter the component computation at all.
+    sql("llm_mm_phash_cluster",
+      s"""WITH RECURSIVE $MmPhashCtes, edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM mmdup
+        |  UNION ALL SELECT b_id, a_id FROM mmdup
+        |), closure(src, dst) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT c.src, e.v FROM closure c JOIN edges e ON c.dst = e.u
+        |), comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |  FROM closure GROUP BY src
+        |), sized AS (
+        |  SELECT cluster_id, count(*) AS cluster_size FROM comp
+        |  GROUP BY cluster_id
+        |)
+        |SELECT c.doc_id, CAST(c.cluster_id AS BIGINT) AS cluster_id,
+        |       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+        |       (c.doc_id = c.cluster_id) AS is_keeper
+        |FROM comp c JOIN sized s USING (cluster_id)
+        |ORDER BY c.doc_id""")(
       (s, d) => {
-        // hash pass = the codegen twin (ASCII corpus needs no decode;
-        // binary media would swap in aHashDF's batched-decode contract,
-        // same band schema). The plan reads the hash table three times
-        // (band explode + both verify sides), so the doc × 4-shorts
-        // table is persisted once per (session, corpus) — the signature
-        // store a production image pipeline materializes. It is NOT
-        // broadcast — the verify joins hint shuffle_hash with the
-        // candidate side as build, the minhash verify's contract
-        val hashes = graft.core.Caching.memoDf(s, s"mmPhash:$d") {
-          Multimodal.aHashBands(
-            t(s, d, "documents").filter(length(col("text")) >= 64)
-              .select(col("doc_id"), col("text")))
-            .select("doc_id", "b0", "b1", "b2", "b3")
-        }
-        val bandRows = hashes.select(col("doc_id"), explode(array(
-            (0 until 4).map(j => struct(lit(j).as("j"),
-              col(s"b$j").as("band"))): _*)).as("e"))
-          .select(col("doc_id"), col("e.j").as("j"), col("e.band").as("band"))
-        val cand = graft.llmops.SkewGuard
-          .cellPairs(bandRows, Seq("j", "band"), "doc_id")
-          .distinct()
-        val ham = (0 until 4).map(j =>
-          bit_count(col(s"a_b$j").bitwiseXOR(col(s"b_b$j")))).reduce(_ + _)
-        cand.hint("shuffle_hash")
-          .join(hashes.select(col("doc_id").as("a_id"),
-            col("b0").as("a_b0"), col("b1").as("a_b1"),
-            col("b2").as("a_b2"), col("b3").as("a_b3")), "a_id")
-          .hint("shuffle_hash")
-          .join(hashes.select(col("doc_id").as("b_id"),
-            col("b0").as("b_b0"), col("b1").as("b_b1"),
-            col("b2").as("b_b2"), col("b3").as("b_b3")), "b_id")
-          .withColumn("hamming", ham.cast("long"))
-          .filter(col("hamming") <= 10)
-          .select("a_id", "b_id", "hamming")
-          .orderBy("a_id", "b_id")
+        val labels = componentLabels(s,
+          mmPhashPairs(s, d).select("a_id", "b_id"))
+        val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+        labels.join(sizes, "comp")
+          .select(col("node").as("doc_id"), col("comp").as("cluster_id"),
+            col("cluster_size"),
+            (col("node") === col("comp")).as("is_keeper"))
+          .orderBy("doc_id")
       })
   )
+
+  /** Shared perceptual-hash oracle chain: payload byte sampling → 4 ×
+    * 16-bit aHash bands → SkewGuard-capped banded candidates → exact
+    * hamming verify, ending in `mmdup(a_id, b_id, hamming ≤ 10)`.
+    * Consumed by llm_mm_phash (pair listing) and llm_mm_phash_cluster
+    * (components). */
+  private def MmPhashCtes: String =
+    s"""m AS (
+       |  SELECT doc_id, text, length(text) AS len
+       |  FROM documents WHERE length(text) >= 64
+       |), sb AS (
+       |  SELECT doc_id,
+       |         [ascii(substring(text, CAST((len * i) // 64 AS INT) + 1, 1))
+       |          for i in range(0, 64)] AS s
+       |  FROM m
+       |), ph AS (
+       |  SELECT doc_id, s, list_sum(s) // 64 AS mean FROM sb
+       |), bands AS (
+       |  SELECT doc_id,
+       |         list_sum([CASE WHEN s[b + 1]  > mean THEN 1 << b ELSE 0 END
+       |                   for b in range(0, 16)]) AS b0,
+       |         list_sum([CASE WHEN s[b + 17] > mean THEN 1 << b ELSE 0 END
+       |                   for b in range(0, 16)]) AS b1,
+       |         list_sum([CASE WHEN s[b + 33] > mean THEN 1 << b ELSE 0 END
+       |                   for b in range(0, 16)]) AS b2,
+       |         list_sum([CASE WHEN s[b + 49] > mean THEN 1 << b ELSE 0 END
+       |                   for b in range(0, 16)]) AS b3
+       |  FROM ph
+       |), rows0 AS (
+       |  SELECT doc_id, 0 AS j, b0 AS band FROM bands UNION ALL
+       |  SELECT doc_id, 1, b1 FROM bands UNION ALL
+       |  SELECT doc_id, 2, b2 FROM bands UNION ALL
+       |  SELECT doc_id, 3, b3 FROM bands
+       |), ${graft.llmops.SkewGuard.oracleCandSql(
+            "rows0", Seq("j", "band"), "doc_id", "a_id", "b_id")}, h AS (
+       |  SELECT c.a_id, c.b_id,
+       |         bit_count(xor(ba.b0, bb.b0)) + bit_count(xor(ba.b1, bb.b1)) +
+       |         bit_count(xor(ba.b2, bb.b2)) + bit_count(xor(ba.b3, bb.b3))
+       |           AS hamming
+       |  FROM cand c JOIN bands ba ON ba.doc_id = c.a_id
+       |              JOIN bands bb ON bb.doc_id = c.b_id
+       |), mmdup AS (
+       |  SELECT a_id, b_id, hamming FROM h WHERE hamming <= 10
+       |)""".stripMargin
+
+  /** Perceptual-hash near-dup pairs `(a_id, b_id, hamming)` — the Spark
+    * twin of [[MmPhashCtes]], memoized per (session, corpus) since both
+    * the pair listing and the cluster query consume it.
+    *
+    * Plan shape: the hash pass is the codegen twin of the batched
+    * decode contract (ASCII corpus needs no decode; binary media would
+    * swap in `Multimodal.aHashDF`, same band schema). The full hash is
+    * only 4 shorts, so the band rows CARRY it through the capped
+    * self-join (`SkewGuard.cellPairs(carryCols)`) — the hamming verify
+    * is then a per-row expression on the pairs: no join-back stage, no
+    * second scan of the hash table, nothing broadcast. (The minhash /
+    * gram-set verifies keep the join-back path — their payloads are
+    * corpus-scale arrays that must not ride 16 band rows per doc.) */
+  private[registry] def mmPhashPairs(s: SparkSession, d: String): DataFrame =
+    Caching.memoDfEpoch(s, s"mmPhashPairs:$d") {
+      val hashes = Multimodal.aHashBands(
+        t(s, d, "documents").filter(length(col("text")) >= 64)
+          .select(col("doc_id"), col("text")))
+        .select("doc_id", "b0", "b1", "b2", "b3")
+      val bandRows = hashes.select(
+          col("doc_id") +: col("b0") +: col("b1") +: col("b2") +: col("b3") +:
+            Seq(explode(array((0 until 4).map(j => struct(lit(j).as("j"),
+              col(s"b$j").as("band"))): _*)).as("e")): _*)
+        .select(col("doc_id"), col("e.j").as("j"), col("e.band").as("band"),
+          col("b0"), col("b1"), col("b2"), col("b3"))
+      val ham = (0 until 4).map(j =>
+        bit_count(col(s"a_b$j").bitwiseXOR(col(s"b_b$j")))).reduce(_ + _)
+      graft.llmops.SkewGuard
+        .cellPairs(bandRows, Seq("j", "band"), "doc_id",
+          carryCols = Seq("b0", "b1", "b2", "b3"))
+        .dropDuplicates("a_id", "b_id")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(col("hamming") <= 10)
+        .select("a_id", "b_id", "hamming")
+    }
 }

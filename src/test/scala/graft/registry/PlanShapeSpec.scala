@@ -306,9 +306,11 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("phash near-dup shuffle-joins its verify stage (no corpus hash broadcast)") {
-    // the per-doc 4-band hash table is corpus-sized: both verify joins
-    // must be shuffle joins, never a broadcast of the hash table
+  test("phash near-dup shuffle-joins its candidate stage (no corpus hash broadcast)") {
+    // the per-doc 4-band hash table is corpus-sized and rides the band
+    // rows (carry-through verify — no join-back stage): the capped
+    // cell self-join's two branches must be shuffle joins, never a
+    // broadcast of the hash table
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     val sp = graft.SparkEntry.queries("llm_mm_phash")(spark, sf())
       .queryExecution.sparkPlan
