@@ -453,26 +453,23 @@ object LlmQueries {
         var checksum = checksumOf(labels)
         var converged = false
         while (!converged) {
-          val prop = labels.join(edges, labels("node") === edges("u"))
+          // One edge hop per round; rounds = the component's
+          // eccentricity from its min node (27 on the sf0.1 phash
+          // graph's 388-node chain — the worst case measured).
+          // MEASURED NON-FIX: a comp := min(comp, comp(comp))
+          // path-halving join per round cuts rounds only 28 → 20
+          // (single application = 2 hops/round, not doubling) while
+          // doubling the per-round action count — the loop is
+          // driver-action-latency-bound at pair-graph sizes (the
+          // label frame fits one partition), so the simple hop wins
+          // end to end. At 100 TB the per-round SHUFFLE is pair-graph-
+          // sized either way; near-dup components are dense blobs in
+          // practice, with chain graphs the pathological case.
+          val next = labels.join(edges, labels("node") === edges("u"))
             .select(col("v").as("node"), col("comp"))
             .unionByName(labels.select("node", "comp"))
             .repartition(iterParts, col("node"))
             .groupBy("node").agg(min("comp").as("comp"))
-          // pointer jumping: follow the label one hop through the label
-          // table itself (comp := min(comp, comp(comp))) — the PRAM
-          // path-halving step. Edge propagation alone needs as many
-          // rounds as the component's eccentricity from its min node
-          // (27 on the sf0.1 phash graph's 388-node chain); with the
-          // compression join convergence is logarithmic. `prop` appears
-          // twice in one plan — the aggregate's exchange is reused, not
-          // recomputed (ReuseExchange), so the extra cost is one
-          // candidate-sized join per round for ~4x fewer rounds.
-          val next = prop.as("l1").join(
-              prop.select(col("node").as("cnode"), col("comp").as("ccomp")),
-              col("comp") === col("cnode"), "left")
-            .select(col("node"),
-              least(col("comp"), coalesce(col("ccomp"), col("comp")))
-                .as("comp"))
             .localCheckpoint(true)
           val s1 = checksumOf(next)
           chkRdd(labels).foreach(_.unpersist(false))
