@@ -91,6 +91,24 @@ class CurationStreamSpec extends SparkSpec {
       .count() == sigBefore)
   }
 
+  test("start() wires the funnel onto a live stream (MemoryStream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshDir()
+    val mem = MemoryStream[(Long, String, String)]
+    val q = CurationStream.start(
+      mem.toDF().toDF("doc_id", "source", "text"), root)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val st = stages(root)
+    assert(st.size == all.size)
+    assert(st(30L) == "exact_dup" && st(40L) == "near_dup" &&
+      st(21L) == "quality_fail")
+  }
+
   test("crash after the signature fold alone still converges on replay") {
     // two roots share batches 1-2; on the crashed one, batch 3's
     // signatures are already in the store (the fold that survived) but
