@@ -32,6 +32,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * cell itself). A batch doc colliding with an over-cap cell still sees
   * `maxCell` candidates — far more than needed to flag it — so recall
   * loss applies only to WHICH corpus twin is reported, never whether.
+  *
+  * Honest per-trigger cost: the screen still READS the signature store
+  * once per batch (one columnar scan of (doc_id, sig) — the semi-join
+  * prunes what aggregates, not what is read; band keys derive by
+  * slicing, so the scan, not the CPU, is the cost). At 10^10 docs
+  * that is the ~5 TB side-table scan per trigger — proportionate for
+  * daily deltas, heavy for minute-level triggers. The disk-level fix
+  * is the postings treatment ([[graft.query.TermIndex]]'s shape: band
+  * keys as a key-clustered table probed by shard), worth building only
+  * when trigger frequency × store size demands it; the store layout
+  * here (sharded TxLog, key-ordered files) is already the layout that
+  * index would cluster.
   */
 object IncrementalDedup {
 
