@@ -226,6 +226,15 @@ class LlmOpsSpec extends SparkSpec {
     assert(hamming <= 2, s"hamming $hamming")
     assert(Seq(a.b0 == b.b0, a.b1 == b.b1, a.b2 == b.b2, a.b3 == b.b3)
       .count(identity) >= 1)
+    // fuzz: kernel ≡ stub on random payloads of random lengths
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val p = Array.fill(64 + rnd.nextInt(4000))(rnd.nextInt(256).toByte)
+      val viaStub = Multimodal.aHashStub(Multimodal.MediaRecord(0L, "x", p))
+      val viaKernel = graft.functions.GraftFunctions.aHashBands(p)
+      assert(Seq(viaStub.b0, viaStub.b1, viaStub.b2, viaStub.b3) ==
+        (0 until 4).map(viaKernel.getInt), s"len ${p.length}")
+    }
     // the codegen twin equals the batched-decode path on the real fixture
     val docs = Tables.documents(spark, sf())
       .filter(length(col("text")) >= 64).select(col("doc_id"), col("text"))

@@ -68,6 +68,38 @@ class SkewGuardSpec extends SparkSpec {
     assert(topk.forall(r => math.abs(r.getAs[Double]("sim") - 1.0) < 1e-9))
   }
 
+  test("carryCols equals the join-back path on randomized cells (incl. over-cap)") {
+    // seeded random items over few cells so some exceed the cap; the
+    // carried payload must reproduce exactly what joining the payload
+    // table back onto the id pairs produces
+    val rnd = new scala.util.Random(42)
+    val items = (1 to 400).map { i =>
+      (i.toLong, rnd.nextInt(6), rnd.nextInt(3), i * 7 % 101, i * 13 % 97)
+    }.toDF("id", "cell_a", "cell_b", "p1", "p2")
+    val cap = 20
+    val viaCarry = SkewGuard
+      .cellPairs(items, Seq("cell_a", "cell_b"), "id", maxCell = cap,
+        carryCols = Seq("p1", "p2"))
+      .dropDuplicates("a_id", "b_id")
+      .as[(Long, Long, Int, Int, Int, Int)].collect().toSet
+    val ids = SkewGuard
+      .cellPairs(items, Seq("cell_a", "cell_b"), "id", maxCell = cap)
+      .distinct()
+    val pay = items.select("id", "p1", "p2")
+    val viaJoin = ids
+      .join(pay.select(col("id").as("a_id"), col("p1").as("a_p1"),
+        col("p2").as("a_p2")), "a_id")
+      .join(pay.select(col("id").as("b_id"), col("p1").as("b_p1"),
+        col("p2").as("b_p2")), "b_id")
+      .select("a_id", "b_id", "a_p1", "b_p1", "a_p2", "b_p2")
+      .as[(Long, Long, Int, Int, Int, Int)].collect().toSet
+    assert(viaCarry.nonEmpty && viaCarry == viaJoin)
+    // sanity: the random layout actually exercised the star branch
+    val oversized = items.groupBy("cell_a", "cell_b").count()
+      .filter(col("count") > cap).count()
+    assert(oversized > 0, "no over-cap cell — raise n or lower cap")
+  }
+
   test("oracle SQL twin encodes the identical cap contract (DuckDB-checked offline)") {
     // the fragment must reference the shared constant, not a drifted copy
     val fragment = SkewGuard.oracleCandSql("src", Seq("t", "b"), "id", "a_id", "b_id")
