@@ -210,9 +210,14 @@ object CurationQueries {
 
   /** Spark twin of [[qualityTrainSql]] — see the llm_quality_train
     * query comment for the algorithm and scale notes. */
+  /** The trained-and-scored frame, memoized per (corpus, split key):
+    * llm_quality_train and llm_mix_classifier share the "all" split, so
+    * within one cache generation the two-step training pays once. */
   private def qualityTrainFrame(
       s: SparkSession, d: String,
-      trainPred: Column, scorePred: Column): DataFrame = {
+      trainPred: Column, scorePred: Column,
+      splitKey: String): DataFrame =
+   graft.core.Caching.memoDf(s, s"qtScores:$d:$splitKey") {
     val F = QtF; val S2 = QtS; val C = QtC; val M = QtM
     val stops = Seq("the", "a", "of", "and", "to", "in", "is")
     val tkq = Text.tokens(col("text"))
@@ -296,8 +301,7 @@ object CurationQueries {
     scoresOf(Some(w2), featScore)
       .select(col("doc_id"), col("s").as("score_fp"),
         (col("s") >= 0).as("predicted"), col("y").as("label"))
-      .orderBy("doc_id")
-  }
+   }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -325,7 +329,8 @@ object CurationQueries {
     //    ~2³¹ docs before overflow; shard-and-rescale past that.)
     sql("llm_quality_train",
       qualityTrainSql(trainWhere = "TRUE", scoreWhere = "TRUE"))(
-      (s, d) => qualityTrainFrame(s, d, lit(true), lit(true))),
+      (s, d) => qualityTrainFrame(s, d, lit(true), lit(true), "all")
+        .orderBy("doc_id")),
 
     // ── Held-out twin: train on the 80% with doc_id % 5 <> 0, score
     //    ONLY the 20% the model never saw (centering statistics, b0,
@@ -336,7 +341,8 @@ object CurationQueries {
     sql("llm_quality_train_holdout",
       qualityTrainSql(trainWhere = "doc_id % 5 <> 0", scoreWhere = "doc_id % 5 = 0"))(
       (s, d) => qualityTrainFrame(s, d,
-        col("doc_id") % 5 =!= 0, col("doc_id") % 5 === 0)),
+        col("doc_id") % 5 =!= 0, col("doc_id") % 5 === 0, "holdout")
+        .orderBy("doc_id")),
 
     // ── The classifier put to WORK: per-source top-25% selection by
     //    trained score (the GPT-3-style "classifier-filtered corpus",
@@ -364,7 +370,7 @@ object CurationQueries {
           |       rk <= CAST(CEIL(0.25 * nd) AS BIGINT) AS selected
           |FROM ranked ORDER BY doc_id""".stripMargin))(
       (s, d) => {
-        val scored = qualityTrainFrame(s, d, lit(true), lit(true))
+        val scored = qualityTrainFrame(s, d, lit(true), lit(true), "all")
           .select(col("doc_id"), col("score_fp"))
           .join(t(s, d, "documents").select("doc_id", "source"), Seq("doc_id"))
         // snapshot = true (TopFraction's default): the scoring chain is
