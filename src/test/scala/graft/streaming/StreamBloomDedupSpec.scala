@@ -31,6 +31,25 @@ class StreamBloomDedupSpec extends SparkSpec {
     assert(got == exactTwin(b1 ++ b2 ++ b3))
   }
 
+  test("screenBatch alone writes nothing: a crashed-before-fold batch re-screens identically") {
+    val dir = Files.createTempDirectory("bloomscreen").toString
+    val b1 = Seq(1L -> "apple", 2L -> "pear")
+    StreamBloomDedup.processBatch(spark, docs(b1: _*), dir)
+    val b2 = Seq(3L -> "apple", 4L -> "plum")
+    // screen only — the simulated crash window between verdict and fold
+    val first = StreamBloomDedup.screenBatch(spark, docs(b2: _*), dir)
+      .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(first == Map(3L -> true, 4L -> false))
+    // no state moved: the replayed screen sees the same world
+    val replay = StreamBloomDedup.screenBatch(spark, docs(b2: _*), dir)
+      .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(replay == first)
+    // fold completes the batch; a further replay is then a no-op
+    StreamBloomDedup.foldState(spark,
+      StreamBloomDedup.screenBatch(spark, docs(b2: _*), dir), dir)
+    assert(StreamBloomDedup.screenBatch(spark, docs(b2: _*), dir).isEmpty)
+  }
+
   test("redelivered batch emits nothing and leaves state unchanged") {
     val dir = Files.createTempDirectory("bloomstream").toString
     val b = Seq(1L -> "a", 2L -> "b", 3L -> "a")
