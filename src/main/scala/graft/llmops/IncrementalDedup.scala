@@ -187,8 +187,17 @@ object IncrementalDedup {
               loadSignatures(spark, storePath)
             else sigs.limit(0)
           // store screen ∪ batch-internal self-screen (lower id wins;
-          // self-pairs drop on the strict inequality)
+          // self-pairs drop on the strict inequality). The store leg
+          // needs its own b_id =!= c_id guard: foreachBatch is
+          // at-least-once, so a batch replayed AFTER its signatures
+          // merged (crash between mergeSignatures and the checkpoint
+          // commit) finds every previously-novel doc in the store —
+          // matching itself at n_match = 64, which would out-rank any
+          // real twin and mark the doc a dup of itself. With the guard
+          // the replay converges: self-matches drop, real twins (if
+          // any) still surface, and the re-merge is idempotent.
           val hits = screen(sigs, store, idCol)
+            .filter(col("b_id") =!= col("c_id"))
             .unionByName(screen(sigs, sigs, idCol)
               .filter(col("b_id") > col("c_id")))
             .groupBy(col("b_id").as(idCol))

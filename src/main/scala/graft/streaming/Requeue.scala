@@ -51,10 +51,19 @@ object Requeue {
     * to 0 whenever the query starts without (or with a fresh)
     * checkpoint — which would future-date every persisted backoff by
     * the whole previous run's length. The clock is a tiny file bumped
-    * once per trigger via temp+rename; a crash can lose at most one
-    * increment (a backoff stretches by one round — harmless). */
+    * once per trigger via temp + delete + rename; crash windows:
+    *  - mid-write of tmp, or between tmp write and delete → the live
+    *    clock still holds the previous tick (one increment lost — a
+    *    backoff stretches by one round, harmless);
+    *  - between delete(clock) and rename(tmp) → the live clock is GONE
+    *    but the tmp holds the newer tick — [[readClock]] promotes it,
+    *    so the clock never resets to 0 (a reset would future-date every
+    *    persisted backoff by the previous run's length — the exact
+    *    failure the durable clock exists to prevent). */
   private def readClock(fs: org.apache.hadoop.fs.FileSystem, p: Path): Long = {
     val cp = new Path(p.getParent, s".${p.getName}.clock")
+    val tmp = new Path(p.getParent, s".${p.getName}.clock.tmp")
+    if (!fs.exists(cp) && fs.exists(tmp)) { fs.rename(tmp, cp); () }
     if (!fs.exists(cp)) 0L
     else {
       val in = fs.open(cp)

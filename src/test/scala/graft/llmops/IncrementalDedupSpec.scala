@@ -133,4 +133,48 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(stored == (1L to 20L).toSet + 102L,
       s"store must grow by novel docs only: $stored")
   }
+
+  test("streamScreen replay converges: a batch re-screened AFTER its signatures merged does not self-flag") {
+    // foreachBatch is at-least-once: a crash between mergeSignatures and
+    // the checkpoint commit redelivers the batch with its novel docs
+    // ALREADY in the store. Each redelivered doc then collides with its
+    // own stored signature (n_match = 64) — without the b_id =!= c_id
+    // guard on the store leg the self-match out-ranks any real twin and
+    // the doc is reported as a dup of ITSELF. The verdicts must instead
+    // be identical across the original run and the replay.
+    val store = java.nio.file.Files.createTempDirectory("graft-rply").toString + "/sigs"
+    val src = java.nio.file.Files.createTempDirectory("graft-rplysrc").toString
+    IncrementalDedup.mergeSignatures(spark, store,
+      sigsOf((1 to 10).map(i => (i.toLong, doc(i)))))
+    val flags = scala.collection.concurrent.TrieMap.empty[Long, (Boolean, Option[Long])]
+    val sink: DataFrame => Unit = df =>
+      df.select(col("doc_id"), col("is_dup"), col("dup_of"))
+        .as[(Long, Boolean, Option[Long])].collect()
+        .foreach { case (id, d, of) => flags(id) = (d, of) }
+    // 101 dup-of-5; 102 novel (will be merged, then redelivered)
+    val rows = Seq((101L, doc(5)), (102L, (1 to 40).map(k => s"r$k").mkString(" ")))
+    rows.toDF("doc_id", "text").write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(src)
+    val q = IncrementalDedup.streamScreen(stream, store, sink)
+    try {
+      q.processAllAvailable()
+      val first = flags.toMap
+      assert(first(101L) == ((true, Some(5L))) && first(102L) == ((false, None)),
+        s"pre-replay verdicts wrong: $first")
+      // REPLAY: the same rows arrive again (new files, same content —
+      // exactly what redelivery looks like to foreachBatch). 102's own
+      // signature is now in the store.
+      rows.toDF("doc_id", "text").write.mode("append").parquet(src)
+      q.processAllAvailable()
+      assert(flags(102L) == ((false, None)),
+        s"replayed novel doc self-flagged as its own dup: ${flags(102L)}")
+      assert(flags(101L) == ((true, Some(5L))),
+        s"replayed dup lost its real twin: ${flags(101L)}")
+    } finally q.stop()
+    // idempotent re-merge: the store is unchanged by the replay
+    val stored = IncrementalDedup.loadSignatures(spark, store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(stored == (1L to 10L).toSet + 102L, s"store drifted on replay: $stored")
+  }
 }

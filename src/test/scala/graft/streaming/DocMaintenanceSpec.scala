@@ -187,11 +187,14 @@ class DocMaintenanceSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("graft-orphan-spill")
     val spill = base.toString + "/keys"
     // simulate a crash AFTER delete(p) and BEFORE rename(tmp, p): only
-    // the tmp exists and holds the queued keys
+    // the tmp exists and holds the queued keys, with the protocol's
+    // own commit marker (the write had fully committed)
     val tmpPath = base.toString + "/.keys.tmp"
     Seq(("dbQ", "queued1"), ("dbQ", "queued2"))
       .toDF("databaseId", "assetId")
       .write.mode("overwrite").parquet(tmpPath)
+    assert(new java.io.File(tmpPath, "_GRAFT_COMMIT").createNewFile(),
+      "fixture: commit marker")
     val files = Seq(("db1", "a1", "f1")).toDF("databaseId", "assetId", "fileKey")
     files.write.mode("overwrite").parquet(dir)
     val submitted = scala.collection.concurrent.TrieMap.empty[(String, String), Int]

@@ -121,13 +121,16 @@ class RequeueSpec extends SparkSpec {
     val base = tmpDir("graft-rq5-pend")
     val pend = base + "/queue"
     val dlq = tmpDir("graft-rq5-dlq") + "/dlq"
-    // crash DURING the first rewrite: tmp exists as a parquet dir with
-    // data files but NO _SUCCESS commit marker, and no live store
+    // crash DURING the first rewrite: tmp exists as a parquet dir but
+    // the protocol's own _GRAFT_COMMIT marker never landed. The plain
+    // df.write fixture leaves parquet's _SUCCESS behind — deliberately
+    // kept, pinning that recovery keys on AtomicSpill's marker, not on
+    // _SUCCESS (whose presence is a Hadoop conf artifact)
     val tmp = new java.io.File(base, ".queue.tmp")
     Seq(("k_partial", "p", 0, 0L))
       .toDF("key", "payload", "receive_count", "not_before")
       .write.mode("overwrite").parquet(tmp.toString)
-    assert(new java.io.File(tmp, "_SUCCESS").delete(), "fixture: drop marker")
+    assert(new java.io.File(tmp, "_SUCCESS").exists(), "fixture: _SUCCESS present")
     val delivered = scala.collection.concurrent.TrieMap.empty[String, Int]
     Seq(("k_new", "p")).toDF("key", "payload").write.mode("append").parquet(src)
     val stream = spark.readStream
@@ -171,15 +174,50 @@ class RequeueSpec extends SparkSpec {
     assert(Requeue.pendingCount(spark, pend) == 0L)
   }
 
+  test("an orphaned clock tmp (crash between delete and rename) is promoted, not reset to 0") {
+    val src = tmpDir("graft-rq7-src")
+    val base = tmpDir("graft-rq7-pend")
+    val pend = base + "/queue"
+    val dlq = tmpDir("graft-rq7-dlq") + "/dlq"
+    // live pending row waiting until round 5; the durable clock crashed
+    // between delete and rename — only .queue.clock.tmp (holding 7)
+    // exists. A reset-to-0 clock would make the row wait 5 MORE rounds;
+    // promoting the tmp makes it due immediately (7 >= 5).
+    Seq(("k_wait", "p", 1, 5L))
+      .toDF("key", "payload", "receive_count", "not_before")
+      .write.mode("overwrite").parquet(pend)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(base, ".queue.clock.tmp"),
+      "7".getBytes("UTF-8"))
+    val delivered = scala.collection.concurrent.TrieMap.empty[String, Int]
+    Seq(("k_new", "p")).toDF("key", "payload").write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("key STRING, payload STRING").parquet(src)
+    val q = Requeue.requeueOnFailure(stream,
+      (k, _) => { delivered.updateWith(k)(v => Some(v.getOrElse(0) + 1)); true },
+      pend, dlq)
+    try q.processAllAvailable() finally q.stop()
+    assert(delivered.keySet == Set("k_wait", "k_new"),
+      s"clock reset future-dated the pending backoff: ${delivered.keySet}")
+    assert(Requeue.pendingCount(spark, pend) == 0L)
+  }
+
   test("an orphaned pending tmp (crash between delete and rename) is promoted") {
     val src = tmpDir("graft-rq4-src")
     val base = tmpDir("graft-rq4-pend")
     val pend = base + "/queue"
     val dlq = tmpDir("graft-rq4-dlq") + "/dlq"
-    // simulate the crash: only .queue.tmp exists, holding a queued record
+    // simulate the crash: only .queue.tmp exists, holding a queued
+    // record, with the protocol's _GRAFT_COMMIT marker (the write had
+    // committed). _SUCCESS is DELETED to model a deployment running
+    // mapreduce.fileoutputcommitter.marksuccessfuljobs=false — the tmp
+    // must still be promoted, not misjudged as partial and dropped
     Seq(("k_lost", "p", 1, 0L))
       .toDF("key", "payload", "receive_count", "not_before")
       .write.mode("overwrite").parquet(base + "/.queue.tmp")
+    new java.io.File(base + "/.queue.tmp", "_SUCCESS").delete()
+    assert(new java.io.File(base + "/.queue.tmp", "_GRAFT_COMMIT").createNewFile(),
+      "fixture: commit marker")
     val delivered = scala.collection.concurrent.TrieMap.empty[String, Int]
     val deliver = (k: String, _: String) => {
       delivered.updateWith(k)(v => Some(v.getOrElse(0) + 1)); true
