@@ -33,17 +33,31 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * `maxCell` candidates — far more than needed to flag it — so recall
   * loss applies only to WHICH corpus twin is reported, never whether.
   *
-  * Honest per-trigger cost: the screen still READS the signature store
-  * once per batch (one columnar scan of (doc_id, sig) — the semi-join
-  * prunes what aggregates, not what is read; band keys derive by
-  * slicing, so the scan, not the CPU, is the cost). At 10^10 docs
-  * that is the ~5 TB side-table scan per trigger — proportionate for
-  * daily deltas, heavy for minute-level triggers. The disk-level fix
-  * is the postings treatment ([[graft.query.TermIndex]]'s shape: band
-  * keys as a key-clustered table probed by shard), worth building only
-  * when trigger frequency × store size demands it; the store layout
-  * here (sharded TxLog, key-ordered files) is already the layout that
-  * index would cluster.
+  * STORE LAYOUT — the postings treatment ([[graft.query.TermIndex]]'s
+  * shape): the persistent store is a BAND-sharded [[graft.sources.TxLog]]
+  * table, one row per (band, bkey, doc) with the doc's full signature
+  * DENORMALIZED into the row (TermIndex denormalizes the doc length
+  * into postings for the same reason: verification never joins a
+  * corpus-sized side). A micro-batch probe then reads only
+  *  - the SHARDS its band keys hash to (metadata-level partition
+  *    pruning — decisive for tiny deltas), and
+  *  - within them, only the FILES whose committed [minKey, maxKey]
+  *    overlap a probed cell prefix ([[graft.sources.TxLog.read]]'s
+  *    `keyPrefixes` skipping) — decisive at every delta size once
+  *    [[graft.sources.TxLog.compact]] has key-clustered the store,
+  *    because probed cells are a vanishing fraction of ~16 × 10^10
+  *    total cells. A batch of 10^4 docs probes ≤ 160k cells → reads
+  *    the ≤ 160k files holding them, not the store.
+  * Writes are [[graft.sources.TxLog.append]] (insert-only commits,
+  * Θ(batch) regardless of store size): signature rows are
+  * content-determined by the doc, so an at-least-once replay re-inserts
+  * byte-identical rows — readers dedup by doc id ([[TopK.smallestKSig]]
+  * dedups inside the cap; [[loadSignatures]] dedups explicitly). A
+  * keyed merge here would re-read and rewrite every touched shard each
+  * trigger — a full-store rewrite, the write-side twin of the scan this
+  * layout removes. The denormalization costs NumBands × |sig| storage
+  * (≈ 8 KB/doc, an index ~16× the compact signatures) — the standard
+  * inverted-index trade of disk for probe-time I/O.
   */
 object IncrementalDedup {
 
@@ -121,29 +135,124 @@ object IncrementalDedup {
       .select(col("b_id"), col("c_id"), col("n_match"), jac)
   }
 
-  // ── signature store on the transaction log ─────────────────────────
+  // ── band-sharded signature store (see class doc, STORE LAYOUT) ─────
 
-  private val StoreShards = 16
+  /** Band-hash partition count. Like [[graft.query.TermIndex.Shards]]:
+    * far below the file count at any real scale; the file-level
+    * `keyPrefixes` skipping inside a shard is what scales with delta
+    * size, the shard pruning is the metadata-level first cut. */
+  val BandShards = 64
 
-  private def storeKey(idCol: Column): Column =
-    concat((pmod(idCol, lit(StoreShards))).cast("string"), lit("#"),
-      idCol.cast("string"))
+  /** Driver-side probe-key cap: a batch probing more cells than this
+    * skips the per-cell file skipping (collecting the prefixes would no
+    * longer be protocol-sized) and falls back to shard pruning — by
+    * then the batch is large enough that it touches most files anyway. */
+  private val MaxProbeKeys = 65536
 
-  /** Upsert `(doc_id, sig)` rows into the TxLog-backed signature store
-    * at `tablePath` (idempotent per doc — redelivery converges; the
-    * store is partitioned by a doc-id shard so a delta touches at most
-    * `StoreShards` partitions). */
+  private def shardOfCell(band: Column, bkey: Column): Column =
+    pmod(Text.hash60(concat_ws("_", band.cast("string"), bkey)),
+      lit(BandShards.toLong)).cast("string")
+
+  /** `shard#band2#bkey#` — the store-key prefix of one LSH cell; a
+    * row's `_docId` is this prefix + the doc id, so files key-cluster
+    * by cell and a cell probe prunes to the files that hold it. */
+  private def cellPrefix(band: Column, bkey: Column): Column =
+    concat(shardOfCell(band, bkey), lit("#"),
+      lpad(band.cast("string"), 2, "0"), lit("#"), bkey, lit("#"))
+
+  /** (idCol, sig) → (idCol, band, bkey, sig): [[bandKeys]] with the
+    * signature carried through. */
+  private def bandedWithSig(sigs: DataFrame, idCol: String): DataFrame = {
+    val bandStructs = array((0 until MinHash.NumBands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws("_", slice(col("sig"), bnd * MinHash.BandRows + 1,
+          MinHash.BandRows)).as("bkey"))
+    }: _*)
+    sigs.select(col(idCol), col("sig"), explode(bandStructs).as("b"))
+      .select(col(idCol), col("b.band").as("band"),
+        col("b.bkey").as("bkey"), col("sig"))
+  }
+
+  /** Fold `(doc_id, sig)` rows into the band store at `tablePath`:
+    * one APPENDED row per (band, doc), sig denormalized. Insert-only by
+    * contract — doc ids are content-stable (the funnels' exact-hash
+    * tier keys identity by content), so replays re-insert identical
+    * rows and readers dedup by id; cost is Θ(batch), never Θ(store). */
   def mergeSignatures(spark: SparkSession, tablePath: String,
       sigs: DataFrame, idCol: String = "doc_id"): Unit =
-    graft.sources.TxLog.merge(spark, tablePath,
-      sigs.select(storeKey(col(idCol)).as("_docId"),
-        pmod(col(idCol), lit(StoreShards)).cast("string").as("_shard"),
+    graft.sources.TxLog.append(spark, tablePath,
+      bandedWithSig(sigs, idCol).select(
+        concat(cellPrefix(col("band"), col("bkey")),
+          col(idCol).cast("string")).as("_docId"),
+        shardOfCell(col("band"), col("bkey")).as("_shard"),
+        col("band"), col("bkey"),
         col(idCol).cast("long").as("doc_id"), col("sig")),
       keyCol = "_docId", partitionCol = "_shard")
 
-  /** Read the signature store back as `(doc_id, sig)`. */
+  /** Read the store back as one `(doc_id, sig)` row per doc (band-0
+    * rows carry the full signature; append replays dedup here). */
   def loadSignatures(spark: SparkSession, tablePath: String): DataFrame =
-    graft.sources.TxLog.read(spark, tablePath).select("doc_id", "sig")
+    graft.sources.TxLog.read(spark, tablePath)
+      .filter(col("band") === 0)
+      .select("doc_id", "sig")
+      .dropDuplicates("doc_id")
+
+  /** [[screen]] against the PERSISTENT band store, reading only the
+    * shards — and, under [[MaxProbeKeys]], only the key-clustered
+    * files — the batch's band keys touch. Same output contract as
+    * [[screen]]: `(b_id, c_id, n_match, est_jaccard)`, `n_match >=
+    * minMatch`, candidates per cell capped to the `maxCell` smallest
+    * distinct corpus ids. An absent store screens as empty. */
+  def screenStore(batchSigs: DataFrame, storePath: String,
+      idCol: String = "doc_id", minMatch: Int = DupThreshold,
+      maxCell: Int = MaxCell): DataFrame = {
+    val spark = batchSigs.sparkSession
+    val bBands = bandedWithSig(batchSigs, idCol)
+      .select(col(idCol).as("b_id"), col("band"), col("bkey"),
+        col("sig").as("sig_b"))
+    if (!graft.sources.TxLog.isTable(spark, storePath))
+      return bBands.limit(0)
+        .select(col("b_id"), lit(0L).as("c_id"), lit(0L).as("n_match"),
+          lit(0.0).as("est_jaccard"))
+    // the probe set, driver-side: ≤ BandShards shard strings always;
+    // cell prefixes only while protocol-sized (see MaxProbeKeys)
+    val probed = bBands
+      .select(shardOfCell(col("band"), col("bkey")).as("s"),
+        cellPrefix(col("band"), col("bkey")).as("p"))
+      .distinct().limit(MaxProbeKeys + 1).collect()
+    val prefixes =
+      if (probed.length > MaxProbeKeys) None
+      else Some(probed.map(_.getString(1)).toSeq)
+    val shards =
+      if (prefixes.isDefined) probed.map(_.getString(0)).toSet
+      else bBands.select(shardOfCell(col("band"), col("bkey")))
+        .distinct().collect().map(_.getString(0)).toSet
+    val store = graft.sources.TxLog.read(spark, storePath,
+        partitions = Some(shards), keyPrefixes = prefixes)
+      .select(col("band"), col("bkey"), col("doc_id").as("c_id"),
+        col("sig").as("sig_c"))
+    // rows from kept files still need the exact cell filter (file
+    // skipping is superset-safe), then the bounded per-cell cap —
+    // dedup-by-id inside the aggregate absorbs append replays
+    val touched = bBands.select("band", "bkey").distinct()
+    val capped = store
+      .join(broadcast(touched), Seq("band", "bkey"), "left_semi")
+      .groupBy("band", "bkey")
+      .agg(TopK.smallestKSig(maxCell)(col("c_id"), col("sig_c")).as("p"))
+      .select(col("band"), col("bkey"), explode(col("p")).as("q"))
+      .select(col("band"), col("bkey"),
+        col("q._1").as("c_id"), col("q._2").as("sig_c"))
+    // verify off the denormalized signature — no corpus-sized join;
+    // a pair colliding in several bands collapses on the group-by
+    // (n_match is pair-determined, max = the value)
+    capped.join(broadcast(bBands), Seq("band", "bkey"))
+      .withColumn("n_match", slotMatches(col("sig_b"), col("sig_c")))
+      .filter(col("n_match") >= minMatch)
+      .groupBy("b_id", "c_id")
+      .agg(max(col("n_match")).as("n_match"))
+      .select(col("b_id"), col("c_id"), col("n_match"),
+        (col("n_match").cast("double") / MinHash.NumPerm).as("est_jaccard"))
+  }
 
   /** Per-doc signatures off raw text: tokenize → distinct 3-gram
     * shingles → 60-bit hashes → [[MinHash.minhash]] fold (one pass,
@@ -182,21 +291,23 @@ object IncrementalDedup {
         val sigs = signaturesOf(batch, idCol, textCol)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val store =
-            if (graft.sources.TxLog.isTable(spark, storePath))
-              loadSignatures(spark, storePath)
-            else sigs.limit(0)
-          // store screen ∪ batch-internal self-screen (lower id wins;
-          // self-pairs drop on the strict inequality). The store leg
-          // needs its own b_id =!= c_id guard: foreachBatch is
+          // pruned store probe ∪ batch-internal self-screen (lower id
+          // wins; self-pairs drop on the strict inequality). The store
+          // leg needs its own b_id =!= c_id guard: foreachBatch is
           // at-least-once, so a batch replayed AFTER its signatures
           // merged (crash between mergeSignatures and the checkpoint
           // commit) finds every previously-novel doc in the store —
           // matching itself at n_match = 64, which would out-rank any
           // real twin and mark the doc a dup of itself. With the guard
           // the replay converges: self-matches drop, real twins (if
-          // any) still surface, and the re-merge is idempotent.
-          val hits = screen(sigs, store, idCol)
+          // any) still surface — and the same self-match rows tell us
+          // which docs are ALREADY stored, so the fold below re-appends
+          // nothing on replay (the store is append-only; skipping the
+          // re-insert is what keeps replays growth-free).
+          val probe = screenStore(sigs, storePath, idCol)
+          val alreadyStored = probe.filter(col("b_id") === col("c_id"))
+            .select(col("b_id").as(idCol))
+          val hits = probe
             .filter(col("b_id") =!= col("c_id"))
             .unionByName(screen(sigs, sigs, idCol)
               .filter(col("b_id") > col("c_id")))
@@ -213,8 +324,9 @@ object IncrementalDedup {
             .join(hits, Seq(idCol), "left")
             .withColumn("is_dup", col("dup_of").isNotNull)
           sink(flagged)
-          val novel = sigs.join(
-            hits.select(col(idCol)), Seq(idCol), "left_anti")
+          val novel = sigs
+            .join(hits.select(col(idCol)), Seq(idCol), "left_anti")
+            .join(alreadyStored, Seq(idCol), "left_anti")
           mergeSignatures(spark, storePath, novel, idCol)
         } finally { sigs.unpersist(); () }
       }

@@ -83,4 +83,62 @@ object TopK {
     * k lexicographically-smallest (key, id) pairs. */
   def smallestK(k: Int): UserDefinedFunction =
     udaf(new SmallestK(k), Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+
+  /** [[SmallestK]] with a carried payload: the k smallest DISTINCT ids
+    * per group, each with its (id-determined) payload array. The id
+    * dedup is load-bearing for append-only stores — a redelivered batch
+    * re-inserts byte-identical rows, and without dedup the replays
+    * would consume cap slots. Buffer stays bounded at k entries, so
+    * map-side combine runs and shuffle volume is ≤ k (id, payload)
+    * pairs per (partition × group) — same contract as [[SmallestK]]. */
+  private final class SmallestKSig(k: Int)
+      extends Aggregator[(Long, Seq[Long]), Seq[(Long, Seq[Long])],
+        Seq[(Long, Seq[Long])]] {
+
+    def zero: Seq[(Long, Seq[Long])] = Vector.empty
+
+    def reduce(buf: Seq[(Long, Seq[Long])],
+        in: (Long, Seq[Long])): Seq[(Long, Seq[Long])] = {
+      val n = buf.length
+      if (n == k && in._1 >= buf(n - 1)._1) buf
+      else {
+        var lo = 0
+        var hi = n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (buf(mid)._1 < in._1) lo = mid + 1 else hi = mid
+        }
+        if (lo < n && buf(lo)._1 == in._1) buf // duplicate id: replay slot-guard
+        else (buf.take(lo) :+ in) ++ buf.drop(lo) take k
+      }
+    }
+
+    def merge(x: Seq[(Long, Seq[Long])],
+        y: Seq[(Long, Seq[Long])]): Seq[(Long, Seq[Long])] = {
+      val out = Vector.newBuilder[(Long, Seq[Long])]
+      var (i, j, o) = (0, 0, 0)
+      var last = Long.MinValue
+      var first = true
+      while (o < k && (i < x.length || j < y.length)) {
+        val takeX = j >= y.length || (i < x.length && x(i)._1 <= y(j)._1)
+        val e = if (takeX) { val v = x(i); i += 1; v }
+          else { val v = y(j); j += 1; v }
+        if (first || e._1 != last) { out += e; o += 1; last = e._1; first = false }
+      }
+      out.result()
+    }
+
+    def finish(r: Seq[(Long, Seq[Long])]): Seq[(Long, Seq[Long])] = r
+
+    def bufferEncoder: Encoder[Seq[(Long, Seq[Long])]] =
+      ExpressionEncoder[Seq[(Long, Seq[Long])]]()
+    def outputEncoder: Encoder[Seq[(Long, Seq[Long])]] =
+      ExpressionEncoder[Seq[(Long, Seq[Long])]]()
+  }
+
+  /** `smallestKSig(k)(id, payload)` — the k smallest distinct ids per
+    * group with their payloads, as `array<struct<_1: id, _2: payload>>`. */
+  def smallestKSig(k: Int): UserDefinedFunction =
+    udaf(new SmallestKSig(k),
+      Encoders.tuple(Encoders.scalaLong, ExpressionEncoder[Seq[Long]]()))
 }

@@ -693,7 +693,16 @@ object TxLog {
       // the range (files without stats for the column always read —
       // superset-safe; callers re-apply the predicate). Populated by
       // [[optimizeZOrder]]'s stat collection.
-      numRanges: Map[String, (Double, Double)] = Map.empty): DataFrame = {
+      numRanges: Map[String, (Double, Double)] = Map.empty,
+      // key-PREFIX data skipping (the multi-point probe complement of
+      // `keyRange`): a file is kept iff some prefix's key interval
+      // [p, p+"￿") can intersect the file's committed
+      // [minKey, maxKey]. Driver cost is #files × log(#prefixes) over
+      // the sorted prefix list; files without key stats always read
+      // (superset-safe; callers re-apply their predicate). This is what
+      // an index probe with MANY keys uses — a single keyRange spanning
+      // hash-scattered probe keys would prune nothing.
+      keyPrefixes: Option[Seq[String]] = None): DataFrame = {
     val snap = asOfVersion match {
       case Some(v) => snapshotAt(spark, path, v)
       case None => snapshot(spark, path)
@@ -710,7 +719,28 @@ object TxLog {
       })
       case None => byPart
     }
-    val live = if (numRanges.isEmpty) byKey else byKey.filter { f =>
+    val byPrefix = keyPrefixes match {
+      case Some(ps) =>
+        // all keys with prefix p lie in [p, p + '￿'): overlap with
+        // a file's [mn, mx] needs p <= mx AND p's interval end >= mn.
+        // The interval end is monotone in p, so among prefixes <= mx
+        // the LARGEST one maximizes it — one binary search per file.
+        val sorted = ps.distinct.sorted.toIndexedSeq
+        byKey.filter(f => (f.minKey, f.maxKey) match {
+          case (Some(mn), Some(mx)) =>
+            // largest prefix <= mx (insertion point - 1)
+            var lo = 0
+            var hi = sorted.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (cmpUtf8(sorted(mid), mx) <= 0) lo = mid + 1 else hi = mid
+            }
+            lo > 0 && cmpUtf8(sorted(lo - 1) + "￿", mn) >= 0
+          case _ => true // no stats → cannot skip
+        })
+      case None => byKey
+    }
+    val live = if (numRanges.isEmpty) byPrefix else byPrefix.filter { f =>
       numRanges.forall { case (c, (lo, hi)) =>
         f.numStats.get(c) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
@@ -1212,6 +1242,56 @@ object TxLog {
     * restore commit shows the rollback as ordinary row changes). The
     * target must still be readable: at-or-above the vacuum horizon, or
     * pinned by a [[tag]]. Optimistic like every commit. */
+  /** INSERT-only commit (Delta's blind APPEND): stage `df`'s rows as
+    * new files and commit them as pure adds — no read-modify-write, so
+    * the write cost is Θ(batch) REGARDLESS of table size, where [[merge]]
+    * reads and rewrites every touched partition (correct for keyed LWW
+    * upserts; a full-store rewrite per micro-batch for an insert-only
+    * table whose batches touch all shards). Duplicate keys are NOT
+    * collapsed: append is for content-addressed rows where a
+    * redelivered batch re-inserts byte-identical rows and readers
+    * tolerate (or dedup) replays. Rows are range-clustered and sorted
+    * on (partition, key) before staging, so every staged file carries
+    * tight min/max key stats — the layout [[read]]'s
+    * `keyRange`/`keyPrefixes` skipping feeds on. Small-file buildup
+    * from per-batch appends is [[compact]]'s job, as for merge.
+    *
+    * Schema: the table's committed DDL is preserved; a batch whose
+    * column-name set differs from it fails loud (append never widens —
+    * use merge for schema evolution). */
+  def append(spark: SparkSession, path: String, df: DataFrame,
+      keyCol: String = "_docId", partitionCol: String = "str_databaseid",
+      maxAttempts: Int = 20): Unit = {
+    val snap0 = snapshot(spark, path)
+    val ddl = snap0.schemaDdl match {
+      case Some(d) =>
+        val committed = org.apache.spark.sql.types.StructType.fromDDL(d)
+          .fieldNames.toSet
+        require(committed == df.columns.toSet,
+          s"append: batch columns ${df.columns.sorted.mkString(",")} != " +
+            s"table columns ${committed.toSeq.sorted.mkString(",")}")
+        Some(d)
+      case None => Some(org.apache.spark.sql.types.StructType(
+        df.schema.filter(_.name != partitionCol) ++
+          df.schema.find(_.name == partitionCol)).toDDL)
+    }
+    val clustered = df
+      .repartitionByRange(col(partitionCol), col(keyCol))
+      .sortWithinPartitions(col(partitionCol), col(keyCol))
+    val staged = stageData(spark, path, clustered, partitionCol, Some(keyCol))
+    if (staged.isEmpty) return
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= maxAttempts, s"append: $maxAttempts commit conflicts")
+      val snap = snapshot(spark, path)
+      // pure adds conflict with nothing: any concurrent commit just
+      // moves the version; re-read and re-commit the same files
+      if (tryCommit(spark, path, snap.version + 1, staged, Seq.empty, ddl))
+        return
+    }
+  }
+
   /** Row-level `DELETE WHERE` (Delta's predicate delete): keys of the
     * rows matching `condition` are resolved with one read — the
     * predicate pushes into the parquet scan; pass `partitions` /

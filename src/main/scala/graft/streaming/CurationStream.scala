@@ -25,9 +25,11 @@ import graft.sources.TxLog
   *     [[StreamBloomDedup]]: standing Bloom probe as a codegen'd
   *     in-plan literal, hits confirmed on the key index, within-batch
   *     min-doc_id wins.
-  *  3. NEAR — MinHash signature screen against the corpus signature
-  *     store via [[IncrementalDedup.screen]] (batch bands broadcast,
-  *     store never broadcast, cells capped) plus the batch self-screen;
+  *  3. NEAR — MinHash signature screen against the corpus BAND store
+  *     via [[IncrementalDedup.screenStore]] (pruned probe: only the
+  *     batch's band shards and key-clustered files are read; batch
+  *     bands broadcast, store never broadcast or self-joined, cells
+  *     capped) plus the batch self-screen;
   *     arrival order defines who is "first" between batches (the CDC
   *     consumers' convention), doc id within one.
   *  4. SPLIT — survivors assign train/val/test by the same hash
@@ -120,14 +122,17 @@ object CurationStream {
         .persist()
       exactKeep.count()
 
-      // ── tier 3: near-dup signatures vs the store + batch self-screen
+      // ── tier 3: near-dup signatures vs the band store (pruned probe:
+      //    only the batch's band shards/files are read) + self-screen
       val sigs = IncrementalDedup.signaturesOf(exactKeep).persist()
-      val store =
-        if (TxLog.isTable(spark, sigStorePath(root)))
-          IncrementalDedup.loadSignatures(spark, sigStorePath(root))
-        else sigs.limit(0)
-      // self-pairs cancel replayed signatures (see crash ordering)
-      val nearHits = IncrementalDedup.screen(sigs, store)
+      // self-pairs cancel replayed signatures (see crash ordering) —
+      // and double as the already-stored set, so the append-only fold
+      // below re-inserts nothing when a batch replays after its fold
+      val probe = IncrementalDedup.screenStore(sigs, sigStorePath(root))
+        .localCheckpoint(true)
+      val alreadyStored = probe.filter(col("b_id") === col("c_id"))
+        .select(col("b_id").as("doc_id"))
+      val nearHits = probe
           .filter(col("b_id") =!= col("c_id"))
         .unionByName(IncrementalDedup.screen(sigs, sigs)
           .filter(col("b_id") > col("c_id")))
@@ -165,6 +170,7 @@ object CurationStream {
 
       // ── state folds LAST: signature store → bloom → key index
       val novel = sigs.join(nearHits, Seq("doc_id"), "left_anti")
+        .join(alreadyStored, Seq("doc_id"), "left_anti")
       IncrementalDedup.mergeSignatures(spark, sigStorePath(root), novel)
       StreamBloomDedup.foldState(spark, exactFlagged, exactStatePath(root))
       sigs.unpersist(); exactKeep.unpersist(); ()

@@ -78,6 +78,71 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(!plan.contains(stats), "corpus-sized broadcast in the plan")
   }
 
+  test("screenStore equals screen on the same corpus (pruned probe, same contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bstore").toString
+    val corpus = sigsOf((1 to 30).map(i => (i.toLong, doc(i))))
+    IncrementalDedup.mergeSignatures(spark, dir, corpus)
+    val batch = sigsOf(Seq(
+      (101L, doc(3)), (102L, doc(1007)),
+      (103L, (1 to 40).map(k => s"z$k").mkString(" "))))
+    val viaStore = IncrementalDedup.screenStore(batch, dir)
+      .select("b_id", "c_id", "n_match").as[(Long, Long, Long)]
+      .collect().toSet
+    val viaFrames = IncrementalDedup.screen(batch, corpus)
+      .select("b_id", "c_id", "n_match").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(viaStore == viaFrames,
+      s"store probe diverged from the frame screen:\n$viaStore\n$viaFrames")
+    assert(viaStore.exists { case (b, c, n) => b == 101L && c == 3L && n == 64L })
+  }
+
+  test("screenStore probe is PRUNED: scanned files are a strict subset of store files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bprune").toString
+    // several appends → several files per shard; compact with a tiny
+    // file target so shards split into KEY-DISJOINT files — the layout
+    // a maintained store has — making file-level skipping observable
+    (0 until 4).foreach { g =>
+      IncrementalDedup.mergeSignatures(spark, dir,
+        sigsOf((g * 50 + 1 to g * 50 + 50).map(i => (i.toLong, doc(i)))))
+    }
+    graft.sources.TxLog.compact(spark, dir, partitionCol = "_shard",
+      keyCol = "_docId", targetRowsPerFile = 16)
+    val snap = graft.sources.TxLog.snapshot(spark, dir)
+    val allFiles = snap.files.map(_.path).toSet
+    val batch = sigsOf(Seq((999L, doc(3)))) // one doc: 16 band cells
+    val probed = IncrementalDedup.screenStore(batch, dir)
+    val scanned = probed.inputFiles.toSet
+    assert(scanned.nonEmpty, "probe must read the store")
+    assert(scanned.size < allFiles.size,
+      s"probe must skip files: scanned ${scanned.size} of ${allFiles.size}")
+    // and the skipping goes BELOW shard granularity: fewer files than
+    // the touched shards hold in total (keyPrefixes at work, not just
+    // partition pruning)
+    val touchedShards = scanned.map(f =>
+      f.substring(f.indexOf("_shard=")).split("/")(0))
+    val shardFiles = snap.files
+      .count(f => touchedShards.contains(s"_shard=${f.partition}"))
+    assert(scanned.size < shardFiles,
+      s"expected file-level skipping inside shards: ${scanned.size} vs $shardFiles")
+    // the pruned probe still finds the planted dup
+    assert(probed.filter(col("c_id") === 3L).count() == 1)
+  }
+
+  test("smallestKSig: k smallest DISTINCT ids with payloads; replays don't consume slots") {
+    val rows = Seq(
+      (1L, Seq(10L, 11L)), (3L, Seq(30L, 31L)), (2L, Seq(20L, 21L)),
+      (2L, Seq(20L, 21L)), (1L, Seq(10L, 11L)), // append replays
+      (5L, Seq(50L, 51L)), (4L, Seq(40L, 41L)))
+      .toDF("id", "sig").withColumn("g", lit("a"))
+    val got = rows.groupBy("g")
+      .agg(TopK.smallestKSig(3)(col("id"), col("sig")).as("p"))
+      .select(explode(col("p")).as("q"))
+      .select(col("q._1").as("id"), col("q._2").as("sig"))
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(got == Seq((1L, Seq(10L, 11L)), (2L, Seq(20L, 21L)),
+      (3L, Seq(30L, 31L))), s"got $got")
+  }
+
   test("TxLog signature store: merge is idempotent, load round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
     val sigs = sigsOf((1 to 10).map(i => (i.toLong, doc(i))))

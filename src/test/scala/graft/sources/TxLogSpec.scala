@@ -522,6 +522,39 @@ class TxLogSpec extends SparkSpec {
       .forall(f => f.rows > 0 && f.minKey.isDefined && f.maxKey.isDefined))
   }
 
+  test("append commits pure adds (Θ(batch) writes) and keyPrefixes skip non-overlapping files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-app").toString
+    TxLog.append(spark, dir, docs(("p0#a1", "p0", "x"), ("p1#b1", "p1", "y")))
+    TxLog.append(spark, dir, docs(("p0#a2", "p0", "z")))
+    // second commit added files without touching the first commit's:
+    // every live file is still referenced, none was rewritten
+    val h = TxLog.history(spark, dir)
+    assert(h.size == 2, s"expected 2 commits: $h")
+    assert(h.forall(_._4 == 0), s"append must remove nothing: $h")
+    assert(tableRows(dir) == Set(("p0#a1", "x"), ("p1#b1", "y"), ("p0#a2", "z")))
+    val snap = TxLog.snapshot(spark, dir)
+    assert(snap.files.size >= 3, "appends must not coalesce prior files")
+    // append replays duplicate rows rather than collapsing keys (the
+    // insert-only contract; LWW stays merge's job)
+    TxLog.append(spark, dir, docs(("p0#a2", "p0", "z")))
+    assert(TxLog.read(spark, dir).filter(col("_docId") === "p0#a2").count() == 2)
+    // schema-mismatched batches fail loud instead of demoting the table
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, dir, Seq(("p0#q", "p0"))
+        .toDF("_docId", "str_databaseid"))
+    }
+    // keyPrefixes: only files whose [minKey, maxKey] can hold a probed
+    // prefix are opened; stats-less behavior is covered by keyRange's
+    // superset-safe contract (same code path)
+    val probe = TxLog.read(spark, dir, keyPrefixes = Some(Seq("p1#b")))
+    assert(probe.select("payload").as[String].collect().toSeq == Seq("y"))
+    assert(probe.inputFiles.length <
+      TxLog.read(spark, dir).inputFiles.length,
+      "prefix probe must open fewer files than the full read")
+    // a prefix matching nothing prunes everything
+    assert(TxLog.read(spark, dir, keyPrefixes = Some(Seq("zz#"))).isEmpty)
+  }
+
   test("a conditional-put coordinator carries multi-writer commits through the seam") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tx-coord").toString
     // stands in for an object store WITHOUT atomic rename: the winner
