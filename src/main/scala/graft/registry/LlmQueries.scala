@@ -423,7 +423,19 @@ object LlmQueries {
       componentLabels(s, simhashPairs(s, d))
     }
 
-  private[registry] def componentLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
+  /** Single-hop rounds tolerated before the fixpoint escalates to
+    * pointer doubling (see the loop comment). 12 covers every measured
+    * real near-dup graph (dense blobs converge in ≤ ~6) while bounding
+    * the adversarial chain at O(log diameter) total rounds. */
+  private[registry] val EscalateAfter = 12
+
+  private[registry] def componentLabels(s: SparkSession, pairs: DataFrame): DataFrame =
+    componentLabelsCounted(s, pairs)._1
+
+  /** [[componentLabels]] plus the driver-action round count (hops +
+    * squarings) — the number the adaptive-escalation spec pins. */
+  private[registry] def componentLabelsCounted(s: SparkSession,
+      pairs: DataFrame, escalateAfter: Int = EscalateAfter): (DataFrame, Int) = {
     val dup = pairs.select("a_id", "b_id")
     val edgesRaw = dup.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionByName(dup.select(col("b_id").as("u"), col("a_id").as("v")))
@@ -452,19 +464,27 @@ object LlmQueries {
           }
         var checksum = checksumOf(labels)
         var converged = false
+        var rounds = 0
         while (!converged) {
           // One edge hop per round; rounds = the component's
           // eccentricity from its min node (27 on the sf0.1 phash
           // graph's 388-node chain — the worst case measured).
-          // MEASURED NON-FIX: a comp := min(comp, comp(comp))
-          // path-halving join per round cuts rounds only 28 → 20
+          // MEASURED NON-FIX at common scale: a comp := comp(comp)
+          // path-halving join on EVERY round cuts rounds only 28 → 20
           // (single application = 2 hops/round, not doubling) while
           // doubling the per-round action count — the loop is
           // driver-action-latency-bound at pair-graph sizes (the
           // label frame fits one partition), so the simple hop wins
-          // end to end. At 100 TB the per-round SHUFFLE is pair-graph-
-          // sized either way; near-dup components are dense blobs in
-          // practice, with chain graphs the pathological case.
+          // end to end on real graphs (dense blobs, ecc ≤ ~6).
+          // ADAPTIVE ESCALATION for the pathological shape: a round
+          // count past `escalateAfter` means a long-chain component
+          // (the near-identical-shingle llm_dedup_substring shape),
+          // where single hops pay O(diameter) rounds; from then on,
+          // each hop is followed by comp := comp(comp) SQUARED TO
+          // SATURATION — label-reach doubles per squaring, so the
+          // remaining rounds are O(log diameter) while the common
+          // case never pays the extra actions.
+          rounds += 1
           val next = labels.join(edges, labels("node") === edges("u"))
             .select(col("v").as("node"), col("comp"))
             .unionByName(labels.select("node", "comp"))
@@ -476,8 +496,30 @@ object LlmQueries {
           labels = next
           converged = s1 == checksum
           checksum = s1
+          if (!converged && rounds >= escalateAfter) {
+            // pointer doubling: every comp value is itself a node id
+            // (labels start as comp = node and only ever take existing
+            // node ids via min), so the self-join resolves every row;
+            // comp(comp(n)) <= comp(n) keeps the checksum monotone
+            var saturated = false
+            while (!saturated) {
+              rounds += 1
+              val parent = labels
+                .select(col("node").as("p_node"), col("comp").as("p_comp"))
+              val sq = labels
+                .join(parent, col("comp") === col("p_node"))
+                .select(col("node"), col("p_comp").as("comp"))
+                .repartition(iterParts, col("node"))
+                .localCheckpoint(true)
+              val s2 = checksumOf(sq)
+              chkRdd(labels).foreach(_.unpersist(false))
+              labels = sq
+              saturated = s2 == checksum
+              checksum = s2
+            }
+          }
         }
-        labels
+        (labels, rounds)
       } finally edges.unpersist(false)
     } finally edgesRaw.unpersist(false)
   }
