@@ -227,10 +227,12 @@ object Bench {
     // the oracle itself took ≥ 50 ms. Below that the twin measures the
     // engines' fixed floors, not plan quality: one Spark job round is
     // ~50-100 ms of scheduling that no plan change removes (and that
-    // vanishes at real scale), so a 4 ms DuckDB twin — or a self-check
-    // oracle that validates a metric row instead of doing the work,
-    // like llm_sim_ivf's — can never be "matched 2×" by ANY distributed
-    // engine. Sub-floor queries are still fully visible in the
+    // vanishes at real scale), so a 4 ms DuckDB twin can never be
+    // "matched 2×" by ANY distributed engine. (The self-check ANN
+    // oracles — llm_sim_ivf/llm_sim_pq — used to be metric-row
+    // validations this floor had to excuse; since round 11 they run
+    // the brute-force baseline as real oracle work and clear the gate
+    // on their own.) Sub-floor queries are still fully visible in the
     // per-query detail (bench_detail.json and the queries map); this
     // gate exists to surface real plan regressions, not engine floors.
     // errored queries are excluded from the DuckDB side too, so the

@@ -1312,12 +1312,33 @@ object LlmQueries {
     //    0.54-0.60), so the emitted row tolerates residual centroid
     //    jitter yet fails the hash gate the moment the index degrades.
     //    The floor is named in the metric so the CORRECTNESS row
-    //    encodes the bound it proves.
+    //    encodes the bound it proves. The ORACLE computes the same
+    //    brute-force exact baseline the recall is measured against
+    //    (not a constant row): n_queries derives from the top-k frame
+    //    on both engines, so the bench ratio compares real work — the
+    //    Spark side does ivf + brute + compare, the oracle does brute +
+    //    metric — and the fixed-floor bench exclusion no longer fires.
     sql("llm_sim_ivf",
-      """SELECT 'ivf_recall_at_5_vs_brute_ge_0.7' AS metric,
-        |       CAST(count(*) AS BIGINT) AS n_queries,
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS v
+        |      FROM embeddings),
+        |scored AS (
+        |  SELECT q.q_id, c.cand_id,
+        |         list_dot_product(q.v, c.v) /
+        |           (sqrt(list_dot_product(q.v, q.v)) *
+        |            sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM q, c WHERE q.q_id <> c.cand_id
+        |), topk AS (
+        |  SELECT q_id FROM (
+        |    SELECT q_id, row_number() OVER (PARTITION BY q_id
+        |             ORDER BY sim DESC, cand_id) AS rank
+        |    FROM scored) WHERE rank <= 5
+        |)
+        |SELECT 'ivf_recall_at_5_vs_brute_ge_0.7' AS metric,
+        |       CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries,
         |       TRUE AS recall_ok
-        |FROM embeddings WHERE vec_id < 10""")(
+        |FROM topk""")(
       (s, d) => {
         val e = t(s, d, "embeddings")
         val q = e.filter(col("vec_id") < 10)
@@ -1344,12 +1365,29 @@ object LlmQueries {
     //    contract as IVF (codebook means fold floats in shuffle order,
     //    so the hit list tolerates tie jitter): recall@5 against the
     //    shared brute baseline must clear a floor BELOW measured
-    //    behavior; the floor is named in the metric.
+    //    behavior; the floor is named in the metric. Oracle = the same
+    //    brute-baseline work twin as llm_sim_ivf's (see its comment).
     sql("llm_sim_pq",
-      """SELECT 'pq_recall_at_5_vs_brute_ge_0.55' AS metric,
-        |       CAST(count(*) AS BIGINT) AS n_queries,
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS v
+        |      FROM embeddings),
+        |scored AS (
+        |  SELECT q.q_id, c.cand_id,
+        |         list_dot_product(q.v, c.v) /
+        |           (sqrt(list_dot_product(q.v, q.v)) *
+        |            sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM q, c WHERE q.q_id <> c.cand_id
+        |), topk AS (
+        |  SELECT q_id FROM (
+        |    SELECT q_id, row_number() OVER (PARTITION BY q_id
+        |             ORDER BY sim DESC, cand_id) AS rank
+        |    FROM scored) WHERE rank <= 5
+        |)
+        |SELECT 'pq_recall_at_5_vs_brute_ge_0.55' AS metric,
+        |       CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries,
         |       TRUE AS recall_ok
-        |FROM embeddings WHERE vec_id < 10""")(
+        |FROM topk""")(
       (s, d) => {
         val e = t(s, d, "embeddings")
         val q = e.filter(col("vec_id") < 10)

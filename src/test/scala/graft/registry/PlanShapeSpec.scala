@@ -240,6 +240,22 @@ class PlanShapeSpec extends SparkSpec {
       s"expected map-side partial max below the Exchange:\n${p.take(2000)}")
   }
 
+  test("F7 metadata kv search: ONE pre-aggregation exchange serves both stacked aggs") {
+    // the explicit hash-partition on the entity key satisfies both the
+    // (key, lineno) dedup and the (key) search aggregation — the r9→r11
+    // idle timing drift was environmental (suite cache pressure), so
+    // this pins that the one-exchange shape itself never regresses to
+    // two shuffles of the metadata table
+    val p = plan("f7_metadata_kv")
+    val sortIdx = p.indexOf("Sort")
+    val preAgg = p.substring(math.max(sortIdx, 0))
+    val exchanges = "Exchange".r.findAllIn(preAgg).size
+    assert(exchanges <= 2, // output sort + the single repartition
+      s"f7 aggregation stack grew extra exchanges:\n${p.take(2500)}")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>")
+      || !p.contains("l_shipdate"), "f7 scan must stay 3-column pruned")
+  }
+
   test("no Scala UDFs anywhere in the flagship plans") {
     Seq("j1_doc_enrichment", "search_advanced", "a1_facets",
       "f7_metadata_kv", "llm_text_quality").foreach { q =>
