@@ -81,6 +81,21 @@ object SearchApi {
     "str_assetname" -> 3.0, "str_description" -> 2.0, "str_assetid" -> 1.0,
     "str_databaseid" -> 1.0, "str_assettype" -> 1.0)
 
+  /** An inverted-index attachment ([[graft.query.TermIndex]] over the
+    * doc table's scored fields) plus the freshness evidence the route
+    * chooser needs: `indexedVersion` is what the maintainer's last
+    * `TermIndex.syncTx` returned, `tableVersion` the doc-table version
+    * the caller is querying. The reference always serves text search
+    * from its index (OpenSearch, `search.py:197-292`) and accepts its
+    * refresh lag; this engine can do better — [[search]] serves from
+    * the index exactly when it provably reflects the queried version
+    * and silently falls back to the scan path otherwise, so results
+    * are never stale, only (rarely) slower. */
+  final case class IndexBinding(
+      root: String, indexedVersion: Long, tableVersion: Long) {
+    def fresh: Boolean = indexedVersion >= tableVersion
+  }
+
   /** U1 — union the asset and file doc tables with provenance. */
   def dualIndex(assetDocs: DataFrame, fileDocs: DataFrame): DataFrame =
     assetDocs.withColumn("_index_type", lit("asset"))
@@ -90,7 +105,8 @@ object SearchApi {
   def search(
       docs: DataFrame,
       req0: SearchRequest,
-      policy: Option[Abac.Policy] = None): SearchResult = {
+      policy: Option[Abac.Policy] = None,
+      index: Option[IndexBinding] = None): SearchResult = {
 
     val req = graft.query.SearchLimits.validate(req0)
     val fieldsPresent = docs.columns.toSet
@@ -127,9 +143,30 @@ object SearchApi {
     // from the FULL doc table like OpenSearch's index-wide idf.
     val scored = req.query match {
       case Some(q) if req.scorer == "bm25" =>
-        graft.query.Bm25.scoreSearch(docs,
-            filtered, ScoredFields.map(_._1).filter(fieldsPresent), q)
-          .filter(col("_score") > QC.MinScore)
+        // ROUTE CHOICE (automatic): a FRESH index binding serves the
+        // score from the postings of the query's own terms — a
+        // shard-pruned index read joined onto the filtered hit set,
+        // never a corpus tokenize. Scores are the identical fixed-point
+        // integers the scan path computes (TermIndex and Bm25 share the
+        // one arithmetic; search_advanced_bm25[_indexed] gate both
+        // routes against the same oracle), so the choice changes the
+        // plan, never the rows. A stale or absent index falls back to
+        // the scan path: fresh-but-slower beats fast-but-stale, and the
+        // next maintenance cycle restores the indexed route.
+        val terms = q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        index.filter(_.fresh) match {
+          case Some(ib) if terms.nonEmpty =>
+            val sc = graft.query.TermIndex
+              .scores(docs.sparkSession, ib.root, terms)
+              .select(col("doc_id").cast("string").as("_docId"),
+                col("score_fp").cast("double").as("_score"))
+            filtered.join(sc, "_docId")
+              .filter(col("_score") > QC.MinScore)
+          case _ =>
+            graft.query.Bm25.scoreSearch(docs,
+                filtered, ScoredFields.map(_._1).filter(fieldsPresent), q)
+              .filter(col("_score") > QC.MinScore)
+        }
       case Some(q) =>
         filtered.withColumn("_score", QC.score(
             ScoredFields.filter(f => fieldsPresent(f._1))

@@ -156,12 +156,16 @@ object ApiQueries {
       }),
 
     // ── The facade served from the INVERTED INDEX (query/TermIndex)
-    //    under the SAME oracle: pushed-down filters select the hit set,
-    //    `_score` comes from the postings of the query's two terms
-    //    (shard-pruned read, never a corpus tokenize), and the page is
-    //    native top-k + offset. This is the reference's actual split of
-    //    labor — OpenSearch filters AND scores from its index — now
-    //    reproduced end-to-end with hash-identical scores.
+    //    under the SAME oracle — and through the facade's AUTOMATIC
+    //    route chooser: the query passes a FRESH [[SearchApi
+    //    .IndexBinding]] and `SearchApi.search` itself decides to score
+    //    from the postings of the query's two terms (shard-pruned read,
+    //    never a corpus tokenize) joined onto the pushed-down hit set.
+    //    This is the reference's actual split of labor — OpenSearch
+    //    filters AND scores from its index (`search.py:197-292`) — with
+    //    hash-identical scores to the scan route gated one row above,
+    //    and the route choice is the engine's, not the caller's
+    //    (`SearchApiSpec` pins choice, fallback-on-stale, and pruning).
     sql("search_advanced_bm25_indexed", Bm25FacadeOracle)(
       (s, d) => {
         val fields = Seq("str_assetname", "str_description", "str_assetid",
@@ -171,19 +175,16 @@ object ApiQueries {
           "\\s+")
         val root = graft.query.TermIndex.attach(s, s"facade:$d",
           corpus.select(col("_docId").cast("long").as("doc_id"), tk.as("tk")))
-        val scores = graft.query.TermIndex
-          .scores(s, root, Seq("building", "2-high"))
-          .select(col("doc_id").cast("string").as("_docId"), col("score_fp"))
-        corpus
-          .filter(!col("bool_archived") &&
-            col("str_databaseid").isin("1-URGENT", "2-HIGH", "3-MEDIUM") &&
-            col("str_assettype") === "O")
-          .join(scores, "_docId")
-          .filter(col("score_fp") >= 1)
-          .select(col("_docId"), col("str_assetname"), col("str_databaseid"),
-            col("score_fp").cast("double").as("_score"))
-          .orderBy(col("_score").desc, col("_docId"))
-          .offset(5).limit(20)
+        val req = SearchRequest(
+          query = Some("building 2-high"),
+          filters = Map("str_assettype" -> "O"),
+          accessibleDatabases = Some(Seq("1-URGENT", "2-HIGH", "3-MEDIUM")),
+          scorer = "bm25",
+          from = 5, size = 20)
+        SearchApi.search(corpus, req,
+            index = Some(SearchApi.IndexBinding(root, 0L, 0L)))
+          .hits
+          .select("_docId", "str_assetname", "str_databaseid", "_score")
       })
   )
 }

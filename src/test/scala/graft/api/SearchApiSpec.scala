@@ -136,6 +136,53 @@ class SearchApiSpec extends SparkSpec {
     SearchApi.Caller(
       graft.authz.PolicyLoader.UserContext(userId, roles), constraints)
 
+  test("bm25 route chooser: fresh index serves pruned postings, stale falls back, rows identical") {
+    val fields = Seq("str_assetname", "str_description", "str_assetid",
+      "str_databaseid", "str_assettype")
+    val tk = split(trim(lower(concat_ws(" ", fields.map(col): _*))), "\\s+")
+    // the index mirrors the WHOLE doc table (archived rows included —
+    // exclusion is a filter on the hit set, not an index property), so
+    // its corpus stats equal the scan path's
+    val root = graft.query.TermIndex.attach(spark, "spec:chooser",
+      assetDocs.select(hash(col("_docId")).cast("long").as("doc_id"),
+        tk.as("tk")))
+    // the spec corpus keys docs by string ids; re-key numerically the
+    // way the binding contract requires
+    val docsNum = assetDocs
+      .withColumn("_docId", hash(col("_docId")).cast("long").cast("string"))
+    val req = SearchRequest(query = Some("red car"), scorer = "bm25")
+    val scan = SearchApi.search(docsNum, req).hits
+      .select("_docId", "_score").as[(String, Double)].collect().toSet
+    // FRESH binding → the facade must pick the indexed route...
+    val fresh = SearchApi.search(docsNum, req,
+      index = Some(SearchApi.IndexBinding(root, indexedVersion = 7,
+        tableVersion = 7)))
+    val freshHits = fresh.hits
+    assert(freshHits.select("_docId", "_score").as[(String, Double)]
+      .collect().toSet == scan, "indexed route diverged from the scan route")
+    // ...observable in the plan: the postings table is read (pruned to
+    // the query terms' shards) and the corpus-side BM25 kernel is gone
+    val planStr = freshHits.queryExecution.executedPlan.toString
+    assert(planStr.contains("postings"),
+      s"fresh binding did not route to the index:\n${planStr.take(1500)}")
+    assert(!planStr.contains("graft_log2_fp"),
+      "indexed route still evaluates the scan-path BM25 kernel")
+    val postingsFiles = freshHits.inputFiles.filter(_.contains("/postings/"))
+    val allPostings = graft.sources.TxLog
+      .snapshot(spark, s"$root/postings").files.size
+    assert(postingsFiles.nonEmpty && postingsFiles.length < allPostings,
+      s"postings read not pruned: ${postingsFiles.length} of $allPostings")
+    // STALE binding (index behind the table) → scan fallback: correct
+    // rows even though the index was never told about a4's un-archive
+    val stale = SearchApi.search(docsNum, req,
+      index = Some(SearchApi.IndexBinding(root, indexedVersion = 6,
+        tableVersion = 7)))
+    assert(!stale.hits.queryExecution.executedPlan.toString
+      .contains("postings"), "stale binding must not serve from the index")
+    assert(stale.hits.select("_docId", "_score").as[(String, Double)]
+      .collect().toSet == scan)
+  }
+
   test("searchEnforced denies an unauthorized operation before any query compiles") {
     graft.authz.PolicyLoader.invalidateCache()
     // wrong method on an allowed route
