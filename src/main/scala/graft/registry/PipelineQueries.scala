@@ -1049,8 +1049,120 @@ object PipelineQueries {
           .select(col("doc_id"), col("source"),
             col("n_tokens").cast("long").as("n_tokens"), col("stage"))
           .orderBy("doc_id")
+      }),
+
+    // ── STREAMING image dedup (llmops/PhashDedup): the arrival-time
+    //    perceptual-hash screen — the image twin of st_curate_stream's
+    //    near tier, on the same band-store contract (pruned probe,
+    //    append-only folds, growth-free replay; PhashDedupSpec drills
+    //    the crash windows). Three deterministic micro-batches
+    //    (doc_id % 3) run the REAL processBatch against a persistent
+    //    band store; the gate reads the maintained verdict ledger. The
+    //    oracle unrolls the batches: per round, aHash band candidates
+    //    against prior rounds' NOVEL docs (64-smallest-per-cell cap)
+    //    plus the batch self-screen (lower id wins), exact 64-bit
+    //    hamming verify ≤ 10, closest-twin tiebreak (hamming, id) — so
+    //    the row proves arrival-order firsts and store growth, not a
+    //    batch recompute.
+    sql("st_mm_phash_stream",
+      s"""WITH m2 AS (
+        |  SELECT doc_id, text, length(text) AS len, doc_id % 3 AS b
+        |  FROM documents
+        |), sb2 AS (
+        |  SELECT doc_id, b,
+        |         [ascii(substring(text, CAST((len * i) // 64 AS INT) + 1, 1))
+        |          for i in range(0, 64)] AS s
+        |  FROM m2 WHERE len >= 64
+        |), mh AS (
+        |  SELECT doc_id, b, s, list_sum(s) // 64 AS mean FROM sb2
+        |), ph2 AS (
+        |  SELECT doc_id, b,
+        |         list_sum([CASE WHEN s[i + 1]  > mean THEN 1 << i ELSE 0 END
+        |                   for i in range(0, 16)]) AS b0,
+        |         list_sum([CASE WHEN s[i + 17] > mean THEN 1 << i ELSE 0 END
+        |                   for i in range(0, 16)]) AS b1,
+        |         list_sum([CASE WHEN s[i + 33] > mean THEN 1 << i ELSE 0 END
+        |                   for i in range(0, 16)]) AS b2,
+        |         list_sum([CASE WHEN s[i + 49] > mean THEN 1 << i ELSE 0 END
+        |                   for i in range(0, 16)]) AS b3
+        |  FROM mh
+        |), pbands AS (
+        |  SELECT doc_id, b, 0 AS j, b0 AS band FROM ph2 UNION ALL
+        |  SELECT doc_id, b, 1, b1 FROM ph2 UNION ALL
+        |  SELECT doc_id, b, 2, b2 FROM ph2 UNION ALL
+        |  SELECT doc_id, b, 3, b3 FROM ph2
+        |), ${phashBatchSql(0)}, ${phashBatchSql(1)}, ${phashBatchSql(2)},
+        |vd AS (
+        |  SELECT * FROM vd0 UNION ALL SELECT * FROM vd1
+        |  UNION ALL SELECT * FROM vd2
+        |)
+        |SELECT m2.doc_id, vd.doc_id IS NOT NULL AS is_dup,
+        |       vd.dup_of, vd.hamming
+        |FROM m2 LEFT JOIN vd USING (doc_id)
+        |ORDER BY m2.doc_id""")(
+      (s, d) => {
+        val root = TxSideTables.phashRun(s, d)
+        s.read.parquet(s"$root/verdicts")
+          .select(col("doc_id"), col("is_dup"), col("dup_of"),
+            col("hamming"))
+          .orderBy("doc_id")
       })
   )
+
+  /** One unrolled batch of the `st_mm_phash_stream` oracle: batch
+    * `k`'s candidates against prior batches' NOVEL docs (`ps$k`) and
+    * the batch self-screen (`pb$k`), both 64-smallest-per-cell capped,
+    * exact 64-bit hamming verify (4 × 16-bit band xors) ≤ 10,
+    * closest-twin verdict via (hamming, c_id) rank — and the novel set
+    * (`nv$k`) the streaming band store grows by. */
+  private def phashBatchSql(k: Int): String = {
+    val store =
+      if (k == 0) ""
+      else {
+        val union = (0 until k).map(i => s"SELECT doc_id FROM nv$i")
+          .mkString(" UNION ALL ")
+        s"""ps$k AS (
+           |  SELECT doc_id AS c_id, j, band FROM pbands
+           |  WHERE doc_id IN ($union)
+           |  QUALIFY row_number() OVER (PARTITION BY j, band
+           |                             ORDER BY doc_id) <= 64
+           |), """.stripMargin
+      }
+    val storePairs =
+      if (k == 0) ""
+      else s"""
+           |    UNION
+           |    SELECT x.doc_id, c.c_id
+           |    FROM pbands x JOIN ps$k c USING (j, band)
+           |    WHERE x.b = $k""".stripMargin
+    s"""${store}pb$k AS (
+       |  SELECT doc_id AS c_id, j, band FROM pbands WHERE b = $k
+       |  QUALIFY row_number() OVER (PARTITION BY j, band
+       |                             ORDER BY doc_id) <= 64
+       |), pp$k AS (
+       |  SELECT DISTINCT b_id, c_id FROM (
+       |    SELECT x.doc_id AS b_id, c.c_id
+       |    FROM pbands x JOIN pb$k c USING (j, band)
+       |    WHERE x.b = $k AND x.doc_id > c.c_id$storePairs)
+       |), vd$k AS (
+       |  SELECT doc_id, dup_of, CAST(hamming AS BIGINT) AS hamming FROM (
+       |    SELECT hh.b_id AS doc_id, hh.c_id AS dup_of, hh.hm AS hamming,
+       |           row_number() OVER (PARTITION BY hh.b_id
+       |                              ORDER BY hh.hm, hh.c_id) AS rn
+       |    FROM (
+       |      SELECT p.b_id, p.c_id,
+       |             bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1)) +
+       |             bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) AS hm
+       |      FROM pp$k p
+       |      JOIN ph2 ha ON ha.doc_id = p.b_id
+       |      JOIN ph2 hb ON hb.doc_id = p.c_id) hh
+       |    WHERE hh.hm <= 10
+       |  ) WHERE rn = 1
+       |), nv$k AS (
+       |  SELECT doc_id FROM m2 WHERE b = $k AND len >= 64
+       |    AND doc_id NOT IN (SELECT doc_id FROM vd$k)
+       |)""".stripMargin
+  }
 
   /** One unrolled batch of the `st_curate_stream` oracle: batch `k`'s
     * near-dup screen — candidates against prior batches' survivors
@@ -1135,6 +1247,26 @@ private[registry] object TxSideTables {
       for (k <- 0 until 3)
         graft.streaming.CurationStream.processBatch(s, root,
           docs.filter(pmod(col("doc_id"), lit(3)) === k), k.toLong)
+      root
+    })
+
+  /** The streaming phash-dedup run for `st_mm_phash_stream`: three
+    * deterministic micro-batches (doc_id % 3) through the REAL
+    * [[graft.llmops.PhashDedup.processBatch]] against a persistent
+    * band store; verdicts append to `root/verdicts`. Once per
+    * (JVM, sf dir) — replay-convergent, so repeated bench passes read
+    * identical state. */
+  def phashRun(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"ph:$d", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-phgate").toString
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      for (k <- 0 until 3)
+        graft.llmops.PhashDedup.processBatch(s, s"$root/hashes",
+          docs.filter(pmod(col("doc_id"), lit(3)) === k),
+          flagged => flagged.write.mode("append")
+            .parquet(s"$root/verdicts"))
       root
     })
 
