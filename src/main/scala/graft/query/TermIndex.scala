@@ -178,9 +178,15 @@ object TermIndex {
       .map(t => (math.floorMod(Text.hash60Value(t), Shards.toLong)).toString)
       .toSet
     // metadata-level partition pruning to the query terms' shards, then
-    // parquet-pushed term equality inside them
+    // FILE-level skipping on the `shard#term#` key prefix (postings are
+    // key-clustered by [[optimize]], so a maintained index opens only
+    // the files holding the query's own postings lists), then
+    // parquet-pushed term equality inside what remains
+    val termPrefixes: Seq[String] = terms.map { t =>
+      s"${math.floorMod(Text.hash60Value(t), Shards.toLong)}#$t#"
+    }
     val posts = TxLog.read(spark, postingsPath(root),
-        partitions = Some(termShards))
+        partitions = Some(termShards), keyPrefixes = Some(termPrefixes))
       .filter(col("term").isin(terms: _*))
       .select("term", "doc_id", "tf", "dl")
     // per-query-term document frequencies: an aggregation of the pruned

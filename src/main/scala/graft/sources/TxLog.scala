@@ -1076,7 +1076,20 @@ object TxLog {
   /** MERGE INTO with last-writer-wins semantics, keyed on `keyCol`:
     * rows of `updates` replace current rows with the same key;
     * `removedKeys` (nullable) are deleted. Only partitions present in
-    * the batch are read or rewritten.
+    * the batch are read or rewritten — and inside them, only the FILES
+    * whose committed [minKey, maxKey] can hold one of the batch's keys
+    * (see below).
+    *
+    * WRITE AMPLIFICATION (the 100 TB contract): a file that provably
+    * holds none of the batch's update/remove keys cannot change under
+    * LWW, so it is neither read nor rewritten — its AddFile carries
+    * over. For a protocol-sized batch (keys collect under
+    * [[MergeKeyProbeCap]] — every streaming micro-batch) the merge
+    * cost is Θ(key-overlapping files + batch), NOT Θ(touched
+    * partitions): the difference between a per-trigger rewrite of a
+    * key-clustered shard's tail file and a per-trigger rewrite of the
+    * whole store. Files without key stats, and batches over the cap,
+    * degrade to the partition-level rewrite (superset-safe).
     *
     * KEY SHAPE CONTRACT (ENFORCED): a removed key's partition is
     * derived from the key itself — everything before the first `#`
@@ -1099,6 +1112,13 @@ object TxLog {
     * its victims and retries). */
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
+
+  /** Batch-key cap for [[merge]]'s file-level victim probe: under it,
+    * the batch's distinct keys collect to the driver (sorted; ~30 B
+    * each ⇒ ≤ ~2 MB) and prune the rewrite set per file; over it the
+    * merge falls back to whole-partition rewrites — by then the batch
+    * is bulk-load-sized and touches most files anyway. */
+  private val MergeKeyProbeCap = 65536
 
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       removedKeys: DataFrame = null, keyCol: String = "_docId",
@@ -1150,6 +1170,29 @@ object TxLog {
     val up = liveMap.foldLeft(upLogical) { case (d, (ph, lg)) =>
       if (d.columns.contains(lg)) d.withColumnRenamed(lg, ph) else d
     }
+    // file-level victim probe (see the class doc's WRITE AMPLIFICATION
+    // note): the batch's distinct keys, sorted, when protocol-sized.
+    // Collected ONCE off the pinned inputs — retries re-derive victims
+    // from each fresh snapshot against this same set.
+    val probeKeys: Option[Array[String]] = {
+      val uk = up.select(col(keyCol).cast("string")).distinct()
+        .limit(MergeKeyProbeCap + 1).collect().map(_.getString(0))
+      val rk = rm.map(_.select(col(keyCol).cast("string")).distinct()
+          .limit(MergeKeyProbeCap + 1).collect().map(_.getString(0)))
+        .getOrElse(Array.empty[String])
+      if (uk.length > MergeKeyProbeCap || rk.length > MergeKeyProbeCap) None
+      else Some((uk ++ rk).sorted)
+    }
+    // victim test: does any probed key fall inside [mn, mx]?
+    def holdsAKey(ks: Array[String], mn: String, mx: String): Boolean = {
+      var lo = 0
+      var hi = ks.length
+      while (lo < hi) { // lower bound: first key >= mn
+        val mid = (lo + hi) >>> 1
+        if (cmpUtf8(ks(mid), mn) < 0) lo = mid + 1 else hi = mid
+      }
+      lo < ks.length && cmpUtf8(ks(lo), mx) <= 0
+    }
     var attempt = 0
     var done = false
     var staged: Seq[AddFile] = Seq.empty
@@ -1185,12 +1228,62 @@ object TxLog {
             "updates — keys must be '<partition>#<id>' with a partition " +
             "value free of '#' (KEY SHAPE CONTRACT)")
       }
-      val oldFiles = snap.files.filter(f => touched(f.partition))
+      // victims: touched partitions' files that can hold a batch key —
+      // stats-less files always qualify (superset-safe); a non-victim
+      // provably keeps every row under LWW, so its AddFile carries over
+      val partFiles = snap.files.filter(f => touched(f.partition))
+      val oldFiles = probeKeys match {
+        case Some(ks) => partFiles.filter(f => (f.minKey, f.maxKey) match {
+          case (Some(mn), Some(mx)) => holdsAKey(ks, mn, mx)
+          case _ => true
+        })
+        case None => partFiles
+      }
       if (staged.nonEmpty && oldFiles.toSet != stagedBase)
         staged = Seq.empty // base moved — restage from this snapshot
       if (staged.isEmpty) {
+        // TYPE STABILITY (checked explicitly, not left to union
+        // coercion): a batch column sharing a name with a committed
+        // column must match its type exactly. Before file-level victim
+        // pruning this failed incidentally — ANSI union widened
+        // string+int to BIGINT and the CAST blew up only when a
+        // conflicting VALUE was actually read; a batch whose victims
+        // held no conflicting values would have committed a silently
+        // RE-TYPED column whose old files explode at read time.
+        snap.schemaDdl.foreach { ddl =>
+          val committed = org.apache.spark.sql.types.StructType
+            .fromDDL(ddl).fields.map(f => f.name -> f.dataType).toMap
+          up.schema.fields.foreach { f =>
+            // catalogString comparison: nullability-insensitive (an
+            // all-null array arrives as array<void> containsNull=false
+            // against a committed containsNull=true — same type).
+            // void-typed sides are exempt: an all-null column is the
+            // degenerate bottom type, and refining array<void> to
+            // array<string> (or merging more nulls into it) is the
+            // union widening this engine has always allowed.
+            committed.get(f.name)
+              .filter(t => t.catalogString != f.dataType.catalogString &&
+                !t.catalogString.contains("void") &&
+                !f.dataType.catalogString.contains("void"))
+              .foreach { t =>
+                require(requirement = false,
+                  s"merge: column ${f.name} arrives as " +
+                    s"${f.dataType.simpleString} but the table committed " +
+                    s"${t.simpleString} — type changes are not supported")
+              }
+          }
+        }
         val current =
-          if (oldFiles.isEmpty) null
+          if (oldFiles.isEmpty)
+            // no victim files — the merge still runs AGAINST the
+            // committed schema (an empty frame of that shape), or a
+            // batch missing a table column would commit a DEMOTED
+            // DDL and a type-changed batch would land unvalidated;
+            // the empty union keeps the widening/rejection semantics
+            // identical to the read path below
+            snap.schemaDdl.map(ddl => spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType.fromDDL(ddl))).orNull
           else {
             // base rows read under the COMMITTED schema, not footer
             // inference: a partition whose files predate a schema

@@ -112,6 +112,22 @@ class TermIndexSpec extends SparkSpec {
     val a2 = pruned.filter(col("term") === "alpha").select("doc_id", "tf")
       .as[(Long, Long)].collect().toSet
     assert(a1 == a2 && a1.nonEmpty)
+    // and on a MAINTAINED (key-clustered) index the scores() probe
+    // skips below shard granularity: the `shard#term#` key-prefix
+    // pruning opens only the files holding the query term's postings.
+    // A small compaction target forces several key-disjoint files per
+    // shard so the skipping is OBSERVABLE, not just plausible.
+    graft.sources.TxLog.compact(spark, s"$root/postings",
+      partitionCol = "shard", keyCol = "_docId", targetRowsPerFile = 8)
+    val scored = TermIndex.scores(spark, root, Seq("alpha"))
+    val scanned = scored.inputFiles.filter(_.contains("/postings/"))
+    val shardFiles = graft.sources.TxLog.read(spark, s"$root/postings",
+      partitions = Some(Set(shard))).inputFiles.length
+    assert(scanned.nonEmpty && scanned.length < shardFiles,
+      s"probe opened ${scanned.length} files vs $shardFiles in the shard")
+    // row-level result unchanged by the file skipping
+    assert(scored.select("doc_id").as[Long].collect().toSet ==
+      a1.map(_._1))
   }
 
   test("syncTx maintains the index from the document table's change feed") {

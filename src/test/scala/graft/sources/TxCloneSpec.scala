@@ -39,10 +39,21 @@ class TxCloneSpec extends SparkSpec {
     TxLog.merge(spark, src, docs(("dbB#late", "dbB", "l")))
     assert(!TxLog.read(spark, dest).select("_docId").as[String]
       .collect().contains("dbB#late"))
-    // the clone's merge rewrote only dbA: dbB is still the borrowed file
+    // the clone's merge wrote only the NEW key's file locally — both
+    // borrowed files survive (file-level victim pruning: a borrowed
+    // file that provably holds none of the batch's keys is never
+    // copied, so a clone materializes lazily, key range by key range)
     val snap = TxLog.snapshot(spark, dest)
-    assert(snap.files.exists(_.external.isDefined))
-    assert(snap.files.filter(_.partition == "dbA").forall(_.external.isEmpty))
+    assert(snap.files.count(_.external.isDefined) == 2,
+      s"non-overlapping borrowed files must stay borrowed: ${snap.files}")
+    assert(snap.files.exists(f => f.partition == "dbA" && f.external.isEmpty))
+    // overwriting a BORROWED row localizes exactly its file
+    TxLog.merge(spark, dest, docs(("dbA#a1", "dbA", "a1v2")))
+    val snap2 = TxLog.snapshot(spark, dest)
+    assert(snap2.files.filter(_.partition == "dbA").forall(_.external.isEmpty))
+    assert(snap2.files.filter(_.partition == "dbB").forall(_.external.isDefined))
+    assert(TxLog.read(spark, dest).filter(col("_docId") === "dbA#a1")
+      .select("payload").as[String].collect().toSeq == Seq("a1v2"))
   }
 
   test("a full rewrite materializes the clone; vacuum never reaches the source") {

@@ -555,6 +555,45 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, dir, keyPrefixes = Some(Seq("zz#"))).isEmpty)
   }
 
+  test("merge rewrites only the files whose key bounds hold a batch key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-mfp").toString
+    // three key-disjoint files in ONE partition (the key-clustered
+    // layout compact maintains), via separate commits
+    val a = TxLog.stageData(spark, dir,
+      docs(("p0#a1", "p0", "x1"), ("p0#a2", "p0", "x2")).repartition(1),
+      "str_databaseid", Some("_docId"))
+    assert(TxLog.tryCommit(spark, dir, 0, a, Seq.empty))
+    val b = TxLog.stageData(spark, dir,
+      docs(("p0#m1", "p0", "y1"), ("p0#m2", "p0", "y2")).repartition(1),
+      "str_databaseid", Some("_docId"))
+    assert(TxLog.tryCommit(spark, dir, 1, b, Seq.empty))
+    val c = TxLog.stageData(spark, dir,
+      docs(("p0#z1", "p0", "w1")).repartition(1),
+      "str_databaseid", Some("_docId"))
+    assert(TxLog.tryCommit(spark, dir, 2, c, Seq.empty))
+    val before = TxLog.snapshot(spark, dir).files.map(_.path).toSet
+    assert(before.size == 3)
+    // a one-key update overlaps ONLY the middle file: the other two
+    // AddFiles must carry over untouched (no read, no rewrite)
+    TxLog.merge(spark, dir, docs(("p0#m1", "p0", "y1v2")))
+    val after = TxLog.snapshot(spark, dir).files.map(_.path).toSet
+    assert((before -- after) == b.map(_.path).toSet,
+      s"only the overlapping file may be replaced: removed ${before -- after}")
+    assert((a ++ c).map(_.path).forall(after),
+      "non-overlapping files must survive the merge untouched")
+    assert(tableRows(dir) == Set(("p0#a1", "x1"), ("p0#a2", "x2"),
+      ("p0#m1", "y1v2"), ("p0#m2", "y2"), ("p0#z1", "w1")))
+    // deletes prune the same way: removing p0#z1 touches only file c
+    TxLog.merge(spark, dir, docs().limit(0)
+      .select(col("_docId"), col("str_databaseid"), col("payload")),
+      Seq("p0#z1").toDF("_docId"))
+    val after2 = TxLog.snapshot(spark, dir).files.map(_.path).toSet
+    assert((a.map(_.path).toSet -- after2).isEmpty,
+      "delete of z1 must not rewrite the a-file")
+    assert(tableRows(dir) == Set(("p0#a1", "x1"), ("p0#a2", "x2"),
+      ("p0#m1", "y1v2"), ("p0#m2", "y2")))
+  }
+
   test("a conditional-put coordinator carries multi-writer commits through the seam") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tx-coord").toString
     // stands in for an object store WITHOUT atomic rename: the winner
