@@ -141,4 +141,57 @@ object TopK {
   def smallestKSig(k: Int): UserDefinedFunction =
     udaf(new SmallestKSig(k),
       Encoders.tuple(Encoders.scalaLong, ExpressionEncoder[Seq[Long]]()))
+
+  /** [[SmallestKSig]] with a DOUBLE payload (embedding vectors) — same
+    * bounded-buffer, id-deduping contract. */
+  private final class SmallestKVecD(k: Int)
+      extends Aggregator[(Long, Seq[Double]), Seq[(Long, Seq[Double])],
+        Seq[(Long, Seq[Double])]] {
+
+    def zero: Seq[(Long, Seq[Double])] = Vector.empty
+
+    def reduce(buf: Seq[(Long, Seq[Double])],
+        in: (Long, Seq[Double])): Seq[(Long, Seq[Double])] = {
+      val n = buf.length
+      if (n == k && in._1 >= buf(n - 1)._1) buf
+      else {
+        var lo = 0
+        var hi = n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (buf(mid)._1 < in._1) lo = mid + 1 else hi = mid
+        }
+        if (lo < n && buf(lo)._1 == in._1) buf
+        else (buf.take(lo) :+ in) ++ buf.drop(lo) take k
+      }
+    }
+
+    def merge(x: Seq[(Long, Seq[Double])],
+        y: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
+      val out = Vector.newBuilder[(Long, Seq[Double])]
+      var (i, j, o) = (0, 0, 0)
+      var last = Long.MinValue
+      var first = true
+      while (o < k && (i < x.length || j < y.length)) {
+        val takeX = j >= y.length || (i < x.length && x(i)._1 <= y(j)._1)
+        val e = if (takeX) { val v = x(i); i += 1; v }
+          else { val v = y(j); j += 1; v }
+        if (first || e._1 != last) { out += e; o += 1; last = e._1; first = false }
+      }
+      out.result()
+    }
+
+    def finish(r: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = r
+
+    def bufferEncoder: Encoder[Seq[(Long, Seq[Double])]] =
+      ExpressionEncoder[Seq[(Long, Seq[Double])]]()
+    def outputEncoder: Encoder[Seq[(Long, Seq[Double])]] =
+      ExpressionEncoder[Seq[(Long, Seq[Double])]]()
+  }
+
+  /** `smallestKVecD(k)(id, payload)` — [[smallestKSig]] for
+    * `array<double>` payloads. */
+  def smallestKVecD(k: Int): UserDefinedFunction =
+    udaf(new SmallestKVecD(k),
+      Encoders.tuple(Encoders.scalaLong, ExpressionEncoder[Seq[Double]]()))
 }

@@ -1106,8 +1106,107 @@ object PipelineQueries {
           .select(col("doc_id"), col("is_dup"), col("dup_of"),
             col("hamming"))
           .orderBy("doc_id")
+      }),
+
+    // ── STREAMING embedding dedup (llmops/EmbedDedup): arrival-time
+    //    near-dup screening for VECTORS — the third band-store member
+    //    (text MinHash, image aHash, now embeddings), candidates from
+    //    the SAME integer-hyperplane LSH tables as the batch operator
+    //    (llm_dedup_embed_lsh) so the oracle reproduces bucket
+    //    assignment exactly, verify = exact cosine >= 0.45. Three
+    //    deterministic micro-batches (vec_id % 3) run the REAL
+    //    processBatch against a persistent band store; the oracle
+    //    unrolls the rounds (prior novel vecs per cell capped at the
+    //    SkewGuard bound, batch self-screen with lower-id-wins,
+    //    most-similar-twin tiebreak by (sim DESC, id)). The row proves
+    //    arrival-order firsts and growth-free folds, not a recompute.
+    sql("st_embed_dedup_stream",
+      s"""WITH ev AS (
+        |  SELECT vec_id, vec_id % 3 AS b, embedding::DOUBLE[] AS e
+        |  FROM embeddings
+        |), eproj AS (
+        |  SELECT vec_id, i // 6 AS t,
+        |         SUM(CASE WHEN list_dot_product(e,
+        |               [CAST((i*131 + d) * 2654435761 % 1000003 AS DOUBLE)
+        |                  / 1000003.0 - 0.5 for d in range(0, 64)]) >= 0
+        |             THEN CAST(1 AS BIGINT) << (i % 6) ELSE 0 END) AS bucket
+        |  FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i)
+        |  GROUP BY 1, 2
+        |), ebands AS (
+        |  SELECT p.vec_id, v.b, p.t, p.bucket FROM eproj p
+        |  JOIN ev v USING (vec_id)
+        |), ${embedBatchSql(0)}, ${embedBatchSql(1)}, ${embedBatchSql(2)},
+        |evd AS (
+        |  SELECT * FROM evd0 UNION ALL SELECT * FROM evd1
+        |  UNION ALL SELECT * FROM evd2
+        |)
+        |SELECT ev.vec_id, evd.vec_id IS NOT NULL AS is_dup,
+        |       evd.dup_of, evd.sim
+        |FROM ev LEFT JOIN evd USING (vec_id)
+        |ORDER BY ev.vec_id""")(
+      (s, d) => {
+        val root = TxSideTables.embedRun(s, d)
+        s.read.parquet(s"$root/verdicts")
+          .select(col("vec_id"), col("is_dup"), col("dup_of"), col("sim"))
+          .orderBy("vec_id")
       })
   )
+
+  /** One unrolled batch of the `st_embed_dedup_stream` oracle: batch
+    * `k`'s LSH-cell candidates against prior rounds' novel vectors
+    * (`es$k`) and the batch self-screen (`eb$k`), cells capped at the
+    * SkewGuard bound, exact-cosine verify >= 0.45, most-similar-twin
+    * verdict — and the novel set (`en$k`) the band store grows by. */
+  private def embedBatchSql(k: Int): String = {
+    val cap = graft.llmops.SkewGuard.MaxCellSize
+    val store =
+      if (k == 0) ""
+      else {
+        val union = (0 until k).map(i => s"SELECT vec_id FROM en$i")
+          .mkString(" UNION ALL ")
+        s"""es$k AS (
+           |  SELECT vec_id AS c_id, t, bucket FROM ebands
+           |  WHERE vec_id IN ($union)
+           |  QUALIFY row_number() OVER (PARTITION BY t, bucket
+           |                             ORDER BY vec_id) <= $cap
+           |), """.stripMargin
+      }
+    val storePairs =
+      if (k == 0) ""
+      else s"""
+           |    UNION
+           |    SELECT x.vec_id, c.c_id
+           |    FROM ebands x JOIN es$k c USING (t, bucket)
+           |    WHERE x.b = $k""".stripMargin
+    s"""${store}eb$k AS (
+       |  SELECT vec_id AS c_id, t, bucket FROM ebands WHERE b = $k
+       |  QUALIFY row_number() OVER (PARTITION BY t, bucket
+       |                             ORDER BY vec_id) <= $cap
+       |), ep$k AS (
+       |  SELECT DISTINCT b_id, c_id FROM (
+       |    SELECT x.vec_id AS b_id, c.c_id
+       |    FROM ebands x JOIN eb$k c USING (t, bucket)
+       |    WHERE x.b = $k AND x.vec_id > c.c_id$storePairs)
+       |), evd$k AS (
+       |  SELECT vec_id, dup_of, sim FROM (
+       |    SELECT hh.b_id AS vec_id, hh.c_id AS dup_of, hh.sim,
+       |           row_number() OVER (PARTITION BY hh.b_id
+       |                              ORDER BY hh.sim DESC, hh.c_id) AS rn
+       |    FROM (
+       |      SELECT p.b_id, p.c_id,
+       |             list_dot_product(va.e, vb.e) /
+       |               (sqrt(list_dot_product(va.e, va.e)) *
+       |                sqrt(list_dot_product(vb.e, vb.e))) AS sim
+       |      FROM ep$k p
+       |      JOIN ev va ON va.vec_id = p.b_id
+       |      JOIN ev vb ON vb.vec_id = p.c_id) hh
+       |    WHERE hh.sim >= 0.45
+       |  ) WHERE rn = 1
+       |), en$k AS (
+       |  SELECT vec_id FROM ev WHERE b = $k
+       |    AND vec_id NOT IN (SELECT vec_id FROM evd$k)
+       |)""".stripMargin
+  }
 
   /** One unrolled batch of the `st_mm_phash_stream` oracle: batch
     * `k`'s candidates against prior batches' NOVEL docs (`ps$k`) and
@@ -1265,6 +1364,22 @@ private[registry] object TxSideTables {
       for (k <- 0 until 3)
         graft.llmops.PhashDedup.processBatch(s, s"$root/hashes",
           docs.filter(pmod(col("doc_id"), lit(3)) === k),
+          flagged => flagged.write.mode("append")
+            .parquet(s"$root/verdicts"))
+      root
+    })
+
+  /** The streaming embedding-dedup run for `st_embed_dedup_stream`
+    * (same shape as [[phashRun]], over the embeddings table). */
+  def embedRun(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"em:$d", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-emgate").toString
+      val vecs = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      for (k <- 0 until 3)
+        graft.llmops.EmbedDedup.processBatch(s, s"$root/vecs",
+          vecs.filter(pmod(col("vec_id"), lit(3)) === k),
           flagged => flagged.write.mode("append")
             .parquet(s"$root/verdicts"))
       root

@@ -1,0 +1,129 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[EmbedDedup]] — arrival-time embedding near-dup screening: the
+  * vector member of the band-store family, same contract drills as
+  * [[IncrementalDedupSpec]]/[[PhashDedupSpec]].
+  */
+class EmbedDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Pseudo-random 64-dim vectors: same seed ⇒ identical; different
+    * seeds ⇒ cosine ≈ 0 (far below the 0.45 floor); seed+1000 ⇒ a
+    * small perturbation of seed (cosine ≈ 0.99). */
+  private def vec(seed: Int): Array[Float] = {
+    val s = seed % 1000
+    val base = Array.tabulate(64) { d =>
+      val x0 = s * 2654435761L + d * 1099511628211L
+      val x = x0 ^ (x0 >>> 13) ^ (x0 << 7)
+      (math.floorMod(x, 2001L) - 1000L) / 1000.0f
+    }
+    if (seed >= 1000) base(3) += 0.5f
+    base
+  }
+
+  private def vecs(rows: Seq[(Long, Int)]): DataFrame =
+    rows.map { case (id, s) => (id, vec(s)) }.toDF("vec_id", "embedding")
+
+  private def prep(rows: Seq[(Long, Int)]): DataFrame =
+    EmbedDedup.prepared(vecs(rows))
+
+  test("screen flags identical and perturbed vectors, not unrelated ones") {
+    val corpus = prep((1 to 30).map(i => (i.toLong, i)))
+    val batch = prep(Seq((101L, 3), (102L, 1007), (103L, 777)))
+    val got = EmbedDedup.screen(batch, corpus)
+      .select("b_id", "c_id", "sim").as[(Long, Long, Double)]
+      .collect()
+    assert(got.exists(r => r._1 == 101L && r._2 == 3L && r._3 > 0.999),
+      s"identical vector not flagged: ${got.toSeq}")
+    assert(got.exists(r => r._1 == 102L && r._2 == 7L && r._3 >= 0.9),
+      s"perturbed vector not flagged: ${got.toSeq}")
+    assert(!got.exists(_._1 == 103L), s"novel falsely flagged: ${got.toSeq}")
+  }
+
+  test("screenStore equals screen on the same corpus; probe is file-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-estore").toString
+    val corpus = prep((1 to 200).map(i => (i.toLong, i)))
+    EmbedDedup.mergeVectors(spark, dir, corpus)
+    graft.sources.TxLog.compact(spark, dir, partitionCol = "_shard",
+      keyCol = "_docId", targetRowsPerFile = 8)
+    val batch = prep(Seq((999L, 3), (998L, 1011)))
+    val viaStore = EmbedDedup.screenStore(batch, dir)
+    val got = viaStore.select("b_id", "c_id", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val ref = EmbedDedup.screen(batch, corpus)
+      .select("b_id", "c_id", "sim").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(got == ref, s"store probe diverged:\n$got\n$ref")
+    val snap = graft.sources.TxLog.snapshot(spark, dir)
+    val scanned = viaStore.inputFiles.toSet
+    val touchedShards = scanned.map(f =>
+      f.substring(f.indexOf("_shard=")).split("/")(0))
+    val shardFiles = snap.files
+      .count(f => touchedShards.contains(s"_shard=${f.partition}"))
+    assert(scanned.nonEmpty && scanned.size < shardFiles,
+      s"expected file-level skipping: ${scanned.size} vs $shardFiles " +
+        s"(total ${snap.files.size})")
+  }
+
+  test("streamScreen: store + batch-internal screen; novel-only growth; replay growth-free") {
+    val store = java.nio.file.Files.createTempDirectory("graft-est").toString + "/vecs"
+    val src = java.nio.file.Files.createTempDirectory("graft-esrc").toString
+    EmbedDedup.mergeVectors(spark, store,
+      prep((1 to 20).map(i => (i.toLong, i))))
+    val flags = scala.collection.concurrent.TrieMap.empty[Long, (Boolean, Option[Long])]
+    val sink: DataFrame => Unit = df =>
+      df.select(col("vec_id"), col("is_dup"), col("dup_of"))
+        .as[(Long, Boolean, Option[Long])].collect()
+        .foreach { case (id, dup, of) => flags(id) = (dup, of) }
+    // 101 near-dup of stored 5; 102 novel; 103 batch-internal copy of
+    // 102 (lower id wins)
+    val b1 = Seq((101L, 1005), (102L, 888), (103L, 888))
+    vecs(b1).write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema(vecs(b1).schema).parquet(src)
+    val q = EmbedDedup.streamScreen(stream, store, sink)
+    try {
+      q.processAllAvailable()
+      assert(flags(101L) == ((true, Some(5L))), s"$flags")
+      assert(flags(102L) == ((false, None)), s"$flags")
+      assert(flags(103L) == ((true, Some(102L))),
+        s"batch-internal dup not caught: $flags")
+      // batch 2: dup of batch-1's novel vec — needs 102's fold
+      vecs(Seq((201L, 888))).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      assert(flags(201L) == ((true, Some(102L))), s"$flags")
+      // REPLAY batch 1 after its fold: verdicts identical, store
+      // unchanged (self-matches filtered AND excluded from the fold)
+      val rowsBefore = graft.sources.TxLog.read(spark, store).count()
+      vecs(b1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      assert(flags(102L) == ((false, None)),
+        s"replayed novel vec self-flagged: ${flags(102L)}")
+      assert(flags(101L) == ((true, Some(5L))), s"${flags(101L)}")
+      assert(graft.sources.TxLog.read(spark, store).count() == rowsBefore,
+        "replay grew the append-only store")
+    } finally q.stop()
+    val stored = EmbedDedup.loadVectors(spark, store)
+      .select("vec_id").as[Long].collect().toSet
+    assert(stored == (1L to 20L).toSet + 102L,
+      s"store must grow by novel vecs only: $stored")
+  }
+
+  test("loadVectors round-trips the denormalized payload") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ert").toString
+    val vs = prep((1 to 10).map(i => (i.toLong, i)))
+    EmbedDedup.mergeVectors(spark, dir, vs)
+    val back = EmbedDedup.loadVectors(spark, dir)
+    assert(back.count() == 10)
+    val joined = back
+      .withColumnRenamed("e", "e2").withColumnRenamed("nrm", "nrm2")
+      .join(vs, "vec_id")
+      .filter(not(col("e") === col("e2")) || col("nrm") =!= col("nrm2"))
+    assert(joined.isEmpty, "stored payload differs from computed")
+  }
+}
