@@ -424,10 +424,16 @@ object LlmQueries {
     }
 
   /** Single-hop rounds tolerated before the fixpoint escalates to
-    * pointer doubling (see the loop comment). 12 covers every measured
-    * real near-dup graph (dense blobs converge in ≤ ~6) while bounding
-    * the adversarial chain at O(log diameter) total rounds. */
-  private[registry] val EscalateAfter = 12
+    * pointer doubling (see the loop comment). MEASURED, round 11: a
+    * squaring round costs ~3 exchanges (labels self-join on comp, both
+    * sides unpartitioned) where a hop is one partition-preserved join
+    * — so on the sf0.1 phash graph (388-node chain, ecc 27, 28 hops)
+    * escalating at 12 REGRESSED llm_mm_phash_cluster 3.3 → 5.5 s idle.
+    * 32 keeps every measured real graph (dense blobs ≤ ~6 rounds, the
+    * worst observed chain 28) in the cheap single-hop regime; only
+    * genuinely adversarial chains pay the O(log diameter) escalation,
+    * whose total stays ≤ threshold + ~2·log₂(n) rounds. */
+  private[registry] val EscalateAfter = 32
 
   private[registry] def componentLabels(s: SparkSession, pairs: DataFrame): DataFrame =
     componentLabelsCounted(s, pairs)._1
