@@ -79,6 +79,11 @@ object EmbedDedup {
         concat(array(col("nrm")), col("e")).as("p")),
       keyCol = "_docId", partitionCol = "_shard")
 
+  /** Store maintenance — see [[IncrementalDedup.optimize]] (identical
+    * layout and contract). */
+  def optimize(spark: SparkSession, tablePath: String): Unit =
+    IncrementalDedup.optimize(spark, tablePath)
+
   /** Stored vectors back as one `(vec_id, e, nrm)` row per vec
     * (table-0 rows carry the payload; append replays dedup here). */
   def loadVectors(spark: SparkSession, tablePath: String): DataFrame =

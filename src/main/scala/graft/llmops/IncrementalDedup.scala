@@ -189,6 +189,23 @@ object IncrementalDedup {
         col(idCol).cast("long").as("doc_id"), col("sig")),
       keyCol = "_docId", partitionCol = "_shard")
 
+  /** Store maintenance ([[graft.query.TermIndex.optimize]]'s contract):
+    * per-batch appends fragment the band shards, and the probe's
+    * file-level `keyPrefixes` skipping is only as sharp as the files'
+    * key clustering — compaction folds the fragments into key-disjoint
+    * right-sized files (one probe key → one file) and vacuum reclaims
+    * superseded ones (signatures are derived data nobody time-travels).
+    * Snapshot-isolated against concurrent probes/appends; append
+    * commits never conflict, so the maintenance loop and the ingest
+    * loop coexist. Shared verbatim by the [[PhashDedup]]/[[EmbedDedup]]
+    * stores (same `_shard`/`_docId` layout). */
+  def optimize(spark: SparkSession, tablePath: String): Unit = {
+    graft.sources.TxLog.compact(spark, tablePath,
+      partitionCol = "_shard", keyCol = "_docId")
+    graft.sources.TxLog.vacuum(spark, tablePath)
+    ()
+  }
+
   /** Read the store back as one `(doc_id, sig)` row per doc (band-0
     * rows carry the full signature; append replays dedup here). */
   def loadSignatures(spark: SparkSession, tablePath: String): DataFrame =

@@ -91,6 +91,11 @@ object PhashDedup {
         col("h")),
       keyCol = "_docId", partitionCol = "_shard")
 
+  /** Store maintenance — see [[IncrementalDedup.optimize]] (identical
+    * layout and contract). */
+  def optimize(spark: SparkSession, tablePath: String): Unit =
+    IncrementalDedup.optimize(spark, tablePath)
+
   /** Stored hashes back as one `(doc_id, h)` row per doc (j-0 rows
     * carry the full hash; append replays dedup here). */
   def loadHashes(spark: SparkSession, tablePath: String): DataFrame =

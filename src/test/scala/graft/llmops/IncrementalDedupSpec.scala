@@ -94,6 +94,13 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(viaStore == viaFrames,
       s"store probe diverged from the frame screen:\n$viaStore\n$viaFrames")
     assert(viaStore.exists { case (b, c, n) => b == 101L && c == 3L && n == 64L })
+    // maintenance is row-invisible: the compaction+vacuum cycle the
+    // probe's file skipping depends on changes nothing a screen sees
+    IncrementalDedup.optimize(spark, dir)
+    val afterOpt = IncrementalDedup.screenStore(batch, dir)
+      .select("b_id", "c_id", "n_match").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(afterOpt == viaFrames, "optimize changed screen results")
   }
 
   test("screenStore probe is PRUNED: scanned files are a strict subset of store files") {
