@@ -721,21 +721,33 @@ object TxLog {
     }
     val byPrefix = keyPrefixes match {
       case Some(ps) =>
-        // all keys with prefix p lie in [p, p + '￿'): overlap with
-        // a file's [mn, mx] needs p <= mx AND p's interval end >= mn.
-        // The interval end is monotone in p, so among prefixes <= mx
-        // the LARGEST one maximizes it — one binary search per file.
+        // all keys with prefix p lie in [p, p + '￿'): a file's
+        // [mn, mx] overlaps that interval iff p <= mx AND p + '￿'
+        // >= mn, which decomposes EXACTLY into: p ∈ [mn, mx] (plain
+        // range — binary search), OR p < mn while mn still starts
+        // with p (p's interval reaches past mn). The naive "largest
+        // p <= mx" shortcut is WRONG here: p + '￿' is not monotone
+        // in p when one probe prefix string-prefixes another ("a" vs
+        // "am" against a file at [az, az9] would drop the file while
+        // "a"-keys live in it).
         val sorted = ps.distinct.sorted.toIndexedSeq
-        byKey.filter(f => (f.minKey, f.maxKey) match {
+        val set = sorted.toSet
+        // the degenerate empty prefix covers every key
+        if (set.contains("")) byKey
+        else byKey.filter(f => (f.minKey, f.maxKey) match {
           case (Some(mn), Some(mx)) =>
-            // largest prefix <= mx (insertion point - 1)
+            // any prefix in [mn, mx]: first p >= mn, check <= mx
             var lo = 0
             var hi = sorted.length
             while (lo < hi) {
               val mid = (lo + hi) >>> 1
-              if (cmpUtf8(sorted(mid), mx) <= 0) lo = mid + 1 else hi = mid
+              if (cmpUtf8(sorted(mid), mn) < 0) lo = mid + 1 else hi = mid
             }
-            lo > 0 && cmpUtf8(sorted(lo - 1) + "￿", mn) >= 0
+            val inRange = lo < sorted.length &&
+              cmpUtf8(sorted(lo), mx) <= 0
+            // or some proper prefix of mn is probed (p < mn, covers mn)
+            inRange || (1 until mn.length)
+              .exists(i => set.contains(mn.substring(0, i)))
           case _ => true // no stats → cannot skip
         })
       case None => byKey

@@ -555,6 +555,27 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, dir, keyPrefixes = Some(Seq("zz#"))).isEmpty)
   }
 
+  test("keyPrefixes: nested probe prefixes never drop a covered file") {
+    // regression: with prefixes {a, am} and a file at [az1, az9], the
+    // "largest prefix <= maxKey" shortcut picked "am", whose interval
+    // ends before az1, and WRONGLY dropped the file — while "a"-keys
+    // (az1...) live in it. The exact decomposition (prefix in range OR
+    // proper-prefix-of-minKey) must keep it.
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-nest").toString
+    val a = TxLog.stageData(spark, dir,
+      docs(("az1", "p0", "x"), ("az9", "p0", "y")).repartition(1),
+      "str_databaseid", Some("_docId"))
+    assert(TxLog.tryCommit(spark, dir, 0, a, Seq.empty))
+    val got = TxLog.read(spark, dir, keyPrefixes = Some(Seq("a", "am")))
+      .select("payload").as[String].collect().toSet
+    assert(got == Set("x", "y"),
+      s"nested prefixes dropped a covered file: $got")
+    // and the reverse nesting with a genuinely non-overlapping file
+    assert(TxLog.read(spark, dir,
+      keyPrefixes = Some(Seq("am", "b"))).isEmpty,
+      "no probed prefix covers [az1, az9]")
+  }
+
   test("merge rewrites only the files whose key bounds hold a batch key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tx-mfp").toString
     // three key-disjoint files in ONE partition (the key-clustered
