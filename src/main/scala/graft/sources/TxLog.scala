@@ -1187,9 +1187,13 @@ object TxLog {
     // Collected ONCE off the pinned inputs — retries re-derive victims
     // from each fresh snapshot against this same set.
     val probeKeys: Option[Array[String]] = {
-      val uk = up.select(col(keyCol).cast("string")).distinct()
+      // null keys match no stored row — excluded from the probe (they
+      // would NPE the sort; their rows still stage like any other)
+      val uk = up.select(col(keyCol).cast("string"))
+        .filter(col(keyCol).isNotNull).distinct()
         .limit(MergeKeyProbeCap + 1).collect().map(_.getString(0))
-      val rk = rm.map(_.select(col(keyCol).cast("string")).distinct()
+      val rk = rm.map(_.select(col(keyCol).cast("string"))
+          .filter(col(keyCol).isNotNull).distinct()
           .limit(MergeKeyProbeCap + 1).collect().map(_.getString(0)))
         .getOrElse(Array.empty[String])
       if (uk.length > MergeKeyProbeCap || rk.length > MergeKeyProbeCap) None
