@@ -153,8 +153,17 @@ object EmbedDedup {
         element_at(col("r._2"), 1).as("n_c"),
         slice(col("r._2"), lit(2), size(col("r._2")) - 1).as("e_c"))
     capped.join(broadcast(bBands), Seq("t", "b"))
-      .withColumn("sim", dot(col("e_b"), col("e_c")) /
-        (col("n_b") * col("n_c")))
+      // zero-norm guard: 0/0 = NaN would fail every sim filter — so a
+      // stored zero vector never self-matches and replay re-appends it
+      // forever. A zero-norm double vector IS the zero vector exactly,
+      // so two of them are identical (sim 1.0); one zero against a
+      // non-zero vector is sim 0 (never a dup), matching the NaN
+      // filter's old behavior for the mixed case.
+      .withColumn("sim",
+        when((col("n_b") === 0) && (col("n_c") === 0), lit(1.0))
+          .when((col("n_b") === 0) || (col("n_c") === 0), lit(0.0))
+          .otherwise(dot(col("e_b"), col("e_c")) /
+            (col("n_b") * col("n_c"))))
       .filter(col("sim") >= minSim)
       .groupBy("b_id", "c_id")
       .agg(max(col("sim")).as("sim"))

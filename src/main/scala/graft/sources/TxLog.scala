@@ -730,7 +730,11 @@ object TxLog {
         // in p when one probe prefix string-prefixes another ("a" vs
         // "am" against a file at [az, az9] would drop the file while
         // "a"-keys live in it).
-        val sorted = ps.distinct.sorted.toIndexedSeq
+        // sorted in UTF-8 BYTE order to match cmpUtf8's binary search —
+        // String's default UTF-16 order diverges for chars >= U+E000 vs
+        // supplementary (emoji) code points, and a mis-ordered list breaks
+        // the lower-bound invariant → files wrongly skipped (missed rows)
+        val sorted = ps.distinct.sorted(utf8Ordering).toIndexedSeq
         val set = sorted.toSet
         // the degenerate empty prefix covers every key
         if (set.contains("")) byKey
@@ -925,6 +929,36 @@ object TxLog {
 
   private val utf8Ordering: Ordering[String] =
     (a: String, b: String) => cmpUtf8(a, b)
+
+  /** TYPE STABILITY: a batch column sharing a name with a committed
+    * column must match its type exactly — shared by [[merge]] and
+    * [[append]] so both mutation paths reject the same silent-retyping
+    * hazard (a committed `string` column arriving as `int` would stage
+    * parquet that explodes, or mis-casts, only when later READ under
+    * the committed DDL). catalogString comparison: nullability-
+    * insensitive (an all-null array arrives as array<void>
+    * containsNull=false against a committed containsNull=true — same
+    * type). void-typed sides are exempt: an all-null column is the
+    * degenerate bottom type, and refining array<void> to array<string>
+    * (or merging more nulls into it) is the union widening this engine
+    * has always allowed. */
+  private def checkTypeStability(op: String, committedDdl: String,
+      batch: org.apache.spark.sql.types.StructType): Unit = {
+    val committed = org.apache.spark.sql.types.StructType
+      .fromDDL(committedDdl).fields.map(f => f.name -> f.dataType).toMap
+    batch.fields.foreach { f =>
+      committed.get(f.name)
+        .filter(t => t.catalogString != f.dataType.catalogString &&
+          !t.catalogString.contains("void") &&
+          !f.dataType.catalogString.contains("void"))
+        .foreach { t =>
+          require(requirement = false,
+            s"$op: column ${f.name} arrives as " +
+              s"${f.dataType.simpleString} but the table committed " +
+              s"${t.simpleString} — type changes are not supported")
+        }
+    }
+  }
 
   /** Row count and (when `statsCol` is a string column with complete
     * row-group statistics) its min/max, from the parquet FOOTER only —
@@ -1197,7 +1231,11 @@ object TxLog {
           .limit(MergeKeyProbeCap + 1).collect().map(_.getString(0)))
         .getOrElse(Array.empty[String])
       if (uk.length > MergeKeyProbeCap || rk.length > MergeKeyProbeCap) None
-      else Some((uk ++ rk).sorted)
+      // UTF-8 byte order — holdsAKey binary-searches with cmpUtf8, and a
+      // UTF-16-sorted array breaks its invariant for keys with chars >=
+      // U+E000 vs supplementary code points (wrongly non-overlapping
+      // victim → stale row never rewritten, silent duplicate key)
+      else Some((uk ++ rk).sorted(utf8Ordering))
     }
     // victim test: does any probed key fall inside [mn, mx]?
     def holdsAKey(ks: Array[String], mn: String, mx: String): Boolean = {
@@ -1267,27 +1305,7 @@ object TxLog {
         // held no conflicting values would have committed a silently
         // RE-TYPED column whose old files explode at read time.
         snap.schemaDdl.foreach { ddl =>
-          val committed = org.apache.spark.sql.types.StructType
-            .fromDDL(ddl).fields.map(f => f.name -> f.dataType).toMap
-          up.schema.fields.foreach { f =>
-            // catalogString comparison: nullability-insensitive (an
-            // all-null array arrives as array<void> containsNull=false
-            // against a committed containsNull=true — same type).
-            // void-typed sides are exempt: an all-null column is the
-            // degenerate bottom type, and refining array<void> to
-            // array<string> (or merging more nulls into it) is the
-            // union widening this engine has always allowed.
-            committed.get(f.name)
-              .filter(t => t.catalogString != f.dataType.catalogString &&
-                !t.catalogString.contains("void") &&
-                !f.dataType.catalogString.contains("void"))
-              .foreach { t =>
-                require(requirement = false,
-                  s"merge: column ${f.name} arrives as " +
-                    s"${f.dataType.simpleString} but the table committed " +
-                    s"${t.simpleString} — type changes are not supported")
-              }
-          }
+          checkTypeStability("merge", ddl, up.schema)
         }
         val current =
           if (oldFiles.isEmpty)
@@ -1371,19 +1389,26 @@ object TxLog {
   def append(spark: SparkSession, path: String, df: DataFrame,
       keyCol: String = "_docId", partitionCol: String = "str_databaseid",
       maxAttempts: Int = 20): Unit = {
-    val snap0 = snapshot(spark, path)
-    val ddl = snap0.schemaDdl match {
-      case Some(d) =>
-        val committed = org.apache.spark.sql.types.StructType.fromDDL(d)
-          .fieldNames.toSet
-        require(committed == df.columns.toSet,
-          s"append: batch columns ${df.columns.sorted.mkString(",")} != " +
-            s"table columns ${committed.toSeq.sorted.mkString(",")}")
-        Some(d)
-      case None => Some(org.apache.spark.sql.types.StructType(
-        df.schema.filter(_.name != partitionCol) ++
-          df.schema.find(_.name == partitionCol)).toDDL)
-    }
+    // the batch is validated against a snapshot's committed DDL: names
+    // must match exactly (append never widens) AND same-named columns
+    // must keep their committed types (same silent-retyping hazard
+    // merge checks — an int batch under a committed string column
+    // would stage parquet that explodes only at read time)
+    def validate(committedDdl: Option[String]): Option[String] =
+      committedDdl match {
+        case Some(d) =>
+          val committed = org.apache.spark.sql.types.StructType.fromDDL(d)
+            .fieldNames.toSet
+          require(committed == df.columns.toSet,
+            s"append: batch columns ${df.columns.sorted.mkString(",")} != " +
+              s"table columns ${committed.toSeq.sorted.mkString(",")}")
+          checkTypeStability("append", d, df.schema)
+          Some(d)
+        case None => Some(org.apache.spark.sql.types.StructType(
+          df.schema.filter(_.name != partitionCol) ++
+            df.schema.find(_.name == partitionCol)).toDDL)
+      }
+    validate(snapshot(spark, path).schemaDdl)
     val clustered = df
       .repartitionByRange(col(partitionCol), col(keyCol))
       .sortWithinPartitions(col(partitionCol), col(keyCol))
@@ -1395,9 +1420,14 @@ object TxLog {
       require(attempt <= maxAttempts, s"append: $maxAttempts commit conflicts")
       val snap = snapshot(spark, path)
       // pure adds conflict with nothing: any concurrent commit just
-      // moves the version; re-read and re-commit the same files
-      if (tryCommit(spark, path, snap.version + 1, staged, Seq.empty, ddl))
-        return
+      // moves the version; re-read and re-commit the same files. The
+      // DDL is RE-READ from the snapshot being committed on (and the
+      // batch re-validated against it): committing a pre-stage copy
+      // would silently revert a concurrent merge's schema widening
+      // (e.g. array<void> -> array<string>) landed between staging and
+      // the winning commit.
+      if (tryCommit(spark, path, snap.version + 1, staged, Seq.empty,
+        validate(snap.schemaDdl))) return
     }
   }
 

@@ -114,6 +114,37 @@ class EmbedDedupSpec extends SparkSpec {
       s"store must grow by novel vecs only: $stored")
   }
 
+  test("zero-norm vectors: replay growth-free, zero twins dedup, mixed pairs never match") {
+    // regression: cosine 0/0 = NaN never passed the self-match filter,
+    // so a stored zero vector was re-appended on EVERY redelivery —
+    // unbounded store growth for degenerate vectors. A zero-norm
+    // vector IS the zero vector exactly, so two are identical (sim 1)
+    // and zero-vs-nonzero is sim 0 (never a dup).
+    val store = java.nio.file.Files.createTempDirectory("graft-ez").toString + "/v"
+    val zero = Array.fill(64)(0.0f)
+    val zvecs = Seq((10L, zero), (11L, zero), (12L, vec(3)))
+      .toDF("vec_id", "embedding")
+    val verdicts = scala.collection.mutable.Map.empty[Long, (Boolean, Option[Long])]
+    val sink: DataFrame => Unit = df =>
+      df.select(col("vec_id"), col("is_dup"), col("dup_of"))
+        .as[(Long, Boolean, Option[Long])].collect()
+        .foreach { case (id, dup, of) => verdicts(id) = (dup, of) }
+    EmbedDedup.processBatch(spark, store, zvecs, sink)
+    assert(verdicts(10L) == ((false, None)), s"$verdicts")
+    assert(verdicts(11L) == ((true, Some(10L))),
+      s"identical zero vectors must dedup: $verdicts")
+    assert(verdicts(12L) == ((false, None)),
+      s"zero vs non-zero must never match: $verdicts")
+    val rows = graft.sources.TxLog.read(spark, store).count()
+    // at-least-once REPLAY: the stored zero vector must self-match
+    // (sim 1.0, not NaN) and be excluded from the fold
+    EmbedDedup.processBatch(spark, store, zvecs, sink)
+    assert(verdicts(10L) == ((false, None)),
+      s"replayed zero vec self-flagged: $verdicts")
+    assert(graft.sources.TxLog.read(spark, store).count() == rows,
+      "replay of a zero-norm vector grew the append-only store")
+  }
+
   test("loadVectors round-trips the denormalized payload") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ert").toString
     val vs = prep((1 to 10).map(i => (i.toLong, i)))

@@ -576,6 +576,59 @@ class TxLogSpec extends SparkSpec {
       "no probed prefix covers [az1, az9]")
   }
 
+  test("keyPrefixes probe sorts in UTF-8 byte order (BMP >= U+E000 vs emoji)") {
+    // regression: probes were sorted with String's UTF-16 order but
+    // binary-searched with cmpUtf8 (UTF-8 byte order). The orders
+    // diverge for BMP chars >= U+E000 ("" = EE 80 80) vs
+    // supplementary code points ("😀" = F0 9F 98 80): UTF-16 puts the
+    // emoji (surrogate 0xD83D) FIRST, UTF-8 puts it LAST. With probes
+    // {"", "😀"} mis-sorted, the lower-bound search for a file
+    // at ["", "z"] landed on "😀" > maxKey and WRONGLY
+    // skipped the file — silently missing rows.
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-u8").toString
+    val a = TxLog.stageData(spark, dir,
+      docs(("", "p0", "x"), ("z", "p0", "y")).repartition(1),
+      "str_databaseid", Some("_docId"))
+    assert(TxLog.tryCommit(spark, dir, 0, a, Seq.empty))
+    val got = TxLog.read(spark, dir,
+        keyPrefixes = Some(Seq("😀", "")))
+      .select("payload").as[String].collect().toSet
+    assert(got == Set("x", "y"),
+      s"UTF-16-sorted probe list skipped a covered file: $got")
+  }
+
+  test("merge victim probe sorts in UTF-8 byte order (no stale-row duplicates)") {
+    // same divergence on the write path: the victim file [mn, mx] =
+    // ["p0#", "p0#"] holds a batch key, but holdsAKey's
+    // cmpUtf8 lower bound over a UTF-16-sorted probe array landed on
+    // "p0#😀" > mx → file judged non-victim → its old row never
+    // rewritten → duplicate key committed silently.
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-u8m").toString
+    TxLog.merge(spark, dir, docs(("p0#", "p0", "v1")))
+    TxLog.merge(spark, dir,
+      docs(("p0#", "p0", "v2"), ("p0#😀", "p0", "w1")))
+    val rows = TxLog.read(spark, dir)
+      .select("_docId", "payload").as[(String, String)].collect().toSeq
+    assert(rows.count(_._1 == "p0#") == 1,
+      s"stale row survived LWW merge: $rows")
+    assert(rows.toSet == Set(("p0#", "v2"), ("p0#😀", "w1")), s"$rows")
+  }
+
+  test("append rejects a silently-retyped column (merge's TYPE STABILITY)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-aty").toString
+    TxLog.append(spark, dir, docs(("p0#a1", "p0", "x")))
+    // same column-name SET, but payload arrives as int — committing it
+    // would stage parquet that explodes (or mis-casts) only when later
+    // read under the committed string DDL
+    val ex = intercept[IllegalArgumentException] {
+      TxLog.append(spark, dir, Seq(("p0#a2", "p0", 7))
+        .toDF("_docId", "str_databaseid", "payload"))
+    }
+    assert(ex.getMessage.contains("type changes are not supported"),
+      ex.getMessage)
+    assert(tableRows(dir) == Set(("p0#a1", "x")))
+  }
+
   test("merge rewrites only the files whose key bounds hold a batch key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tx-mfp").toString
     // three key-disjoint files in ONE partition (the key-clustered
