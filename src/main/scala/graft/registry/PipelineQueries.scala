@@ -190,10 +190,10 @@ object PipelineQueries {
     // ── Funnel conversion: users progressing view → click → purchase
     //    with STRICTLY later timestamps at each step (first-touch
     //    chaining: the first view, the first click after it, the first
-    //    purchase after that). Each stage is one map-side-combined
-    //    groupBy on user_id plus a join that reuses the same hash
-    //    partitioning; the final frame is three literal rows derived
-    //    from 1-row counts. Timestamp comparisons happen at microsecond
+    //    purchase after that). ONE conditional-aggregation pass per
+    //    user (the oracle's staged CTEs are the SPEC, not the plan),
+    //    then a single 1-row summary; the final frame is three literal
+    //    rows. Timestamp comparisons happen at microsecond
     //    grain on BOTH engines (DuckDB's CAST(ns AS TIMESTAMP) and the
     //    engine's nanos→micros load are the same truncation).
     sql("ev3_funnel_conversion",
@@ -226,19 +226,33 @@ object PipelineQueries {
         |  FROM n)
         |ORDER BY stage""")(
       (s, d) => {
+        // ONE conditional-aggregation pass per user replaces the three
+        // dependent stage-aggregates (+2 joins, +2 crossJoins) this ran
+        // as: t1 is min view ts; the later stages come from per-type
+        // timestamp arrays filtered IN-ROW (first click > t1, first
+        // purchase > t2) — a null t-k propagates, so users missing a
+        // stage drop out exactly as the join chain dropped them. Array
+        // state is per-user click/purchase counts (bounded by per-user
+        // activity, not corpus size). Cost: one corpus shuffle + one
+        // 1-row summary vs six stage-chained jobs — the sf0.1 flag was
+        // job-launch floor x job count, and this is also the 100 TB
+        // shape (three corpus shuffles fused into one).
         val e = t(s, d, "events")
           .select(col("user_id"), col("event_type"), col("ts"))
-        val s1 = e.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min("ts").as("t1"))
-        val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
-          .filter(col("ts") > col("t1"))
-          .groupBy("user_id").agg(min("ts").as("t2"))
-        val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
-          .filter(col("ts") > col("t2"))
-          .groupBy("user_id").agg(min("ts").as("t3"))
-        val n = s1.agg(count(lit(1)).as("n1"))
-          .crossJoin(s2.agg(count(lit(1)).as("n2")))
-          .crossJoin(s3.agg(count(lit(1)).as("n3")))
+          .filter(col("event_type").isin("view", "click", "purchase"))
+        val n = e.groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view", col("ts"))).as("t1"),
+            collect_list(when(col("event_type") === "click", col("ts")))
+              .as("cks"),
+            collect_list(when(col("event_type") === "purchase", col("ts")))
+              .as("pks"))
+          .withColumn("t2",
+            array_min(filter(col("cks"), c => c > col("t1"))))
+          .withColumn("t3",
+            array_min(filter(col("pks"), c => c > col("t2"))))
+          .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+            count(col("t3")).as("n3"))
         n.select(explode(array(
             struct(lit(1L).as("stage"), lit("view").as("step"),
               col("n1").as("n_users"), lit(1.0).as("conversion")),
@@ -263,8 +277,8 @@ object PipelineQueries {
     //    per-user event sequences → (from, to) transition counts and
     //    probabilities. ONE shuffle on user_id for the lead() window
     //    (ties broken by event_id for a total order), then a
-    //    map-side-combined pair aggregation; the per-row normalizer
-    //    joins back on the small (from_type) side.
+    //    map-side-combined pair aggregation; the normalizer is a window
+    //    sum over the matrix-sized pair frame (no corpus-side join-back).
     sql("ev6_transition_matrix",
       """WITH e AS (
         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
@@ -285,19 +299,44 @@ object PipelineQueries {
         |FROM pair p JOIN tot t USING (from_type)
         |ORDER BY from_type, to_type""")(
       (s, d) => {
+        // MEASURED NON-FIX: replacing the window with a per-user
+        // sort_array(collect_list) + in-row zip_with pair walk ran
+        // 0.555 s vs 0.469 s at sf0.1 — the HOF pair walk leaves
+        // whole-stage codegen while lead() stays inside it. The
+        // sort-based window IS the right plan; the residual cost is
+        // the per-stage floor on a 100k-row table.
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val pair = t(s, d, "events")
+        val e = t(s, d, "events")
           .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        // the window's sort parallelism is derived, not the global
+        // shuffle.partitions constant: at least the scan's split count
+        // (cluster scale: thousands of splits → the sort stays wide),
+        // at least a quarter of the cores (small inputs: p=1
+        // serializes the sort — measured 0.60 s vs 0.30 s at p=8 on
+        // the 1-split sf0.1 scan, while 32 tasks on 1 split is pure
+        // launch overhead). This is AQE-coalescing behavior, hand-
+        // derived because the driver benches with AQE off.
+        val p = math.max(e.rdd.getNumPartitions,
+          s.sparkContext.defaultParallelism / 4)
+        val pair = e.repartition(p, col("user_id"))
           .withColumn("to_type", lead("event_type", 1).over(w))
           .filter(col("to_type").isNotNull)
           .groupBy(col("event_type").as("from_type"), col("to_type"))
           .agg(count(lit(1)).as("n"))
-        val tot = pair.groupBy("from_type").agg(sum("n").as("t"))
-        pair.join(tot, Seq("from_type"))
+        // the tail runs on the ALREADY-AGGREGATED pair frame
+        // (|event_types|^2 rows — matrix-sized, never corpus-sized):
+        // coalesce(1) reports SinglePartition, which satisfies the
+        // normalizer window's ClusteredDistribution AND the final
+        // sort's ordering requirement, so normalizer + projection +
+        // total order fuse into ONE exchange-free stage — where the
+        // old groupBy + join-back + orderBy ran two extra exchanges
+        // plus the range-partitioner's sampling job
+        pair.coalesce(1)
+          .withColumn("t", sum("n").over(Window.partitionBy("from_type")))
           .select(col("from_type"), col("to_type"),
             col("n").as("n_transitions"),
             (col("n").cast("double") / col("t")).as("p_transition"))
-          .orderBy("from_type", "to_type")
+          .sortWithinPartitions("from_type", "to_type")
       }),
 
     // ── Sequence packing: assign each document its span of fixed-length
