@@ -37,8 +37,9 @@ object EmbedDedup {
   /** Per-cell candidate cap, = the batch operator's SkewGuard cap. */
   val MaxCell: Int = SkewGuard.MaxCellSize
 
-  private val BandShards = 64
-  private val MaxProbeKeys = 65536
+  /** This store's cell = (t, b): LSH table index and bucket (plumbing
+    * shared via [[BandStore]]). */
+  private def cell = Seq(col("t"), col("b"))
 
   private def dot(x: Column, y: Column): Column =
     call_function("graft_dot", x, y)
@@ -58,31 +59,17 @@ object EmbedDedup {
         posexplode(Similarity.lshBucketArray(col("e"))).as(Seq("t", "b")))
   }
 
-  private def shardOfCell(t: Column, b: Column): Column =
-    pmod(Text.hash60(concat_ws("_", t.cast("string"), b.cast("string"))),
-      lit(BandShards.toLong)).cast("string")
-
-  private def cellPrefix(t: Column, b: Column): Column =
-    concat(shardOfCell(t, b), lit("#"), t.cast("string"), lit("#"),
-      b.cast("string"), lit("#"))
-
   /** Fold prepared vectors into the band store: append-only, one row
     * per (table, vec) with `[nrm, e...]` packed as the payload. */
   def mergeVectors(spark: SparkSession, tablePath: String,
       vs: DataFrame, idCol: String = "vec_id"): Unit =
-    graft.sources.TxLog.append(spark, tablePath,
-      bandRows(vs, idCol).select(
-        concat(cellPrefix(col("t"), col("b")),
-          col(idCol).cast("string")).as("_docId"),
-        shardOfCell(col("t"), col("b")).as("_shard"),
-        col("t"), col("b"), col(idCol).cast("long").as("vec_id"),
-        concat(array(col("nrm")), col("e")).as("p")),
-      keyCol = "_docId", partitionCol = "_shard")
+    BandStore.writeRows(spark, tablePath, bandRows(vs, idCol), idCol, cell,
+      out = Seq(col("t"), col("b"), col(idCol).cast("long").as("vec_id"),
+        concat(array(col("nrm")), col("e")).as("p")))
 
-  /** Store maintenance — see [[IncrementalDedup.optimize]] (identical
-    * layout and contract). */
+  /** Store maintenance — [[BandStore.optimize]]. */
   def optimize(spark: SparkSession, tablePath: String): Unit =
-    IncrementalDedup.optimize(spark, tablePath)
+    BandStore.optimize(spark, tablePath)
 
   /** Stored vectors back as one `(vec_id, e, nrm)` row per vec
     * (table-0 rows carry the payload; append replays dedup here). */
@@ -121,24 +108,13 @@ object EmbedDedup {
     val bBands = bandRows(bVecs, idCol)
       .select(col(idCol).as("b_id"), col("t"), col("b"),
         col("e").as("e_b"), col("nrm").as("n_b"))
-    if (!graft.sources.TxLog.isTable(spark, storePath))
-      return bBands.limit(0)
+    BandStore.prunedRead(spark, storePath, bBands, cell) match {
+      case None => bBands.limit(0)
         .select(col("b_id"), lit(0L).as("c_id"), lit(0.0).as("sim"))
-    val probed = bBands
-      .select(shardOfCell(col("t"), col("b")).as("s"),
-        cellPrefix(col("t"), col("b")).as("p"))
-      .distinct().limit(MaxProbeKeys + 1).collect()
-    val prefixes =
-      if (probed.length > MaxProbeKeys) None
-      else Some(probed.map(_.getString(1)).toSeq)
-    val shards =
-      if (prefixes.isDefined) probed.map(_.getString(0)).toSet
-      else bBands.select(shardOfCell(col("t"), col("b")))
-        .distinct().collect().map(_.getString(0)).toSet
-    val store = graft.sources.TxLog.read(spark, storePath,
-        partitions = Some(shards), keyPrefixes = prefixes)
-      .select(col("t"), col("b"), col("vec_id").as("c_id"), col("p"))
-    screenBands(bBands, store, minSim, maxCell)
+      case Some(df) => screenBands(bBands,
+        df.select(col("t"), col("b"), col("vec_id").as("c_id"), col("p")),
+        minSim, maxCell)
+    }
   }
 
   private def screenBands(bBands: DataFrame, cBands: DataFrame,
@@ -193,27 +169,16 @@ object EmbedDedup {
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     val vs = prepared(batch, idCol, embCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val probe = screenStore(vs, storePath, idCol)
-      val alreadyStored = probe.filter(col("b_id") === col("c_id"))
-        .select(col("b_id").as(idCol))
-      val hits = probe.filter(col("b_id") =!= col("c_id"))
-        .unionByName(screen(vs, vs, idCol)
-          .filter(col("b_id") > col("c_id")))
-        .groupBy(col("b_id").as(idCol))
-        // most-similar twin, ties to the smallest id (min on (-sim, id))
-        .agg(min(struct(negate(col("sim")).as("nsim"),
-          col("c_id"))).as("m"))
-        .select(col(idCol), col("m.c_id").as("dup_of"),
-          negate(col("m.nsim")).as("sim"))
-      val flagged = batch.select(col(idCol)).distinct()
-        .join(hits, Seq(idCol), "left")
-        .withColumn("is_dup", col("dup_of").isNotNull)
-      sink(flagged)
-      val novel = vs
-        .join(hits.select(col(idCol)), Seq(idCol), "left_anti")
-        .join(alreadyStored, Seq(idCol), "left_anti")
-      mergeVectors(spark, storePath, novel, idCol)
-    } finally { vs.unpersist(); () }
+    // most-similar twin, ties to the smallest id (min on (-sim, id))
+    try BandStore.screenFold(batch, vs, idCol,
+      probe = screenStore(vs, storePath, idCol),
+      selfPairs = screen(vs, vs, idCol)
+        .filter(col("b_id") > col("c_id")),
+      bestAgg = min(struct(negate(col("sim")).as("nsim"), col("c_id"))),
+      bestCols = Seq(col("m.c_id").as("dup_of"),
+        negate(col("m.nsim")).as("sim")),
+      sink = sink,
+      foldNovel = novel => mergeVectors(spark, storePath, novel, idCol))
+    finally { vs.unpersist(); () }
   }
 }

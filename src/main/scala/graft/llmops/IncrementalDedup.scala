@@ -135,30 +135,18 @@ object IncrementalDedup {
       .select(col("b_id"), col("c_id"), col("n_match"), jac)
   }
 
-  // ── band-sharded signature store (see class doc, STORE LAYOUT) ─────
+  // ── band-sharded signature store (see class doc, STORE LAYOUT;
+  //    plumbing shared with PhashDedup/EmbedDedup via BandStore) ─────
 
-  /** Band-hash partition count. Like [[graft.query.TermIndex.Shards]]:
-    * far below the file count at any real scale; the file-level
-    * `keyPrefixes` skipping inside a shard is what scales with delta
-    * size, the shard pruning is the metadata-level first cut. */
-  val BandShards = 64
+  /** Band-hash partition count (= [[BandStore.BandShards]], re-exported
+    * for callers/specs). */
+  val BandShards: Int = BandStore.BandShards
 
-  /** Driver-side probe-key cap: a batch probing more cells than this
-    * skips the per-cell file skipping (collecting the prefixes would no
-    * longer be protocol-sized) and falls back to shard pruning — by
-    * then the batch is large enough that it touches most files anyway. */
-  private val MaxProbeKeys = 65536
-
-  private def shardOfCell(band: Column, bkey: Column): Column =
-    pmod(Text.hash60(concat_ws("_", band.cast("string"), bkey)),
-      lit(BandShards.toLong)).cast("string")
-
-  /** `shard#band2#bkey#` — the store-key prefix of one LSH cell; a
-    * row's `_docId` is this prefix + the doc id, so files key-cluster
-    * by cell and a cell probe prunes to the files that hold it. */
-  private def cellPrefix(band: Column, bkey: Column): Column =
-    concat(shardOfCell(band, bkey), lit("#"),
-      lpad(band.cast("string"), 2, "0"), lit("#"), bkey, lit("#"))
+  /** This store's cell = (band, bkey); key-prefix parts zero-pad the
+    * band number to 2 so cell keys sort band-major. */
+  private def cell = Seq(col("band"), col("bkey"))
+  private def prefixParts =
+    Some(Seq(lpad(col("band").cast("string"), 2, "0"), col("bkey")))
 
   /** (idCol, sig) → (idCol, band, bkey, sig): [[bandKeys]] with the
     * signature carried through. */
@@ -180,31 +168,16 @@ object IncrementalDedup {
     * rows and readers dedup by id; cost is Θ(batch), never Θ(store). */
   def mergeSignatures(spark: SparkSession, tablePath: String,
       sigs: DataFrame, idCol: String = "doc_id"): Unit =
-    graft.sources.TxLog.append(spark, tablePath,
-      bandedWithSig(sigs, idCol).select(
-        concat(cellPrefix(col("band"), col("bkey")),
-          col(idCol).cast("string")).as("_docId"),
-        shardOfCell(col("band"), col("bkey")).as("_shard"),
-        col("band"), col("bkey"),
+    BandStore.writeRows(spark, tablePath, bandedWithSig(sigs, idCol),
+      idCol, cell,
+      out = Seq(col("band"), col("bkey"),
         col(idCol).cast("long").as("doc_id"), col("sig")),
-      keyCol = "_docId", partitionCol = "_shard")
+      prefixParts = prefixParts)
 
-  /** Store maintenance ([[graft.query.TermIndex.optimize]]'s contract):
-    * per-batch appends fragment the band shards, and the probe's
-    * file-level `keyPrefixes` skipping is only as sharp as the files'
-    * key clustering — compaction folds the fragments into key-disjoint
-    * right-sized files (one probe key → one file) and vacuum reclaims
-    * superseded ones (signatures are derived data nobody time-travels).
-    * Snapshot-isolated against concurrent probes/appends; append
-    * commits never conflict, so the maintenance loop and the ingest
-    * loop coexist. Shared verbatim by the [[PhashDedup]]/[[EmbedDedup]]
-    * stores (same `_shard`/`_docId` layout). */
-  def optimize(spark: SparkSession, tablePath: String): Unit = {
-    graft.sources.TxLog.compact(spark, tablePath,
-      partitionCol = "_shard", keyCol = "_docId")
-    graft.sources.TxLog.vacuum(spark, tablePath)
-    ()
-  }
+  /** Store maintenance — [[BandStore.optimize]] (compact to
+    * key-clustered files + vacuum; row-invisible by spec). */
+  def optimize(spark: SparkSession, tablePath: String): Unit =
+    BandStore.optimize(spark, tablePath)
 
   /** Read the store back as one `(doc_id, sig)` row per doc (band-0
     * rows carry the full signature; append replays dedup here). */
@@ -227,27 +200,15 @@ object IncrementalDedup {
     val bBands = bandedWithSig(batchSigs, idCol)
       .select(col(idCol).as("b_id"), col("band"), col("bkey"),
         col("sig").as("sig_b"))
-    if (!graft.sources.TxLog.isTable(spark, storePath))
-      return bBands.limit(0)
+    val store = BandStore.prunedRead(spark, storePath, bBands, cell,
+        prefixParts) match {
+      case None => return bBands.limit(0)
         .select(col("b_id"), lit(0L).as("c_id"), lit(0L).as("n_match"),
           lit(0.0).as("est_jaccard"))
-    // the probe set, driver-side: ≤ BandShards shard strings always;
-    // cell prefixes only while protocol-sized (see MaxProbeKeys)
-    val probed = bBands
-      .select(shardOfCell(col("band"), col("bkey")).as("s"),
-        cellPrefix(col("band"), col("bkey")).as("p"))
-      .distinct().limit(MaxProbeKeys + 1).collect()
-    val prefixes =
-      if (probed.length > MaxProbeKeys) None
-      else Some(probed.map(_.getString(1)).toSeq)
-    val shards =
-      if (prefixes.isDefined) probed.map(_.getString(0)).toSet
-      else bBands.select(shardOfCell(col("band"), col("bkey")))
-        .distinct().collect().map(_.getString(0)).toSet
-    val store = graft.sources.TxLog.read(spark, storePath,
-        partitions = Some(shards), keyPrefixes = prefixes)
-      .select(col("band"), col("bkey"), col("doc_id").as("c_id"),
-        col("sig").as("sig_c"))
+      case Some(df) =>
+        df.select(col("band"), col("bkey"), col("doc_id").as("c_id"),
+          col("sig").as("sig_c"))
+    }
     // rows from kept files still need the exact cell filter (file
     // skipping is superset-safe), then the bounded per-cell cap —
     // dedup-by-id inside the aggregate absorbs append replays
@@ -307,45 +268,25 @@ object IncrementalDedup {
         val spark = batch.sparkSession
         val sigs = signaturesOf(batch, idCol, textCol)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          // pruned store probe ∪ batch-internal self-screen (lower id
-          // wins; self-pairs drop on the strict inequality). The store
-          // leg needs its own b_id =!= c_id guard: foreachBatch is
-          // at-least-once, so a batch replayed AFTER its signatures
-          // merged (crash between mergeSignatures and the checkpoint
-          // commit) finds every previously-novel doc in the store —
-          // matching itself at n_match = 64, which would out-rank any
-          // real twin and mark the doc a dup of itself. With the guard
-          // the replay converges: self-matches drop, real twins (if
-          // any) still surface — and the same self-match rows tell us
-          // which docs are ALREADY stored, so the fold below re-appends
-          // nothing on replay (the store is append-only; skipping the
-          // re-insert is what keeps replays growth-free).
-          val probe = screenStore(sigs, storePath, idCol)
-          val alreadyStored = probe.filter(col("b_id") === col("c_id"))
-            .select(col("b_id").as(idCol))
-          val hits = probe
-            .filter(col("b_id") =!= col("c_id"))
-            .unionByName(screen(sigs, sigs, idCol)
-              .filter(col("b_id") > col("c_id")))
-            .groupBy(col("b_id").as(idCol))
-            .agg(max(struct(col("n_match"), col("c_id"))).as("m"))
-            .select(col(idCol), col("m.c_id").as("dup_of"),
-              col("m.n_match").as("n_match"))
-          // the sink contract covers EVERY batch doc: docs too short to
-          // shingle (< 3 tokens, or empty) have no signature, cannot be
-          // screened, and pass as is_dup = false with a null dup_of —
-          // deriving the id set from `batch` (not from `sigs`) is what
-          // keeps them from silently vanishing from the verdict frame
-          val flagged = batch.select(col(idCol)).distinct()
-            .join(hits, Seq(idCol), "left")
-            .withColumn("is_dup", col("dup_of").isNotNull)
-          sink(flagged)
-          val novel = sigs
-            .join(hits.select(col(idCol)), Seq(idCol), "left_anti")
-            .join(alreadyStored, Seq(idCol), "left_anti")
-          mergeSignatures(spark, storePath, novel, idCol)
-        } finally { sigs.unpersist(); () }
+        // the [[BandStore.screenFold]] skeleton: pruned store probe ∪
+        // batch-internal self-screen (lower id wins; self-pairs drop
+        // on the strict inequality); the store leg's id self-matches
+        // (a replay after its fold finds every previously-novel doc at
+        // n_match = 64) are excluded from verdicts AND mark the docs
+        // already stored, so replays converge growth-free. Docs too
+        // short to shingle (< 3 tokens) carry no signature and pass
+        // through the sink as is_dup = false (the verdict frame is
+        // derived from `batch`, not from `sigs`).
+        try BandStore.screenFold(batch, sigs, idCol,
+          probe = screenStore(sigs, storePath, idCol),
+          selfPairs = screen(sigs, sigs, idCol)
+            .filter(col("b_id") > col("c_id")),
+          bestAgg = max(struct(col("n_match"), col("c_id"))),
+          bestCols = Seq(col("m.c_id").as("dup_of"),
+            col("m.n_match").as("n_match")),
+          sink = sink,
+          foldNovel = novel => mergeSignatures(spark, storePath, novel, idCol))
+        finally { sigs.unpersist(); () }
       }
       .start()
 }

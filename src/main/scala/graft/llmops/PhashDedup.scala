@@ -38,8 +38,9 @@ object PhashDedup {
     * WHICH twin is reported). */
   val MaxCell = 64
 
-  private val BandShards = 64
-  private val MaxProbeKeys = 65536
+  /** This store's cell = (j, band): the band index and its 16-bit
+    * value (plumbing shared via [[BandStore]]). */
+  private def cell = Seq(col("j"), col("band"))
 
   /** (doc_id, b0..b3) + packed 64-bit hash. Docs shorter than 64
     * bytes cannot hash (same floor as the batch operator) and are
@@ -64,14 +65,6 @@ object PhashDedup {
         col("h"))
   }
 
-  private def shardOfCell(j: Column, band: Column): Column =
-    pmod(Text.hash60(concat_ws("_", j.cast("string"), band.cast("string"))),
-      lit(BandShards.toLong)).cast("string")
-
-  private def cellPrefix(j: Column, band: Column): Column =
-    concat(shardOfCell(j, band), lit("#"), j.cast("string"), lit("#"),
-      band.cast("string"), lit("#"))
-
   /** 64-bit hamming distance between two packed hashes. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
@@ -82,19 +75,13 @@ object PhashDedup {
     * dedup by id; cost Θ(batch), never Θ(store)). */
   def mergeHashes(spark: SparkSession, tablePath: String,
       hs: DataFrame, idCol: String = "doc_id"): Unit =
-    graft.sources.TxLog.append(spark, tablePath,
-      bandRows(hs, idCol).select(
-        concat(cellPrefix(col("j"), col("band")),
-          col(idCol).cast("string")).as("_docId"),
-        shardOfCell(col("j"), col("band")).as("_shard"),
-        col("j"), col("band"), col(idCol).cast("long").as("doc_id"),
-        col("h")),
-      keyCol = "_docId", partitionCol = "_shard")
+    BandStore.writeRows(spark, tablePath, bandRows(hs, idCol), idCol, cell,
+      out = Seq(col("j"), col("band"),
+        col(idCol).cast("long").as("doc_id"), col("h")))
 
-  /** Store maintenance — see [[IncrementalDedup.optimize]] (identical
-    * layout and contract). */
+  /** Store maintenance — [[BandStore.optimize]]. */
   def optimize(spark: SparkSession, tablePath: String): Unit =
-    IncrementalDedup.optimize(spark, tablePath)
+    BandStore.optimize(spark, tablePath)
 
   /** Stored hashes back as one `(doc_id, h)` row per doc (j-0 rows
     * carry the full hash; append replays dedup here). */
@@ -132,25 +119,14 @@ object PhashDedup {
     val bBands = bandRows(bHashed, idCol)
       .select(col(idCol).as("b_id"), col("j"), col("band"),
         col("h").as("h_b"))
-    if (!graft.sources.TxLog.isTable(spark, storePath))
-      return bBands.limit(0)
+    BandStore.prunedRead(spark, storePath, bBands, cell) match {
+      case None => bBands.limit(0)
         .select(col("b_id"), lit(0L).as("c_id"), lit(0L).as("hamming"))
-    val probed = bBands
-      .select(shardOfCell(col("j"), col("band")).as("s"),
-        cellPrefix(col("j"), col("band")).as("p"))
-      .distinct().limit(MaxProbeKeys + 1).collect()
-    val prefixes =
-      if (probed.length > MaxProbeKeys) None
-      else Some(probed.map(_.getString(1)).toSeq)
-    val shards =
-      if (prefixes.isDefined) probed.map(_.getString(0)).toSet
-      else bBands.select(shardOfCell(col("j"), col("band")))
-        .distinct().collect().map(_.getString(0)).toSet
-    val store = graft.sources.TxLog.read(spark, storePath,
-        partitions = Some(shards), keyPrefixes = prefixes)
-      .select(col("j"), col("band"), col("doc_id").as("c_id"),
-        col("h").as("h_c"))
-    screenBands(bBands, store, maxHamming, maxCell)
+      case Some(df) => screenBands(bBands,
+        df.select(col("j"), col("band"), col("doc_id").as("c_id"),
+          col("h").as("h_c")),
+        maxHamming, maxCell)
+    }
   }
 
   private def screenBands(bBands: DataFrame, cBands: DataFrame,
@@ -200,25 +176,15 @@ object PhashDedup {
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val hs = hashed(batch, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val probe = screenStore(hs, storePath, idCol)
-      val alreadyStored = probe.filter(col("b_id") === col("c_id"))
-        .select(col("b_id").as(idCol))
-      val hits = probe.filter(col("b_id") =!= col("c_id"))
-        .unionByName(screen(hs, hs, idCol)
-          .filter(col("b_id") > col("c_id")))
-        .groupBy(col("b_id").as(idCol))
-        .agg(min(struct(col("hamming"), col("c_id"))).as("m"))
-        .select(col(idCol), col("m.c_id").as("dup_of"),
-          col("m.hamming").as("hamming"))
-      val flagged = batch.select(col(idCol)).distinct()
-        .join(hits, Seq(idCol), "left")
-        .withColumn("is_dup", col("dup_of").isNotNull)
-      sink(flagged)
-      val novel = hs
-        .join(hits.select(col(idCol)), Seq(idCol), "left_anti")
-        .join(alreadyStored, Seq(idCol), "left_anti")
-      mergeHashes(spark, storePath, novel, idCol)
-    } finally { hs.unpersist(); () }
+    try BandStore.screenFold(batch, hs, idCol,
+      probe = screenStore(hs, storePath, idCol),
+      selfPairs = screen(hs, hs, idCol)
+        .filter(col("b_id") > col("c_id")),
+      bestAgg = min(struct(col("hamming"), col("c_id"))),
+      bestCols = Seq(col("m.c_id").as("dup_of"),
+        col("m.hamming").as("hamming")),
+      sink = sink,
+      foldNovel = novel => mergeHashes(spark, storePath, novel, idCol))
+    finally { hs.unpersist(); () }
   }
 }
