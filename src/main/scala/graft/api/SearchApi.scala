@@ -96,6 +96,23 @@ object SearchApi {
     def fresh: Boolean = indexedVersion >= tableVersion
   }
 
+  /** Trigram-postings attachment for the SCAN-pruning routes — F3
+    * wildcard free text and F7 metadata-value tokens — the reference
+    * serves BOTH from its index (`search.py:197-292,787,893-899`), not
+    * just ranked text. `path` must be the parquet root the caller's
+    * `docs` frame reads UNMODIFIED (the pruned route re-reads the
+    * table from candidate files under the same schema); `textCols` the
+    * columns with maintained trigram postings
+    * ([[graft.query.TextIndex.manage]]/`syncTx`). Freshness contract =
+    * [[IndexBinding]]'s: serve from the index exactly when it provably
+    * reflects the queried version, silently fall back to the full scan
+    * otherwise — results never stale, only (rarely) slower. */
+  final case class TextIndexBinding(
+      path: String, textCols: Set[String],
+      indexedVersion: Long, tableVersion: Long) {
+    def fresh: Boolean = indexedVersion >= tableVersion
+  }
+
   /** U1 — union the asset and file doc tables with provenance. */
   def dualIndex(assetDocs: DataFrame, fileDocs: DataFrame): DataFrame =
     assetDocs.withColumn("_index_type", lit("asset"))
@@ -106,11 +123,52 @@ object SearchApi {
       docs: DataFrame,
       req0: SearchRequest,
       policy: Option[Abac.Policy] = None,
-      index: Option[IndexBinding] = None): SearchResult = {
+      index: Option[IndexBinding] = None,
+      textIndex: Option[TextIndexBinding] = None): SearchResult = {
 
     val req = graft.query.SearchLimits.validate(req0)
     val fieldsPresent = docs.columns.toSet
     def fieldCol(f: String): Column = col(f)
+    val scoredPresent = ScoredFields.map(_._1).filter(fieldsPresent)
+
+    // ROUTE CHOICE (F3/F7, automatic like the bm25 chooser): a FRESH
+    // trigram binding prunes the SCAN to the candidate files of the
+    // query's wildcard demands before any predicate runs. Only
+    // CONJUNCTS of the final predicate may prune: the free-text
+    // substring (non-bm25) is one, and each ':' token is one when the
+    // operation is AND (or there is a single token, where AND ≡ OR).
+    // Negated tokens never prune (a file with no match is exactly what
+    // they keep), and a demand prunes only when EVERY column it ORs
+    // over is indexed — otherwise it restricts nothing. The pruned
+    // frame is a superset of the demands' matches under the same
+    // schema, so every predicate below applies unchanged: the choice
+    // changes the plan, never the rows. Stale/absent binding → full
+    // scan, same fresh-but-slower contract as the bm25 route.
+    val scanDocs = textIndex.filter(_.fresh) match {
+      case Some(tb) =>
+        val qDemand = req.query match {
+          case Some(q) if req.scorer != "bm25" &&
+              scoredPresent.nonEmpty && scoredPresent.forall(tb.textCols) =>
+            Seq((scoredPresent, q))
+          case _ => Nil
+        }
+        val conjunctiveTokens =
+          req.operation.equalsIgnoreCase("AND") || req.tokens.sizeIs == 1
+        val tokenDemands =
+          if (!conjunctiveTokens) Nil
+          else req.tokens.collect {
+            case graft.query.Token("all", ":", v)
+                if scoredPresent.nonEmpty && scoredPresent.forall(tb.textCols) =>
+              (scoredPresent, v)
+            case graft.query.Token(pk, ":", v)
+                if pk != "all" && fieldsPresent(pk) && tb.textCols(pk) =>
+              (Seq(pk), v)
+          }
+        graft.query.TextIndex
+          .prunedTable(docs.sparkSession, tb.path, qDemand ++ tokenDemands)
+          .getOrElse(docs)
+      case _ => docs
+    }
 
     // F9 + F10 + F2 filters + F12 tokens + free text, one predicate tree.
     val archived = QC.archivedExclusion(col("bool_archived"), req.includeArchived)
@@ -132,7 +190,7 @@ object SearchApi {
     }
     val policyPred = policy.map(p => Abac.compile(docs, p)).getOrElse(lit(true))
 
-    val filtered = docs.filter(QC.boolQuery(
+    val filtered = scanDocs.filter(QC.boolQuery(
       must = Seq(tokenPred, textPred),
       filter = Seq(archived, access, policyPred) ++ termFilters))
 

@@ -413,25 +413,55 @@ object TextIndex {
     val pred = QueryCompiler.wildcard(col(textCol), pattern)
     candidateFiles(spark, path, textCol, pattern) match {
       case None => full.filter(pred)
-      case Some(files) if files.isEmpty => full.filter(lit(false))
-      case Some(files) =>
-        // basePath restores hive-partition columns when the table is
-        // partitioned — without it an explicit file list reads partition
-        // columns as null and the "identical to the full scan" contract
-        // breaks on partitioned tables. (Only valid when the root is a
-        // directory; a single-file table has no partition columns.)
-        val hPath = new org.apache.hadoop.fs.Path(path)
-        // glob/pattern paths don't resolve to a single status — treat
-        // them as non-directories (no basePath), same behavior they had
-        // before partition-column support
-        val isDir =
-          try hPath.getFileSystem(spark.sessionState.newHadoopConf())
-            .getFileStatus(hPath).isDirectory
-          catch { case _: java.io.IOException => false }
-        val reader = if (isDir) spark.read.option("basePath", path)
-          else spark.read
-        reader.schema(full.schema).parquet(files.toIndexedSeq: _*)
-          .filter(pred)
+      case Some(files) => readFiles(spark, path, full, files).filter(pred)
     }
+  }
+
+  /** Read `files` of the table at `path` under the table's own schema
+    * — the pruned-scan reader shared by [[prunedSearch]] and
+    * [[prunedTable]]. */
+  private def readFiles(spark: SparkSession, path: String,
+      full: DataFrame, files: Array[String]): DataFrame = {
+    if (files.isEmpty) return full.filter(lit(false))
+    // basePath restores hive-partition columns when the table is
+    // partitioned — without it an explicit file list reads partition
+    // columns as null and the "identical to the full scan" contract
+    // breaks on partitioned tables. (Only valid when the root is a
+    // directory; a single-file table has no partition columns.)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    // glob/pattern paths don't resolve to a single status — treat
+    // them as non-directories (no basePath), same behavior they had
+    // before partition-column support
+    val isDir =
+      try hPath.getFileSystem(spark.sessionState.newHadoopConf())
+        .getFileStatus(hPath).isDirectory
+      catch { case _: java.io.IOException => false }
+    val reader = if (isDir) spark.read.option("basePath", path)
+      else spark.read
+    reader.schema(full.schema).parquet(files.toIndexedSeq: _*)
+  }
+
+  /** Pruned TABLE read for a CONJUNCTION of wildcard demands, each an
+    * OR over columns (the search façade's route: the free-text
+    * substring over all scored fields is one demand; each AND-token
+    * wildcard is another). Files kept = ∩ over demands of (∪ over the
+    * demand's columns of [[candidateFiles]]); a demand whose pattern
+    * cannot prune on EVERY column (no ≥3-char literal) restricts
+    * nothing and is skipped — the union over columns is only
+    * superset-safe when every column's candidate set is known. Returns
+    * None when no demand prunes (callers keep their own frame); the
+    * returned frame is schema-identical to the full table and a
+    * SUPERSET of the rows matching the demands, so callers re-apply
+    * their predicates unchanged. */
+  def prunedTable(spark: SparkSession, path: String,
+      demands: Seq[(Seq[String], String)]): Option[DataFrame] = {
+    val fileSets = demands.flatMap { case (cols, pattern) =>
+      val perCol = cols.map(c => candidateFiles(spark, path, c, pattern))
+      if (perCol.isEmpty || perCol.exists(_.isEmpty)) None
+      else Some(perCol.flatMap(_.get).toSet)
+    }
+    if (fileSets.isEmpty) None
+    else Some(readFiles(spark, path, tableDf(spark, path),
+      fileSets.reduce(_ intersect _).toArray))
   }
 }

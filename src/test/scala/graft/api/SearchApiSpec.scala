@@ -136,6 +136,65 @@ class SearchApiSpec extends SparkSpec {
     SearchApi.Caller(
       graft.authz.PolicyLoader.UserContext(userId, roles), constraints)
 
+  test("F3/F7 route chooser: fresh trigram binding prunes the scan, stale falls back, rows identical") {
+    // parquet-backed doc table in TWO range-clustered files: the
+    // alphabetic split puts "Blue Car"/"Old Red" in one file and
+    // "Red Car"/"Red Rocket" in the other, so a wildcard's required
+    // trigrams can exonerate a file
+    val dir = java.nio.file.Files.createTempDirectory("graft-f3route").toString + "/docs"
+    assetDocs.repartitionByRange(2, col("str_assetname"))
+      .write.parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val allFiles = docs.inputFiles.length
+    assert(allFiles == 2, s"fixture wants 2 data files, got $allFiles")
+    val cols = Set("str_assetname", "str_description", "str_assetid",
+      "str_databaseid", "str_assettype")
+    def binding(fresh: Boolean) = Some(SearchApi.TextIndexBinding(
+      dir, cols, indexedVersion = if (fresh) 5 else 3, tableVersion = 5))
+
+    // F3 — free-text wildcard over the scored fields ("rocket" lives
+    // only in the second file's name/description trigrams)
+    val f3 = SearchRequest(query = Some("rocket"))
+    val f3Scan = SearchApi.search(docs, f3).hits
+      .select("_docId", "_score").as[(String, Double)].collect().toSet
+    val f3Routed = SearchApi.search(docs, f3, textIndex = binding(fresh = true)).hits
+    assert(f3Routed.select("_docId", "_score").as[(String, Double)]
+      .collect().toSet == f3Scan, "F3 pruned route diverged from the scan")
+    val f3Files = f3Routed.inputFiles.filter(_.contains("/docs/"))
+    assert(f3Files.length == 1,
+      s"F3 route did not prune the scan: ${f3Files.length} of $allFiles files")
+
+    // F7 — metadata-value token (assettype : gltf); only the second
+    // file's assettype column carries the 'glt'/'ltf' trigrams
+    val f7 = SearchRequest(tokens = Seq(Token("str_assettype", ":", "gltf")))
+    val f7Scan = SearchApi.search(docs, f7).hits
+      .select("_docId").as[String].collect().toSet
+    val f7Routed = SearchApi.search(docs, f7, textIndex = binding(fresh = true)).hits
+    assert(f7Routed.select("_docId").as[String].collect().toSet == f7Scan,
+      "F7 pruned route diverged from the scan")
+    val f7Files = f7Routed.inputFiles.filter(_.contains("/docs/"))
+    assert(f7Files.length == 1,
+      s"F7 route did not prune the scan: ${f7Files.length} of $allFiles files")
+
+    // STALE binding → full scan (fresh-but-slower, never stale rows)
+    val stale = SearchApi.search(docs, f3, textIndex = binding(fresh = false)).hits
+    assert(stale.select("_docId", "_score").as[(String, Double)]
+      .collect().toSet == f3Scan)
+    assert(stale.inputFiles.count(_.contains("/docs/")) == allFiles,
+      "stale binding must fall back to the full scan")
+
+    // negated / OR-composed tokens must NOT prune (not conjuncts)
+    val negReq = SearchRequest(
+      tokens = Seq(Token("str_assettype", "!:", "gltf"),
+        Token("str_assetname", ":", "car")), operation = "OR")
+    val negScan = SearchApi.search(docs, negReq).hits
+      .select("_docId").as[String].collect().toSet
+    val negRouted = SearchApi.search(docs, negReq, textIndex = binding(fresh = true)).hits
+    assert(negRouted.select("_docId").as[String].collect().toSet == negScan)
+    assert(negRouted.inputFiles.count(_.contains("/docs/")) == allFiles,
+      "OR/negated tokens wrongly pruned the scan")
+  }
+
   test("bm25 route chooser: fresh index serves pruned postings, stale falls back, rows identical") {
     val fields = Seq("str_assetname", "str_description", "str_assetid",
       "str_databaseid", "str_assettype")
