@@ -32,7 +32,7 @@ object GenScale {
     x ^ (x >>> 31)
   }
 
-  private def textOf(id: Long): String = {
+  private[graft] def textOf(id: Long): String = {
     val n = 8 + math.floorMod(mix(id * 31 + 7), 93L).toInt
     (0 until n).map { i =>
       Vocab(math.floorMod(mix(id * 131071 + i), Vocab.length.toLong).toInt)
@@ -81,6 +81,126 @@ object GenScale {
     embeddings(spark, 20000L).coalesce(4)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     println(s"wrote sf1 documents+embeddings under $out")
+    spark.stop()
+  }
+}
+
+/** Streaming-store growth smoke (round-12 verdict task 3): the
+  * band-store probes claim per-trigger cost Θ(batch) regardless of
+  * store size — spec-pinned at file granularity, here TIMED. Builds
+  * each modality's store at 1× and 10× size, then measures the
+  * screen-against-store time for a CONSTANT-size batch on both, plus
+  * the append fold. Stores are compacted to small key-clustered files
+  * so the smoke reproduces the scale REGIME (file count ≫ probed
+  * cells — at 10^10 docs files hold 4M rows and probes touch a
+  * vanishing fraction; at smoke scale that means ~1k-row files), not
+  * absolute sizes. Prints one JSON line:
+  * {"store_scale":{name:[t_small, t_big, ratio]},...}. */
+object StoreScale {
+
+  private val Passes = 2
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0) else "/tmp/graft-storescale"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.llmops.{EmbedDedup, IncrementalDedup, PhashDedup}
+    val Small = 30000L
+    val Big = 300000L
+    val BatchN = 25
+    // key-clustered ~1k-row files (see the class doc's regime note)
+    def maintain(dir: String): Unit = {
+      graft.sources.TxLog.compact(spark, dir, partitionCol = "_shard",
+        keyCol = "_docId", targetRowsPerFile = 1024)
+      graft.sources.TxLog.vacuum(spark, dir)
+      ()
+    }
+    def timed(f: => Unit): Double = {
+      val runs = (1 to Passes).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      runs.min
+    }
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    def noop(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    // ── text MinHash (st_curate_stream's near tier) ──────────────────
+    // constant batch: half near-dups of stored docs, half novel
+    val textBatch = {
+      import spark.implicits._
+      // texts derived from GenScale's deterministic generator: even
+      // slots duplicate stored docs, odd slots are novel
+      (0 until BatchN).map { i =>
+        val id = 1000000000L + i
+        val text =
+          if (i % 2 == 0) GenScale.textOf((i * 37L) % Small)
+          else GenScale.textOf(id)
+        (id, text)
+      }.toDF("doc_id", "text")
+    }
+    val mhBatchSigs = IncrementalDedup.signaturesOf(textBatch).localCheckpoint()
+    Seq(("1x", Small), ("10x", Big)).foreach { case (tag, n) =>
+      val dir = s"$base/mh_$tag"
+      IncrementalDedup.mergeSignatures(spark, dir,
+        IncrementalDedup.signaturesOf(GenScale.documents(spark, n)))
+      maintain(dir)
+    }
+    val mhS = timed(noop(IncrementalDedup.screenStore(mhBatchSigs, s"$base/mh_1x")))
+    val mhB = timed(noop(IncrementalDedup.screenStore(mhBatchSigs, s"$base/mh_10x")))
+    results("minhash_screen") = (mhS, mhB)
+    val mhFs = timed(IncrementalDedup.mergeSignatures(spark, s"$base/mh_1x", mhBatchSigs))
+    val mhFb = timed(IncrementalDedup.mergeSignatures(spark, s"$base/mh_10x", mhBatchSigs))
+    results("minhash_fold") = (mhFs, mhFb)
+
+    // ── image aHash ──────────────────────────────────────────────────
+    val phBatch = textBatch // same >=64-byte texts stand in for bytes
+    val phHashed = PhashDedup.hashed(phBatch).localCheckpoint()
+    Seq(("1x", Small), ("10x", Big)).foreach { case (tag, n) =>
+      val dir = s"$base/ph_$tag"
+      PhashDedup.mergeHashes(spark, dir,
+        PhashDedup.hashed(GenScale.documents(spark, n)))
+      maintain(dir)
+    }
+    val phS = timed(noop(PhashDedup.screenStore(phHashed, s"$base/ph_1x")))
+    val phB = timed(noop(PhashDedup.screenStore(phHashed, s"$base/ph_10x")))
+    results("phash_screen") = (phS, phB)
+
+    // ── embedding cosine ─────────────────────────────────────────────
+    val emBatch = {
+      import org.apache.spark.sql.functions.{col, lit}
+      EmbedDedup.prepared(GenScale.embeddings(spark, BatchN.toLong)
+        .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+          col("embedding"))).localCheckpoint()
+    }
+    Seq(("1x", Small / 10), ("10x", Big / 10)).foreach { case (tag, n) =>
+      val dir = s"$base/em_$tag"
+      EmbedDedup.mergeVectors(spark, dir,
+        EmbedDedup.prepared(GenScale.embeddings(spark, n)))
+      // the embed store's maintenance CELL-CAPS before compacting —
+      // its 6-bit bucket space is cell-bounded, and the cap is what
+      // makes the probe flat under store growth (see BandStore.capCells)
+      graft.llmops.BandStore.capCells(spark, dir, Seq("t", "b"),
+        "vec_id", EmbedDedup.MaxCell)
+      maintain(dir)
+    }
+    val emS = timed(noop(EmbedDedup.screenStore(emBatch, s"$base/em_1x")))
+    val emB = timed(noop(EmbedDedup.screenStore(emBatch, s"$base/em_10x")))
+    results("embed_screen") = (emS, emB)
+
+    def f3(d: Double) = f"$d%.3f"
+    val qjson = results.map { case (n, (ts, tb)) =>
+      s""""$n":[${f3(ts)},${f3(tb)},${f3(tb / math.max(ts, 1e-9))}]"""
+    }.mkString("{", ",", "}")
+    println(s"""{"small_docs":$Small,"big_docs":$Big,"batch":$BatchN,""" +
+      s""""passes":$Passes,"store_scale":$qjson}""")
     spark.stop()
   }
 }

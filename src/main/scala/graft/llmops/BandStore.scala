@@ -90,6 +90,57 @@ object BandStore {
     ()
   }
 
+  /** Cell-cap maintenance: DELETE rows beyond the `maxCell` smallest
+    * ids of each cell. Result-invisible by the cap contract: every
+    * probe already caps a cell's candidates to its `maxCell` smallest
+    * ids (TopK.smallestK*), so a row beyond the cap can never be
+    * reported — dropping it changes no screen result, it only bounds
+    * per-cell store size. This is what keeps a BOUNDED-cell-space
+    * store's probe Θ(batch): the embedding store's 10×6-bit LSH has
+    * ≤ 640 cells TOTAL, so cells grow with the corpus and an uncapped
+    * probe reads Θ(store) per trigger (measured 1.77× at 10× store in
+    * the r12 StoreScale smoke); capped, a probe reads ≤ cells ×
+    * maxCell rows regardless of corpus size. Replay caveat (narrow): a
+    * capped-out row's doc no longer id-self-matches, so an
+    * at-least-once replay of its original batch can re-append its rows
+    * — growth bounded by the next maintenance cycle, and only for docs
+    * whose kept cell-mates ALL fail the similarity verify (an
+    * identical twin always flags the replay as a dup instead).
+    * Ordinary ACID merge — retries on conflict, snapshot-isolated
+    * against probes. Returns the number of rows deleted. */
+  def capCells(spark: SparkSession, tablePath: String,
+      cellCols: Seq[String], idCol: String, maxCell: Int): Long = {
+    if (!graft.sources.TxLog.isTable(spark, tablePath)) return 0L
+    val store = graft.sources.TxLog.read(spark, tablePath)
+    val gcols = cellCols.map(col)
+    // per-cell cutoff from the bounded top-k AGGREGATE (map-side
+    // combined — a window row_number would sort whole cells in single
+    // tasks, and cells are exactly where the skew lives): the
+    // maxCell-th smallest DISTINCT id, null while the cell is under
+    // cap. Distinct first: append replays duplicate ids, and the
+    // probe-side cap (smallestKSig) counts distinct ids — a
+    // non-distinct cutoff would undercut it and delete reportable rows
+    val cutoff = store
+      .select(gcols :+ col(idCol): _*).distinct()
+      .groupBy(gcols: _*)
+      .agg(TopK.smallestK(maxCell)(col(idCol), col(idCol)).as("p"))
+      .select(gcols :+
+        when(size(col("p")) === 2 * maxCell,
+          element_at(col("p"), 2 * maxCell - 1)).as("_cut"): _*)
+      .filter(col("_cut").isNotNull)
+    val victims = store.join(cutoff, cellCols)
+      .filter(col(idCol) > col("_cut"))
+      .select("_docId")
+    if (victims.isEmpty) return 0L
+    val n = victims.count()
+    graft.sources.TxLog.merge(spark, tablePath,
+      updates = victims.limit(0).select(col("_docId"),
+        split(col("_docId"), "#").getItem(0).as("_shard")),
+      removedKeys = victims,
+      keyCol = "_docId", partitionCol = "_shard")
+    n
+  }
+
   /** The capped pruned probe: collect the batch's distinct
     * (shard, cell prefix) pairs driver-side — ≤ [[BandShards]] shard
     * strings always; cell prefixes only while ≤ [[MaxProbeKeys]] —

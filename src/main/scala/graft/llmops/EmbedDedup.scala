@@ -67,9 +67,19 @@ object EmbedDedup {
       out = Seq(col("t"), col("b"), col(idCol).cast("long").as("vec_id"),
         concat(array(col("nrm")), col("e")).as("p")))
 
-  /** Store maintenance — [[BandStore.optimize]]. */
-  def optimize(spark: SparkSession, tablePath: String): Unit =
+  /** Store maintenance — cell-cap BEFORE compact: the 10×6-bit LSH
+    * bucket space is ≤ 640 cells TOTAL, so without the cap every cell
+    * grows with the corpus and a probe reads Θ(store) per trigger
+    * (the text/image stores' cells are plentiful and rarely bind, so
+    * they skip this step). [[BandStore.capCells]] is result-invisible
+    * — it deletes exactly the rows the probe-side cap could never
+    * report — and bounds a probe to ≤ cells × [[MaxCell]] rows at any
+    * corpus size. Note [[loadVectors]] thereafter returns the
+    * SCREENABLE corpus (capped-out vectors' rows are gone). */
+  def optimize(spark: SparkSession, tablePath: String): Unit = {
+    BandStore.capCells(spark, tablePath, Seq("t", "b"), "vec_id", MaxCell)
     BandStore.optimize(spark, tablePath)
+  }
 
   /** Stored vectors back as one `(vec_id, e, nrm)` row per vec
     * (table-0 rows carry the payload; append replays dedup here). */

@@ -145,6 +145,45 @@ class EmbedDedupSpec extends SparkSpec {
       "replay of a zero-norm vector grew the append-only store")
   }
 
+  test("optimize cell-caps mega-cells: screen results identical, store bounded") {
+    // 1100 identical vectors → ONE cell of size 1100 in each of the 10
+    // LSH tables, over the MaxCell=1024 cap. The probe-side cap only
+    // ever reports a cell's MaxCell smallest ids, so maintenance
+    // deleting the rest is result-invisible — and it is what bounds
+    // the embedding store's probe I/O (≤ 640 cells total in a 6-bit
+    // bucket space: without the cap, cells grow with the corpus and
+    // probes read Θ(store)).
+    val N = EmbedDedup.MaxCell
+    val dir = java.nio.file.Files.createTempDirectory("graft-ecap").toString
+    val corpus = prep((1 to (N + 76)).map(i => (i.toLong, 7)))
+    EmbedDedup.mergeVectors(spark, dir, corpus)
+    val batch = prep(Seq((99999L, 7), (99998L, 333))).localCheckpoint()
+    val before = EmbedDedup.screenStore(batch, dir)
+      .select("b_id", "c_id", "sim").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(before.exists(r => r._1 == 99999L && r._2 == 1L && r._3 > 0.999),
+      s"fixture sanity: ${before.take(5)}")
+    val rowsBefore = graft.sources.TxLog.read(spark, dir).count()
+    EmbedDedup.optimize(spark, dir)
+    val after = EmbedDedup.screenStore(batch, dir)
+      .select("b_id", "c_id", "sim").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(after == before, "cell cap changed screen results")
+    val rowsAfter = graft.sources.TxLog.read(spark, dir).count()
+    // (N+76) vecs × 10 tables → capped to N × 10
+    assert(rowsAfter == 10L * N && rowsBefore == 10L * (N + 76),
+      s"expected ${10L * (N + 76)} → ${10L * N} rows, " +
+        s"got $rowsBefore → $rowsAfter")
+    // loadVectors now returns the SCREENABLE corpus (the kept cap set)
+    val loaded = EmbedDedup.loadVectors(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    assert(loaded == (1L to N.toLong).toSet, s"${loaded.size}")
+    // idempotent: a second maintenance cycle deletes nothing
+    EmbedDedup.optimize(spark, dir)
+    assert(graft.sources.TxLog.read(spark, dir).count() == 10L * N,
+      "cap re-deleted on an already-capped store")
+  }
+
   test("loadVectors round-trips the denormalized payload") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ert").toString
     val vs = prep((1 to 10).map(i => (i.toLong, i)))
