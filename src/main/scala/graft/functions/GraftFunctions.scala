@@ -110,6 +110,19 @@ object GraftFunctions {
     dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
   }
 
+  /** Integer dot product of two int8 code arrays (long accumulator:
+    * 127²·dim ≪ 2⁶³) — for plans that precompute per-code norms once
+    * instead of re-deriving them per pair ([[cosineSimQ8]] folds all
+    * three sums; at queries × corpus pair volume the two norm loops
+    * are 2/3 of the kernel). */
+  def dotQ8(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += a.getByte(i).toLong * b.getByte(i); i += 1 }
+    dot
+  }
+
   /** Ids of the `n` centroids nearest to `v` in EUCLIDEAN distance,
     * best first, ties to the lower id — the assignment rule product-
     * quantization codebooks need (sub-vector magnitude carries signal
@@ -308,6 +321,19 @@ object GraftFunctions {
         l: Expression, r: Expression): CosineSimQ8Expr = copy(l, r)
   }
 
+  /** `graft_dot_q8(a, b)` → long integer dot of int8 code arrays (see
+    * [[dotQ8]]). */
+  case class DotQ8Expr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      dotQ8(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Kernel.dotQ8($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): DotQ8Expr = copy(l, r)
+  }
+
   /** One-pass symmetric int8 quantization: array<double> →
     * struct(scale double, q array<tinyint>) (see [[quantize]]). The
     * HOF formulation re-derived the scale (itself an O(dim) array_max)
@@ -348,6 +374,8 @@ object GraftFunctions {
       es => CosineSimExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine_q8",
       es => CosineSimQ8Expr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dot_q8",
+      es => DotQ8Expr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_quantize",
       es => QuantizeExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot",

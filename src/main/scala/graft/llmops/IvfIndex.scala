@@ -118,11 +118,13 @@ object IvfIndex {
     * contract); the lists side never broadcasts. */
   def search(spark: SparkSession, root: String, queries: DataFrame,
       k: Int, nprobe: Int = Similarity.IvfProbes): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     val centLit = typedLit(centroids(spark, root).map(_.toSeq).toSeq)
     val probes = queries.select(col("vec_id").cast("long").as("q_id"),
         Similarity.asDouble(col("embedding")).as("q_vec"))
+      // query norm ONCE per query, not per probed pair
+      .withColumn("q_nrm", sqrt(call_function("graft_dot",
+        col("q_vec"), col("q_vec"))))
       .withColumn("cid", explode(call_function(
         "graft_nearest_centroids", col("q_vec"), centLit, lit(nprobe))))
     val probedCids = probes.select("cid").distinct()
@@ -131,17 +133,14 @@ object IvfIndex {
         partitions = Some(probedCids))
       .select(col("cid"), col("vec_id").as("cand_id"), col("e"),
         col("nrm"))
-    lists.join(broadcast(probes), Seq("cid"))
+    // rank via the bounded top-k aggregate ([[Similarity.rankTopK]]):
+    // probed-list candidates are a corpus FRACTION per query, and a
+    // row_number window would sort each query's whole fraction in one
+    // task
+    Similarity.rankTopK(lists.join(broadcast(probes), Seq("cid"))
       .filter(col("q_id") =!= col("cand_id"))
       .withColumn("sim", call_function("graft_dot",
-        col("q_vec"), col("e")) /
-        (sqrt(call_function("graft_dot", col("q_vec"), col("q_vec"))) *
-          col("nrm")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id")
-          .orderBy(col("sim").desc, col("cand_id").asc)))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "cand_id", "sim")
+        col("q_vec"), col("e")) / (col("q_nrm") * col("nrm"))), k)
   }
 
   /** Maintain the index from a vector table's CHANGE FEED (the

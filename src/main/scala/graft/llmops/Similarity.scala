@@ -36,20 +36,46 @@ object Similarity {
     call_function("graft_cosine", a, b)
 
   /** Exact top-k neighbors for each query row. */
-  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    graft.functions.GraftFunctions.register(queries.sparkSession)
-    val q = queries.select(col("vec_id").as("q_id"),
-      asDouble(col("embedding")).as("q_vec"))
-    val c = candidates.select(col("vec_id").as("cand_id"),
-      asDouble(col("embedding")).as("c_vec"))
-    val scored = c.join(broadcast(q), col("q_id") =!= col("cand_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+  /** Exact per-query top-k by (sim desc, cand_id asc) via the BOUNDED
+    * aggregate, not a window: `row_number() OVER (PARTITION BY q_id)`
+    * sorts a query's ENTIRE candidate set in one task — at corpus
+    * scale that is the whole corpus through one reducer per query —
+    * where the [[TopK.smallestKCarry]] buffer holds k entries,
+    * map-side combines, and ships ≤ k triplets per partition-group.
+    * Ordering contract identical to the window form: the sort key is
+    * the order-preserving integer image of the NEGATED sim (`+ 0.0`
+    * normalizes -0.0 so ties fall through to the id like SQL's
+    * comparison would), ties by cand_id ascending, and the OUTPUT sim
+    * is the raw carried double — rank-for-rank and bit-for-bit what
+    * the oracle's row_number computes. */
+  private[llmops] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id").asc)))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "cand_id", "sim")
+      .withColumn("_skey", call_function("graft_sortable_double",
+        negate(col("sim") + lit(0.0))))
+      .groupBy("q_id")
+      .agg(TopK.smallestKCarry(k)(col("_skey"), col("cand_id"), col("sim"))
+        .as("p"))
+      .select(col("q_id"), posexplode(col("p")).as(Seq("i", "r")))
+      .select(col("q_id"), (col("i") + 1).cast("int").as("rank"),
+        col("r._2").as("cand_id"), col("r._3").as("sim"))
+
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    // per-vector norms precomputed ONCE (|q| + |c| sqrt-dots), not
+    // re-derived inside every pair's cosine — at queries × corpus pair
+    // volume the two norm folds are 2/3 of the kernel. sqrt(q·q) and
+    // sqrt(c·c) are the identical values the fused cosine computes, so
+    // sims stay bit-for-bit the oracle's.
+    def dotF(a: Column, b: Column) = call_function("graft_dot", a, b)
+    val q = queries.select(col("vec_id").as("q_id"),
+        asDouble(col("embedding")).as("q_vec"))
+      .withColumn("q_nrm", sqrt(dotF(col("q_vec"), col("q_vec"))))
+    val c = candidates.select(col("vec_id").as("cand_id"),
+        asDouble(col("embedding")).as("c_vec"))
+      .withColumn("c_nrm", sqrt(dotF(col("c_vec"), col("c_vec"))))
+    rankTopK(c.join(broadcast(q), col("q_id") =!= col("cand_id"))
+      .withColumn("sim", dotF(col("q_vec"), col("c_vec")) /
+        (col("q_nrm") * col("c_nrm"))), k)
   }
 
   /** Exact top-k over QUANTIZED embeddings with NO dequantize pass:
@@ -58,7 +84,8 @@ object Similarity {
     * (`graft_cosine_q8`). At 100 TB this is the full int8 win — 4× less
     * to read AND an integer hot loop — where dequantize-then-float
     * would pay the storage saving back in compute. */
-  def bruteForceTopKQ8(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopKQ8(queries: DataFrame, candidates: DataFrame, k: Int,
+      cacheKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(queries.sparkSession)
     def codes(df: DataFrame, idName: String, vName: String) = df.select(
@@ -66,15 +93,25 @@ object Similarity {
       graft.llmops.Quantize.quantize(asDouble(col("embedding")))
         .getField("q").as(vName))
     val q = codes(queries, "q_id", "q_vec")
-    val c = codes(candidates, "cand_id", "c_vec")
-    val scored = c.join(broadcast(q), col("q_id") =!= col("cand_id"))
+    // cacheKey memoizes the CORPUS codes per cache generation: the int8
+    // codes are the form the corpus is STORED in at scale — quantization
+    // happens at ingest write time, not per query — so a search pays
+    // scoring, not re-encoding (the query side re-encodes: queries are
+    // per-request data)
+    val c = cacheKey match {
+      case Some(key) => graft.core.Caching.memoDf(
+        queries.sparkSession, key)(codes(candidates, "cand_id", "c_vec"))
+      case None => codes(candidates, "cand_id", "c_vec")
+    }
+    // integer self-dots precomputed per code array (exact in long;
+    // their sqrt-product is what the fused q8 cosine derives per pair)
+    def nrm(df: DataFrame, v: String) = df.withColumn(s"${v}_nrm",
+      sqrt(call_function("graft_dot_q8", col(v), col(v)).cast("double")))
+    rankTopK(nrm(c, "c_vec")
+      .join(broadcast(nrm(q, "q_vec")), col("q_id") =!= col("cand_id"))
       .withColumn("sim",
-        call_function("graft_cosine_q8", col("q_vec"), col("c_vec")))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id").asc)))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "cand_id", "sim")
+        call_function("graft_dot_q8", col("q_vec"), col("c_vec"))
+          .cast("double") / (col("q_vec_nrm") * col("c_vec_nrm"))), k)
   }
 
   /** Multi-table random-hyperplane LSH: `LshTables` independent tables of
@@ -234,28 +271,40 @@ object Similarity {
   /** IVF ANN search: assign corpus to lists (narrow), probe nprobe
     * lists per query, exact re-rank. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      nCentroids: Int = IvfCentroids, nprobe: Int = IvfProbes): DataFrame = {
+      nCentroids: Int = IvfCentroids, nprobe: Int = IvfProbes,
+      cacheKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val cents = kmeansCentroids(candidates, nCentroids)
+    // cacheKey (e.g. the corpus path) reuses the trained centroids
+    // across searches over the same immutable corpus — the
+    // serving-index lifecycle (pqTopK's codebook contract); a per-query
+    // k-means retrain is the one-shot/ad-hoc path
+    val cents = cacheKey match {
+      case Some(key) =>
+        centCache.computeIfAbsent(key, _ =>
+          kmeansCentroids(candidates, nCentroids))
+      case None => kmeansCentroids(candidates, nCentroids)
+    }
     val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    // norms precomputed per vector, not per probed pair (see
+    // bruteForceTopK — identical values, 1/3 the kernel work)
+    def dotF(a: Column, b: Column) = call_function("graft_dot", a, b)
     val c = candidates.select(col("vec_id").as("cand_id"),
         asDouble(col("embedding")).as("c_vec"))
+      .withColumn("c_nrm", sqrt(dotF(col("c_vec"), col("c_vec"))))
       .withColumn("cid", element_at(call_function("graft_nearest_centroids",
         col("c_vec"), centLit, lit(1)), 1))
     val q = queries.select(col("vec_id").as("q_id"),
-      asDouble(col("embedding")).as("q_vec"))
-    val probes = q.select(col("q_id"), col("q_vec"),
+        asDouble(col("embedding")).as("q_vec"))
+      .withColumn("q_nrm", sqrt(dotF(col("q_vec"), col("q_vec"))))
+    val probes = q.select(col("q_id"), col("q_vec"), col("q_nrm"),
       explode(call_function("graft_nearest_centroids",
         col("q_vec"), centLit, lit(nprobe))).as("cid"))
-    probes.join(c, Seq("cid"))
+    rankTopK(probes.join(c, Seq("cid"))
       .filter(col("q_id") =!= col("cand_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id").asc)))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "cand_id", "sim")
+      .withColumn("sim", dotF(col("q_vec"), col("c_vec")) /
+        (col("q_nrm") * col("c_nrm"))), k)
   }
 
   /** Product quantization (PQ) — the STORAGE-scale ANN path beside LSH
@@ -399,25 +448,33 @@ object Similarity {
           element_at(typedLit(norms(mi).toSeq),
             element_at(col("codes"), mi + 1) + 1))
         .reduce(_ + _))
+    def dotF(a: Column, b: Column) = call_function("graft_dot", a, b)
     val q = queries.select(col("vec_id").as("q_id"),
-      asDouble(col("embedding")).as("q_vec"))
-    val approx = enc.join(broadcast(q), col("q_id") =!= col("cand_id"))
+        asDouble(col("embedding")).as("q_vec"))
+      .withColumn("q_nrm", sqrt(dotF(col("q_vec"), col("q_vec"))))
+    // ADC shortlist via the bounded top-k aggregate — the ADC pass
+    // scores EVERY code per query, and a row_number window would
+    // funnel each query's whole corpus through one sort task (the same
+    // hazard rankTopK removes from the exact rankers); norms hoisted
+    // per vector, not per pair
+    val approx = enc
+      .withColumn("c_anrm", sqrt(greatest(col("cnorm2"), lit(1e-12))))
+      .join(broadcast(q), col("q_id") =!= col("cand_id"))
       .withColumn("asim", pqApproxDot(col("q_vec"), col("codes"), books) /
-        (sqrt(dot(col("q_vec"), col("q_vec"))) *
-          sqrt(greatest(col("cnorm2"), lit(1e-12)))))
-      .withColumn("arank", row_number().over(
-        Window.partitionBy("q_id")
-          .orderBy(col("asim").desc, col("cand_id").asc)))
-      .filter(col("arank") <= rerank * k)
-      .select("q_id", "cand_id")
+        (col("q_nrm") * col("c_anrm")))
+      .withColumn("_skey", call_function("graft_sortable_double",
+        negate(col("asim") + lit(0.0))))
+      .groupBy("q_id")
+      .agg(TopK.smallestKCarry(rerank * k)(col("_skey"), col("cand_id"),
+        col("asim")).as("p"))
+      .select(col("q_id"), explode(col("p")).as("r"))
+      .select(col("q_id"), col("r._2").as("cand_id"))
     val cvec = candidates.select(col("vec_id").as("cand_id"),
-      asDouble(col("embedding")).as("c_vec"))
-    approx.join(cvec, "cand_id").join(broadcast(q), "q_id")
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id").asc)))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "cand_id", "sim")
+        asDouble(col("embedding")).as("c_vec"))
+      .withColumn("c_nrm", sqrt(dotF(col("c_vec"), col("c_vec"))))
+    rankTopK(approx.join(cvec, "cand_id").join(broadcast(q), "q_id")
+      .withColumn("sim", dotF(col("q_vec"), col("c_vec")) /
+        (col("q_nrm") * col("c_nrm"))), k)
   }
 
   /** Self-join collision pairs for LSH-screened dedup: all (keep_id <
@@ -454,10 +511,13 @@ object Similarity {
       maxCell: Int = SkewGuard.MaxCellSize): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(queries.sparkSession)
+    def dotF(a: Column, b: Column) = call_function("graft_dot", a, b)
     val q = queries.select(col("vec_id").as("q_id"),
-      asDouble(col("embedding")).as("q_vec"))
+        asDouble(col("embedding")).as("q_vec"))
+      .withColumn("q_nrm", sqrt(dotF(col("q_vec"), col("q_vec"))))
     val c = candidates.select(col("vec_id").as("cand_id"),
-      asDouble(col("embedding")).as("c_vec"))
+        asDouble(col("embedding")).as("c_vec"))
+      .withColumn("c_nrm", sqrt(dotF(col("c_vec"), col("c_vec"))))
     // Materialize bucket arrays before exploding — Generate over a
     // computed expression re-evaluates it per output row (see
     // LlmQueries.gramHashes); over a cached array it's linear.
@@ -467,27 +527,29 @@ object Similarity {
     val qb = q.select(col("q_id"),
       posexplode(lshBucketArray(col("q_vec"))).as(Seq("t", "b")))
     // per-(table, bucket) candidate cap: an oversized bucket keeps its
-    // first `maxCell` members (deterministic by id). For top-k search a
-    // bucket that big is mass duplication or a collapsed region — the
-    // kept members are interchangeable candidates for any query probing
-    // it, so recall@k is unaffected in the degenerate case the cap
-    // exists for; a diverse 1024+ cell would lose tail candidates, the
-    // same trade SkewGuard.cellPairs documents.
+    // `maxCell` smallest-id members (the row_number-by-id semantics,
+    // via the BOUNDED aggregate — a window would sort whole cells in
+    // single tasks, and cells are exactly where the skew lives). For
+    // top-k search a bucket that big is mass duplication or a
+    // collapsed region — the kept members are interchangeable
+    // candidates for any query probing it, so recall@k is unaffected
+    // in the degenerate case the cap exists for; a diverse 1024+ cell
+    // would lose tail candidates, the same trade SkewGuard.cellPairs
+    // documents.
     val cb = cbArr.select(col("cand_id"),
         posexplode(col("tbs")).as(Seq("t", "b")))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("t", "b").orderBy(col("cand_id"))))
-      .filter(col("_rn") <= maxCell).drop("_rn")
+      .groupBy("t", "b")
+      .agg(TopK.smallestK(maxCell)(col("cand_id"), col("cand_id")).as("p"))
+      .select(col("t"), col("b"), explode(transform(
+        sequence(lit(1), (size(col("p")) / lit(2)).cast("int")),
+        i => element_at(col("p"), i * 2))).as("cand_id"))
     val pairs = qb.join(cb, Seq("t", "b"))
       .filter(col("q_id") =!= col("cand_id"))
       .select("q_id", "cand_id").distinct()
-    pairs
+    rankTopK(pairs
       .join(broadcast(q), "q_id")
       .join(c, "cand_id")
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id").asc)))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "cand_id", "sim")
+      .withColumn("sim", dotF(col("q_vec"), col("c_vec")) /
+        (col("q_nrm") * col("c_nrm"))), k)
   }
 }

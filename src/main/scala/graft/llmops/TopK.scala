@@ -136,6 +136,70 @@ object TopK {
       ExpressionEncoder[Seq[(Long, Seq[Long])]]()
   }
 
+  /** [[SmallestK]] with a CARRIED double: the k lexicographically-
+    * smallest (key, id) pairs per group, each carrying a score that
+    * does NOT participate in the ordering. The exact-top-k-by-score
+    * shape: key = an order-preserving integer image of the descending
+    * score (`graft_sortable_double` of the negated score), id = the
+    * tiebreaker, carry = the RAW score for output. Replaces the
+    * per-group row_number window whose sort funnels a query's ENTIRE
+    * candidate set into one task at corpus scale; this buffer stays
+    * bounded at k, so map-side combine runs and the shuffle carries
+    * ≤ k triplets per (partition × group). No id dedup — callers feed
+    * unique (group, id) pairs. */
+  private final class SmallestKCarry(k: Int)
+      extends Aggregator[(Long, Long, Double), Seq[(Long, Long, Double)],
+        Seq[(Long, Long, Double)]] {
+
+    private def lt(k1: Long, i1: Long, k2: Long, i2: Long): Boolean =
+      k1 < k2 || (k1 == k2 && i1 < i2)
+
+    def zero: Seq[(Long, Long, Double)] = Vector.empty
+
+    def reduce(buf: Seq[(Long, Long, Double)],
+        in: (Long, Long, Double)): Seq[(Long, Long, Double)] = {
+      val n = buf.length
+      if (n == k && !lt(in._1, in._2, buf(n - 1)._1, buf(n - 1)._2)) buf
+      else {
+        var lo = 0
+        var hi = n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (lt(buf(mid)._1, buf(mid)._2, in._1, in._2)) lo = mid + 1
+          else hi = mid
+        }
+        (buf.take(lo) :+ in) ++ buf.drop(lo) take k
+      }
+    }
+
+    def merge(x: Seq[(Long, Long, Double)],
+        y: Seq[(Long, Long, Double)]): Seq[(Long, Long, Double)] = {
+      val out = Vector.newBuilder[(Long, Long, Double)]
+      var (i, j, o) = (0, 0, 0)
+      while (o < k && (i < x.length || j < y.length)) {
+        val takeX = j >= y.length || (i < x.length &&
+          lt(x(i)._1, x(i)._2, y(j)._1, y(j)._2))
+        if (takeX) { out += x(i); i += 1 } else { out += y(j); j += 1 }
+        o += 1
+      }
+      out.result()
+    }
+
+    def finish(r: Seq[(Long, Long, Double)]): Seq[(Long, Long, Double)] = r
+
+    def bufferEncoder: Encoder[Seq[(Long, Long, Double)]] =
+      ExpressionEncoder[Seq[(Long, Long, Double)]]()
+    def outputEncoder: Encoder[Seq[(Long, Long, Double)]] =
+      ExpressionEncoder[Seq[(Long, Long, Double)]]()
+  }
+
+  /** `smallestKCarry(k)(key, id, carry)` — the k smallest (key, id)
+    * pairs per group with a carried double, as
+    * `array<struct<_1: key, _2: id, _3: carry>>` in rank order. */
+  def smallestKCarry(k: Int): UserDefinedFunction =
+    udaf(new SmallestKCarry(k), Encoders.tuple(Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaDouble))
+
   /** `smallestKSig(k)(id, payload)` — the k smallest distinct ids per
     * group with their payloads, as `array<struct<_1: id, _2: payload>>`. */
   def smallestKSig(k: Int): UserDefinedFunction =
