@@ -188,7 +188,13 @@ object SearchApi {
         QC.multiField(ScoredFields.map(_._1).filter(fieldsPresent).map(col), q)
       case None => lit(true)
     }
-    val policyPred = policy.map(p => Abac.compile(docs, p)).getOrElse(lit(true))
+    // compiled against scanDocs, NOT docs: the pruned route re-reads
+    // the table as a fresh frame with new expression ids, and a policy
+    // predicate resolved against docs' attributes would fail analysis
+    // the moment a governed search takes the pruned route — the exact
+    // combination (row security + index acceleration) the route is for
+    val policyPred = policy.map(p => Abac.compile(scanDocs, p))
+      .getOrElse(lit(true))
 
     val filtered = scanDocs.filter(QC.boolQuery(
       must = Seq(tokenPred, textPred),

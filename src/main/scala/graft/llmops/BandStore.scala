@@ -128,11 +128,17 @@ object BandStore {
         when(size(col("p")) === 2 * maxCell,
           element_at(col("p"), 2 * maxCell - 1)).as("_cut"): _*)
       .filter(col("_cut").isNotNull)
+    // victims PINNED once (localCheckpoint): the emptiness test, the
+    // count, and merge's own consumption would otherwise each re-run
+    // the store scan + top-k aggregate — 3× the cost on exactly the
+    // mega-cell stores the cap exists for, and racy against concurrent
+    // appends between evaluations
     val victims = store.join(cutoff, cellCols)
       .filter(col(idCol) > col("_cut"))
       .select("_docId")
-    if (victims.isEmpty) return 0L
+      .localCheckpoint()
     val n = victims.count()
+    if (n == 0) return 0L
     graft.sources.TxLog.merge(spark, tablePath,
       updates = victims.limit(0).select(col("_docId"),
         split(col("_docId"), "#").getItem(0).as("_shard")),

@@ -139,8 +139,8 @@ object IvfIndex {
     // task
     Similarity.rankTopK(lists.join(broadcast(probes), Seq("cid"))
       .filter(col("q_id") =!= col("cand_id"))
-      .withColumn("sim", call_function("graft_dot",
-        col("q_vec"), col("e")) / (col("q_nrm") * col("nrm"))), k)
+      .withColumn("sim", Similarity.normedSim(call_function("graft_dot",
+        col("q_vec"), col("e")), col("q_nrm"), col("nrm"))), k)
   }
 
   /** Maintain the index from a vector table's CHANGE FEED (the

@@ -35,6 +35,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 
+  /** `dot / (na·nb)` with the fused kernel's zero-norm semantics: a
+    * zero denominator yields NaN (Java double division inside the
+    * kernel), NOT ANSI's DIVIDE_BY_ZERO error — the norm-hoisted SQL
+    * division is guarded so a single zero-norm vector in the corpus
+    * cannot fail the whole search under ANSI mode. */
+  private[llmops] def normedSim(dot: Column, na: Column, nb: Column): Column = {
+    val d = na * nb
+    when(d === 0, lit(Double.NaN)).otherwise(dot / d)
+  }
+
   /** Exact top-k neighbors for each query row. */
   /** Exact per-query top-k by (sim desc, cand_id asc) via the BOUNDED
     * aggregate, not a window: `row_number() OVER (PARTITION BY q_id)`
@@ -50,8 +60,18 @@ object Similarity {
     * the oracle's row_number computes. */
   private[llmops] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
-      .withColumn("_skey", call_function("graft_sortable_double",
-        negate(col("sim") + lit(0.0))))
+      // null sims (null/absent embeddings) are EXCLUDED — the bounded
+      // aggregate's long key cannot carry them, and "unknown
+      // similarity ranks inside the top-k" was never a meaningful
+      // answer. NaN sims (zero-norm vectors) rank FIRST, matching both
+      // engines' sort semantics (Spark and DuckDB treat NaN as
+      // greatest under DESC) — negate() would flip NaN's sign bit and
+      // the sortable image would otherwise bury them last.
+      .filter(col("sim").isNotNull)
+      .withColumn("_skey",
+        when(isnan(col("sim")), lit(Long.MinValue))
+          .otherwise(call_function("graft_sortable_double",
+            negate(col("sim") + lit(0.0)))))
       .groupBy("q_id")
       .agg(TopK.smallestKCarry(k)(col("_skey"), col("cand_id"), col("sim"))
         .as("p"))
@@ -74,8 +94,8 @@ object Similarity {
         asDouble(col("embedding")).as("c_vec"))
       .withColumn("c_nrm", sqrt(dotF(col("c_vec"), col("c_vec"))))
     rankTopK(c.join(broadcast(q), col("q_id") =!= col("cand_id"))
-      .withColumn("sim", dotF(col("q_vec"), col("c_vec")) /
-        (col("q_nrm") * col("c_nrm"))), k)
+      .withColumn("sim", normedSim(dotF(col("q_vec"), col("c_vec")),
+        col("q_nrm"), col("c_nrm"))), k)
   }
 
   /** Exact top-k over QUANTIZED embeddings with NO dequantize pass:
@@ -86,7 +106,6 @@ object Similarity {
     * would pay the storage saving back in compute. */
   def bruteForceTopKQ8(queries: DataFrame, candidates: DataFrame, k: Int,
       cacheKey: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(queries.sparkSession)
     def codes(df: DataFrame, idName: String, vName: String) = df.select(
       col("vec_id").as(idName),
@@ -109,9 +128,9 @@ object Similarity {
       sqrt(call_function("graft_dot_q8", col(v), col(v)).cast("double")))
     rankTopK(nrm(c, "c_vec")
       .join(broadcast(nrm(q, "q_vec")), col("q_id") =!= col("cand_id"))
-      .withColumn("sim",
+      .withColumn("sim", normedSim(
         call_function("graft_dot_q8", col("q_vec"), col("c_vec"))
-          .cast("double") / (col("q_vec_nrm") * col("c_vec_nrm"))), k)
+          .cast("double"), col("q_vec_nrm"), col("c_vec_nrm"))), k)
   }
 
   /** Multi-table random-hyperplane LSH: `LshTables` independent tables of
@@ -273,16 +292,19 @@ object Similarity {
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       nCentroids: Int = IvfCentroids, nprobe: Int = IvfProbes,
       cacheKey: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
     // cacheKey (e.g. the corpus path) reuses the trained centroids
     // across searches over the same immutable corpus — the
     // serving-index lifecycle (pqTopK's codebook contract); a per-query
     // k-means retrain is the one-shot/ad-hoc path
+    // the cache key carries nCentroids: the caller's key names the
+    // corpus, and two searches over it with different list counts must
+    // not silently share one centroid set (the ConcurrentHashMap has
+    // no invalidate hook — it models immutable-corpus serving indexes)
     val cents = cacheKey match {
       case Some(key) =>
-        centCache.computeIfAbsent(key, _ =>
+        centCache.computeIfAbsent(s"$key#n=$nCentroids", _ =>
           kmeansCentroids(candidates, nCentroids))
       case None => kmeansCentroids(candidates, nCentroids)
     }
@@ -303,8 +325,8 @@ object Similarity {
         col("q_vec"), centLit, lit(nprobe))).as("cid"))
     rankTopK(probes.join(c, Seq("cid"))
       .filter(col("q_id") =!= col("cand_id"))
-      .withColumn("sim", dotF(col("q_vec"), col("c_vec")) /
-        (col("q_nrm") * col("c_nrm"))), k)
+      .withColumn("sim", normedSim(dotF(col("q_vec"), col("c_vec")),
+        col("q_nrm"), col("c_nrm"))), k)
   }
 
   /** Product quantization (PQ) — the STORAGE-scale ANN path beside LSH
@@ -395,7 +417,9 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val cents = cacheKey match {
       case Some(k) =>
-        centCache.computeIfAbsent(k, _ => kmeansCentroids(vecs, nCentroids))
+        // nCentroids in the key — see ivfTopK's cache note
+        centCache.computeIfAbsent(s"$k#n=$nCentroids",
+          _ => kmeansCentroids(vecs, nCentroids))
       case None => kmeansCentroids(vecs, nCentroids)
     }
     val centLit = typedLit(cents.map(_.toSeq).toSeq)
@@ -432,7 +456,6 @@ object Similarity {
     * searches over the same immutable corpus. */
   def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       rerank: Int = PqRerank, cacheKey: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val books = cacheKey match {
@@ -460,8 +483,9 @@ object Similarity {
     val approx = enc
       .withColumn("c_anrm", sqrt(greatest(col("cnorm2"), lit(1e-12))))
       .join(broadcast(q), col("q_id") =!= col("cand_id"))
-      .withColumn("asim", pqApproxDot(col("q_vec"), col("codes"), books) /
-        (col("q_nrm") * col("c_anrm")))
+      .withColumn("asim", normedSim(
+        pqApproxDot(col("q_vec"), col("codes"), books),
+        col("q_nrm"), col("c_anrm")))
       .withColumn("_skey", call_function("graft_sortable_double",
         negate(col("asim") + lit(0.0))))
       .groupBy("q_id")
@@ -473,8 +497,8 @@ object Similarity {
         asDouble(col("embedding")).as("c_vec"))
       .withColumn("c_nrm", sqrt(dotF(col("c_vec"), col("c_vec"))))
     rankTopK(approx.join(cvec, "cand_id").join(broadcast(q), "q_id")
-      .withColumn("sim", dotF(col("q_vec"), col("c_vec")) /
-        (col("q_nrm") * col("c_nrm"))), k)
+      .withColumn("sim", normedSim(dotF(col("q_vec"), col("c_vec")),
+        col("q_nrm"), col("c_nrm"))), k)
   }
 
   /** Self-join collision pairs for LSH-screened dedup: all (keep_id <
@@ -509,7 +533,6 @@ object Similarity {
     * and each bucket is a small local problem), exact cosine re-rank. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       maxCell: Int = SkewGuard.MaxCellSize): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(queries.sparkSession)
     def dotF(a: Column, b: Column) = call_function("graft_dot", a, b)
     val q = queries.select(col("vec_id").as("q_id"),
@@ -549,7 +572,7 @@ object Similarity {
     rankTopK(pairs
       .join(broadcast(q), "q_id")
       .join(c, "cand_id")
-      .withColumn("sim", dotF(col("q_vec"), col("c_vec")) /
-        (col("q_nrm") * col("c_nrm"))), k)
+      .withColumn("sim", normedSim(dotF(col("q_vec"), col("c_vec")),
+        col("q_nrm"), col("c_nrm"))), k)
   }
 }

@@ -944,13 +944,23 @@ object TxLog {
     * has always allowed. */
   private def checkTypeStability(op: String, committedDdl: String,
       batch: org.apache.spark.sql.types.StructType): Unit = {
-    val committed = org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.types._
+    // RECURSIVE void detection, not a catalogString substring test: a
+    // field NAMED "avoid" would otherwise exempt its column from the
+    // whole check
+    def hasVoid(dt: DataType): Boolean = dt match {
+      case NullType => true
+      case a: ArrayType => hasVoid(a.elementType)
+      case m: MapType => hasVoid(m.keyType) || hasVoid(m.valueType)
+      case s: StructType => s.fields.exists(f => hasVoid(f.dataType))
+      case _ => false
+    }
+    val committed = StructType
       .fromDDL(committedDdl).fields.map(f => f.name -> f.dataType).toMap
     batch.fields.foreach { f =>
       committed.get(f.name)
         .filter(t => t.catalogString != f.dataType.catalogString &&
-          !t.catalogString.contains("void") &&
-          !f.dataType.catalogString.contains("void"))
+          !hasVoid(t) && !hasVoid(f.dataType))
         .foreach { t =>
           require(requirement = false,
             s"$op: column ${f.name} arrives as " +

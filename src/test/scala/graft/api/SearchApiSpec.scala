@@ -183,6 +183,23 @@ class SearchApiSpec extends SparkSpec {
     assert(stale.inputFiles.count(_.contains("/docs/")) == allFiles,
       "stale binding must fall back to the full scan")
 
+    // GOVERNED search through the pruned route: the ABAC predicate must
+    // compile against the re-read frame (a policy resolved against the
+    // caller's frame would fail analysis with new expression ids) —
+    // row security + index acceleration is the combination the route
+    // exists for
+    val pol = Abac.Policy(
+      allow = Seq(Seq(Abac.Criterion("str_databaseid", "is_one_of",
+        values = Seq("db2")))),
+      deny = Nil)
+    val gov = SearchApi.search(docs, f3, policy = Some(pol),
+      textIndex = binding(fresh = true)).hits
+    assert(gov.select("_docId").as[String].collect().toSet
+      == f3Scan.map(_._1).filter(_.startsWith("db2")),
+      "governed pruned route returned wrong rows")
+    assert(gov.inputFiles.count(_.contains("/docs/")) == 1,
+      "policy disabled the pruned route")
+
     // negated / OR-composed tokens must NOT prune (not conjuncts)
     val negReq = SearchRequest(
       tokens = Seq(Token("str_assettype", "!:", "gltf"),

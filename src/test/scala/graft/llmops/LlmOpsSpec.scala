@@ -124,6 +124,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(perQuery.values.forall(_ == 5))
   }
 
+  test("brute top-k under degenerate vectors: null embeddings excluded, NaN sims rank first") {
+    // the bounded-aggregate ranker's documented contract: a null
+    // embedding cannot rank (its sim is unknown — excluded, where the
+    // old window would have ranked it after the real scores), and a
+    // zero-norm vector's NaN sim ranks FIRST, matching Spark's and
+    // DuckDB's NaN-greatest DESC sort (negate() flips NaN's sign bit,
+    // so the sortable image alone would bury it last)
+    val vecs = Seq(
+      (1L, Array.tabulate(8)(i => 0.1f * i)),
+      (2L, Array.tabulate(8)(i => 0.1f * i + 0.01f)),
+      (3L, Array.fill(8)(0.0f)),          // zero norm → NaN sim
+      (4L, null.asInstanceOf[Array[Float]]) // null embedding
+    ).toDF("vec_id", "embedding")
+    val got = Similarity
+      .bruteForceTopK(vecs.filter(col("vec_id") === 1L), vecs, k = 3)
+      .select("rank", "cand_id").as[(Int, Long)].collect().toSeq
+      .sortBy(_._1)
+    assert(got.map(_._2) == Seq(3L, 2L),
+      s"expected NaN candidate first then the near-dup, no null row: $got")
+  }
+
   test("custom Catalyst expressions match the HOF reference bit-exactly") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sf())

@@ -629,6 +629,35 @@ class TxLogSpec extends SparkSpec {
     assert(tableRows(dir) == Set(("p0#a1", "x")))
   }
 
+  test("type stability: a field NAMED 'avoid' is not exempt; real void still widens") {
+    // regression: the void exemption was a catalogString substring
+    // test, so struct<avoid:int> vs struct<avoid:string> slipped the
+    // check entirely — the recursive NullType walk must reject it
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx-avd").toString
+    import org.apache.spark.sql.functions.struct
+    TxLog.append(spark, dir, Seq(("p0#a1", "p0", 7))
+      .toDF("_docId", "str_databaseid", "x")
+      .select(col("_docId"), col("str_databaseid"),
+        struct(col("x").as("avoid")).as("payload")))
+    val ex = intercept[IllegalArgumentException] {
+      TxLog.append(spark, dir, Seq(("p0#a2", "p0", "s"))
+        .toDF("_docId", "str_databaseid", "x")
+        .select(col("_docId"), col("str_databaseid"),
+          struct(col("x").as("avoid")).as("payload")))
+    }
+    assert(ex.getMessage.contains("type changes are not supported"),
+      ex.getMessage)
+    // genuine void still passes (the union-widening contract): an
+    // all-null array column against a committed array<string>
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-tx-avd2").toString
+    TxLog.append(spark, dir2, Seq(("p0#a1", "p0", Seq("t")))
+      .toDF("_docId", "str_databaseid", "tags"))
+    TxLog.append(spark, dir2, Seq(("p0#a2", "p0"))
+      .toDF("_docId", "str_databaseid")
+      .withColumn("tags", lit(null).cast("array<void>")))
+    assert(TxLog.read(spark, dir2).count() == 2)
+  }
+
   test("merge rewrites only the files whose key bounds hold a batch key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tx-mfp").toString
     // three key-disjoint files in ONE partition (the key-clustered
