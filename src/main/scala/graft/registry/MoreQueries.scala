@@ -24,9 +24,15 @@ object MoreQueries {
     * first-keeper window) and llm_dedup_embed_sem (its recall
     * baseline): the O(n²) work runs once per (session, dir) and both
     * consumers read the small persisted pair set. Norms are computed
-    * once per vector, not per pair; the stream side is spread so the
-    * scan uses every core (the corpus parquet is one split at bench
-    * SFs). */
+    * once per vector, not per pair. The STREAM side (left, under
+    * BuildRight) is what the repartition must spread — the corpus
+    * parquet is one split at bench SFs, and repartitioning the build
+    * side (as this helper once did) is a wasted exchange feeding a
+    * broadcast while the whole n² loop runs in ONE task. The sim
+    * threshold is authored INSIDE the join condition AFTER the cheap
+    * id inequality, so the conjunct short-circuits half the dots; as a
+    * pushed-down filter Catalyst prepends it and every ordered pair
+    * pays the kernel twice. */
   private def exactEmbedPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
@@ -36,12 +42,15 @@ object MoreQueries {
         .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
         .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
       val a = v.select(col("vec_id").as("keep_id"), col("e").as("ea"),
-        col("nrm").as("na"))
+        col("nrm").as("na")).repartition(col("keep_id"))
       val b = v.select(col("vec_id").as("dup_id"), col("e").as("eb"),
-        col("nrm").as("nb")).repartition(col("dup_id"))
-      a.join(b, col("keep_id") < col("dup_id"))
+        col("nrm").as("nb"))
+      // same arithmetic as the projected sim (dot / (na*nb) vs 0.45) —
+      // an algebraic rewrite (dot >= 0.45*na*nb) could flip rounding at
+      // the boundary and diverge from the oracle's division form
+      a.join(b, col("keep_id") < col("dup_id") &&
+          dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= 0.45)
         .withColumn("sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-        .filter(col("sim") >= 0.45)
         .select("dup_id", "keep_id", "sim")
     }
   }
