@@ -756,8 +756,19 @@ object TxLog {
         })
       case None => byKey
     }
-    val live = if (numRanges.isEmpty) byPrefix else byPrefix.filter { f =>
-      numRanges.forall { case (c, (lo, hi)) =>
+    // numRanges arrive under LOGICAL names (the only names a caller
+    // holds) but file numStats are recorded from the PHYSICAL frame at
+    // staging — translate through the colMap or a post-rename caller's
+    // skipping silently degrades to read-everything (superset-safe but
+    // defeats the z-order clustering it paid for)
+    val physRanges =
+      if (numRanges.isEmpty || snap.colMap.isEmpty) numRanges
+      else {
+        val toPhysical = snap.colMap.map { case (ph, lg) => lg -> ph }
+        numRanges.map { case (c, r) => toPhysical.getOrElse(c, c) -> r }
+      }
+    val live = if (physRanges.isEmpty) byPrefix else byPrefix.filter { f =>
+      physRanges.forall { case (c, (lo, hi)) =>
         f.numStats.get(c) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
           case None => true // no stats → cannot skip
@@ -1395,10 +1406,39 @@ object TxLog {
     *
     * Schema: the table's committed DDL is preserved; a batch whose
     * column-name set differs from it fails loud (append never widens —
-    * use merge for schema evolution). */
+    * use merge for schema evolution). Batches arrive under LOGICAL
+    * names and validate against CHECK constraints, exactly like
+    * [[merge]] — the insert-only path carries the table's full write
+    * contract. */
   def append(spark: SparkSession, path: String, df: DataFrame,
       keyCol: String = "_docId", partitionCol: String = "str_databaseid",
       maxAttempts: Int = 20): Unit = {
+    val snap0 = snapshot(spark, path)
+    // CHECK constraints govern EVERY write path, not just merge — an
+    // append slipping a violating row past a constraint would make the
+    // insert-only path the one hole in the table's invariants.
+    // Validated against LOGICAL names (constraints are written against
+    // them), before the mapping below.
+    validateConstraints(df, snap0.constraints)
+    // COLUMN MAPPING — same contract and guards as merge: batches
+    // arrive under LOGICAL names and are translated to the physical
+    // (as-stored) names before validation/staging; a batch still using
+    // a renamed-away physical name is a stale writer (fail loud), and
+    // a mapped key/partition column is unsupported.
+    val liveMap = snap0.colMap.filter { case (ph, lg) => ph != lg }
+    val staleCols = df.columns.toSet.intersect(liveMap.keySet)
+    require(staleCols.isEmpty,
+      s"append: column(s) ${staleCols.toSeq.sorted.mkString(", ")} were " +
+        "renamed — write under the current name(s): " +
+        staleCols.toSeq.sorted.map(liveMap).mkString(", "))
+    require(!liveMap.exists { case (ph, lg) =>
+        ph == keyCol || lg == keyCol || ph == partitionCol ||
+          lg == partitionCol },
+      s"append: key/partition column under a rename mapping is not " +
+        "supported — rename it back first")
+    val phys = liveMap.foldLeft(df) { case (d, (ph, lg)) =>
+      if (d.columns.contains(lg)) d.withColumnRenamed(lg, ph) else d
+    }
     // the batch is validated against a snapshot's committed DDL: names
     // must match exactly (append never widens) AND same-named columns
     // must keep their committed types (same silent-retyping hazard
@@ -1409,17 +1449,17 @@ object TxLog {
         case Some(d) =>
           val committed = org.apache.spark.sql.types.StructType.fromDDL(d)
             .fieldNames.toSet
-          require(committed == df.columns.toSet,
-            s"append: batch columns ${df.columns.sorted.mkString(",")} != " +
+          require(committed == phys.columns.toSet,
+            s"append: batch columns ${phys.columns.sorted.mkString(",")} != " +
               s"table columns ${committed.toSeq.sorted.mkString(",")}")
-          checkTypeStability("append", d, df.schema)
+          checkTypeStability("append", d, phys.schema)
           Some(d)
         case None => Some(org.apache.spark.sql.types.StructType(
-          df.schema.filter(_.name != partitionCol) ++
-            df.schema.find(_.name == partitionCol)).toDDL)
+          phys.schema.filter(_.name != partitionCol) ++
+            phys.schema.find(_.name == partitionCol)).toDDL)
       }
-    validate(snapshot(spark, path).schemaDdl)
-    val clustered = df
+    validate(snap0.schemaDdl)
+    val clustered = phys
       .repartitionByRange(col(partitionCol), col(keyCol))
       .sortWithinPartitions(col(partitionCol), col(keyCol))
     val staged = stageData(spark, path, clustered, partitionCol, Some(keyCol))
@@ -1865,17 +1905,25 @@ object TxLog {
       val totalRows = inputs.map(f => math.max(f.rows, 0L)).sum
       val slots = math.max(1,
         math.ceil(totalRows.toDouble / targetRowsPerFile).toInt)
+      // zCols arrive under LOGICAL names (like every public op) but the
+      // rewrite frame and the staged numStats are PHYSICAL — translate,
+      // so z-ordering a renamed column works and its stats line up with
+      // read's (equally translated) numRanges keys
+      val zPhysical = {
+        val toPhysical = snap.colMap.map { case (ph, lg) => lg -> ph }
+        zCols.map(c => toPhysical.getOrElse(c, c))
+      }
       val raw = readAddFiles(spark, path, inputs, snap.schemaDdl)
         .withColumn(partitionCol, col(partitionCol).cast("string"))
-      zCols.foreach(c => require(raw.columns.contains(c),
+      zPhysical.foreach(c => require(raw.columns.contains(c),
         s"optimizeZOrder: no column $c in table at $path"))
       val clustered = raw
-        .withColumn("_z", graft.core.Layout.zColumn(raw, zCols, bits))
+        .withColumn("_z", graft.core.Layout.zColumn(raw, zPhysical, bits))
         .repartitionByRange(slots, col(partitionCol), col("_z"))
         .sortWithinPartitions(col(partitionCol), col("_z"))
         .drop("_z")
       val staged = stageData(spark, path, clustered, partitionCol,
-        Some(keyCol).filter(clustered.columns.contains), zCols)
+        Some(keyCol).filter(clustered.columns.contains), zPhysical)
       if (tryCommit(spark, path, snap.version + 1, staged, inputs))
         return staged.size
       // conflict: restart from the fresh snapshot; our staged files

@@ -12,7 +12,8 @@ import graft.SparkSpec
   * committing a stale DDL a concurrent merge widened, maintenance
   * rewriting files a reader is pruning over. This spec drives random
   * SEQUENCES of merge / append / deleteWhere / updateWhere / restore /
-  * compact / vacuum against an in-memory reference model and, after
+  * compact / z-order / RENAME / vacuum against an in-memory reference
+  * model and, after
   * every step, requires the full table read to equal the model exactly
   * (no duplicate keys, no stale rows, no lost rows). At the end of each
   * round it replays the whole history through the three derived
@@ -29,8 +30,12 @@ import graft.SparkSpec
   *     partition histogram without reading any data file.
   * Keys are drawn from a SMALL pool so merges genuinely collide with
   * earlier generations, and ops hit two partitions so partition
-  * derivation from the key prefix stays honest. Seeded rounds —
-  * failures reproduce. */
+  * derivation from the key prefix stays honest. The payload column's
+  * LOGICAL name flips between `payload` and `payload_v2` mid-sequence
+  * (renameColumn is metadata-only), so every later op — merge, append,
+  * predicate delete/update, z-order, time travel, CDC — must resolve
+  * through the column mapping; the model tracks the name live at each
+  * version and probes under it. Seeded rounds — failures reproduce. */
 class TxLogModelFuzzSpec extends SparkSpec {
   import spark.implicits._
 
@@ -48,6 +53,8 @@ class TxLogModelFuzzSpec extends SparkSpec {
       val opsLog = scala.collection.mutable.ArrayBuffer.empty[String]
       var floor = 0L // oldest version time travel may probe after a vacuum
       var appendSeq = 0
+      var payloadName = "payload" // current LOGICAL name (rename flips it)
+      val nameAtVersion = scala.collection.mutable.LinkedHashMap.empty[Long, String]
 
       def partOf(k: String): String = k.substring(0, k.indexOf('#'))
       def poolKey(): String = s"p${r.next() % 2}#k${"%02d".format(r.next() % 20)}"
@@ -57,7 +64,7 @@ class TxLogModelFuzzSpec extends SparkSpec {
 
       def checkReadEqualsModel(step: Int): Unit = {
         val got = TxLog.read(spark, dir)
-          .select("_docId", "str_databaseid", "payload")
+          .select(col("_docId"), col("str_databaseid"), col(payloadName))
           .as[(String, String, Long)].collect().toSeq
         assert(got.length == got.map(_._1).distinct.length,
           s"round $round step $step: duplicate keys " +
@@ -75,10 +82,11 @@ class TxLogModelFuzzSpec extends SparkSpec {
           .toDF("_docId", "str_databaseid", "payload"))
       model = seed
       versionModels(headVersion()) = model
+      nameAtVersion(headVersion()) = payloadName
       checkReadEqualsModel(0)
 
       (1 to 12).foreach { step =>
-        val opKind = r.next() % 10
+        val opKind = r.next() % 11
         opKind match {
           case 0 | 1 | 2 => // merge: colliding upserts + disjoint removals
             val ups = (1 to (1 + (r.next() % 5)).toInt)
@@ -90,7 +98,7 @@ class TxLogModelFuzzSpec extends SparkSpec {
               else Seq.empty
             TxLog.merge(spark, dir,
               ups.toSeq.map { case (k, v) => (k, partOf(k), v) }
-                .toDF("_docId", "str_databaseid", "payload"),
+                .toDF("_docId", "str_databaseid", payloadName),
               removedKeys =
                 if (rms.isEmpty) null else rms.toDF("_docId"))
             model = (model -- rms) ++ ups
@@ -101,11 +109,11 @@ class TxLogModelFuzzSpec extends SparkSpec {
               (k, partOf(k), r.next() % 1000)
             }
             TxLog.append(spark, dir,
-              rows.toDF("_docId", "str_databaseid", "payload"))
+              rows.toDF("_docId", "str_databaseid", payloadName))
             model = model ++ rows.map(t => t._1 -> t._3)
           case 4 => // deleteWhere on a payload residue
             val c = r.next() % 4
-            val n = TxLog.deleteWhere(spark, dir, col("payload") % 4 === c)
+            val n = TxLog.deleteWhere(spark, dir, col(payloadName) % 4 === c)
             val expected = model.filter(_._2 % 4 == c)
             assert(n == expected.size,
               s"round $round step $step: deleteWhere reported $n, " +
@@ -114,8 +122,8 @@ class TxLogModelFuzzSpec extends SparkSpec {
           case 5 => // updateWhere: SQL UPDATE over the old rows
             val c = r.next() % 3
             val n = TxLog.updateWhere(spark, dir,
-              col("payload") % 3 === c,
-              set = Seq("payload" -> (col("payload") * 2 + 1)))
+              col(payloadName) % 3 === c,
+              set = Seq(payloadName -> (col(payloadName) * 2 + 1)))
             val hit = model.filter(_._2 % 3 == c)
             assert(n == hit.size,
               s"round $round step $step: updateWhere reported $n, " +
@@ -125,7 +133,7 @@ class TxLogModelFuzzSpec extends SparkSpec {
             if (r.next() % 2 == 0)
               TxLog.compact(spark, dir, targetRowsPerFile = 8L)
             else
-              TxLog.optimizeZOrder(spark, dir, Seq("payload"),
+              TxLog.optimizeZOrder(spark, dir, Seq(payloadName),
                 targetRowsPerFile = 8L)
           case 7 => // vacuum: physical cleanup; time travel floor moves
             TxLog.vacuum(spark, dir, olderThanMs = 0L)
@@ -137,7 +145,12 @@ class TxLogModelFuzzSpec extends SparkSpec {
               TxLog.restore(spark, dir, target)
               model = versionModels(target)
             }
-          case 9 => // stats surface: counts from metadata only
+          case 9 => // rename: metadata-only logical flip; every later
+            // op must speak the new name, every earlier version keeps its
+            val to = if (payloadName == "payload") "payload_v2" else "payload"
+            TxLog.renameColumn(spark, dir, payloadName, to)
+            payloadName = to
+          case 10 => // stats surface: counts from metadata only
             TxLog.statsAggregate(spark, dir).foreach { stats =>
               val got = stats.map(s => s.partition -> s.rows).toMap
               val exp = model.groupBy { case (k, _) => partOf(k) }
@@ -149,6 +162,7 @@ class TxLogModelFuzzSpec extends SparkSpec {
         val hv = headVersion()
         opsLog += s"step $step: op=$opKind -> v$hv"
         versionModels(hv) = model
+        nameAtVersion(hv) = payloadName
         checkReadEqualsModel(step)
       }
 
@@ -156,8 +170,10 @@ class TxLogModelFuzzSpec extends SparkSpec {
       val probeVersions = versionModels.keys.filter(_ >= floor).toVector
       // time travel: every surviving recorded version reads back exactly
       probeVersions.foreach { v =>
+        // a version reads back under the LOGICAL names live AT v
         val got = TxLog.read(spark, dir, asOfVersion = Some(v))
-          .select("_docId", "payload").as[(String, Long)].collect().toMap
+          .select(col("_docId"), col(nameAtVersion(v)))
+          .as[(String, Long)].collect().toMap
         assert(got == versionModels(v),
           s"round $round: asOfVersion($v) diverged from the recorded model")
       }
@@ -168,8 +184,10 @@ class TxLogModelFuzzSpec extends SparkSpec {
           val j = (r.next() % probeVersions.length).toInt
           val (v1, v2) = (probeVersions(math.min(i, j)),
             probeVersions(math.max(i, j)))
+          // the feed surfaces BOTH sides under the newer version's
+          // logical names (applyColMap(toS.colMap))
           val ch = TxLog.changes(spark, dir, v1, v2)
-            .select("_docId", "payload", "_change_type")
+            .select(col("_docId"), col(nameAtVersion(v2)), col("_change_type"))
             .as[(String, Long, String)].collect()
           // the feed speaks the Delta CDC vocabulary: a key changed in
           // place arrives as an update_preimage/update_postimage pair,
@@ -188,10 +206,12 @@ class TxLogModelFuzzSpec extends SparkSpec {
               s"ops=${opsLog.mkString("; ")}")
         }
       }
+      info(s"round $round: ${opsLog.mkString("; ")}")
       // partition-pruned read: exact per-partition content
       Seq("p0", "p1").foreach { p =>
         val got = TxLog.read(spark, dir, partitions = Some(Set(p)))
-          .select("_docId", "payload").as[(String, Long)].collect().toMap
+          .select(col("_docId"), col(payloadName))
+          .as[(String, Long)].collect().toMap
         assert(got == model.filter { case (k, _) => partOf(k) == p },
           s"round $round: partition-pruned read of $p diverged")
       }
