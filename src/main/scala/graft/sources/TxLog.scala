@@ -520,17 +520,51 @@ object TxLog {
     }
   }
 
-  /** Validate a merge batch against the table's CHECK constraints —
-    * ONE distributed pass; throws naming the first violated constraint
-    * and its violation count before anything is staged or committed. */
-  private def validateConstraints(batch: DataFrame,
-      constraints: Map[String, String]): Unit =
-    constraints.toSeq.sortBy(_._1).foreach { case (name, exprSql) =>
-      val bad = batch.filter(!coalesce(expr(exprSql), lit(false))).count()
+  /** Validate a write batch against the table's CHECK constraints —
+    * ONE distributed pass per constraint; throws naming the first
+    * violated constraint and its violation count before anything is
+    * staged or committed. The batch is first WIDENED to the table's
+    * logical schema with null-filled missing columns: merge accepts
+    * narrow batches (missing columns store as null), so a constraint
+    * on a column the batch omits must evaluate over the null it will
+    * store (strict rule: null fails) — and a removal-only internal
+    * merge (deleteWhere's empty keys+partition frame) passes because
+    * zero rows can violate nothing, instead of crashing on an
+    * unresolvable column name. */
+  private def validateConstraints(batch: DataFrame, snap: Snapshot): Unit = {
+    if (snap.constraints.isEmpty) return
+    val widened = logicalNames(snap).filterNot(batch.columns.contains)
+      .foldLeft(batch)((d, c) => d.withColumn(c, lit(null)))
+    snap.constraints.toSeq.sortBy(_._1).foreach { case (name, exprSql) =>
+      val bad = widened.filter(!coalesce(expr(exprSql), lit(false))).count()
       if (bad > 0) throw new IllegalArgumentException(
         s"CHECK constraint '$name' ($exprSql) violated by $bad row(s) " +
-          "in the merge batch — nothing was committed")
+          "in the write batch — nothing was committed")
     }
+  }
+
+  /** Logical column names a CHECK constraint expression references —
+    * the guard input for [[renameColumn]]/[[dropColumn]] (renaming or
+    * dropping a constrained column would leave an expression that can
+    * never resolve again, bricking every later write until the
+    * constraint is dropped; Delta refuses the rename up front, so do
+    * we). Unparseable expressions reference nothing (they already fail
+    * loud at validation time). */
+  private def constraintRefs(exprSql: String): Seq[String] =
+    try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(exprSql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head
+      }
+    catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** Constraints naming `column` among their references (case-
+    * insensitive, Spark's resolution default). */
+  private def constraintsReferencing(
+      constraints: Map[String, String], column: String): Seq[String] =
+    constraints.collect {
+      case (n, sql) if constraintRefs(sql).exists(_.equalsIgnoreCase(column)) => n
+    }.toSeq.sorted
 
   /** [[read]] pinned to a tag (partition/key pruning included). */
   def readTag(spark: SparkSession, path: String, name: String,
@@ -1216,7 +1250,7 @@ object TxLog {
     // commits AFTER its own, same as Delta.) Constraints are written
     // against LOGICAL names, so they validate before the mapping.
     val snap0 = snapshot(spark, path)
-    validateConstraints(upLogical, snap0.constraints)
+    validateConstraints(upLogical, snap0)
     // COLUMN MAPPING: batches arrive under LOGICAL names and are
     // translated to the physical (as-stored) names before any staging.
     // Two guards fail loud instead of corrupting: a batch still using a
@@ -1419,7 +1453,7 @@ object TxLog {
     // insert-only path the one hole in the table's invariants.
     // Validated against LOGICAL names (constraints are written against
     // them), before the mapping below.
-    validateConstraints(df, snap0.constraints)
+    validateConstraints(df, snap0)
     // COLUMN MAPPING — same contract and guards as merge: batches
     // arrive under LOGICAL names and are translated to the physical
     // (as-stored) names before validation/staging; a batch still using
@@ -1571,6 +1605,12 @@ object TxLog {
         s"renameColumn: no column '$from' (have: ${logical.mkString(", ")})")
       require(!logical.contains(to),
         s"renameColumn: column '$to' already exists")
+      val constrained = constraintsReferencing(snap.constraints, from)
+      require(constrained.isEmpty,
+        s"renameColumn: column '$from' is referenced by CHECK " +
+          s"constraint(s) ${constrained.mkString(", ")} — drop them " +
+          "first (a rename would leave expressions that never resolve " +
+          "again, failing every later write)")
       // physical name of `from`: the key mapping to it, or itself
       val physical = snap.colMap.collectFirst {
         case (ph, lg) if lg == from => ph }.getOrElse(from)
@@ -1612,6 +1652,10 @@ object TxLog {
       val logical = logicalNames(snap)
       require(logical.contains(name),
         s"dropColumn: no column '$name' (have: ${logical.mkString(", ")})")
+      val constrained = constraintsReferencing(snap.constraints, name)
+      require(constrained.isEmpty,
+        s"dropColumn: column '$name' is referenced by CHECK " +
+          s"constraint(s) ${constrained.mkString(", ")} — drop them first")
       val physical = snap.colMap.collectFirst {
         case (ph, lg) if lg == name => ph }.getOrElse(name)
       val struct0 = org.apache.spark.sql.types.StructType.fromDDL(

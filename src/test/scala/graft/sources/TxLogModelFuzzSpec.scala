@@ -55,6 +55,9 @@ class TxLogModelFuzzSpec extends SparkSpec {
       var appendSeq = 0
       var payloadName = "payload" // current LOGICAL name (rename flips it)
       val nameAtVersion = scala.collection.mutable.LinkedHashMap.empty[Long, String]
+      var constraintCol: Option[String] = None // live CHECK constraint's column
+      // tag name -> (model, payload name) pinned at tag time
+      val tagModels = scala.collection.mutable.LinkedHashMap.empty[String, (Map[String, Long], String)]
 
       def partOf(k: String): String = k.substring(0, k.indexOf('#'))
       def poolKey(): String = s"p${r.next() % 2}#k${"%02d".format(r.next() % 20)}"
@@ -86,7 +89,7 @@ class TxLogModelFuzzSpec extends SparkSpec {
       checkReadEqualsModel(0)
 
       (1 to 12).foreach { step =>
-        val opKind = r.next() % 11
+        val opKind = r.next() % 14
         opKind match {
           case 0 | 1 | 2 => // merge: colliding upserts + disjoint removals
             val ups = (1 to (1 + (r.next() % 5)).toInt)
@@ -146,10 +149,21 @@ class TxLogModelFuzzSpec extends SparkSpec {
               model = versionModels(target)
             }
           case 9 => // rename: metadata-only logical flip; every later
-            // op must speak the new name, every earlier version keeps its
+            // op must speak the new name, every earlier version keeps its.
+            // A column a live CHECK constraint references must REFUSE the
+            // rename (the expression would never resolve again) and leave
+            // the table untouched — the post-step read check proves that.
             val to = if (payloadName == "payload") "payload_v2" else "payload"
-            TxLog.renameColumn(spark, dir, payloadName, to)
-            payloadName = to
+            if (constraintCol.contains(payloadName)) {
+              val e = intercept[IllegalArgumentException] {
+                TxLog.renameColumn(spark, dir, payloadName, to)
+              }
+              assert(e.getMessage.contains("CHECK"),
+                s"round $round step $step: wrong rename refusal: $e")
+            } else {
+              TxLog.renameColumn(spark, dir, payloadName, to)
+              payloadName = to
+            }
           case 10 => // stats surface: counts from metadata only
             TxLog.statsAggregate(spark, dir).foreach { stats =>
               val got = stats.map(s => s.partition -> s.rows).toMap
@@ -158,6 +172,38 @@ class TxLogModelFuzzSpec extends SparkSpec {
               assert(got == exp,
                 s"round $round step $step: statsAggregate $got != model $exp")
             }
+          case 11 => // CHECK constraint lifecycle + write-path rejection
+            constraintCol match {
+              case None =>
+                TxLog.addCheckConstraint(spark, dir, "nonneg",
+                  s"$payloadName >= 0")
+                constraintCol = Some(payloadName)
+                // BOTH write paths must reject a violating batch and
+                // leave the table untouched (post-step check proves it)
+                val badUp = Seq(("p0#k00", "p0", -1L))
+                  .toDF("_docId", "str_databaseid", payloadName)
+                val em = intercept[IllegalArgumentException] {
+                  TxLog.merge(spark, dir, badUp)
+                }
+                assert(em.getMessage.contains("nonneg"))
+                appendSeq += 1
+                val badAp = Seq((s"p0#a${"%04d".format(appendSeq)}", "p0", -1L))
+                  .toDF("_docId", "str_databaseid", payloadName)
+                val ea = intercept[IllegalArgumentException] {
+                  TxLog.append(spark, dir, badAp)
+                }
+                assert(ea.getMessage.contains("nonneg"))
+              case Some(_) =>
+                TxLog.dropCheckConstraint(spark, dir, "nonneg")
+                constraintCol = None
+            }
+          case 12 => // tag: pin this state; must survive vacuum + restore
+            TxLog.tag(spark, dir, s"t$step")
+            tagModels(s"t$step") = (model, payloadName)
+          case 13 => // drop one whole partition (metadata-only delete)
+            val p = s"p${r.next() % 2}"
+            TxLog.deletePartitions(spark, dir, Set(p))
+            model = model.filter { case (k, _) => partOf(k) != p }
         }
         val hv = headVersion()
         opsLog += s"step $step: op=$opKind -> v$hv"
@@ -205,6 +251,36 @@ class TxLogModelFuzzSpec extends SparkSpec {
               s"extra=${(folded.toSet -- versionModels(v2).toSet).take(3)} " +
               s"ops=${opsLog.mkString("; ")}")
         }
+      }
+      // tagged states read back exactly — including tags pinned BELOW a
+      // later vacuum's horizon (vacuum retains tagged versions' files)
+      tagModels.foreach { case (name, (m, pn)) =>
+        val got = TxLog.readTag(spark, dir, name)
+          .select(col("_docId"), col(pn)).as[(String, Long)].collect().toMap
+        assert(got == m, s"round $round: readTag($name) diverged")
+      }
+      // shallow clone: borrows the head's files by reference; reads the
+      // same state under the same logical names, and later mutations of
+      // the SOURCE never leak into the clone (snapshot isolation across
+      // tables). Cheap: metadata-only, no bytes copied.
+      locally {
+        val cloneDir = java.nio.file.Files
+          .createTempDirectory(s"graft-modelfz-clone-$round").toString + "/t"
+        TxLog.shallowClone(spark, dir, cloneDir)
+        val before = model
+        val beforeName = payloadName
+        // mutate the source AFTER the clone
+        TxLog.merge(spark, dir,
+          Seq(("p0#k00", "p0", 424242L))
+            .toDF("_docId", "str_databaseid", payloadName))
+        model = model + ("p0#k00" -> 424242L)
+        versionModels(headVersion()) = model
+        nameAtVersion(headVersion()) = payloadName
+        val got = TxLog.read(spark, cloneDir)
+          .select(col("_docId"), col(beforeName))
+          .as[(String, Long)].collect().toMap
+        assert(got == before,
+          s"round $round: shallow clone diverged from the state it pinned")
       }
       info(s"round $round: ${opsLog.mkString("; ")}")
       // partition-pruned read: exact per-partition content
