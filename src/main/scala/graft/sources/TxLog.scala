@@ -1422,6 +1422,12 @@ object TxLog {
     * copied or rewritten, and the rolled-back versions stay in the
     * history (a restore of a restore works; [[changes]] across the
     * restore commit shows the rollback as ordinary row changes). The
+    * WHOLE table state restores — CHECK constraints and the column
+    * mapping revert with the data, so `read()` after the restore is
+    * indistinguishable from `read(asOfVersion = target)` (Delta's
+    * RESTORE contract; data-only restore would leave rows violating a
+    * later-added constraint, or surface post-rename names over
+    * pre-rename data). The
     * target must still be readable: at-or-above the vacuum horizon, or
     * pinned by a [[tag]]. Optimistic like every commit. */
   /** INSERT-only commit (Delta's blind APPEND): stage `df`'s rows as
@@ -1736,8 +1742,17 @@ object TxLog {
       val headPaths = head.files.map(_.path).toSet
       val adds = target.files.filterNot(f => headPaths(f.path))
       val removes = head.files.filterNot(f => targetPaths(f.path))
+      // restore the WHOLE table state, metadata included: constraints
+      // and the column mapping revert WITH the data (explicit — an
+      // absent field would inherit the head's). Restoring data only
+      // would leave observable inconsistency: read() after a restore
+      // across a rename would surface different column names than
+      // read(asOfVersion = target), and rows predating a
+      // later-added CHECK constraint would sit in violation of a
+      // constraint the restore kept live.
       done = tryCommit(spark, path, head.version + 1, adds, removes,
-        target.schemaDdl.orElse(head.schemaDdl))
+        target.schemaDdl.orElse(head.schemaDdl),
+        Some(target.constraints), Some(target.colMap))
     }
   }
 

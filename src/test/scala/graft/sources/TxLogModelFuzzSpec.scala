@@ -56,6 +56,7 @@ class TxLogModelFuzzSpec extends SparkSpec {
       var payloadName = "payload" // current LOGICAL name (rename flips it)
       val nameAtVersion = scala.collection.mutable.LinkedHashMap.empty[Long, String]
       var constraintCol: Option[String] = None // live CHECK constraint's column
+      val constraintAtVersion = scala.collection.mutable.LinkedHashMap.empty[Long, Option[String]]
       // tag name -> (model, payload name) pinned at tag time
       val tagModels = scala.collection.mutable.LinkedHashMap.empty[String, (Map[String, Long], String)]
 
@@ -86,6 +87,7 @@ class TxLogModelFuzzSpec extends SparkSpec {
       model = seed
       versionModels(headVersion()) = model
       nameAtVersion(headVersion()) = payloadName
+      constraintAtVersion(headVersion()) = constraintCol
       checkReadEqualsModel(0)
 
       (1 to 12).foreach { step =>
@@ -146,7 +148,12 @@ class TxLogModelFuzzSpec extends SparkSpec {
             if (candidates.nonEmpty) {
               val target = candidates((r.next() % candidates.length).toInt)
               TxLog.restore(spark, dir, target)
+              // restore reverts the WHOLE table state: rows, the column
+              // mapping AND the constraint set (read() must equal
+              // read(asOfVersion = target))
               model = versionModels(target)
+              payloadName = nameAtVersion(target)
+              constraintCol = constraintAtVersion(target)
             }
           case 9 => // rename: metadata-only logical flip; every later
             // op must speak the new name, every earlier version keeps its.
@@ -209,6 +216,7 @@ class TxLogModelFuzzSpec extends SparkSpec {
         opsLog += s"step $step: op=$opKind -> v$hv"
         versionModels(hv) = model
         nameAtVersion(hv) = payloadName
+        constraintAtVersion(hv) = constraintCol
         checkReadEqualsModel(step)
       }
 
@@ -276,6 +284,7 @@ class TxLogModelFuzzSpec extends SparkSpec {
         model = model + ("p0#k00" -> 424242L)
         versionModels(headVersion()) = model
         nameAtVersion(headVersion()) = payloadName
+        constraintAtVersion(headVersion()) = constraintCol
         val got = TxLog.read(spark, cloneDir)
           .select(col("_docId"), col(beforeName))
           .as[(String, Long)].collect().toMap
