@@ -41,6 +41,29 @@ object GraftFunctions {
 
   // ---- static kernels (one source for interpreted AND generated code) --
 
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit md5-derived hash (see [[graft.llmops.Text.hash60]]) computed
+    * straight from the digest BYTES. Bit-identical to the SQL
+    * formulation `conv(substring(md5(s),1,15),16,10) % 2147483647`:
+    * the first 15 hex characters of the digest ARE its first 60 bits,
+    * i.e. the big-endian first 8 bytes shifted right 4. The SQL path
+    * materializes a 32-char hex string and re-parses 15 chars of it
+    * per call — pure churn on the hottest per-token/per-gram path in
+    * the gram-cache builds. */
+  def hash60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = Md5.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v >>> 4) % 2147483647L
+  }
+
   /** Sign-bit LSH bucket per table over the precomputed hyperplanes. */
   def lshBuckets(input: ArrayData): ArrayData = {
     // toDoubleArray is one copy per call; acceptable here (one call per
@@ -251,6 +274,18 @@ object GraftFunctions {
         l: Expression, r: Expression): CosineSimExpr = copy(l, r)
   }
 
+  /** `graft_hash60(s)` → the 60-bit md5-derived hash (see the kernel
+    * [[hash60]]); null-safe, codegen'd, byte-path only. */
+  case class Hash60Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(s: Any): Any =
+      hash60(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernel.hash60($c)")
+    override protected def withNewChildInternal(c: Expression): Hash60Expr =
+      copy(c)
+  }
+
   /** Plain sequential-fold dot product — for plans that precompute
     * per-vector norms once instead of re-deriving them per pair. */
   case class DotExpr(left: Expression, right: Expression)
@@ -380,6 +415,8 @@ object GraftFunctions {
       es => QuantizeExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot",
       es => DotExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hash60",
+      es => Hash60Expr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_nearest_centroids",
       es => NearestCentroidsExpr(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_nearest_centroids_l2",

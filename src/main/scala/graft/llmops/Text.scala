@@ -31,10 +31,19 @@ object Text {
   /** 60-bit stable hash of a string reduced into the Mersenne-ish field
     * used by the MinHash permutations. Built from md5 so the DuckDB
     * oracle can reproduce it bit-for-bit:
-    * `CAST(('0x' || substring(md5(s),1,15)) AS BIGINT) % 2147483647`. */
+    * `CAST(('0x' || substring(md5(s),1,15)) AS BIGINT) % 2147483647`.
+    * Served by the codegen'd [[graft.functions.GraftFunctions.Hash60Expr]]
+    * — digest bytes straight to the long (the first 15 hex chars ARE
+    * the first 60 bits), skipping the 32-char hex-string materialize +
+    * 15-char re-parse the `conv(substring(md5(s)))` form pays per call
+    * on the hottest per-token/per-gram path (bit-identity pinned by
+    * TextSpec against the SQL form and hash60Value). */
   val HashP = 2147483647L // 2^31 - 1; keeps a*g+b inside signed 64-bit
-  def hash60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % HashP
+  def hash60(s: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.GraftFunctions.Hash60Expr(GraftColumnBridge.expression(s)))
+  }
 
   /** Driver-side twin of [[hash60]] — bit-identical for any input (the
     * index layer uses it to map a QUERY term to its postings shard
