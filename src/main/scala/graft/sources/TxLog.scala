@@ -521,27 +521,64 @@ object TxLog {
   }
 
   /** Validate a write batch against the table's CHECK constraints —
-    * ONE distributed pass per constraint; throws naming the first
-    * violated constraint and its violation count before anything is
-    * staged or committed. The batch is first WIDENED to the table's
+    * ONE distributed pass for ALL constraints (a per-constraint count
+    * would scan the batch k times); throws naming the first violated
+    * constraint (alphabetical) and its violation count before anything
+    * is staged or committed. The batch is first WIDENED to the table's
     * logical schema with null-filled missing columns: merge accepts
     * narrow batches (missing columns store as null), so a constraint
     * on a column the batch omits must evaluate over the null it will
     * store (strict rule: null fails) — and a removal-only internal
     * merge (deleteWhere's empty keys+partition frame) passes because
     * zero rows can violate nothing, instead of crashing on an
-    * unresolvable column name. */
+    * unresolvable column name. Callers must pass a PINNED batch (the
+    * validated rows must be the rows that stage — see merge/append). */
   private def validateConstraints(batch: DataFrame, snap: Snapshot): Unit = {
     if (snap.constraints.isEmpty) return
     val widened = logicalNames(snap).filterNot(batch.columns.contains)
       .foldLeft(batch)((d, c) => d.withColumn(c, lit(null)))
-    snap.constraints.toSeq.sortBy(_._1).foreach { case (name, exprSql) =>
-      val bad = widened.filter(!coalesce(expr(exprSql), lit(false))).count()
+    val checks = snap.constraints.toSeq.sortBy(_._1)
+    val aggs = checks.map { case (n, e) =>
+      sum(when(!coalesce(expr(e), lit(false)), 1L).otherwise(0L)).as(n) }
+    val counts = widened.agg(aggs.head, aggs.tail: _*).collect()(0)
+    checks.zipWithIndex.foreach { case ((name, exprSql), i) =>
+      val bad = if (counts.isNullAt(i)) 0L else counts.getLong(i)
       if (bad > 0) throw new IllegalArgumentException(
         s"CHECK constraint '$name' ($exprSql) violated by $bad row(s) " +
           "in the write batch — nothing was committed")
     }
   }
+
+  /** The shared pre-stage column-mapping block of [[merge]] and
+    * [[append]]: stale-writer rejection, mapped-key/partition refusal,
+    * and LOGICAL→physical translation — ONE implementation, so a
+    * mapping fix lands once (the same rationale as BandStore for the
+    * band stores). Runs BEFORE constraint validation so a stale writer
+    * gets the purpose-built rename diagnosis, not a misleading
+    * "constraint violated over the null-widened missing column". */
+  private def mapBatchToPhysical(op: String, batch: DataFrame,
+      snap: Snapshot, keyCol: String, partitionCol: String): DataFrame = {
+    val liveMap = snap.colMap.filter { case (ph, lg) => ph != lg }
+    val stale = batch.columns.toSet.intersect(liveMap.keySet)
+    require(stale.isEmpty,
+      s"$op: column(s) ${stale.toSeq.sorted.mkString(", ")} were " +
+        "renamed — write under the current name(s): " +
+        stale.toSeq.sorted.map(liveMap).mkString(", "))
+    require(!liveMap.exists { case (ph, lg) =>
+        ph == keyCol || lg == keyCol || ph == partitionCol ||
+          lg == partitionCol },
+      s"$op: key/partition column under a rename mapping is not " +
+        "supported — rename it back first")
+    liveMap.foldLeft(batch) { case (d, (ph, lg)) =>
+      if (d.columns.contains(lg)) d.withColumnRenamed(lg, ph) else d
+    }
+  }
+
+  /** LOGICAL→physical translation of one column reference — for the
+    * name-keyed side inputs ([[read]]'s numRanges keys,
+    * [[optimizeZOrder]]'s zCols). */
+  private def toPhysicalName(snap: Snapshot, c: String): String =
+    snap.colMap.collectFirst { case (ph, lg) if lg == c => ph }.getOrElse(c)
 
   /** Logical column names a CHECK constraint expression references —
     * the guard input for [[renameColumn]]/[[dropColumn]] (renaming or
@@ -797,10 +834,7 @@ object TxLog {
     // defeats the z-order clustering it paid for)
     val physRanges =
       if (numRanges.isEmpty || snap.colMap.isEmpty) numRanges
-      else {
-        val toPhysical = snap.colMap.map { case (ph, lg) => lg -> ph }
-        numRanges.map { case (c, r) => toPhysical.getOrElse(c, c) -> r }
-      }
+      else numRanges.map { case (c, r) => toPhysicalName(snap, c) -> r }
     val live = if (physRanges.isEmpty) byPrefix else byPrefix.filter { f =>
       physRanges.forall { case (c, (lo, hi)) =>
         f.numStats.get(c) match {
@@ -1250,27 +1284,13 @@ object TxLog {
     // commits AFTER its own, same as Delta.) Constraints are written
     // against LOGICAL names, so they validate before the mapping.
     val snap0 = snapshot(spark, path)
+    // COLUMN MAPPING first (shared block — stale-writer/mapped-key
+    // guards + LOGICAL→physical translation), THEN constraint
+    // validation over the pinned LOGICAL batch: a stale writer must
+    // get the rename diagnosis, not a null-widened constraint error.
+    val up = mapBatchToPhysical("merge", upLogical, snap0, keyCol,
+      partitionCol)
     validateConstraints(upLogical, snap0)
-    // COLUMN MAPPING: batches arrive under LOGICAL names and are
-    // translated to the physical (as-stored) names before any staging.
-    // Two guards fail loud instead of corrupting: a batch still using a
-    // RENAMED-AWAY physical name is a stale writer; and a mapped
-    // key/partition column is unsupported (every key contract below
-    // speaks the caller's names).
-    val liveMap = snap0.colMap.filter { case (ph, lg) => ph != lg }
-    val stale = upLogical.columns.toSet.intersect(liveMap.keySet)
-    require(stale.isEmpty,
-      s"merge: column(s) ${stale.toSeq.sorted.mkString(", ")} were " +
-        "renamed — write under the current name(s): " +
-        stale.toSeq.sorted.map(liveMap).mkString(", "))
-    require(!liveMap.exists { case (ph, lg) =>
-        ph == keyCol || lg == keyCol || ph == partitionCol ||
-          lg == partitionCol },
-      s"merge: key/partition column under a rename mapping is not " +
-        "supported — rename it back first")
-    val up = liveMap.foldLeft(upLogical) { case (d, (ph, lg)) =>
-      if (d.columns.contains(lg)) d.withColumnRenamed(lg, ph) else d
-    }
     // file-level victim probe (see the class doc's WRITE AMPLIFICATION
     // note): the batch's distinct keys, sorted, when protocol-sized.
     // Collected ONCE off the pinned inputs — retries re-derive victims
@@ -1456,29 +1476,18 @@ object TxLog {
     val snap0 = snapshot(spark, path)
     // CHECK constraints govern EVERY write path, not just merge — an
     // append slipping a violating row past a constraint would make the
-    // insert-only path the one hole in the table's invariants.
-    // Validated against LOGICAL names (constraints are written against
-    // them), before the mapping below.
-    validateConstraints(df, snap0)
-    // COLUMN MAPPING — same contract and guards as merge: batches
-    // arrive under LOGICAL names and are translated to the physical
-    // (as-stored) names before validation/staging; a batch still using
-    // a renamed-away physical name is a stale writer (fail loud), and
-    // a mapped key/partition column is unsupported.
-    val liveMap = snap0.colMap.filter { case (ph, lg) => ph != lg }
-    val staleCols = df.columns.toSet.intersect(liveMap.keySet)
-    require(staleCols.isEmpty,
-      s"append: column(s) ${staleCols.toSeq.sorted.mkString(", ")} were " +
-        "renamed — write under the current name(s): " +
-        staleCols.toSeq.sorted.map(liveMap).mkString(", "))
-    require(!liveMap.exists { case (ph, lg) =>
-        ph == keyCol || lg == keyCol || ph == partitionCol ||
-          lg == partitionCol },
-      s"append: key/partition column under a rename mapping is not " +
-        "supported — rename it back first")
-    val phys = liveMap.foldLeft(df) { case (d, (ph, lg)) =>
-      if (d.columns.contains(lg)) d.withColumnRenamed(lg, ph) else d
-    }
+    // insert-only path the one hole in the table's invariants. The
+    // batch is PINNED first when (and only when) constraints exist:
+    // the validated rows must be the rows that stage, or a
+    // non-deterministic batch could pass validation and stage
+    // different, violating rows — while the unconstrained hot path
+    // (the band stores' per-trigger appends) skips the checkpoint
+    // materialization entirely. Mapping guards run BEFORE validation
+    // (shared block, same diagnosis-order rationale as merge).
+    val pinned = if (snap0.constraints.isEmpty) df else df.localCheckpoint()
+    val phys = mapBatchToPhysical("append", pinned, snap0, keyCol,
+      partitionCol)
+    validateConstraints(pinned, snap0)
     // the batch is validated against a snapshot's committed DDL: names
     // must match exactly (append never widens) AND same-named columns
     // must keep their committed types (same silent-retyping hazard
@@ -1968,10 +1977,7 @@ object TxLog {
       // rewrite frame and the staged numStats are PHYSICAL — translate,
       // so z-ordering a renamed column works and its stats line up with
       // read's (equally translated) numRanges keys
-      val zPhysical = {
-        val toPhysical = snap.colMap.map { case (ph, lg) => lg -> ph }
-        zCols.map(c => toPhysical.getOrElse(c, c))
-      }
+      val zPhysical = zCols.map(c => toPhysicalName(snap, c))
       val raw = readAddFiles(spark, path, inputs, snap.schemaDdl)
         .withColumn(partitionCol, col(partitionCol).cast("string"))
       zPhysical.foreach(c => require(raw.columns.contains(c),

@@ -78,13 +78,18 @@ class StreamScreenFuzzSpec extends SparkSpec {
                 if (!keeper.contains(f)) keeper(f) = id
               }
               batches += docs
+              // ONE file per logical batch: a multi-file write leaves a
+              // window where the file source could take the files in
+              // separate triggers, turning batch-internal lower-id-wins
+              // into file-arrival-order — the model must see the batch
+              // arrive whole
               docs.map(d => (d._1, d._2)).toDF("doc_id", "text")
-                .write.mode("append").parquet(src)
+                .coalesce(1).write.mode("append").parquet(src)
               q.processAllAvailable()
             case 2 if batches.nonEmpty => // at-least-once replay
               val b = batches((r.next() % batches.length).toInt)
               b.map(d => (d._1, d._2)).toDF("doc_id", "text")
-                .write.mode("append").parquet(src)
+                .coalesce(1).write.mode("append").parquet(src)
               q.processAllAvailable() // expected verdicts unchanged
             case _ => // maintenance must be observation-invisible
               IncrementalDedup.optimize(spark, store)

@@ -155,6 +155,41 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("exact embed pair scan streams the REPARTITIONED side of the BNLJ") {
+    // the repartition exists solely to SPREAD the O(n²) pair loop
+    // across tasks (the corpus parquet is a single split at bench
+    // SFs); nothing forces the planner's build-side choice, so if a
+    // stats/tie-break change ever flips it, the repartition feeds the
+    // BROADCAST while the whole loop streams through one task — a
+    // silent 2×+ regression with green hash gates (r12 found exactly
+    // this shape). Pin: every BNLJ in the pair scan builds on the
+    // non-repartitioned side.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q.plan
+        case s: InMemoryTableScanExec => s.relation.cachedPlan
+      }
+      p +: nested.filterNot(_ eq p).flatMap(flatten)
+    }
+    spark.catalog.clearCache()
+    val df = graft.SparkEntry.queries("llm_dedup_embed")(spark, sf())
+    val bnls = flatten(df.queryExecution.executedPlan)
+      .flatMap(_.collect { case b: BroadcastNestedLoopJoinExec => b })
+    assert(bnls.nonEmpty, "expected a BNLJ pair scan under the threshold")
+    bnls.foreach { b =>
+      val streamed = if (b.buildSide == BuildRight) b.left else b.right
+      assert(streamed.toString.contains("REPARTITION"),
+        s"the O(n²) stream side must be the repartitioned one:\n${b.treeString.take(2000)}")
+    }
+  }
+
   test("sketch facet partial-aggregates and its embedded check holds") {
     val df = graft.SparkEntry.queries("a1_facets_sketch")(spark, sf())
     val p = df.queryExecution.executedPlan.toString
