@@ -472,8 +472,13 @@ object TxLog {
 
   /** Add a CHECK constraint (Delta's `ALTER TABLE ADD CONSTRAINT`
     * analogue): `exprSql` is a boolean SQL expression over the table's
-    * columns; a row satisfies it only when it evaluates to TRUE (NULL
-    * is a violation — fail-loud, same as Delta). The EXISTING table
+    * columns; a row violates it only when it evaluates to FALSE — a
+    * NULL-valued expression SATISFIES the constraint, the SQL-standard
+    * CHECK semantics the reference's stores inherit. (This is what
+    * makes narrow upserts on constrained tables possible: a merge
+    * batch omitting a constrained nullable column null-widens and
+    * passes. Authors wanting NOT-NULL strictness write it explicitly:
+    * `c IS NOT NULL AND <pred>`.) The EXISTING table
     * must already satisfy the constraint (checked distributed, one
     * scan) and every subsequent [[merge]] batch is validated before
     * anything stages — a violating batch changes nothing. Published as
@@ -493,7 +498,7 @@ object TxLog {
       require(snap.version >= 0, s"addCheckConstraint: no table at $path")
       // validates the expression against the schema AND the rows
       val current = read(spark, path, asOfVersion = Some(snap.version))
-      val bad = current.filter(!coalesce(expr(exprSql), lit(false))).count()
+      val bad = current.filter(expr(exprSql) <=> lit(false)).count()
       require(bad == 0L,
         s"constraint '$name' ($exprSql) violated by $bad existing row(s)")
       done = tryCommit(spark, path, snap.version + 1, Seq.empty, Seq.empty,
@@ -528,18 +533,24 @@ object TxLog {
     * logical schema with null-filled missing columns: merge accepts
     * narrow batches (missing columns store as null), so a constraint
     * on a column the batch omits must evaluate over the null it will
-    * store (strict rule: null fails) — and a removal-only internal
-    * merge (deleteWhere's empty keys+partition frame) passes because
-    * zero rows can violate nothing, instead of crashing on an
-    * unresolvable column name. Callers must pass a PINNED batch (the
-    * validated rows must be the rows that stage — see merge/append). */
+    * store — and SQL CHECK semantics (violated only when FALSE, NULL
+    * satisfies) means such narrow upserts pass unless the constraint
+    * explicitly demands NOT NULL. A removal-only internal merge
+    * (deleteWhere's empty keys+partition frame) likewise passes
+    * instead of crashing on an unresolvable column name. The presence
+    * filter is case-INsensitive to match `withColumn`'s resolution: a
+    * batch column differing only in case from the committed name must
+    * count as present, not be silently replaced by a null column.
+    * Callers must pass a PINNED batch (the validated rows must be the
+    * rows that stage — see merge/append). */
   private def validateConstraints(batch: DataFrame, snap: Snapshot): Unit = {
     if (snap.constraints.isEmpty) return
-    val widened = logicalNames(snap).filterNot(batch.columns.contains)
+    val widened = logicalNames(snap)
+      .filterNot(n => batch.columns.exists(_.equalsIgnoreCase(n)))
       .foldLeft(batch)((d, c) => d.withColumn(c, lit(null)))
     val checks = snap.constraints.toSeq.sortBy(_._1)
     val aggs = checks.map { case (n, e) =>
-      sum(when(!coalesce(expr(e), lit(false)), 1L).otherwise(0L)).as(n) }
+      sum(when(expr(e) <=> lit(false), 1L).otherwise(0L)).as(n) }
     val counts = widened.agg(aggs.head, aggs.tail: _*).collect()(0)
     checks.zipWithIndex.foreach { case ((name, exprSql), i) =>
       val bad = if (counts.isNullAt(i)) 0L else counts.getLong(i)
@@ -585,14 +596,18 @@ object TxLog {
     * dropping a constrained column would leave an expression that can
     * never resolve again, bricking every later write until the
     * constraint is dropped; Delta refuses the rename up front, so do
-    * we). Unparseable expressions reference nothing (they already fail
-    * loud at validation time). */
+    * we). ALL nameParts of a reference count, not just the head: a
+    * qualified spelling (`t.payload > 0`) must register `payload`, or
+    * renaming/dropping it would slip past the guard and brick later
+    * writes — over-refusing on a rare nested-field name collision is
+    * the safe direction. Unparseable expressions reference nothing
+    * (they already fail loud at validation time). */
   private def constraintRefs(exprSql: String): Seq[String] =
     try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(exprSql).collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          a.nameParts.head
-      }
+          a.nameParts
+      }.flatten
     catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
   /** Constraints naming `column` among their references (case-
@@ -1487,7 +1502,6 @@ object TxLog {
     val pinned = if (snap0.constraints.isEmpty) df else df.localCheckpoint()
     val phys = mapBatchToPhysical("append", pinned, snap0, keyCol,
       partitionCol)
-    validateConstraints(pinned, snap0)
     // the batch is validated against a snapshot's committed DDL: names
     // must match exactly (append never widens) AND same-named columns
     // must keep their committed types (same silent-retyping hazard
@@ -1507,7 +1521,13 @@ object TxLog {
           phys.schema.filter(_.name != partitionCol) ++
             phys.schema.find(_.name == partitionCol)).toDDL)
       }
+    // column-set validation BEFORE constraint validation: append never
+    // widens, so a narrow batch (user error) must get the purpose-built
+    // "batch columns != table columns" diagnosis, not a constraint
+    // failure over a null-widened column it never carried — the same
+    // diagnosis-ordering rule the mapping guards follow.
     validate(snap0.schemaDdl)
+    validateConstraints(pinned, snap0)
     val clustered = phys
       .repartitionByRange(col(partitionCol), col(keyCol))
       .sortWithinPartitions(col(partitionCol), col(keyCol))

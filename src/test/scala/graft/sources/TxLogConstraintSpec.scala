@@ -74,16 +74,88 @@ class TxLogConstraintSpec extends SparkSpec {
     }
   }
 
-  test("NULL evaluates as a violation (fail-loud, Delta semantics)") {
+  test("NULL satisfies a CHECK (SQL semantics); explicit NOT NULL still gates") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ck2").toString
     TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", 1)))
     TxLog.addCheckConstraint(spark, dir, "qty_pos", "qty > 0")
+    // a NULL-valued expression is UNKNOWN, not FALSE → the row passes
+    val withNull = Seq(("dbA#a2", "dbA", null.asInstanceOf[Integer]))
+      .toDF("_docId", "str_databaseid", "qty")
+    TxLog.merge(spark, dir, withNull)
+    assert(TxLog.read(spark, dir).count() == 2)
+    // and the narrow-upsert consequence: a batch OMITTING the
+    // constrained column null-widens and passes too
+    val narrow = Seq(("dbA#a3", "dbA")).toDF("_docId", "str_databaseid")
+    TxLog.merge(spark, dir, narrow)
+    assert(TxLog.read(spark, dir).count() == 3)
+    // strictness is opt-in: author the NOT NULL explicitly — existing
+    // null rows (a2, a3) then violate the strict form at ADD time
+    intercept[IllegalArgumentException] {
+      TxLog.addCheckConstraint(spark, dir, "qty_strict",
+        "qty IS NOT NULL AND qty > 0")
+    }
+    assert(TxLog.snapshot(spark, dir).constraints.keySet == Set("qty_pos"))
+  }
+
+  test("strict NOT NULL constraint refuses null batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck2b").toString
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", 1)))
+    TxLog.addCheckConstraint(spark, dir, "qty_strict",
+      "qty IS NOT NULL AND qty > 0")
     val withNull = Seq(("dbA#a2", "dbA", null.asInstanceOf[Integer]))
       .toDF("_docId", "str_databaseid", "qty")
     intercept[IllegalArgumentException] {
       TxLog.merge(spark, dir, withNull)
     }
     assert(TxLog.read(spark, dir).count() == 1)
+  }
+
+  test("case-differing batch column counts as present in validation") {
+    // withColumn resolves case-insensitively; the widening filter must
+    // match, or a batch spelling `QTY` gets its real values silently
+    // replaced by nulls during validation
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck5").toString
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", 5)))
+    TxLog.addCheckConstraint(spark, dir, "qty_strict",
+      "qty IS NOT NULL AND qty > 0")
+    val upper = Seq(("dbA#a2", "dbA", 7))
+      .toDF("_docId", "str_databaseid", "QTY")
+    TxLog.merge(spark, dir, upper) // valid data must NOT spuriously fail
+    assert(TxLog.read(spark, dir).filter(col("qty") === 7).count() == 1)
+  }
+
+  test("append: narrow batch gets the schema diagnosis, not a constraint one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck6").toString
+    TxLog.merge(spark, dir, docs(("dbA#a1", "dbA", 5)))
+    TxLog.addCheckConstraint(spark, dir, "qty_strict",
+      "qty IS NOT NULL AND qty > 0")
+    val narrow = Seq(("dbA#a2", "dbA")).toDF("_docId", "str_databaseid")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(spark, dir, narrow)
+    }
+    assert(e.getMessage.contains("batch columns"),
+      s"expected the column-set diagnosis, got: ${e.getMessage}")
+  }
+
+  test("qualified constraint reference still guards the rename") {
+    // a qualified reference (`meta.qty`, a struct-field access) must
+    // register EVERY name part — old behavior registered only `meta`,
+    // so renaming a same-named top-level column slipped past the guard;
+    // the over-refusal here (refusing the rename of top-level `qty`
+    // even though the constraint reads the struct field) is deliberate:
+    // safer than bricking writes on the true-collision spelling
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck7").toString
+    val rows = Seq(("dbA#a1", "dbA", 5, 9))
+      .toDF("_docId", "str_databaseid", "qty", "inner_qty")
+      .withColumn("meta", struct(col("inner_qty").as("qty")))
+      .drop("inner_qty")
+    TxLog.merge(spark, dir, rows)
+    TxLog.addCheckConstraint(spark, dir, "q_pos", "meta.qty > 0")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, dir, "qty", "quantity")
+    }
+    assert(e.getMessage.contains("CHECK"),
+      s"expected the constraint-rename refusal, got: ${e.getMessage}")
   }
 
   test("constraints survive checkpoints and gate the txlog format write path") {
