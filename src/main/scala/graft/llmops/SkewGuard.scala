@@ -56,6 +56,131 @@ object SkewGuard {
   def cellPairs(items: DataFrame, cellCols: Seq[String], idCol: String,
       maxCell: Int = MaxCellSize,
       carryCols: Seq[String] = Nil): DataFrame = {
+    // ONE exchange: cluster rows by cell, sort (cell, id) within each
+    // partition, and stream the pairs out of a per-partition pass. The
+    // previous join formulation ([[cellPairsJoin]], kept as the spec
+    // reference) paid FIVE exchanges — the window build plus two
+    // shuffled-hash self-joins — which at bench scale is pure stage
+    // floor (llm_mm_phash: 7 exchanges total, oracle 4×) and at 100 TB
+    // re-shuffles the band rows three times. Memory stays bounded at
+    // O(maxCell) rows per task: a cell is buffered only up to
+    // maxCell + 1 rows — the moment it overflows, the buffer drains as
+    // star pairs and the rest of the cell STREAMS against the pinned
+    // representative, so a degenerate 10⁷-row cell never materializes
+    // anywhere (the join form kept it inside a spillable sort; this
+    // keeps it inside the same sort and never re-collects it).
+    // Output is row-for-row the join form's multiset: all (a < b)
+    // pairs for cells ≤ maxCell, rep × each remaining member above it
+    // (ties on id included, exactly like the star join's cell-equality
+    // condition); rows with a NULL cell key match nothing under the
+    // join's `===` and are filtered up front to preserve that.
+    val spark = items.sparkSession
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val proj = items
+      .filter(cellCols.map(col(_).isNotNull).reduce(_ && _))
+      .select((cellCols ++ (idCol +: carryCols)).map(col): _*)
+      .repartition(width, cellCols.map(col): _*)
+      .sortWithinPartitions((cellCols :+ idCol).map(col): _*)
+    val inSchema = proj.schema
+    val nCell = cellCols.length
+    val nCarry = carryCols.length
+    val idType = inSchema(nCell).dataType
+    val outSchema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("a_id", idType),
+        org.apache.spark.sql.types.StructField("b_id", idType)) ++
+        carryCols.flatMap { c =>
+          val f = inSchema(inSchema.fieldIndex(c))
+          Seq(f.copy(name = s"a_$c"), f.copy(name = s"b_$c"))
+        })
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    proj.mapPartitions { rows =>
+      val it = rows.buffered
+      def sameCell(a: org.apache.spark.sql.Row,
+          b: org.apache.spark.sql.Row): Boolean = {
+        var k = 0
+        while (k < nCell) {
+          if (a.get(k) != b.get(k)) return false
+          k += 1
+        }
+        true
+      }
+      def mkPair(a: org.apache.spark.sql.Row,
+          b: org.apache.spark.sql.Row): org.apache.spark.sql.Row = {
+        val vs = new Array[Any](2 + 2 * nCarry)
+        vs(0) = a.get(nCell)
+        vs(1) = b.get(nCell)
+        var k = 0
+        while (k < nCarry) {
+          vs(2 + 2 * k) = a.get(nCell + 1 + k)
+          vs(3 + 2 * k) = b.get(nCell + 1 + k)
+          k += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(scala.collection.immutable
+          .ArraySeq.unsafeWrapArray(vs))
+      }
+      new Iterator[org.apache.spark.sql.Row] {
+        private var out: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+        private def advance(): Unit = {
+          while (!out.hasNext && it.hasNext) {
+            val first = it.next()
+            val buf = scala.collection.mutable.ArrayBuffer(first)
+            var overflow = false
+            while (!overflow && it.hasNext && sameCell(it.head, first)) {
+              buf += it.next()
+              if (buf.length > maxCell) overflow = true
+            }
+            if (!overflow) {
+              // all (i < j) pairs; equal-id ties skipped, matching the
+              // small join's a_id < b_id condition (rows are id-sorted,
+              // so inequality within the sort ⟺ strictly smaller id)
+              val n = buf.length
+              out = new Iterator[org.apache.spark.sql.Row] {
+                private var i = 0
+                private var j = 1
+                private var nxt: org.apache.spark.sql.Row = null
+                private def seek(): Unit = {
+                  while (nxt == null && i < n - 1) {
+                    if (j >= n) { i += 1; j = i + 1 }
+                    else {
+                      if (buf(i).get(nCell) != buf(j).get(nCell))
+                        nxt = mkPair(buf(i), buf(j))
+                      j += 1
+                    }
+                  }
+                }
+                def hasNext: Boolean = { seek(); nxt != null }
+                def next(): org.apache.spark.sql.Row = {
+                  seek(); val r = nxt; nxt = null; r
+                }
+              }
+            } else {
+              // star: the id-smallest row is the representative; every
+              // other row of the cell (buffered so far, then streamed)
+              // pairs with it — O(maxCell) memory however big the cell
+              val rep = buf.head
+              val buffered = buf.iterator.drop(1)
+              val streamed = new Iterator[org.apache.spark.sql.Row] {
+                def hasNext: Boolean = it.hasNext && sameCell(it.head, first)
+                def next(): org.apache.spark.sql.Row = it.next()
+              }
+              out = (buffered ++ streamed).map(m => mkPair(rep, m))
+            }
+          }
+        }
+        def hasNext: Boolean = { advance(); out.hasNext }
+        def next(): org.apache.spark.sql.Row = { advance(); out.next() }
+      }
+    }(enc)
+  }
+
+  /** The join formulation of [[cellPairs]] — two shuffled-hash
+    * self-joins over a window-sized frame. Semantically identical
+    * (specs fuzz the two against each other); kept as the reference
+    * because its size/star contract is stated in relational form, the
+    * same form the SQL oracle twins inline. */
+  private[llmops] def cellPairsJoin(items: DataFrame, cellCols: Seq[String],
+      idCol: String, maxCell: Int = MaxCellSize,
+      carryCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyCols = cellCols.map(col)
     val w = Window.partitionBy(keyCols: _*).orderBy(col(idCol))

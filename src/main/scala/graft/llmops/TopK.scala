@@ -3,7 +3,9 @@ package graft.llmops
 import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions.udaf
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.{Column, Encoder, Encoders, GraftColumnBridge}
+
+import graft.functions.{BoundedTopKCarry, BoundedTopKPairs}
 
 /** Bounded top-k as a one-pass typed aggregate — the 100 TB shape for
   * "smallest k (key, id) pairs per group".
@@ -80,8 +82,20 @@ object TopK {
   }
 
   /** `smallestK(k)(key, id)` — aggregate to the packed sorted array of the
-    * k lexicographically-smallest (key, id) pairs. */
-  def smallestK(k: Int): UserDefinedFunction =
+    * k lexicographically-smallest (key, id) pairs. Backed by the native
+    * [[graft.functions.BoundedTopKPairs]] `TypedImperativeAggregate`
+    * (primitive-array buffer, no per-row encoder conversion — the udaf
+    * route's ~4 µs/row made the scale-correct shape a local regression
+    * on the sf0.1 ANN rankers); semantics identical to [[SmallestK]],
+    * which remains as the spec cross-check reference. */
+  def smallestK(k: Int): (Column, Column) => Column =
+    (key, id) => GraftColumnBridge.column(
+      BoundedTopKPairs(GraftColumnBridge.expression(key),
+        GraftColumnBridge.expression(id), k).toAggregateExpression())
+
+  /** The typed-`Aggregator` reference implementation of [[smallestK]]
+    * (specs cross-check the native aggregate against it). */
+  private[llmops] def smallestKRef(k: Int): UserDefinedFunction =
     udaf(new SmallestK(k), Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
 
   /** [[SmallestK]] with a carried payload: the k smallest DISTINCT ids
@@ -195,8 +209,20 @@ object TopK {
 
   /** `smallestKCarry(k)(key, id, carry)` — the k smallest (key, id)
     * pairs per group with a carried double, as
-    * `array<struct<_1: key, _2: id, _3: carry>>` in rank order. */
-  def smallestKCarry(k: Int): UserDefinedFunction =
+    * `array<struct<_1: key, _2: id, _3: carry>>` in rank order. Backed
+    * by the native [[graft.functions.BoundedTopKCarry]] (see
+    * [[smallestK]] for why); [[SmallestKCarry]] remains as the spec
+    * cross-check reference. */
+  def smallestKCarry(k: Int): (Column, Column, Column) => Column =
+    (key, id, carry) => GraftColumnBridge.column(
+      BoundedTopKCarry(GraftColumnBridge.expression(key),
+        GraftColumnBridge.expression(id),
+        GraftColumnBridge.expression(carry), k).toAggregateExpression())
+
+  /** The typed-`Aggregator` reference implementation of
+    * [[smallestKCarry]] (specs cross-check the native aggregate
+    * against it). */
+  private[llmops] def smallestKCarryRef(k: Int): UserDefinedFunction =
     udaf(new SmallestKCarry(k), Encoders.tuple(Encoders.scalaLong,
       Encoders.scalaLong, Encoders.scalaDouble))
 

@@ -80,7 +80,7 @@ class CurationQueriesSpec extends SparkSpec {
     // per stratum rather than the whole corpus
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
-    assert("partial_smallestk|ObjectHashAggregate.*partial".r
+    assert("partial_graft_topk|partial_smallestk".r
       .findFirstIn(plan.toLowerCase).isDefined, plan.take(2000))
   }
 
