@@ -60,7 +60,10 @@ object Bench {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
     selected.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count()
+      // same action as the timed pass (noop write) so the warmup
+      // compiles the same codegen shapes, including the output
+      // projections count() would have pruned
+      try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
     spark.sharedState.cacheManager.clearCache()
@@ -78,9 +81,23 @@ object Bench {
     // excluded from BOTH engines' totals so the headline ratio compares
     // only queries both engines completed.
     val qErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // FULL materialization (noop write: every row, every column), NOT
+    // count(). count() re-optimizes the plan for zero output columns:
+    // the final sort is eliminated, output-only projections prune away,
+    // and — decisively — LEFT OUTER joins whose right side is provably
+    // duplicate-free (any doc-id aggregate) are REMOVED entirely, so a
+    // query like llm_curate_pipeline2 collapsed to scan+groupBy and the
+    // bench recorded ~none of the work its oracle (a full fetchall)
+    // paid. Measured at sf0.1: pipeline2 count() 2.7 s warm vs 55-66 s
+    // full — the r12 flag analysis chased cache attribution when the
+    // instrument itself was the gap. The noop sink produces and
+    // discards every row, matching what the DuckDB side pays (minus
+    // its Python row conversion, an asymmetry in the ORACLE's favor).
     def timedPass(): Map[String, Double] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      } catch { case e: Throwable =>
         qErrors.getOrElseUpdate(name,
           Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
       }

@@ -14,12 +14,18 @@ object MicroBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val noClear = args.contains("-nc")
-    val rest = args.filterNot(_ == "-nc")
+    // -noop: materialize via a noop write (every row, every column —
+    // ScaleSmoke's action) instead of count() (which lets the optimizer
+    // prune the output projection and eliminate the final sort)
+    val noop = args.contains("-noop")
+    val rest = args.filterNot(a => a == "-nc" || a == "-noop")
     val sf = rest.headOption.getOrElse("/root/testdata/sf0.1")
     rest.drop(1).foreach { q =>
       (1 to 3).foreach { p =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, sf).count()
+        val df = SparkEntry.queries(q)(spark, sf)
+        if (noop) df.write.mode("overwrite").format("noop").save()
+        else df.count()
         println(f"MICRO $q pass$p ${(System.nanoTime() - t0) / 1e9}%.3f")
         if (!noClear) { spark.sharedState.cacheManager.clearCache(); System.gc() }
       }

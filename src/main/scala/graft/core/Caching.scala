@@ -27,9 +27,20 @@ object Caching {
   /** Persist AND materialize (count), once per cache generation — for
     * frames whose consumers fan into multiple plan branches in the
     * SAME job, where lazy materialization would recompute the subtree
-    * per branch (Catalyst does not CSE plan subtrees). */
-  def matOnce(df: DataFrame): DataFrame = {
-    if (df.storageLevel == StorageLevel.NONE) { df.persist(); df.count() }
+    * per branch (Catalyst does not CSE plan subtrees). Set
+    * GRAFT_TIMING=1 to print per-materialization wall times (dev
+    * attribution of cache-build cost inside composed queries). */
+  def matOnce2(label: String, df: DataFrame): DataFrame = matOnce(df, label)
+
+  def matOnce(df: DataFrame, label: String = ""): DataFrame = {
+    if (df.storageLevel == StorageLevel.NONE) {
+      df.persist()
+      if (sys.env.contains("GRAFT_TIMING")) {
+        val t0 = System.nanoTime()
+        df.count()
+        println(f"MATONCE ${if (label.isEmpty) df.hashCode.toString else label} ${(System.nanoTime() - t0) / 1e9}%.3f")
+      } else df.count()
+    }
     df
   }
 

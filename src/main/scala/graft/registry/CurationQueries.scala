@@ -35,15 +35,21 @@ object CurationQueries {
   /** Per-doc bigram-LM score aggregates `(doc_id, n_bigrams, score_fp)`
     * under the English-reference add-1 bigram model — the shared
     * builder for llm_quality_lmscore and the curation funnel's LM gate.
-    * Deliberately NOT session-cached: the output is doc-count-sized but
-    * persisting it costs a full extra materialization barrier per cache
-    * generation (measured: solo lmscore 0.75 s inline vs 1.96 s behind
-    * memoDf at sf0.1 — the cache build re-pays the corpus bigram join
-    * AND the InMemoryRelation write every generation, where the inline
-    * plan streams straight into the consumer). Plan construction is
-    * shared; execution stays declarative per query, riding the
-    * tokenArrays cache like every other text operator. */
-  private def lmScores(s: SparkSession, d: String): DataFrame = {
+    * PINNED (matOnce) at the return: every consumer references this
+    * frame at least twice — once under the `broadcast(total)` scalar
+    * and once as the stream side of the gate — and Catalyst does not
+    * CSE plan subtrees, so the unpinned form executed the whole bigram
+    * join chain per reference (the standalone lmscore query paid it
+    * 2×, the funnel up to 5× across its stage chain). An earlier
+    * round measured the inline form FASTER — but that measurement ran
+    * under `count()`, which prunes the provably-unique left joins and
+    * hid the recomputation entirely (see Bench.timedPass). Under full
+    * materialization the doc-sized cache write is strictly cheaper
+    * than a second bigram pass. */
+  private def lmScores(s: SparkSession, d: String): DataFrame =
+    graft.core.Caching.matOnce(lmScoresPlan(s, d), "lmScores")
+
+  private def lmScoresPlan(s: SparkSession, d: String): DataFrame = {
       val withLang = LlmQueries.tokenArrays(s, d)
         .join(t(s, d, "documents").select("doc_id", "lang"), Seq("doc_id"))
       val ref = withLang.filter(col("lang") === "en")
@@ -63,8 +69,8 @@ object CurationQueries {
         .select(col("doc_id"), col("bg"),
           element_at(col("tk"), col("i") + 1).as("w1"))
       docbg
-        .join(bi, Seq("bg"), "left")
-        .join(uni, col("w1") === col("w"), "left")
+        .join(bi.hint("shuffle_hash"), Seq("bg"), "left")
+        .join(uni.hint("shuffle_hash"), col("w1") === col("w"), "left")
         .crossJoin(broadcast(vocab))
         .select(col("doc_id"),
           floor(lit(1000000000.0) * (coalesce(col("c2"), lit(0L)) + 1) /
@@ -1016,28 +1022,38 @@ object CurationQueries {
           .select("doc_id", "lang", "source")
         val ntok = LlmQueries.tokenArrays(s, d)
           .select(col("doc_id"), size(col("tk")).as("ntok"))
-        // stage 1: LM gate off the shared score memo
+        // Every stage frame below is doc-id-sized and PINNED
+        // (matOnce) the moment it exists: each stage's plan nests the
+        // previous stages' plus a shared-memo build, and the final
+        // accounting references all four — Catalyst does not CSE plan
+        // subtrees, so the unpinned form re-executed the bigram-LM
+        // chain once per REFERENCE (~5× lmScores under full
+        // materialization; count()-based benches hid this by pruning
+        // the provably-unique left joins away — 55-66 s vs 2.7 s at
+        // sf0.1). Pinning caps the funnel at one execution per
+        // constituent plus four doc-id-sized cache writes.
+        // stage 1: LM gate off the shared score builder
         val lm = lmScores(s, d)
         val lmTot = lm.agg(sum("score_fp").as("ts"), sum("n_bigrams").as("tn"))
-        val s1 = lm.crossJoin(broadcast(lmTot))
+        val s1 = graft.core.Caching.matOnce2("s1", lm.crossJoin(broadcast(lmTot))
           .filter((col("score_fp").cast("double") / col("n_bigrams")) >
             (col("ts").cast("double") / col("tn")))
-          .select("doc_id")
+          .select("doc_id"))
         // stage 2: substring low-dup gate off the shared starts memo
-        val s2 = s1.join(ntok, Seq("doc_id"))
+        val s2 = graft.core.Caching.matOnce2("s2", s1.join(ntok, Seq("doc_id"))
           .join(LlmQueries.substringDupTokens(s, d), Seq("doc_id"), "left")
           .filter(coalesce(col("dup_tokens"), lit(0L)) * 5 < col("ntok"))
-          .select("doc_id")
+          .select("doc_id"))
         // stage 3: DSIR top-25% among survivors (weights shared) —
-        // exact boundary from the bucket histogram, no global rank
-        // snapshot = false: s2's stage frames also appear in the final
-        // funnel accounting joins — a checkpoint would split them out
-        // of the main plan and defeat exchange reuse (measured 3x)
-        val s3 = graft.llmops.TopFraction.mark(
+        // exact boundary from the bucket histogram, no global rank.
+        // snapshot = false: the mark's two internal passes read the
+        // PINNED s2 ∙ weights join, so a checkpoint would only add a
+        // materialization of what the cache already holds
+        val s3 = graft.core.Caching.matOnce2("s3", graft.llmops.TopFraction.mark(
             dsirWeights(s, d).join(s2, Seq("doc_id")).withColumn("score",
               col("weight_fp").cast("double") / col("n_tokens")),
             "score", "doc_id", 0.25, snapshot = false)
-          .filter(col("selected")).select("doc_id")
+          .filter(col("selected")).select("doc_id"))
         // stage 4: temperature sampling over the survivors' lang mix
         val lc = meta.join(s3, Seq("doc_id")).groupBy("lang").agg(
           count(lit(1)).as("n"),
@@ -1049,10 +1065,10 @@ object CurationQueries {
             (col("sv").cast("double") / col("st")) *
               (col("nd2").cast("double") / lit(2.0)) / col("n")).as("rate"))
         val h = Text.hash60(concat(lit("tmix2:"), col("doc_id").cast("string")))
-        val s4 = meta.join(s3, Seq("doc_id"))
+        val s4 = graft.core.Caching.matOnce2("s4", meta.join(s3, Seq("doc_id"))
           .join(broadcast(rates), Seq("lang"))
           .filter(h < col("rate") * lit(2147483647L))
-          .select("doc_id")
+          .select("doc_id"))
         meta
           .join(s1.withColumn("f1", lit(1)), Seq("doc_id"), "left")
           .join(s2.withColumn("f2", lit(1)), Seq("doc_id"), "left")

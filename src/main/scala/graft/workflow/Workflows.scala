@@ -23,6 +23,16 @@ import scala.util.{Failure, Success, Try}
   */
 object Workflows {
 
+  /** Driver-residency bound for crash recovery: `rehydrate` loads only
+    * the newest this-many executions into the runtime buffer (the
+    * collect is LIMIT-bounded inside the query). A long-lived tenant's
+    * execution log is unbounded; its full history stays queryable from
+    * the log via `executionTable`, and status upserts to evicted
+    * executions still resolve last-write-wins through the log. 10⁴
+    * records ≈ single-digit MB of driver heap — the contract is
+    * "recovery cost is O(retention), not O(history)". */
+  val RecoveryRetention = 10000
+
   /** W1 — registered pipeline. `waitForCallback` pipelines suspend the
     * execution after their transform runs (the external callout); the
     * workflow resumes when the callback token is delivered
@@ -239,17 +249,35 @@ object Workflows {
           val rows = spark.read.parquet(d)
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("executionId")).orderBy(col("recSeq").desc)
+          // BOUNDED recovery: only the newest `RecoveryRetention`
+          // executions become driver-resident — the bound rides the
+          // QUERY (orderBy + limit), so the collect is capped however
+          // long the tenant's log has grown (the reference's analog
+          // queries its executions table per asset, never whole;
+          // executeWorkflow.py:394-488). Older history stays in the
+          // log and remains visible through [[executionTable]], which
+          // reads the log lazily in durable mode; it is only the
+          // RUNTIME buffer (status upserts, failure lookups) that is
+          // bounded. An update to an evicted execution still works:
+          // the upsert appends a fresh record with a higher recSeq,
+          // and the log's latest-wins read resolves it.
           val latest = rows.withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).drop("_rn", "recSeq")
+            .orderBy(col("startedAtMs").desc, col("executionId").desc)
+            .limit(RecoveryRetention)
             .as[ExecutionRecord].collect()
           executions.clear()
-          executions ++= latest.sortBy(_.startedAtMs)
+          executions ++= latest.sortBy(r => (r.startedAtMs, r.executionId))
           recSeq = Option(rows.agg(max("recSeq")).head().get(0))
             .map(_.asInstanceOf[Long]).getOrElse(0L)
-          seq = executions.map(_.executionId)
-            .collect { case s if s.startsWith("exec-") =>
-              Try(s.stripPrefix("exec-").toInt).getOrElse(0) }
-            .foldLeft(0)(math.max)
+          // seq derives from the FULL log, not the bounded buffer — an
+          // old evicted execution may still hold the max suffix, and
+          // resuming below it would mint a colliding id
+          seq = Option(rows
+            .filter(col("executionId").startsWith("exec-"))
+            .agg(max(expr(
+              "coalesce(try_cast(substring(executionId, 6) AS INT), 0)")))
+            .head().get(0)).map(_.asInstanceOf[Int]).getOrElse(0)
         }
       val pendRoot = new org.apache.hadoop.fs.Path(root, "pending")
       if (fs.exists(pendRoot)) fs.listStatus(pendRoot).filter(_.isDirectory)
@@ -411,11 +439,30 @@ object Workflows {
       }
     }
 
-    /** J9 — execution listing as a DataFrame. */
+    /** J9 — execution listing as a DataFrame. Durable mode reads the
+      * LOG (latest record per execution), so the listing covers the
+      * full history even past the driver-resident
+      * [[Workflows.RecoveryRetention]] bound; in-memory mode lists the
+      * runtime buffer. */
     def executionTable(spark: SparkSession): DataFrame = {
       import spark.implicits._
-      executions.toSeq.toDF()
+      execLogDir.filter { d =>
+        fsAnd(d).exists { case (fs, p) => fs.exists(p) }
+      } match {
+        case Some(d) =>
+          val rows = spark.read.parquet(d)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("executionId")).orderBy(col("recSeq").desc)
+          rows.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn", "recSeq")
+            .as[ExecutionRecord].toDF()
+        case None => executions.toSeq.toDF()
+      }
     }
+
+    /** Driver-resident execution-record count (spec hook for the
+      * recovery bound). */
+    private[workflow] def residentExecutionCount: Int = executions.length
   }
 
   /** Rebuild a durable [[Registry]] after a driver restart: re-register

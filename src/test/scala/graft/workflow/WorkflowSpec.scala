@@ -194,4 +194,36 @@ class WorkflowSpec extends SparkSpec {
     assert(bad.map(_._1) == Set("a2", "a3"))
     assert(bad.forall(_._2.nonEmpty))
   }
+
+  test("recovery is bounded: 100k-record log rehydrates O(retention), full history stays listable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wfbig").toString
+    // synthesize a long-lived tenant's execution log DIRECTLY (10^5
+    // latest-wins records, one row each) — the recovery bound must ride
+    // the query, not the collect
+    val n = 100000
+    spark.range(n).selectExpr(
+      "'db1' AS databaseId",
+      "concat('a', id) AS assetId",
+      "concat('exec-', id) AS executionId",
+      "'wfb' AS workflowId",
+      "'SUCCEEDED' AS executionStatus",
+      "id AS startedAtMs",
+      "id AS stoppedAtMs",
+      "'' AS failedPipeline",
+      "id AS recSeq")
+      .write.mode("overwrite").parquet(dir + "/executions")
+    val pipes = Seq(Pipeline("inc", df => df.withColumn("v", col("v") + 1)))
+    val wf = Workflow("wfb", Seq("inc"))
+    val r = Workflows.recover(spark, dir, pipes, Seq(wf))
+    // driver residency is capped at the retention bound...
+    assert(r.residentExecutionCount == Workflows.RecoveryRetention)
+    // ...but the listing still surfaces the WHOLE history from the log
+    assert(r.executionTable(spark).count() == n)
+    // and the id sequence resumes past the evicted maximum - no collision
+    val (execId, res) = r.execute("wfb", "db1", "aNew", Seq(1).toDF("v"))
+    assert(res.isSuccess)
+    assert(execId == s"exec-$n")
+    assert(r.executionTable(spark).filter(col("executionId") === execId)
+      .head().getAs[String]("executionStatus") == "SUCCEEDED")
+  }
 }
