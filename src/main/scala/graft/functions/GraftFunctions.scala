@@ -246,6 +246,102 @@ object GraftFunctions {
     new GenericArrayData(out)
   }
 
+  /** Distinct character trigrams of `lower(s)`, first-occurrence order —
+    * the O(len) kernel behind [[TrigramsExpr]]. The HOF form
+    * (`array_distinct(transform(sequence(...), i => substr(i, 3)))`)
+    * re-walks the string's UTF-8 bytes from position 0 on EVERY
+    * `substr` call — O(len²) per evaluation, and CollapseProject
+    * inlines the trigram array into every consumer expression, so the
+    * langid scorer evaluated it four times per row (llm_text_langid_
+    * ngram: 6.8 s at sf0.1, the suite's most expensive query under
+    * full materialization). This walks the code points once and slices
+    * byte ranges. Bit-identical to the HOF: lowercase via
+    * `UTF8String.toLowerCase` (what `lower()` calls), code-point
+    * positions (what `substr` counts), first-occurrence dedup order
+    * (what `array_distinct` keeps). */
+  def trigramsOf(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val t = s.toLowerCase
+    val b = t.getBytes
+    // code-point start offsets
+    var n = 0
+    var p = 0
+    while (p < b.length) {
+      val lead = b(p) & 0xFF
+      p += (if (lead < 0x80) 1 else if (lead < 0xE0) 2
+            else if (lead < 0xF0) 3 else 4)
+      n += 1
+    }
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    p = 0
+    while (p < b.length) {
+      offs(i) = p
+      val lead = b(p) & 0xFF
+      p += (if (lead < 0x80) 1 else if (lead < 0xE0) 2
+            else if (lead < 0xF0) 3 else 4)
+      i += 1
+    }
+    offs(n) = b.length
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var k = 0
+    while (k + 3 <= n) {
+      seen.add(org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(b, offs(k), offs(k + 3) - offs(k)))
+      k += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
+  }
+
+  /** Sorted-bigram run statistics of a token array — the O(n log n)
+    * kernel behind [[BigramRunsExpr]]: builds the n−1 adjacent-bigram
+    * strings, sorts them (binary order — what `array_sort` uses for
+    * strings), and folds run lengths in one pass. Replaces the
+    * llm_quality_repetition `aggregate()` HOF fold, which is
+    * interpreted per element with a struct allocation per step
+    * (~2.5M Catalyst evals over the sf0.1 corpus ≈ 1 s; this kernel
+    * does the same work in tens of ms). Returns (best run, #runs,
+    * #length-1 runs) — bit-identical to the fold (same bigram
+    * construction as `concat_ws(" ", a, b)`: null tokens are skipped,
+    * not rendered). */
+  def bigramRuns(tk: ArrayData): InternalRow = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = tk.numElements()
+    if (n < 2) return new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](0L, 0L, 0L))
+    val space = UTF8String.fromString(" ")
+    val bg = new Array[UTF8String](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      val a = tk.getUTF8String(i)
+      val b = tk.getUTF8String(i + 1)
+      bg(i) =
+        if (a == null && b == null) UTF8String.EMPTY_UTF8
+        else if (a == null) b
+        else if (b == null) a
+        else UTF8String.concat(a, space, b)
+      i += 1
+    }
+    java.util.Arrays.sort(bg, (x: UTF8String, y: UTF8String) => x.compareTo(y))
+    var best = 0L
+    var nruns = 0L
+    var singles = 0L
+    var run = 0L
+    i = 0
+    while (i < bg.length) {
+      if (i == 0 || !bg(i).equals(bg(i - 1))) {
+        if (run == 1L) singles += 1L
+        run = 1L
+        nruns += 1L
+      } else run += 1L
+      if (run > best) best = run
+      i += 1
+    }
+    if (run == 1L) singles += 1L
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, nruns, singles))
+  }
+
   private val Kernel = "graft.functions.GraftFunctions"
 
   // ---- expressions ----------------------------------------------------
@@ -272,6 +368,36 @@ object GraftFunctions {
       defineCodeGen(ctx, ev, (a, b) => s"$Kernel.cosineSim($a, $b)")
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): CosineSimExpr = copy(l, r)
+  }
+
+  /** `graft_trigrams(s)` → distinct char trigrams of `lower(s)` in
+    * first-occurrence order (see the kernel [[trigramsOf]]); null-safe,
+    * codegen'd, one O(len) pass. */
+  case class TrigramsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(s: Any): Any =
+      trigramsOf(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernel.trigramsOf($c)")
+    override protected def withNewChildInternal(c: Expression): TrigramsExpr =
+      copy(c)
+  }
+
+  /** `graft_bigram_runs(tk)` → struct(best, nruns, singles) of the
+    * sorted adjacent-bigram runs (see the kernel [[bigramRuns]]);
+    * null-safe, codegen'd, one pass. */
+  case class BigramRunsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("best", LongType, nullable = false),
+      StructField("nruns", LongType, nullable = false),
+      StructField("singles", LongType, nullable = false)))
+    override def nullSafeEval(tk: Any): Any =
+      bigramRuns(tk.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernel.bigramRuns($c)")
+    override protected def withNewChildInternal(c: Expression): BigramRunsExpr =
+      copy(c)
   }
 
   /** `graft_hash60(s)` → the 60-bit md5-derived hash (see the kernel
@@ -417,6 +543,10 @@ object GraftFunctions {
       es => DotExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_hash60",
       es => Hash60Expr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_trigrams",
+      es => TrigramsExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bigram_runs",
+      es => BigramRunsExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_nearest_centroids",
       es => NearestCentroidsExpr(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_nearest_centroids_l2",

@@ -291,6 +291,15 @@ object TextIndex {
     * than 3 chars yield an empty array (a naive sequence(1, n-2) would
     * DESCEND for n < 3 and emit the short string itself as junk rows). */
   def trigrams(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.GraftFunctions.TrigramsExpr(
+      GraftColumnBridge.expression(c)))
+  }
+
+  /** The HOF reference form of [[trigrams]] (spec cross-checks the
+    * codegen kernel against it): O(len²) — every `substr` re-walks the
+    * UTF-8 bytes — which is why the kernel exists. */
+  private[query] def trigramsHof(c: Column): Column = {
     val t = lower(c)
     when(length(t) < 3, array().cast("array<string>"))
       .otherwise(array_distinct(transform(

@@ -84,10 +84,18 @@ object JoinAggQueries {
     //    deterministic for a given input, so this is a stable contract,
     //    not a flaky bound). The exact twin rides along only as the
     //    check harness; the sketch alone is the scale path.
+    // Oracle does the SAME validation work (its own HLL + exact +
+    // bound), not a TRUE literal: under full-materialization timing a
+    // work-free oracle made this row read as a 46× engine gap when it
+    // was an instrument asymmetry. DuckDB's HLL error is ~1.5% here,
+    // far inside the 6%+3 bound (probed at both gate SFs).
     sql("a1_facets_sketch",
       """SELECT o_orderpriority AS facet_value,
         |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-        |       TRUE AS sketch_ok
+        |       abs(approx_count_distinct(o_custkey)
+        |           - count(DISTINCT o_custkey))
+        |         <= greatest(3.0, 0.06 * count(DISTINCT o_custkey))
+        |         AS sketch_ok
         |FROM orders GROUP BY 1 ORDER BY facet_value""")(
       (s, d) => t(s, d, "orders")
         .groupBy(col("o_orderpriority").as("facet_value"))
