@@ -209,10 +209,19 @@ object Bench {
     // full per-query pairs as a FILE, out of the driver's 2k-tail budget.
     // Written only by FULL runs: a selective local iteration must not
     // clobber the committed full-suite detail with a 2-query fragment.
+    // `passes` carries the per-query DISPERSION (all pass times, not
+    // just the min) — the r12 verdict's flag-weather ask: a flag that
+    // appears in one pass under identical code is weather, and the
+    // spread is what tells cost from weather without re-deriving it.
+    val passDetail = ordered.collect {
+      case (n, _) if !qErrors.contains(n) =>
+        "\"" + n + "\":[" + passes.map(p => f3(p(n))).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     if (only.isEmpty)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),
-        (s"""{"sf":"$sfDir","errors":$errJson,"pairs":$detail}""" + "\n")
+        (s"""{"sf":"$sfDir","errors":$errJson,"pairs":$detail,""" +
+          s""""passes":$passDetail}""" + "\n")
           .getBytes("UTF-8"))
       catch { case _: Exception => () }
     // chars for the queries map in the final line: the whole line must stay

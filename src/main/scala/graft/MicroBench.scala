@@ -10,6 +10,12 @@ object MicroBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same instrument as Bench (AQE off unless SPARK_GRAFT_AQE) so
+      // micro timings predict bench rows — see ScaleSmoke's note
+      .config("spark.sql.adaptive.enabled",
+        sys.env.get("SPARK_GRAFT_AQE")
+          .exists(v => Set("true", "1", "yes")(v.toLowerCase)).toString)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -227,6 +227,15 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // SAME instrument as Bench: AQE off unless SPARK_GRAFT_AQE —
+      // measured 2-8× penalty on the composed multi-stage plans
+      // (llm_curate_pipeline2: 7.4 s AQE-off vs 18-63 s AQE-on at
+      // sf0.1), which would make growth ratios incomparable with the
+      // bench numbers they're meant to explain
+      .config("spark.sql.adaptive.enabled",
+        sys.env.get("SPARK_GRAFT_AQE")
+          .exists(v => Set("true", "1", "yes")(v.toLowerCase)).toString)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

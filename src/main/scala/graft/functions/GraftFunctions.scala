@@ -342,6 +342,69 @@ object GraftFunctions {
       Array[Any](best, nruns, singles))
   }
 
+  /** `split(trim(lower(s)), "\s+", -1)` as one byte-level pass — the
+    * kernel behind [[TokensExpr]], the hottest path of the entire text
+    * family (every gram cache, LM model, quality feature and DSIR
+    * bucket build tokenizes first). The HOF form pays
+    * lower→trim→`Pattern.split` (a regex engine walk plus a String[]
+    * allocation) per row; this walks the UTF-8 bytes once. Exact
+    * semantics replicated: lowercase via `UTF8String.toLowerCase`,
+    * trim = leading/trailing 0x20 only (what Spark's `trim()` does),
+    * separators = Java regex `\s` = {space, \t, \n, \x0B, \f, \r} (all
+    * single-byte in UTF-8, so byte scanning is code-point safe),
+    * leading/trailing separator runs yield empty tokens and the empty
+    * string yields [""] — Java `split` with limit -1, fuzz-pinned by
+    * TokensExprSpec. */
+  def tokensOf(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val t = s.toLowerCase.trim()
+    val b = t.getBytes
+    if (b.length == 0)
+      return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
+    @inline def sep(x: Byte): Boolean =
+      x == 32 || (x >= 9 && x <= 13)
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    if (sep(b(0))) out.add(UTF8String.EMPTY_UTF8)
+    while (i < b.length) {
+      while (i < b.length && sep(b(i))) i += 1
+      if (i < b.length) {
+        val start = i
+        while (i < b.length && !sep(b(i))) i += 1
+        out.add(UTF8String.fromBytes(b, start, i - start))
+      }
+    }
+    if (sep(b(b.length - 1))) out.add(UTF8String.EMPTY_UTF8)
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Count of code points NOT in `[a-zA-Z0-9 ]` — the kernel behind
+    * [[NonAlnumCountExpr]], replacing `regexp_count(text,
+    * "[^a-zA-Z0-9 ]")` in the quality features (a full regex-engine
+    * walk per row for a one-character class). Java regex character
+    * classes match per CODE POINT, so multibyte sequences count once:
+    * byte-level, every ASCII byte tests the class and every lead byte
+    * (≥ 0xC0) counts as one always-matching code point; continuation
+    * bytes are skipped. */
+  def nonAlnumCount(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val b = s.getBytes
+    var n = 0L
+    var i = 0
+    while (i < b.length) {
+      val x = b(i) & 0xFF
+      if (x < 0x80) {
+        val ok = (x >= 'a' && x <= 'z') || (x >= 'A' && x <= 'Z') ||
+          (x >= '0' && x <= '9') || x == ' '
+        if (!ok) n += 1
+        i += 1
+      } else if (x >= 0xC0) {
+        n += 1
+        i += 1
+      } else i += 1 // continuation byte
+    }
+    n
+  }
+
   private val Kernel = "graft.functions.GraftFunctions"
 
   // ---- expressions ----------------------------------------------------
@@ -368,6 +431,31 @@ object GraftFunctions {
       defineCodeGen(ctx, ev, (a, b) => s"$Kernel.cosineSim($a, $b)")
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): CosineSimExpr = copy(l, r)
+  }
+
+  /** `graft_tokens(s)` → whitespace tokens of `trim(lower(s))` (see the
+    * kernel [[tokensOf]]); null-safe, codegen'd, one byte pass. */
+  case class TokensExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(s: Any): Any =
+      tokensOf(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernel.tokensOf($c)")
+    override protected def withNewChildInternal(c: Expression): TokensExpr =
+      copy(c)
+  }
+
+  /** `graft_nonalnum_count(s)` → code points outside `[a-zA-Z0-9 ]`
+    * (see the kernel [[nonAlnumCount]]); null-safe, codegen'd. */
+  case class NonAlnumCountExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(s: Any): Any =
+      nonAlnumCount(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernel.nonAlnumCount($c)")
+    override protected def withNewChildInternal(
+        c: Expression): NonAlnumCountExpr = copy(c)
   }
 
   /** `graft_trigrams(s)` → distinct char trigrams of `lower(s)` in
@@ -547,6 +635,10 @@ object GraftFunctions {
       es => TrigramsExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bigram_runs",
       es => BigramRunsExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_tokens",
+      es => TokensExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_nonalnum_count",
+      es => NonAlnumCountExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_nearest_centroids",
       es => NearestCentroidsExpr(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_nearest_centroids_l2",

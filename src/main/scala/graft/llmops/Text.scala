@@ -12,7 +12,32 @@ import org.apache.spark.sql.functions._
 object Text {
 
   /** Whitespace tokens of the lower-cased, trimmed text. */
-  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+  /** Whitespace tokens of `trim(lower(text))` — served by the codegen
+    * byte-pass kernel ([[graft.functions.GraftFunctions.TokensExpr]]);
+    * the regex form below is the spec-pinned reference. This is the
+    * hottest expression in the engine (every gram/LM/quality/DSIR
+    * build starts here), and the regex split paid a Pattern walk per
+    * row (~10× the kernel's cost; visible as the llm_text_quality /
+    * llm_mix_quality sf1 growth in SCALE_r13). */
+  def tokens(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.GraftFunctions.TokensExpr(
+      GraftColumnBridge.expression(text)))
+  }
+
+  /** Regex reference form of [[tokens]] (TokensExprSpec fuzzes the
+    * kernel against it). */
+  private[llmops] def tokensRegex(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Count of code points outside `[a-zA-Z0-9 ]` — the codegen twin of
+    * `regexp_count(text, "[^a-zA-Z0-9 ]")` (the quality-feature punct
+    * count; kernel-fuzzed against the regex form). */
+  def nonAlnumCount(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.GraftFunctions
+      .NonAlnumCountExpr(GraftColumnBridge.expression(text)))
+  }
 
   /** Whitespace token COUNT with the empty-document guard (split of ""
     * yields [""], not []) — the one definition every query family's

@@ -262,7 +262,7 @@ object CurationQueries {
         ((lit(0.5) * (size(filter(tkq, x => x.isInCollection(stops)))
           .cast("double") / size(tkq)) +
           lit(0.5) * (lit(1.0) -
-            regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("double") /
+            graft.llmops.Text.nonAlnumCount(col("text")).cast("double") /
               length(col("text")))) >= 0.53).as("y"))
     // The sparse feature table is consumed ~7× per training run (per
     // iteration: scores, residual joins, bucket sums; plus dp and the
@@ -710,7 +710,7 @@ object CurationQueries {
           .select(col("doc_id"), col("h"),
             length(col("text")).cast("long").as("n_chars"),
             size(col("tk")).cast("long").as("n_tokens"),
-            regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("long")
+            graft.llmops.Text.nonAlnumCount(col("text")).cast("long")
               .as("n_punct"),
             size(filter(col("tk"), x => x.isInCollection(stops)))
               .cast("long").as("n_stop"))
@@ -1534,13 +1534,21 @@ object CurationQueries {
         def within3Sigma(est: Column, exact: Column): Column =
           abs(est - exact).cast("double") <=
             greatest(lit(3.0), lit(0.06) * exact)
-        rows.join(src, "doc_id")
-          .groupBy("source").agg(
-            approx_count_distinct(col("doc_id"), 0.02).as("est_docs"),
-            countDistinct(col("doc_id")).as("x_docs"),
-            count(lit(1)).as("n_postings"),
-            approx_count_distinct(col("g"), 0.02).as("est_grams"),
-            countDistinct(col("g")).as("x_grams"))
+        // sketches and exact distincts as SEPARATE aggregates joined on
+        // the group: combined, the distinct rewrite's Expand carries a
+        // 409-long partial HLL buffer per pre-aggregation row across
+        // the postings-sized exchange (same pathology as
+        // a1_facets_sketch, at ~1M posting rows); split, the HLL pass
+        // is one narrow map-side-combined scan
+        val joined = rows.join(src, "doc_id")
+        val est = joined.groupBy("source").agg(
+          approx_count_distinct(col("doc_id"), 0.02).as("est_docs"),
+          approx_count_distinct(col("g"), 0.02).as("est_grams"),
+          count(lit(1)).as("n_postings"))
+        val exact = joined.groupBy("source").agg(
+          countDistinct(col("doc_id")).as("x_docs"),
+          countDistinct(col("g")).as("x_grams"))
+        est.join(exact, "source")
           .select(col("source"), col("n_postings"),
             within3Sigma(col("est_docs"), col("x_docs")).as("docs_ok"),
             within3Sigma(col("est_grams"), col("x_grams")).as("grams_ok"))

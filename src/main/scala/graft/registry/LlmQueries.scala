@@ -1607,7 +1607,7 @@ object LlmQueries {
             col("doc_id"),
             length(col("text")).cast("long").as("n_chars"),
             size(col("tk")).cast("long").as("n_tokens"),
-            regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("long").as("n_punct"),
+            graft.llmops.Text.nonAlnumCount(col("text")).cast("long").as("n_punct"),
             size(filter(col("tk"), x => x.isInCollection(stops)))
               .cast("long").as("n_stop"))
         f.select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_punct"),

@@ -848,7 +848,7 @@ object PipelineQueries {
             (lit(0.5) * (size(filter(col("tkc"), x => x.isInCollection(stops)))
               .cast("double") / size(col("tkc"))) +
               lit(0.5) * (lit(1.0) -
-                regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("double") /
+                graft.llmops.Text.nonAlnumCount(col("text")).cast("double") /
                   length(col("text")))).as("quality"))
           .filter(col("quality") >= 0.53)
           // single-token docs have no bigrams: the oracle drops them via
