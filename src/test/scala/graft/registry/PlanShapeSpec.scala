@@ -97,7 +97,11 @@ class PlanShapeSpec extends SparkSpec {
   test("containment dedup shuffle-joins its verify stage (no corpus broadcast)") {
     assert(broadcastsOfCorpusStats("llm_dedup_containment").isEmpty,
       s"corpus stats broadcast: ${broadcastsOfCorpusStats("llm_dedup_containment")}")
-    assert(shuffledHashJoins("llm_dedup_containment") >= 3) // sketch join + 2 verify
+    // 2 verify joins; the candidate stage is the FUSED single-exchange
+    // cellPairs pass since r13 (was a third shuffled-hash self-join)
+    assert(shuffledHashJoins("llm_dedup_containment") >= 2)
+    assert(plan("llm_dedup_containment").contains("MapPartitions"),
+      "expected the fused cellPairs pair stage")
   }
 
   test("novelty profile never broadcasts the gram df table") {
@@ -372,7 +376,15 @@ class PlanShapeSpec extends SparkSpec {
         b.output.map(_.name).mkString(",")
     }
     assert(bad.isEmpty, s"corpus hash table broadcast: $bad")
-    assert(shuffledHashJoins("llm_mm_phash") >= 2)
+    // since r13 the capped cell pair stage is the FUSED single-exchange
+    // cellPairs pass (repartition by cell + in-partition streaming) —
+    // no self-joins left in this plan at all; pin the fused stage and
+    // that exactly one exchange feeds it (the carry-through verify
+    // means no join-back exchange exists either)
+    val p = plan("llm_mm_phash")
+    assert(p.contains("MapPartitions"),
+      "expected the fused cellPairs pair stage")
+    assert(shuffledHashJoins("llm_mm_phash") == 0, p.take(1500))
   }
 
   test("cluster-balanced sampling is a bounded aggregate, not a per-cluster window") {
