@@ -68,11 +68,83 @@ object GenScale {
     }.toDF("vec_id", "embedding", "label")
   }
 
+  /** Event stream: same schema/type/shape family as the driver's
+    * `events` table (5 equal-mass event types, 10× the rows over the
+    * SAME 30-day window — density grows with scale, events-per-user
+    * held ~constant by scaling the user population, value/props
+    * distributions matched). `ts` is written as plain TIMESTAMP
+    * (micros) — `Tables.normalizeEventTs` handles every shipped shape. */
+  def events(spark: SparkSession, nEvents: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val types = Array("view", "click", "purchase", "signup", "error")
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+    val span = 30L * 24 * 3600 * 1000000L
+    val nUsers = math.max(100L, nEvents / 67L) // driver: 100k ev / 1.5k users
+    spark.range(nEvents).map { id =>
+      val ts = base + id * (span / nEvents) +
+        math.floorMod(mix(id * 7 + 1), 1000000L)
+      (id, ts, math.floorMod(mix(id + 5), nUsers),
+        types(math.floorMod(mix(id + 9), types.length.toLong).toInt),
+        math.floorMod(mix(id + 11), 56021L) / 100.0,
+        s"""{"k": ${math.floorMod(mix(id + 13), 100L)}}""")
+    }.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** Order lines: same schema/type family as the driver's `lineitem`
+    * (1-7 lines per order, quantities 1-50, A/N/R / O/F codes,
+    * mid-90s-to-2000s ship dates). */
+  def lineitem(spark: SparkSession, nOrders: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val rf = Array("A", "N", "R")
+    val ls = Array("O", "F")
+    val dateBase = 841536000000000L // 1996-09-01T00:00:00Z micros
+    spark.range(nOrders).flatMap { ok =>
+      val nLines = 1 + math.floorMod(mix(ok + 3), 7L).toInt
+      (1 to nLines).map { ln =>
+        val h = mix(ok * 131 + ln)
+        val qty = (1 + math.floorMod(h, 50L)).toDouble
+        (ok, math.floorMod(mix(h + 1), 200000L), math.floorMod(mix(h + 2), 10000L),
+          ln, qty, qty * (900 + math.floorMod(h, 100L)),
+          math.floorMod(h, 11L) / 100.0, math.floorMod(h, 9L) / 100.0,
+          rf(math.floorMod(h, 3L).toInt), ls(math.floorMod(h, 2L).toInt),
+          dateBase + math.floorMod(mix(h + 4), 5L * 365) * 86400000000L)
+      }
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "ship_us")
+      .withColumn("l_shipdate", timestamp_micros(col("ship_us")))
+      .drop("ship_us")
+  }
+
+  /** Parts: same schema/shape family as the driver's `part` (two-word
+    * names/types over small vocabularies, 25 brands, sizes 1-50). */
+  def part(spark: SparkSession, nParts: Long): DataFrame = {
+    import spark.implicits._
+    val adj = Array("large", "hot", "small", "cold", "bright", "dim")
+    val noun = Array("ring", "bolt", "gear", "pipe", "plate", "wheel")
+    val typ = Array("LARGE", "ECONOMY", "STANDARD", "SMALL", "PROMO")
+    spark.range(nParts).map { id =>
+      val h = mix(id + 21)
+      (id,
+        s"${adj(math.floorMod(h, 6L).toInt)} ${noun(math.floorMod(h >> 8, 6L).toInt)}",
+        s"Brand#${1 + math.floorMod(h >> 16, 25L)}",
+        typ(math.floorMod(h >> 24, 5L).toInt),
+        (1 + math.floorMod(h >> 32, 50L)).toInt,
+        900.0 + math.floorMod(h >> 40, 1000L) / 10.0)
+    }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice")
+  }
+
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "/root/repo/testdata-sf1"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -80,7 +152,16 @@ object GenScale {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     embeddings(spark, 20000L).coalesce(4)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    println(s"wrote sf1 documents+embeddings under $out")
+    // 10× the driver's sf0.1 row counts — lets the event/metadata-
+    // family flags (ev1, f7, w6, tg1) run the same crossover audit as
+    // the document family
+    events(spark, 1000000L).coalesce(4)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    lineitem(spark, 1500000L).coalesce(8)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    part(spark, 200000L).coalesce(2)
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+    println(s"wrote sf1 documents+embeddings+events+lineitem+part under $out")
     spark.stop()
   }
 }
