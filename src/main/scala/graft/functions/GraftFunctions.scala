@@ -405,6 +405,48 @@ object GraftFunctions {
     n
   }
 
+  /** hash60 of each DISTINCT word n-gram shingle, first-occurrence
+    * order — the fused kernel behind [[ShingleHash60Expr]]:
+    * `transform(Text.shingles(tk)) → explode → hash60` collapsed into
+    * one pass. The HOF chain pays, per shingle, three interpreted
+    * `element_at`s + a `concat_ws` allocation, then an `array_distinct`
+    * over the strings, a CACHED materialization of the string arrays
+    * and a second projection hashing each exploded string. The kernel
+    * concatenates token bytes once per shingle, dedups in insertion
+    * order (array_distinct semantics) and hashes only the distinct
+    * survivors — the gram-cache build is the dominant shared cost of
+    * the whole dedup/profile family. Multiset + order of the emitted
+    * hashes are IDENTICAL to the HOF chain (null tokens skipped like
+    * concat_ws; hash collisions between distinct shingles produce the
+    * same duplicate hashes either way). */
+  def shingleHashes(tk: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val m = tk.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val space = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + n <= m) {
+      val parts = new java.util.ArrayList[UTF8String](2 * n - 1)
+      var k = 0
+      while (k < n) {
+        val t = tk.getUTF8String(i + k)
+        if (t != null) {
+          if (!parts.isEmpty) parts.add(space)
+          parts.add(t)
+        }
+        k += 1
+      }
+      seen.add(UTF8String.concat(parts.toArray(new Array[UTF8String](parts.size())): _*))
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = hash60(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+
   private val Kernel = "graft.functions.GraftFunctions"
 
   // ---- expressions ----------------------------------------------------
@@ -456,6 +498,22 @@ object GraftFunctions {
       defineCodeGen(ctx, ev, c => s"$Kernel.nonAlnumCount($c)")
     override protected def withNewChildInternal(
         c: Expression): NonAlnumCountExpr = copy(c)
+  }
+
+  /** `graft_shingle_hash60(tk)` → hash60 of each distinct word
+    * `n`-gram shingle in first-occurrence order (see the kernel
+    * [[shingleHashes]]); null-safe, codegen'd, one pass. */
+  case class ShingleHash60Expr(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(tk: Any): Any =
+      shingleHashes(tk.asInstanceOf[ArrayData], n)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernel.shingleHashes($c, $n)")
+    override protected def withNewChildInternal(
+        c: Expression): ShingleHash60Expr = copy(child = c)
   }
 
   /** `graft_trigrams(s)` → distinct char trigrams of `lower(s)` in

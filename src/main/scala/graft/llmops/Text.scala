@@ -46,6 +46,18 @@ object Text {
     when(length(trim(text)) === 0, 0L)
       .otherwise(size(tokens(text)).cast("long"))
 
+  /** [[hash60]] of each distinct word n-gram shingle, first-occurrence
+    * order — `explode(shingles(tk)) → hash60(gram)` fused into one
+    * codegen pass ([[graft.functions.GraftFunctions.ShingleHash60Expr]];
+    * multiset/order identical, spec-fuzzed). The batch gram-cache
+    * build rides this; consumers that need the shingle STRINGS keep
+    * [[shingles]]. */
+  def shingleHashes(toks: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.GraftFunctions
+      .ShingleHash60Expr(GraftColumnBridge.expression(toks), n))
+  }
+
   /** Distinct word n-gram shingles; empty array for docs shorter than n. */
   def shingles(toks: Column, n: Int = 3): Column =
     when(size(toks) >= n,

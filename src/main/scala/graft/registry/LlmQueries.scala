@@ -89,12 +89,18 @@ object LlmQueries {
     // blowup; measured 20 s vs 1 s at sf0.1). Deriving shingles from
     // the CACHED tk attribute removes that hazard structurally.
     val toks = tokenArrays(s, d)
+    // FUSED shingle+hash kernel (r13): the HOF chain built shingle
+    // STRING arrays (three interpreted element_ats + a concat_ws per
+    // shingle), cached them, then re-projected a hash per exploded
+    // string; the kernel emits the distinct shingles' hash60s in one
+    // pass and the cache holds long arrays instead of strings —
+    // multiset/order identical (ShingleHashSpec fuzzes it against the
+    // HOF chain)
     val arrays = Caching.memoDf(s, s"gramArrays:$d") {
-      toks.select(col("doc_id"), Text.shingles(col("tk")).as("grams"))
+      toks.select(col("doc_id"), Text.shingleHashes(col("tk")).as("grams"))
     }
     Caching.memoDf(s, s"gramHashes:$d") {
-      arrays.select(col("doc_id"), explode(col("grams")).as("gram"))
-        .withColumn("g", Text.hash60(col("gram")))
+      arrays.select(col("doc_id"), explode(col("grams")).as("g"))
     }
   }
 
