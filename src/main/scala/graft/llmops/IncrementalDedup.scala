@@ -240,8 +240,7 @@ object IncrementalDedup {
     docs
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol),
-        explode(Text.shingles(Text.tokens(col(textCol)))).as("gram"))
-      .select(col(idCol), Text.hash60(col("gram")).as("g"))
+        explode(Text.shingleHashes(Text.tokens(col(textCol)))).as("g"))
       .groupBy(idCol)
       .agg(MinHash.minhash(col("g")).as("sig"))
 

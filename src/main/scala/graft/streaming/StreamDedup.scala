@@ -44,10 +44,10 @@ object StreamDedup {
     * would otherwise spuriously collide every short doc. */
   def bands(docs: DataFrame): DataFrame = {
     val sig = docs
-      .select(col("doc_id"), Text.shingles(Text.tokens(col("text"))).as("grams"))
+      .select(col("doc_id"),
+        Text.shingleHashes(Text.tokens(col("text"))).as("grams"))
       .filter(size(col("grams")) > 0)
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .withColumn("g", Text.hash60(col("gram")))
+      .select(col("doc_id"), explode(col("grams")).as("g"))
       .groupBy("doc_id").agg(MinHash.minhash(col("g")).as("sig"))
     val bandStructs = array((0 until MinHash.NumBands).map { b =>
       struct(lit(b).as("band"),

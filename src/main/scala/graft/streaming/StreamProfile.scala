@@ -65,7 +65,7 @@ object StreamProfile {
   private def shingleArrays(docs: DataFrame): DataFrame = {
     val arrays = docs
       .select(col("source"), col("doc_id"),
-        Text.shingles(Text.tokens(col("text"))).as("grams"))
+        Text.shingleHashes(Text.tokens(col("text"))).as("grams"))
       .filter(size(col("grams")) > 0)
       .persist()
     arrays.count()
@@ -74,8 +74,7 @@ object StreamProfile {
 
   private def profileOf(arrays: DataFrame): DataFrame =
     arrays
-      .select(col("source"), col("doc_id"), explode(col("grams")).as("gram"))
-      .withColumn("g", Text.hash60(col("gram")))
+      .select(col("source"), col("doc_id"), explode(col("grams")).as("g"))
       .groupBy("source").agg(
         count_distinct(col("doc_id")).as("n_docs"),
         count(col("g")).as("n_postings"),
