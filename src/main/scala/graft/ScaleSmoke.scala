@@ -141,6 +141,9 @@ object GenScale {
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "/root/repo/testdata-sf1"
+    // second arg: scale multiplier on the sf1 row counts (e.g. 3 for the
+    // sf3 notch the floor-class crossovers extrapolate to). Default 1.
+    val m = if (args.length >= 2) args(1).toLong else 1L
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -148,20 +151,20 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    documents(spark, 50000L).coalesce(4)
+    documents(spark, 50000L * m).coalesce((4 * m).toInt)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    embeddings(spark, 20000L).coalesce(4)
+    embeddings(spark, 20000L * m).coalesce((4 * m).toInt)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     // 10× the driver's sf0.1 row counts — lets the event/metadata-
     // family flags (ev1, f7, w6, tg1) run the same crossover audit as
     // the document family
-    events(spark, 1000000L).coalesce(4)
+    events(spark, 1000000L * m).coalesce((4 * m).toInt)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
-    lineitem(spark, 1500000L).coalesce(8)
+    lineitem(spark, 1500000L * m).coalesce((8 * m).toInt)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    part(spark, 200000L).coalesce(2)
+    part(spark, 200000L * m).coalesce((2 * m).toInt)
       .write.mode("overwrite").parquet(s"$out/part.parquet")
-    println(s"wrote sf1 documents+embeddings+events+lineitem+part under $out")
+    println(s"wrote sf$m documents+embeddings+events+lineitem+part under $out")
     spark.stop()
   }
 }

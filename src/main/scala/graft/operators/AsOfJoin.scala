@@ -60,4 +60,40 @@ object AsOfJoin {
     val rightOut = rightPayload.map { case (n, _) => col("__m").getField(n).as(n) }
     matched.select(leftOut ++ rightOut: _*)
   }
+
+  /** [[asOf]] specialized for the SELF-join shape: both sides are
+    * slices of ONE frame, tagged per row by `isRight` (left rows are
+    * the rest). Semantically identical to
+    * `asOf(events.filter(!isRight), events.filter(isRight), ...)` — but
+    * planned as a single scan + tag instead of two scans unioned (the
+    * generic form reads the source twice; an event-table as-of is the
+    * common case and its input is usually the engine's biggest table).
+    * The caller must pre-filter `events` to rows belonging to either
+    * side. `leftCols` are the left-side output columns, evaluated on
+    * left rows only. */
+  def asOfTagged(events: DataFrame, isRight: Column, keys: Seq[String],
+      leftTime: Column, rightTime: Column,
+      leftCols: Seq[(String, Column)],
+      rightPayload: Seq[(String, Column)],
+      rightTiebreak: Column): DataFrame = {
+    val rStruct = struct(rightPayload.map { case (n, c) => c.as(n) }: _*)
+    val lStruct = struct(leftCols.map { case (n, c) => c.as(n) }: _*)
+    val merged = events.select(
+      keys.map(col) ++ Seq(
+        when(isRight, rightTime).otherwise(leftTime).as("__t"),
+        when(isRight, lit(1)).otherwise(lit(0)).as("__side"),
+        when(isRight, rightTiebreak).as("__tb"),
+        when(isRight, rStruct).as("__r"),
+        when(!isRight, lStruct).as("__l")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").desc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = merged
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+    val leftOut = leftCols.map { case (n, _) => col("__l").getField(n).as(n) }
+    val rightOut = rightPayload.map { case (n, _) =>
+      col("__m").getField(n).as(n) }
+    matched.select(leftOut ++ rightOut: _*)
+  }
 }

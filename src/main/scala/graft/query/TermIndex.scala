@@ -189,12 +189,13 @@ object TermIndex {
         partitions = Some(termShards), keyPrefixes = Some(termPrefixes))
       .filter(col("term").isin(terms: _*))
       .select("term", "doc_id", "tf", "dl")
-    // per-query-term document frequencies: an aggregation of the pruned
-    // postings themselves (tiny: ≤ |terms| rows out)
-    val idf = posts.groupBy("term")
-      .agg(count(lit(1)).cast("long").as("df"))
-      .select(col("term"), call_function("graft_log2_fp",
-        lit(n * 2 + 2), col("df") * 2L + lit(1L)).as("idf_fp"))
+    // per-query-term document frequencies via a term-partitioned window
+    // over the pruned postings themselves — the postings ARE the df
+    // (tiny: the query's own lists), and the window keeps everything in
+    // ONE pass where a separate aggregate + broadcast join paid an extra
+    // job + broadcast build per query (the index route's fixed cost is
+    // what it competes on; the work per row is identical)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("term")
     // the length-norm constants q = (18432·n) DIV Σdl, r = (18432·n)
     // MOD Σdl are LONG math on the driver (18432·n is safe for any
     // n < 5·10^14 docs — Bm25.scala's documented bound) and enter the
@@ -202,7 +203,10 @@ object TermIndex {
     // parses as INT32 and overflows under ANSI once n·18432 > 2^31
     val q = n * 18432L / sumdl
     val r = n * 18432L % sumdl
-    val scored = posts.join(broadcast(idf), "term")
+    val scored = posts
+      .withColumn("df", count(lit(1)).over(w).cast("long"))
+      .withColumn("idf_fp", call_function("graft_log2_fp",
+        lit(n * 2 + 2), col("df") * 2L + lit(1L)))
       .withColumn("score_t", expr(
         s"(idf_fp * 44 * tf * 1024) DIV " +
           s"((tf * 20 + 6) * 1024 + " +

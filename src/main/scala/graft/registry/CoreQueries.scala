@@ -280,9 +280,10 @@ object CoreQueries {
     sql("o3_bm25_rank",
       graft.query.Bm25.oracleSql(Seq("dup", "merge", "scan"), 100))(
       (s, d) => graft.query.Bm25.rank(
-        t(s, d, "documents").filter(length(trim(col("text"))) > 0)
-          .select(col("doc_id"),
-            graft.llmops.Text.tokens(col("text")).as("tk")),
+        // the shared token cache IS this input (same filter, same
+        // tokenize) — the scan route's corpus pass rides it instead of
+        // re-tokenizing per invocation
+        LlmQueries.tokenArrays(s, d).select("doc_id", "tk"),
         "doc_id", "tk", Seq("dup", "merge", "scan"), 100)),
 
     // ── O3 served from the INVERTED INDEX (query/TermIndex): same

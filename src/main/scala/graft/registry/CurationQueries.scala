@@ -47,11 +47,17 @@ object CurationQueries {
     * materialization the doc-sized cache write is strictly cheaper
     * than a second bigram pass. */
   private def lmScores(s: SparkSession, d: String): DataFrame =
-    graft.core.Caching.matOnce(lmScoresPlan(s, d), "lmScores")
+    // construction memo on top of the materialization pin: the chain is
+    // ~60 plan nodes and every consumer invocation re-ran the Analyzer
+    // over it (measured ~0.3 s driver time per call); the memo returns
+    // the same analyzed Dataset and matOnce re-pins it per cache
+    // generation (the eager flag IS matOnce)
+    graft.core.Caching.memoDf(s, s"lmScores:$d", eager = true)(
+      lmScoresPlan(s, d))
 
   private def lmScoresPlan(s: SparkSession, d: String): DataFrame = {
       val withLang = LlmQueries.tokenArrays(s, d)
-        .join(t(s, d, "documents").select("doc_id", "lang"), Seq("doc_id"))
+        .select("doc_id", "lang", "tk")
       val ref = withLang.filter(col("lang") === "en")
       val uni = ref.select(explode(col("tk")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c1"))
@@ -61,21 +67,36 @@ object CurationQueries {
           concat_ws(" ", element_at(col("tk"), i + 1),
             element_at(col("tk"), i + 2))))
         .otherwise(array().cast("array<string>"))
-      val bi = ref.select(explode(bigrams).as("bg"))
-        .groupBy("bg").agg(count(lit(1)).as("c2"))
+      // Score per DISTINCT bigram, not per occurrence: the add-1 score is
+      // a pure function of the bigram, so evaluating it once per distinct
+      // bg and joining back is bit-identical to the old per-occurrence
+      // form — and it shrinks the unigram-lookup leg from every
+      // OCCURRENCE (re-shuffled by first token) to vocabulary size. The
+      // first token of a bigram is recoverable as its first
+      // space-delimited field — exact, because tokens are \s+-split and
+      // so contain no whitespace. The qtab build's aggregate partial-
+      // combines before its exchange, so its shuffle carries per-partition
+      // distinct bigrams, not the raw stream; the old separate English
+      // bigram explode for the reference counts is gone (c2 rides the
+      // same aggregate: occurrences in English docs ≡ the old
+      // LEFT-joined `bi` count with COALESCE(_, 0)).
       val docbg = withLang
-        .select(col("doc_id"), col("tk"),
-          posexplode(bigrams).as(Seq("i", "bg")))
-        .select(col("doc_id"), col("bg"),
-          element_at(col("tk"), col("i") + 1).as("w1"))
-      docbg
-        .join(bi.hint("shuffle_hash"), Seq("bg"), "left")
+        .select(col("doc_id"), (col("lang") === "en").as("is_en"),
+          explode(bigrams).as("bg"))
+      val qtab = docbg
+        .groupBy("bg").agg(
+          sum(when(col("is_en"), lit(1L)).otherwise(lit(0L))).as("c2"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
         .join(uni.hint("shuffle_hash"), col("w1") === col("w"), "left")
         .crossJoin(broadcast(vocab))
-        .select(col("doc_id"),
-          floor(lit(1000000000.0) * (coalesce(col("c2"), lit(0L)) + 1) /
+        .select(col("bg"),
+          floor(lit(1000000000.0) * (col("c2") + 1) /
             (coalesce(col("c1"), lit(0L)) + col("v")))
             .cast("long").as("q"))
+      // inner join is row-preserving: every bg in the stream is in qtab by
+      // construction, so n_bigrams still counts every occurrence
+      docbg
+        .join(qtab.hint("shuffle_hash"), Seq("bg"))
         .groupBy("doc_id").agg(
           count(lit(1)).as("n_bigrams"), sum("q").as("score_fp"))
     }
@@ -102,9 +123,8 @@ object CurationQueries {
     graft.core.Caching.memoDf(s, s"dsirDb:$d", eager = true) {
       val m = 4096
       LlmQueries.tokenArrays(s, d)
-        .join(t(s, d, "documents").select(col("doc_id"),
-          (col("lang") === "en").as("is_t")), Seq("doc_id"))
-        .select(col("doc_id"), col("is_t"), explode(col("tk")).as("tok"))
+        .select(col("doc_id"), (col("lang") === "en").as("is_t"),
+          explode(col("tk")).as("tok"))
         .select(col("doc_id"), col("is_t"),
           (Text.hash60(col("tok")) % m).as("b"))
         .groupBy("doc_id", "is_t", "b").agg(count(lit(1)).as("c"))
@@ -1001,70 +1021,96 @@ object CurationQueries {
         |LEFT JOIN s4 ON s4.doc_id = t.doc_id
         |GROUP BY t.source ORDER BY t.source""")(
       (s, d) => {
-        val meta = t(s, d, "documents")
-          .filter(length(trim(col("text"))) > 0)
+        import graft.core.Caching.memoDf
+        // meta IS a projection of the shared token cache (same non-empty
+        // filter, and the cache carries the narrow metadata columns) —
+        // no parquet scan, no join; each evaluation is a cached-scan
+        // column prune
+        val meta = LlmQueries.tokenArrays(s, d)
           .select("doc_id", "lang", "source")
-        val ntok = LlmQueries.tokenArrays(s, d)
-          .select(col("doc_id"), size(col("tk")).as("ntok"))
-        // Every stage frame below is doc-id-sized and PINNED
-        // (matOnce) the moment it exists: each stage's plan nests the
-        // previous stages' plus a shared-memo build, and the final
-        // accounting references all four — Catalyst does not CSE plan
-        // subtrees, so the unpinned form re-executed the bigram-LM
-        // chain once per REFERENCE (~5× lmScores under full
-        // materialization; count()-based benches hid this by pruning
-        // the provably-unique left joins away — 55-66 s vs 2.7 s at
-        // sf0.1). Pinning caps the funnel at one execution per
-        // constituent plus four doc-id-sized cache writes.
+        // Every stage frame below is doc-id-sized and PINNED (the eager
+        // memoDf re-runs matOnce per cache generation) the moment it
+        // exists: each stage's plan nests the previous stages' plus a
+        // shared-memo build, and the final accounting references all
+        // four — Catalyst does not CSE plan subtrees, so the unpinned
+        // form re-executed the bigram-LM chain once per REFERENCE
+        // (~5× lmScores under full materialization; count()-based
+        // benches hid this by pruning the provably-unique left joins
+        // away — 55-66 s vs 2.7 s at sf0.1). Pinning caps the funnel at
+        // one execution per constituent plus four doc-id-sized cache
+        // writes; the construction memo on top stops the Analyzer
+        // re-walking the nested funnel plans on every invocation
+        // (~1-2 s driver time per bench pass at sf1).
         // stage 1: LM gate off the shared score builder
-        val lm = lmScores(s, d)
-        val lmTot = lm.agg(sum("score_fp").as("ts"), sum("n_bigrams").as("tn"))
-        val s1 = graft.core.Caching.matOnce2("s1", lm.crossJoin(broadcast(lmTot))
-          .filter((col("score_fp").cast("double") / col("n_bigrams")) >
-            (col("ts").cast("double") / col("tn")))
-          .select("doc_id"))
+        val s1 = memoDf(s, s"p2s1:$d", eager = true) {
+          val lm = lmScores(s, d)
+          val lmTot = lm.agg(sum("score_fp").as("ts"),
+            sum("n_bigrams").as("tn"))
+          lm.crossJoin(broadcast(lmTot))
+            .filter((col("score_fp").cast("double") / col("n_bigrams")) >
+              (col("ts").cast("double") / col("tn")))
+            .select("doc_id")
+        }
         // stage 2: substring low-dup gate off the shared starts memo
-        val s2 = graft.core.Caching.matOnce2("s2", s1.join(ntok, Seq("doc_id"))
-          .join(LlmQueries.substringDupTokens(s, d), Seq("doc_id"), "left")
-          .filter(coalesce(col("dup_tokens"), lit(0L)) * 5 < col("ntok"))
-          .select("doc_id"))
+        val s2 = memoDf(s, s"p2s2:$d", eager = true) {
+          val ntok = LlmQueries.tokenArrays(s, d)
+            .select(col("doc_id"), size(col("tk")).as("ntok"))
+          s1.join(ntok, Seq("doc_id"))
+            .join(LlmQueries.substringDupTokens(s, d), Seq("doc_id"), "left")
+            .filter(coalesce(col("dup_tokens"), lit(0L)) * 5 < col("ntok"))
+            .select("doc_id")
+        }
         // stage 3: DSIR top-25% among survivors (weights shared) —
         // exact boundary from the bucket histogram, no global rank.
         // snapshot = false: the mark's two internal passes read the
         // PINNED s2 ∙ weights join, so a checkpoint would only add a
         // materialization of what the cache already holds
-        val s3 = graft.core.Caching.matOnce2("s3", graft.llmops.TopFraction.mark(
+        val s3 = memoDf(s, s"p2s3:$d", eager = true)(
+          graft.llmops.TopFraction.mark(
             dsirWeights(s, d).join(s2, Seq("doc_id")).withColumn("score",
               col("weight_fp").cast("double") / col("n_tokens")),
             "score", "doc_id", 0.25, snapshot = false)
           .filter(col("selected")).select("doc_id"))
         // stage 4: temperature sampling over the survivors' lang mix
-        val lc = meta.join(s3, Seq("doc_id")).groupBy("lang").agg(
-          count(lit(1)).as("n"),
-          floor(sqrt(count(lit(1)).cast("double")) * lit(1000000.0))
-            .cast("long").as("sv"))
-        val lt = lc.agg(sum("sv").as("st"), sum("n").as("nd2"))
-        val rates = lc.crossJoin(broadcast(lt))
-          .select(col("lang"), least(lit(1.0),
-            (col("sv").cast("double") / col("st")) *
-              (col("nd2").cast("double") / lit(2.0)) / col("n")).as("rate"))
-        val h = Text.hash60(concat(lit("tmix2:"), col("doc_id").cast("string")))
-        val s4 = graft.core.Caching.matOnce2("s4", meta.join(s3, Seq("doc_id"))
-          .join(broadcast(rates), Seq("lang"))
-          .filter(h < col("rate") * lit(2147483647L))
-          .select("doc_id"))
-        meta
-          .join(s1.withColumn("f1", lit(1)), Seq("doc_id"), "left")
-          .join(s2.withColumn("f2", lit(1)), Seq("doc_id"), "left")
-          .join(s3.withColumn("f3", lit(1)), Seq("doc_id"), "left")
-          .join(s4.withColumn("f4", lit(1)), Seq("doc_id"), "left")
-          .groupBy("source").agg(
-            count(lit(1)).as("n0"),
-            sum(coalesce(col("f1"), lit(0))).cast("long").as("n_lm"),
-            sum(coalesce(col("f2"), lit(0))).cast("long").as("n_lowdup"),
-            sum(coalesce(col("f3"), lit(0))).cast("long").as("n_dsir"),
-            sum(coalesce(col("f4"), lit(0))).cast("long").as("n_final"))
-          .orderBy("source")
+        val s4 = memoDf(s, s"p2s4:$d", eager = true) {
+          val lc = meta.join(s3, Seq("doc_id")).groupBy("lang").agg(
+            count(lit(1)).as("n"),
+            floor(sqrt(count(lit(1)).cast("double")) * lit(1000000.0))
+              .cast("long").as("sv"))
+          val lt = lc.agg(sum("sv").as("st"), sum("n").as("nd2"))
+          val rates = lc.crossJoin(broadcast(lt))
+            .select(col("lang"), least(lit(1.0),
+              (col("sv").cast("double") / col("st")) *
+                (col("nd2").cast("double") / lit(2.0)) / col("n")).as("rate"))
+          val h = Text.hash60(concat(lit("tmix2:"),
+            col("doc_id").cast("string")))
+          meta.join(s3, Seq("doc_id"))
+            .join(broadcast(rates), Seq("lang"))
+            .filter(h < col("rate") * lit(2147483647L))
+            .select("doc_id")
+        }
+        // the funnel is strictly nested (s4 ⊆ s3 ⊆ s2 ⊆ s1 by
+        // construction: each stage joins the previous), so a doc's four
+        // membership flags collapse to its MAX stage — one join against
+        // meta instead of four, with the per-stage counts recovered as
+        // st >= k. Construction-memoized like the stages (the result is
+        // a handful of rows; the persist marking is free).
+        memoDf(s, s"p2final:$d") {
+          val stage = s1.select(col("doc_id"), lit(1).as("st"))
+            .union(s2.select(col("doc_id"), lit(2).as("st")))
+            .union(s3.select(col("doc_id"), lit(3).as("st")))
+            .union(s4.select(col("doc_id"), lit(4).as("st")))
+            .groupBy("doc_id").agg(max("st").as("st"))
+          meta
+            .join(stage, Seq("doc_id"), "left")
+            .groupBy("source").agg(
+              count(lit(1)).as("n0"),
+              sum(when(col("st") >= 1, 1L).otherwise(0L)).as("n_lm"),
+              sum(when(col("st") >= 2, 1L).otherwise(0L)).as("n_lowdup"),
+              sum(when(col("st") >= 3, 1L).otherwise(0L)).as("n_dsir"),
+              sum(when(col("st") >= 4, 1L).otherwise(0L)).as("n_final"))
+            .orderBy("source")
+        }
       }),
 
     // ── Exact per-stratum sampling head: the k hash-smallest documents
@@ -1529,26 +1575,32 @@ object CurationQueries {
         |FROM ghd JOIN documents d ON d.doc_id = ghd.doc_id
         |GROUP BY d.source ORDER BY d.source""")(
       (s, d) => {
-        val rows = LlmQueries.gramSetRows(s, d)
         val src = t(s, d, "documents").select(col("doc_id"), col("source"))
         def within3Sigma(est: Column, exact: Column): Column =
           abs(est - exact).cast("double") <=
             greatest(lit(3.0), lit(0.06) * exact)
-        // sketches and exact distincts as SEPARATE aggregates joined on
-        // the group: combined, the distinct rewrite's Expand carries a
-        // 409-long partial HLL buffer per pre-aggregation row across
-        // the postings-sized exchange (same pathology as
-        // a1_facets_sketch, at ~1M posting rows); split, the HLL pass
-        // is one narrow map-side-combined scan
-        val joined = rows.join(src, "doc_id")
-        val est = joined.groupBy("source").agg(
+        // Everything doc-granular comes off the cached per-doc gram sets
+        // WITHOUT exploding postings: rows are unique per doc, so
+        // x_docs = count(*), est_docs = HLL over doc-level ids (same
+        // distinct set → same registers), and n_postings = Σ|gs| (the
+        // sets are already deduped). Only the gram-distinct pair needs
+        // the posting explode, and with a SINGLE distinct column the
+        // aggregate plans as two-stage partial-on-(source, g) — no
+        // Expand, and the HLL partials merge through the same exchange
+        // (merge order does not change HLL registers). The old form ran
+        // TWO posting-sized passes, one with a double-distinct Expand.
+        val dl = LlmQueries.docGramStats(s, d)
+          .select(col("doc_id"), col("gs"), col("n"))
+          .join(src, "doc_id")
+        val docAgg = dl.groupBy("source").agg(
+          count(lit(1)).as("x_docs"),
           approx_count_distinct(col("doc_id"), 0.02).as("est_docs"),
-          approx_count_distinct(col("g"), 0.02).as("est_grams"),
-          count(lit(1)).as("n_postings"))
-        val exact = joined.groupBy("source").agg(
-          countDistinct(col("doc_id")).as("x_docs"),
-          countDistinct(col("g")).as("x_grams"))
-        est.join(exact, "source")
+          sum(col("n")).as("n_postings"))
+        val gAgg = dl.select(col("source"), explode(col("gs")).as("g"))
+          .groupBy("source").agg(
+            approx_count_distinct(col("g"), 0.02).as("est_grams"),
+            countDistinct(col("g")).as("x_grams"))
+        docAgg.join(gAgg, "source")
           .select(col("source"), col("n_postings"),
             within3Sigma(col("est_docs"), col("x_docs")).as("docs_ok"),
             within3Sigma(col("est_grams"), col("x_grams")).as("grams_ok"))
@@ -1965,9 +2017,11 @@ object CurationQueries {
             .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         }
         // a trimmed-nonempty text always splits to ≥1 token, so "docs
-        // with text" ≡ "docs with ≥1 tf row" — counted off the CACHE,
-        // never a second tokenize pass over the corpus
-        val nDocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+        // with text" ≡ "rows of the token-array cache" — a plain count
+        // over the cached doc-level frame (one row per doc), not a
+        // countDistinct over the (doc, term)-sized tf table
+        val nDocs = LlmQueries.tokenArrays(s, d)
+          .agg(count(lit(1)).as("n_docs"))
         // df is VOCABULARY-sized (distinct terms ≪ corpus rows) and is
         // re-attached to every (doc, term) row — broadcast it rather
         // than sort-merge-shuffling the tf side on the low-cardinality

@@ -116,10 +116,16 @@ object LlmQueries {
   private[registry] def tokenArrays(s: SparkSession, d: String): DataFrame =
     Caching.memoDf(s, s"tokenArrays:$d", eager = true) {
       val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // the narrow metadata columns ride the cache (~6% of its bytes
+      // next to the token arrays): language-gated consumers (the bigram
+      // LM, DSIR, fertility, the funnel's meta frame) previously each
+      // re-joined the documents parquet per cache generation just to
+      // recover lang/source/n_chars
       t(s, d, "documents")
         .filter(length(trim(col("text"))) > 0)
         .repartition(width, col("doc_id"))
-        .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          Text.tokens(col("text")).as("tk"))
     }
 
   /** Per-doc gram-set stats in ONE aggregation pass straight off the
@@ -678,14 +684,21 @@ object LlmQueries {
     import org.apache.spark.sql.expressions.Window
     val k = 5
     Caching.memoDf(s, s"subDupStarts:$d") {
-      tokenArrays(s, d).filter(size(col("tk")) >= k)
+      val grams = tokenArrays(s, d).filter(size(col("tk")) >= k)
         .select(col("doc_id"),
           posexplode(expr(s"transform(sequence(0, size(tk) - $k), " +
             s"i -> concat_ws(' ', slice(tk, i + 1, $k)))"))
             .as(Seq("i", "gram")))
         .select(col("doc_id"), col("i"), Text.hash60(col("gram")).as("g"))
-        .withColumn("occ", count(lit(1)).over(Window.partitionBy("g")))
-        .filter(col("occ") > 1)
+      // duplicated-gram set via a map-side-combined aggregate + semi
+      // join, NOT `count() over (partition by g)`: the window form
+      // shuffles AND sorts the full positional-gram stream, where the
+      // aggregate's exchange carries only per-partition distinct grams
+      // and the semi join needs no sort. The dup set is corpus-stats —
+      // shuffle_hash build side, never broadcast.
+      val dup = grams.groupBy("g").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > 1).select("g")
+      grams.join(dup.hint("shuffle_hash"), Seq("g"), "left_semi")
         .select("doc_id", "i")
     }
   }
@@ -737,7 +750,7 @@ object LlmQueries {
         |FROM keyed b WHERE b.doc_id % 3 = 0 ORDER BY b.doc_id""")(
       (s, d) => {
         val keyed = t(s, d, "documents").select(col("doc_id"),
-          array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 8), " ").as("k"))
+          array_join(slice(split(trim(lower(col("text"))), "\\s+", 9), 1, 8), " ").as("k"))
         BloomDedup.flagDups(
           batch = keyed.filter(col("doc_id") % 3 === 0),
           ref = keyed.filter(col("doc_id") % 3 =!= 0),
@@ -762,7 +775,7 @@ object LlmQueries {
         |FROM keyed b WHERE b.doc_id % 3 = 0 ORDER BY b.doc_id""")(
       (s, d) => {
         val keyed = t(s, d, "documents").select(col("doc_id"),
-          array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 8), " ").as("k"))
+          array_join(slice(split(trim(lower(col("text"))), "\\s+", 9), 1, 8), " ").as("k"))
         BloomDedup.flagDupsSharded(
           batch = keyed.filter(col("doc_id") % 3 === 0),
           ref = keyed.filter(col("doc_id") % 3 =!= 0),
@@ -1675,9 +1688,8 @@ object LlmQueries {
         |FROM per p JOIN voc v ON v.lang = p.lang
         |ORDER BY p.lang""")(
       (s, d) => {
-        val meta = t(s, d, "documents")
-          .select(col("doc_id"), col("lang"), col("n_chars"))
-        val tk = tokenArrays(s, d).join(meta, "doc_id")
+        // lang/n_chars ride the shared token cache — no documents re-join
+        val tk = tokenArrays(s, d)
         val per = tk.groupBy("lang").agg(
           count(lit(1)).as("n_docs"),
           sum(size(col("tk")).cast("long")).as("n_tokens"),

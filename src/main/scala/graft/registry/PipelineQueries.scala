@@ -53,12 +53,18 @@ object PipelineQueries {
         |  ORDER BY s.ts DESC, s.event_id DESC) = 1
         |ORDER BY p.event_id""")(
       (s, d) => {
+        // self-as-of over one table → the tagged single-scan form (the
+        // generic two-frame asOf plans the events scan twice)
         val ev = t(s, d, "events")
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select("event_id", "user_id", "ts", "value")
-        val signups = ev.filter(col("event_type") === "signup")
-        AsOfJoin.asOf(purchases, signups, keys = Seq("user_id"),
+          .filter(col("event_type").isin("purchase", "signup"))
+        AsOfJoin.asOfTagged(ev, col("event_type") === "signup",
+            keys = Seq("user_id"),
             leftTime = col("ts"), rightTime = col("ts"),
+            leftCols = Seq(
+              "event_id" -> col("event_id"),
+              "user_id" -> col("user_id"),
+              "ts" -> col("ts"),
+              "value" -> col("value")),
             rightPayload = Seq(
               "signup_event_id" -> col("event_id"),
               "signup_us" -> unix_micros(col("ts"))),
@@ -821,7 +827,7 @@ object PipelineQueries {
         |FROM kept ORDER BY shard, pos""")(
       (s, d) => {
         val keyed = t(s, d, "documents").select(col("doc_id"), col("text"),
-          array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 8), " ").as("k"))
+          array_join(slice(split(trim(lower(col("text"))), "\\s+", 9), 1, 8), " ").as("k"))
         // fuzzy screen: near-dup ids off the shared SimHash pair graph
         // (pair-graph-sized ≪ corpus, so the anti-join broadcasts it)
         val nd = LlmQueries.simhashPairs(s, d).select("a_id", "b_id")

@@ -147,7 +147,13 @@ object SurfaceQueries {
         |GROUP BY l_orderkey ORDER BY l_orderkey""")(
       (s, d) => {
         val kvDir = metadataKvDir(s, d)
+        // ONE range exchange serves both the aggregate's clustering and
+        // the final global order (RangePartitioning satisfies
+        // ClusteredDistribution and OrderedDistribution on the same
+        // key), where groupBy + orderBy would hash-exchange the hits
+        // and then range-exchange the aggregate output again
         TextIndex.prunedSearch(s, kvDir, "v", "qty-4")
+          .repartitionByRange(col("l_orderkey"))
           .groupBy("l_orderkey").agg(count(lit(1)).as("n_hits"))
           .orderBy("l_orderkey")
       }),
@@ -431,15 +437,23 @@ object SurfaceQueries {
         |FROM catalog c JOIN types t USING (tag_type)
         |ORDER BY c.tag_name""")(
       (s, d) => {
+        // ONE range exchange on tag_name serves the catalog aggregate's
+        // clustering AND the final global order (same shape as
+        // f7_metadata_kv_indexed): groupBy + orderBy would hash-exchange
+        // the tags and then range-exchange the aggregate output again
         val exploded = t(s, d, "part")
           .select(explode(split(col("p_type"), " ")).as("tag_name"),
             col("p_brand"), col("p_size"))
+          .repartitionByRange(col("tag_name"))
         val catalog = exploded.groupBy("tag_name")
           .agg(min("p_brand").as("tag_type"),
             count(lit(1)).as("n_assets"),
             countDistinct("p_size").as("n_sizes"))
+        // p_partkey is the table's unique key, so the oracle's
+        // count(DISTINCT p_partkey) per brand is exactly count(*) —
+        // a plain map-side-combined count, no distinct machinery
         val types = t(s, d, "part").groupBy(col("p_brand").as("tag_type"))
-          .agg(countDistinct("p_partkey").as("type_assets"))
+          .agg(count(lit(1)).as("type_assets"))
         catalog.join(broadcast(types), "tag_type")
           .select("tag_name", "tag_type", "n_assets", "n_sizes",
             "type_assets")

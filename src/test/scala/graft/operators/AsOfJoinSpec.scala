@@ -54,6 +54,40 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(102L).isEmpty)      // key 2 has no right rows at all
   }
 
+  test("asOfTagged (single-scan self form) ≡ asOf on a tagged union") {
+    for (seed <- Seq(5, 6)) {
+      val l = randomRows(seed, 120, keys = 6, times = 20)
+      val r = randomRows(seed + 100, 80, keys = 6, times = 20)
+      // one frame, side tagged — the self-as-of shape
+      val tagged = (l.map { case (k, t, id) => (k, t, id, false) } ++
+        r.map { case (k, t, id) => (k, t, id, true) })
+        .toDF("k", "t", "id", "is_r")
+      val viaTagged = AsOfJoin.asOfTagged(tagged, col("is_r"),
+          keys = Seq("k"), leftTime = col("t"), rightTime = col("t"),
+          leftCols = Seq("lid" -> col("id")),
+          rightPayload = Seq("m" -> col("id")), rightTiebreak = col("id"))
+        .select("lid", "m").as[(Long, Option[Long])].collect().toMap
+      val viaGeneric = AsOfJoin.asOf(
+          l.toDF("k", "t", "lid"), r.toDF("k", "t", "rid"),
+          keys = Seq("k"), leftTime = col("t"), rightTime = col("t"),
+          rightPayload = Seq("m" -> col("rid")), rightTiebreak = col("rid"))
+        .select("lid", "m").as[(Long, Option[Long])].collect().toMap
+      assert(viaTagged == viaGeneric, s"seed=$seed")
+    }
+  }
+
+  test("asOfTagged plans ONE scan of the tagged source") {
+    val rows = randomRows(7, 100, 5, 15).map { case (k, t, id) =>
+      (k, t, id, id % 2 == 0) }.toDF("k", "t", "id", "is_r")
+    val plan = AsOfJoin.asOfTagged(rows, col("is_r"), Seq("k"),
+        col("t"), col("t"), Seq("lid" -> col("id")),
+        Seq("m" -> col("id")), col("id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), plan)
+    assert("Exchange ".r.findAllIn(plan).size == 1,
+      s"expected exactly one exchange:\n$plan")
+  }
+
   test("plan shape: ONE shuffle total (the key partition), no join node") {
     val l = randomRows(1, 50, 4, 10).toDF("k", "t", "lid")
     val r = randomRows(2, 50, 4, 10).toDF("k", "t", "rid")
