@@ -91,7 +91,7 @@ object Caching {
   def memoDf(s: SparkSession, key: String, eager: Boolean = false)(
       build: => DataFrame): DataFrame = {
     val df = getOrBuild(s, key)(build)
-    if (eager) matOnce(df) else persistOnce(df)
+    if (eager) matOnce(df, key) else persistOnce(df)
   }
 
   /** Drop a memo entry (and its live cache marking, if any) so the

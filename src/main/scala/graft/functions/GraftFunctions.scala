@@ -447,6 +447,38 @@ object GraftFunctions {
     new GenericArrayData(out)
   }
 
+  /** hash60 of the word n-gram at EVERY position (no dedup) — the
+    * positional sibling of [[shingleHashes]] for the exact-substring
+    * family: element i is hash60 of the n-token window starting at
+    * position i, byte-identical to
+    * `hash60(concat_ws(' ', slice(tk, i + 1, n)))` (nulls skipped like
+    * concat_ws). One pass, no per-gram String or per-position array
+    * allocation in the plan. */
+  def positionalShingleHashes(tk: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val m = tk.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val space = UTF8String.fromString(" ")
+    val out = new Array[Long](m - n + 1)
+    var i = 0
+    while (i + n <= m) {
+      val parts = new java.util.ArrayList[UTF8String](2 * n - 1)
+      var k = 0
+      while (k < n) {
+        val t = tk.getUTF8String(i + k)
+        if (t != null) {
+          if (!parts.isEmpty) parts.add(space)
+          parts.add(t)
+        }
+        k += 1
+      }
+      out(i) = hash60(UTF8String.concat(
+        parts.toArray(new Array[UTF8String](parts.size())): _*))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val Kernel = "graft.functions.GraftFunctions"
 
   // ---- expressions ----------------------------------------------------
@@ -514,6 +546,21 @@ object GraftFunctions {
       defineCodeGen(ctx, ev, c => s"$Kernel.shingleHashes($c, $n)")
     override protected def withNewChildInternal(
         c: Expression): ShingleHash60Expr = copy(child = c)
+  }
+
+  /** Positional sibling of [[ShingleHash60Expr]] (see the kernel
+    * [[positionalShingleHashes]]); null-safe, codegen'd, one pass. */
+  case class PositionalShingleHash60Expr(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(tk: Any): Any =
+      positionalShingleHashes(tk.asInstanceOf[ArrayData], n)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernel.positionalShingleHashes($c, $n)")
+    override protected def withNewChildInternal(
+        c: Expression): PositionalShingleHash60Expr = copy(child = c)
   }
 
   /** `graft_trigrams(s)` → distinct char trigrams of `lower(s)` in

@@ -58,6 +58,15 @@ object Text {
       .ShingleHash60Expr(GraftColumnBridge.expression(toks), n))
   }
 
+  /** [[hash60]] of the word n-gram at EVERY position (no dedup) — the
+    * positional sibling of [[shingleHashes]] for the exact-substring
+    * family; element i ≡ `hash60(concat_ws(' ', slice(tk, i + 1, n)))`. */
+  def positionalShingleHashes(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.GraftFunctions
+      .PositionalShingleHash60Expr(GraftColumnBridge.expression(toks), n))
+  }
+
   /** Distinct word n-gram shingles; empty array for docs shorter than n. */
   def shingles(toks: Column, n: Int = 3): Column =
     when(size(toks) >= n,

@@ -52,21 +52,39 @@ object CurationQueries {
     // over it (measured ~0.3 s driver time per call); the memo returns
     // the same analyzed Dataset and matOnce re-pins it per cache
     // generation (the eager flag IS matOnce)
-    graft.core.Caching.memoDf(s, s"lmScores:$d", eager = true)(
-      lmScoresPlan(s, d))
+    {
+      // dependency pin OUTSIDE the construction memo (the
+      // dsirBucketCounts guard pattern): the distinct-bigram table is
+      // referenced twice below — the unigram derivation and the score
+      // join — and must re-pin per cache generation
+      lmQtabRaw(s, d)
+      graft.core.Caching.memoDf(s, s"lmScores:$d", eager = true)(
+        lmScoresPlan(s, d))
+    }
+
+  private def lmBigrams: Column = when(size(col("tk")) >= 2,
+    transform(sequence(lit(0), size(col("tk")) - 2), i =>
+      concat_ws(" ", element_at(col("tk"), i + 1),
+        element_at(col("tk"), i + 2))))
+    .otherwise(array().cast("array<string>"))
+
+  /** Distinct-bigram table `(bg, c2)` over the WHOLE corpus, where c2 =
+    * occurrences in English docs (the add-1 model's reference counts —
+    * ≡ the old LEFT-joined `bi` with COALESCE(_, 0)). One map-side-
+    * combined aggregate over the bigram explode; pinned per generation
+    * because both the unigram derivation and the score table read it. */
+  private def lmQtabRaw(s: SparkSession, d: String): DataFrame =
+    graft.core.Caching.memoDf(s, s"lmQtabRaw:$d", eager = true) {
+      LlmQueries.tokenArrays(s, d)
+        .select((col("lang") === "en").as("is_en"),
+          explode(lmBigrams).as("bg"))
+        .groupBy("bg").agg(
+          sum(when(col("is_en"), lit(1L)).otherwise(lit(0L))).as("c2"))
+    }
 
   private def lmScoresPlan(s: SparkSession, d: String): DataFrame = {
       val withLang = LlmQueries.tokenArrays(s, d)
         .select("doc_id", "lang", "tk")
-      val ref = withLang.filter(col("lang") === "en")
-      val uni = ref.select(explode(col("tk")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c1"))
-      val vocab = uni.agg(count(lit(1)).as("v"))
-      val bigrams = when(size(col("tk")) >= 2,
-        transform(sequence(lit(0), size(col("tk")) - 2), i =>
-          concat_ws(" ", element_at(col("tk"), i + 1),
-            element_at(col("tk"), i + 2))))
-        .otherwise(array().cast("array<string>"))
       // Score per DISTINCT bigram, not per occurrence: the add-1 score is
       // a pure function of the bigram, so evaluating it once per distinct
       // bg and joining back is bit-identical to the old per-occurrence
@@ -74,18 +92,30 @@ object CurationQueries {
       // OCCURRENCE (re-shuffled by first token) to vocabulary size. The
       // first token of a bigram is recoverable as its first
       // space-delimited field — exact, because tokens are \s+-split and
-      // so contain no whitespace. The qtab build's aggregate partial-
-      // combines before its exchange, so its shuffle carries per-partition
-      // distinct bigrams, not the raw stream; the old separate English
-      // bigram explode for the reference counts is gone (c2 rides the
-      // same aggregate: occurrences in English docs ≡ the old
-      // LEFT-joined `bi` count with COALESCE(_, 0)).
+      // so contain no whitespace.
+      //
+      // The unigram reference counts NEVER explode the token stream:
+      // every English token position is either a bigram start or its
+      // doc's last token, so c1(w) = Σ c2 over English bigrams starting
+      // with w (a vocabulary-sized fold of the pinned distinct-bigram
+      // table) + the count of English docs whose last token is w (one
+      // doc-level pass over the cached arrays). Words with no English
+      // occurrence are filtered out, so vocabulary membership is
+      // unchanged.
+      val qtabRaw = lmQtabRaw(s, d)
+      val w1c = qtabRaw
+        .select(substring_index(col("bg"), " ", 1).as("w"), col("c2"))
+        .groupBy("w").agg(sum("c2").as("c"))
+      val lastTok = withLang.filter(col("lang") === "en")
+        .select(element_at(col("tk"), -1).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val uni = w1c.unionByName(lastTok)
+        .groupBy("w").agg(sum("c").as("c1"))
+        .filter(col("c1") > 0)
+      val vocab = uni.agg(count(lit(1)).as("v"))
       val docbg = withLang
-        .select(col("doc_id"), (col("lang") === "en").as("is_en"),
-          explode(bigrams).as("bg"))
-      val qtab = docbg
-        .groupBy("bg").agg(
-          sum(when(col("is_en"), lit(1L)).otherwise(lit(0L))).as("c2"))
+        .select(col("doc_id"), explode(lmBigrams).as("bg"))
+      val qtab = qtabRaw
         .withColumn("w1", substring_index(col("bg"), " ", 1))
         .join(uni.hint("shuffle_hash"), col("w1") === col("w"), "left")
         .crossJoin(broadcast(vocab))
@@ -93,10 +123,19 @@ object CurationQueries {
           floor(lit(1000000000.0) * (col("c2") + 1) /
             (coalesce(col("c1"), lit(0L)) + col("v")))
             .cast("long").as("q"))
-      // inner join is row-preserving: every bg in the stream is in qtab by
-      // construction, so n_bigrams still counts every occurrence
-      docbg
-        .join(qtab.hint("shuffle_hash"), Seq("bg"))
+      // inner join is row-preserving: every bg in the stream is in qtab
+      // by construction, so n_bigrams still counts every occurrence.
+      // Join strategy is ADAPTIVE on the (pinned, so count-free) bigram
+      // vocabulary size — the tfidf df-table precedent: a vocab-sized
+      // score table broadcasts, turning the whole scoring pass into
+      // scan → explode → BroadcastHashJoin → partial agg riding the
+      // token cache's hashpartitioning(doc_id) — ZERO exchanges; a
+      // corpus whose bigram vocabulary outgrows the threshold keeps the
+      // bounded-memory shuffled hash join instead.
+      val scoreJoin =
+        if (qtabRaw.count() <= 1000000L) docbg.join(broadcast(qtab), Seq("bg"))
+        else docbg.join(qtab.hint("shuffle_hash"), Seq("bg"))
+      scoreJoin
         .groupBy("doc_id").agg(
           count(lit(1)).as("n_bigrams"), sum("q").as("score_fp"))
     }
@@ -1041,9 +1080,20 @@ object CurationQueries {
         // writes; the construction memo on top stops the Analyzer
         // re-walking the nested funnel plans on every invocation
         // (~1-2 s driver time per bench pass at sf1).
+        //
+        // SHARED-DEPENDENCY PINS, OUTSIDE the stage memo builds (the
+        // dsirBucketCounts guard pattern): the build closures run once
+        // per session, so a pin placed inside one would never re-run
+        // after a cache clear — and the stage plans reference these
+        // frames MORE than once (lm appears under both the gate and its
+        // broadcast total), so an unpinned generation recomputes the
+        // bigram chain per reference inside the first stage count
+        // (measured: p2s1 3.1 s vs 1.6 s at sf1).
+        val lm = lmScores(s, d)
+        LlmQueries.substringDupTokens(s, d)
+        dsirWeights(s, d)
         // stage 1: LM gate off the shared score builder
         val s1 = memoDf(s, s"p2s1:$d", eager = true) {
-          val lm = lmScores(s, d)
           val lmTot = lm.agg(sum("score_fp").as("ts"),
             sum("n_bigrams").as("tn"))
           lm.crossJoin(broadcast(lmTot))
@@ -1584,11 +1634,13 @@ object CurationQueries {
         // x_docs = count(*), est_docs = HLL over doc-level ids (same
         // distinct set → same registers), and n_postings = Σ|gs| (the
         // sets are already deduped). Only the gram-distinct pair needs
-        // the posting explode, and with a SINGLE distinct column the
-        // aggregate plans as two-stage partial-on-(source, g) — no
-        // Expand, and the HLL partials merge through the same exchange
-        // (merge order does not change HLL registers). The old form ran
-        // TWO posting-sized passes, one with a double-distinct Expand.
+        // the posting explode — and the HLL and the exact distinct stay
+        // SEPARATE aggregates: combined, the one-distinct rewrite
+        // computes the HLL partial in the (source, g)-keyed first
+        // aggregate, shipping a ~400-byte register buffer per DISTINCT
+        // POSTING across the exchange (measured 2× the whole query);
+        // split, the HLL pass is one narrow map-side-combined scan and
+        // the distinct pass ships bare (source, g) partials.
         val dl = LlmQueries.docGramStats(s, d)
           .select(col("doc_id"), col("gs"), col("n"))
           .join(src, "doc_id")
@@ -1596,11 +1648,12 @@ object CurationQueries {
           count(lit(1)).as("x_docs"),
           approx_count_distinct(col("doc_id"), 0.02).as("est_docs"),
           sum(col("n")).as("n_postings"))
-        val gAgg = dl.select(col("source"), explode(col("gs")).as("g"))
-          .groupBy("source").agg(
-            approx_count_distinct(col("g"), 0.02).as("est_grams"),
-            countDistinct(col("g")).as("x_grams"))
-        docAgg.join(gAgg, "source")
+        val posting = dl.select(col("source"), explode(col("gs")).as("g"))
+        val estG = posting.groupBy("source").agg(
+          approx_count_distinct(col("g"), 0.02).as("est_grams"))
+        val exactG = posting.groupBy("source").agg(
+          countDistinct(col("g")).as("x_grams"))
+        docAgg.join(estG, "source").join(exactG, "source")
           .select(col("source"), col("n_postings"),
             within3Sigma(col("est_docs"), col("x_docs")).as("docs_ok"),
             within3Sigma(col("est_grams"), col("x_grams")).as("grams_ok"))

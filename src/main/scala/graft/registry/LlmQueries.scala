@@ -684,21 +684,23 @@ object LlmQueries {
     import org.apache.spark.sql.expressions.Window
     val k = 5
     Caching.memoDf(s, s"subDupStarts:$d") {
-      val grams = tokenArrays(s, d).filter(size(col("tk")) >= k)
+      // count() OVER (partition by g), not aggregate + semi join: the
+      // window shuffles and sorts the positional-gram stream ONCE,
+      // where the join form computes the gram derivation TWICE (once
+      // for the dup-set aggregate, once for the probe) — the gram
+      // derivation is the dominant cost, so one sorted pass beats two
+      // unsorted ones (measured: the join form doubled
+      // llm_dedup_substring and the funnel's s2 stage at sf1). The
+      // derivation itself is the fused positional kernel — one pass,
+      // no per-gram String/array allocation (the HOF chain paid an
+      // interpreted k-token concat per position plus an md5 over the
+      // materialized string).
+      tokenArrays(s, d).filter(size(col("tk")) >= k)
         .select(col("doc_id"),
-          posexplode(expr(s"transform(sequence(0, size(tk) - $k), " +
-            s"i -> concat_ws(' ', slice(tk, i + 1, $k)))"))
-            .as(Seq("i", "gram")))
-        .select(col("doc_id"), col("i"), Text.hash60(col("gram")).as("g"))
-      // duplicated-gram set via a map-side-combined aggregate + semi
-      // join, NOT `count() over (partition by g)`: the window form
-      // shuffles AND sorts the full positional-gram stream, where the
-      // aggregate's exchange carries only per-partition distinct grams
-      // and the semi join needs no sort. The dup set is corpus-stats —
-      // shuffle_hash build side, never broadcast.
-      val dup = grams.groupBy("g").agg(count(lit(1)).as("occ"))
-        .filter(col("occ") > 1).select("g")
-      grams.join(dup.hint("shuffle_hash"), Seq("g"), "left_semi")
+          posexplode(Text.positionalShingleHashes(col("tk"), k))
+            .as(Seq("i", "g")))
+        .withColumn("occ", count(lit(1)).over(Window.partitionBy("g")))
+        .filter(col("occ") > 1)
         .select("doc_id", "i")
     }
   }

@@ -33,4 +33,31 @@ class ShingleHashSpec extends SparkSpec {
           s"n=$n doc $id: ${fused(id)} vs ${ref.getOrElse(id, Seq.empty)}")
     }
   }
+
+  test("positional shingle hashes equal the positional HOF chain") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Array("the", "a", "spark", "scan", "join", "x", "漢字", "b-c")
+    for (n <- Seq(2, 5)) {
+      val rows = (0 until 300).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))))
+      }
+      val df = rows.toDF("id", "tk")
+      val fused = df.select(col("id"),
+        Text.positionalShingleHashes(col("tk"), n).as("gs"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val ref = df
+        .withColumn("grams", when(size(col("tk")) >= n,
+          expr(s"transform(sequence(0, size(tk) - $n), " +
+            s"i -> concat_ws(' ', slice(tk, i + 1, $n)))"))
+          .otherwise(array().cast("array<string>")))
+        .select(col("id"), explode_outer(col("grams")).as("gram"))
+        .select(col("id"), when(col("gram").isNotNull,
+          Text.hash60(col("gram"))).as("g"))
+        .as[(Long, Option[Long])].collect().toSeq
+        .groupBy(_._1).map { case (k, v) => k -> v.flatMap(_._2) }
+      for ((id, _) <- rows)
+        assert(fused(id) == ref.getOrElse(id, Seq.empty).toSeq,
+          s"n=$n doc $id")
+    }
+  }
 }
