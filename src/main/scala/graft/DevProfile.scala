@@ -26,65 +26,41 @@ object DevProfile {
       df.write.mode("overwrite").format("noop").save()
 
     val docs = spark.read.parquet(s"$d/documents.parquet")
-    val tokA = docs.filter(length(trim(col("text"))) > 0)
-      .repartition(32, col("doc_id"))
-      .select(col("doc_id"), col("lang"),
-        split(trim(lower(col("text"))), "\\s+").as("tk"))
-      .persist()
-    tokA.count()
-    val withLang = tokA
-    val bigrams = when(size(col("tk")) >= 2,
-      transform(sequence(lit(0), size(col("tk")) - 2), i =>
-        concat_ws(" ", element_at(col("tk"), i + 1),
-          element_at(col("tk"), i + 2))))
-      .otherwise(array().cast("array<string>"))
-    val ref = withLang.filter(col("lang") === "en")
-    val uni = ref.select(explode(col("tk")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c1"))
-    val vocab = uni.agg(count(lit(1)).as("v"))
-
-    def oldForm(): DataFrame = {
-      val bi = ref.select(explode(bigrams).as("bg"))
-        .groupBy("bg").agg(count(lit(1)).as("c2"))
-      val docbg = withLang
-        .select(col("doc_id"), col("tk"),
-          posexplode(bigrams).as(Seq("i", "bg")))
-        .select(col("doc_id"), col("bg"),
-          element_at(col("tk"), col("i") + 1).as("w1"))
-      docbg
-        .join(bi.hint("shuffle_hash"), Seq("bg"), "left")
-        .join(uni.hint("shuffle_hash"), col("w1") === col("w"), "left")
-        .crossJoin(broadcast(vocab))
-        .select(col("doc_id"),
-          floor(lit(1000000000.0) * (coalesce(col("c2"), lit(0L)) + 1) /
-            (coalesce(col("c1"), lit(0L)) + col("v")))
-            .cast("long").as("q"))
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("n_bigrams"), sum("q").as("score_fp"))
-    }
-    def newForm(): DataFrame = {
-      val docbg = withLang
-        .select(col("doc_id"), (col("lang") === "en").as("is_en"),
-          explode(bigrams).as("bg"))
-      val qtab = docbg
-        .groupBy("bg").agg(
-          sum(when(col("is_en"), lit(1L)).otherwise(lit(0L))).as("c2"))
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
-        .join(uni.hint("shuffle_hash"), col("w1") === col("w"), "left")
-        .crossJoin(broadcast(vocab))
-        .select(col("bg"),
-          floor(lit(1000000000.0) * (col("c2") + 1) /
-            (coalesce(col("c1"), lit(0L)) + col("v")))
-            .cast("long").as("q"))
-      docbg
-        .join(qtab.hint("shuffle_hash"), Seq("bg"))
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("n_bigrams"), sum("q").as("score_fp"))
-    }
+    val keyed = docs.select(col("doc_id"),
+      array_join(slice(split(trim(lower(col("text"))), "\\s+", 9), 1, 8), " ")
+        .as("k"))
+    val batch = keyed.filter(col("doc_id") % 3 === 0)
+    val ref = keyed.filter(col("doc_id") % 3 =!= 0)
 
     (1 to 3).foreach { p =>
-      t(s"p$p old")(noop(oldForm()))
-      t(s"p$p new")(noop(newForm()))
+      t(s"p$p keyed_scan")(noop(keyed))
+      t(s"p$p blooms") {
+        graft.functions.GraftFunctions.register(spark)
+        noop(ref.groupBy(pmod(xxhash64(col("k")), lit(8L)).as("__shard"))
+          .agg(call_function("graft_bloom_agg",
+            xxhash64(col("k")), lit(1L << 17), lit(1L << 20)).as("__bf")))
+      }
+      t(s"p$p refkeys_distinct")(noop(ref.select(col("k")).distinct()))
+      t(s"p$p full")(noop(
+        SparkEntry.queries("llm_dedup_bloom_sharded")(spark, d)))
+      t(s"p$p no_sort")(noop(
+        graft.llmops.BloomDedup.flagDupsSharded(
+          batch = batch, ref = ref, keyCol = "k")
+          .select(col("doc_id"), col("is_dup"))))
+      t(s"p$p persist_sort") {
+        val r = graft.llmops.BloomDedup.flagDupsSharded(
+          batch = batch, ref = ref, keyCol = "k")
+          .select(col("doc_id"), col("is_dup")).persist()
+        noop(r.orderBy("doc_id"))
+        r.unpersist()
+      }
+      t(s"p$p ckpt_sort") {
+        noop(graft.llmops.BloomDedup.flagDupsSharded(
+          batch = batch, ref = ref, keyCol = "k")
+          .select(col("doc_id"), col("is_dup"))
+          .localCheckpoint()
+          .orderBy("doc_id"))
+      }
     }
     spark.stop()
   }

@@ -672,7 +672,7 @@ object CurationQueries {
             sum(col("n_chars") * col("kept")).as("chars_kept"))
           .withColumn("realized_rate",
             col("n_kept").cast("double") / col("n_docs"))
-          .orderBy("source")
+          .transform(QueryDef.sortedRollup(_, "source"))
       }),
 
     // ── TEMPERATURE-sampled multilingual mixing (the UniMax /
@@ -731,7 +731,7 @@ object CurationQueries {
             max("rate").as("rate"),
             sum(when(col("h") < col("rate") * lit(2147483647L), 1L)
               .otherwise(0L)).as("n_kept"))
-          .orderBy("lang")
+          .transform(QueryDef.sortedRollup(_, "lang"))
       }),
 
     // ── Quality-weighted sampling: keep probability = the document's
@@ -1159,7 +1159,7 @@ object CurationQueries {
               sum(when(col("st") >= 2, 1L).otherwise(0L)).as("n_lowdup"),
               sum(when(col("st") >= 3, 1L).otherwise(0L)).as("n_dsir"),
               sum(when(col("st") >= 4, 1L).otherwise(0L)).as("n_final"))
-            .orderBy("source")
+            .transform(QueryDef.sortedRollup(_, "source"))
         }
       }),
 
@@ -1316,7 +1316,7 @@ object CurationQueries {
             share.as("share"), target.as("target_tokens"),
             epochs.as("epochs"),
             (epochs * col("source_tokens")).as("planned_tokens"))
-          .orderBy("source")
+          .transform(QueryDef.sortedRollup(_, "source"))
       }),
 
     // ── Corpus profiling: per-source token-count distribution (the
@@ -1358,7 +1358,7 @@ object CurationQueries {
             percentile(col("nt"), lit(0.5)).as("p50"),
             percentile(col("nt"), lit(0.9)).as("p90"),
             percentile(col("nt"), lit(0.99)).as("p99"))
-          .orderBy("source")
+          .transform(QueryDef.sortedRollup(_, "source"))
       }),
 
     // ── The sketch path for the same profile: approx_percentile
@@ -1451,7 +1451,7 @@ object CurationQueries {
               col("a90").between(col("lo90"), col("hi90")) &&
               col("a99").between(col("lo99"), col("hi99")))
           .select(col("source"), col("n_docs"), col("sketch_ok"))
-          .orderBy("source")
+          .transform(QueryDef.sortedRollup(_, "source"))
       }),
 
     // ── Corpus novelty profile: what fraction of each document's
@@ -1593,7 +1593,7 @@ object CurationQueries {
             countDistinct(col("g")).as("n_grams"),
             (count(lit(1)).cast("double") / countDistinct(col("g")))
               .as("reuse_ratio"))
-          .orderBy("source")
+          .transform(QueryDef.sortedRollup(_, "source"))
       }),
 
     // ── The HLL scale path for the vocabulary profile: sketch state is
@@ -1657,7 +1657,7 @@ object CurationQueries {
           .select(col("source"), col("n_postings"),
             within3Sigma(col("est_docs"), col("x_docs")).as("docs_ok"),
             within3Sigma(col("est_grams"), col("x_grams")).as("grams_ok"))
-          .orderBy("source")
+          .transform(QueryDef.sortedRollup(_, "source"))
       }),
 
     // ── Dedup impact sheet: near-dup cluster size histogram plus the
@@ -1748,7 +1748,7 @@ object CurationQueries {
             sum((!keep).cast("long")).as("n_dropped"),
             sum(col("n_tokens")).as("tokens_total"),
             sum(when(keep, col("n_tokens")).otherwise(0L)).as("tokens_kept"))
-          .orderBy("source")
+          .transform(QueryDef.sortedRollup(_, "source"))
       }),
 
     // ── Approximate token-count quantiles by DETERMINISTIC hash
@@ -2144,7 +2144,7 @@ object CurationQueries {
             (sum("nv").cast("double") / sum("n")).as("corpus_bp"),
             sum(when(col("nv") * 10 >= col("n") * 3, 1).otherwise(0))
               .cast("long").as("n_flagged"))
-          .orderBy("source")
+          .transform(QueryDef.sortedRollup(_, "source"))
       }),
 
     // ── Per-label embedding health sheet: double-quantized centroid,

@@ -753,11 +753,13 @@ object LlmQueries {
       (s, d) => {
         val keyed = t(s, d, "documents").select(col("doc_id"),
           array_join(slice(split(trim(lower(col("text"))), "\\s+", 9), 1, 8), " ").as("k"))
-        BloomDedup.flagDups(
-          batch = keyed.filter(col("doc_id") % 3 === 0),
-          ref = keyed.filter(col("doc_id") % 3 =!= 0),
-          keyCol = "k")
-          .select(col("doc_id"), col("is_dup"))
+        // persist-before-sort like the sharded twin: the range sampler
+        // must not re-execute the bloom chain
+        graft.core.Caching.persistOnce(BloomDedup.flagDups(
+            batch = keyed.filter(col("doc_id") % 3 === 0),
+            ref = keyed.filter(col("doc_id") % 3 =!= 0),
+            keyCol = "k")
+          .select(col("doc_id"), col("is_dup")))
           .orderBy("doc_id")
       }),
 
@@ -778,11 +780,16 @@ object LlmQueries {
       (s, d) => {
         val keyed = t(s, d, "documents").select(col("doc_id"),
           array_join(slice(split(trim(lower(col("text"))), "\\s+", 9), 1, 8), " ").as("k"))
-        BloomDedup.flagDupsSharded(
-          batch = keyed.filter(col("doc_id") % 3 === 0),
-          ref = keyed.filter(col("doc_id") % 3 =!= 0),
-          keyCol = "k")
-          .select(col("doc_id"), col("is_dup"))
+        // batch-sized result, EXPENSIVE child (two key scans + bloom
+        // fold + confirm join): persist before the global sort so the
+        // range sampler reads the cache instead of re-executing the
+        // whole chain (the sampler runs the uncached child once, the
+        // exchange runs it again — measured ~2× on this query)
+        graft.core.Caching.persistOnce(BloomDedup.flagDupsSharded(
+            batch = keyed.filter(col("doc_id") % 3 === 0),
+            ref = keyed.filter(col("doc_id") % 3 =!= 0),
+            keyCol = "k")
+          .select(col("doc_id"), col("is_dup")))
           .orderBy("doc_id")
       }),
 
@@ -1706,7 +1713,12 @@ object LlmQueries {
               .as("tokens_per_doc"),
             col("vocab"),
             (col("n_tokens").cast("double") / col("vocab")).as("reuse"))
-          .orderBy("lang")
+          // lang-cardinality result: single-partition sort instead of a
+          // global orderBy, whose range-sampling pass would RE-EXECUTE
+          // both aggregation legs (the sampler runs the uncached child
+          // once, the exchange runs it again — measured ~2× on every
+          // agg-then-sort query)
+          .coalesce(1).sortWithinPartitions("lang")
       }),
 
     // ── BPE tokenizer TRAINING, first three merge steps (Sennrich et
@@ -1923,11 +1935,13 @@ object LlmQueries {
         |       md5(substring(text, CAST(k * hop AS INT) + 1,
         |           CAST(least(seg, len - k * hop) AS INT))) AS seg_sig
         |FROM f ORDER BY doc_id, seg_idx""")(
-      (s, d) => Multimodal.segmentAudioDF(
+      (s, d) => graft.core.Caching.persistOnce(Multimodal.segmentAudioDF(
           t(s, d, "documents").filter(length(col("text")) > 0)
             .select(col("doc_id"), col("text").cast("binary").as("media"),
               (lit(8000) + (col("doc_id") % 3) * 4000).cast("int")
-                .as("sample_rate")))
+                .as("sample_rate"))))
+        // persist before the global sort: the range sampler otherwise
+        // re-executes the whole typed segmentation (per-segment md5s)
         .orderBy("doc_id", "seg_idx")),
 
     // ── Multimodal RESIZE: the fourth plumbing verb (decode / extract /

@@ -72,6 +72,9 @@ object PipelineQueries {
           .select(col("event_id"), col("user_id"),
             date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
             col("value"), col("signup_event_id"), col("signup_us"))
+          // persist before the global sort: the range sampler otherwise
+          // re-executes the as-of window chain
+          .transform(df => graft.core.Caching.persistOnce(df))
           .orderBy("event_id")
       }),
 
@@ -565,7 +568,7 @@ object PipelineQueries {
               .as("tokens_kept"),
             sum(when(col("dropped") === 1, col("n_tok")).otherwise(0L))
               .as("tokens_dropped"))
-          .orderBy("source")
+          .transform(QueryDef.sortedRollup(_, "source"))
       }),
 
     // ── Deterministic stratified split assignment: a content-free,

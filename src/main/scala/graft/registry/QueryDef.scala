@@ -23,4 +23,16 @@ object QueryDef {
     * bit-identical to [[graft.llmops.Text.hash60]] across every oracle. */
   def hashBucketSql(expr: String): String =
     s"CAST(('0x' || substring(md5($expr), 1, 15)) AS BIGINT) % 2147483647"
+
+  /** Total order for a GROUP-CARDINALITY result frame (a per-source /
+    * per-lang rollup): one-partition sort instead of a global orderBy.
+    * A global sort's range sampler executes the uncached child once and
+    * the exchange executes it again, so every agg-then-orderBy query
+    * paid its aggregation legs TWICE (measured ~2× suite-wide on the
+    * rollup family). ONLY for frames bounded by a group-by's
+    * cardinality — a corpus-sized result keeps the range sort (persist
+    * the child instead when its recompute is expensive). */
+  def sortedRollup(df: org.apache.spark.sql.DataFrame,
+      cols: String*): org.apache.spark.sql.DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols.head, cols.tail: _*)
 }
