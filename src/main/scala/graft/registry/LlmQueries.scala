@@ -1713,12 +1713,10 @@ object LlmQueries {
               .as("tokens_per_doc"),
             col("vocab"),
             (col("n_tokens").cast("double") / col("vocab")).as("reuse"))
-          // lang-cardinality result: single-partition sort instead of a
-          // global orderBy, whose range-sampling pass would RE-EXECUTE
-          // both aggregation legs (the sampler runs the uncached child
-          // once, the exchange runs it again — measured ~2× on every
-          // agg-then-sort query)
-          .coalesce(1).sortWithinPartitions("lang")
+          // lang-cardinality result: persist-then-sort (see
+          // QueryDef.sortedRollup) so the range sampler reads the cached
+          // rollup instead of re-executing both aggregation legs
+          .transform(QueryDef.sortedRollup(_, "lang"))
       }),
 
     // ── BPE tokenizer TRAINING, first three merge steps (Sennrich et

@@ -25,14 +25,19 @@ object QueryDef {
     s"CAST(('0x' || substring(md5($expr), 1, 15)) AS BIGINT) % 2147483647"
 
   /** Total order for a GROUP-CARDINALITY result frame (a per-source /
-    * per-lang rollup): one-partition sort instead of a global orderBy.
-    * A global sort's range sampler executes the uncached child once and
-    * the exchange executes it again, so every agg-then-orderBy query
-    * paid its aggregation legs TWICE (measured ~2× suite-wide on the
-    * rollup family). ONLY for frames bounded by a group-by's
-    * cardinality — a corpus-sized result keeps the range sort (persist
-    * the child instead when its recompute is expensive). */
+    * per-lang rollup): persist the tiny result, THEN sort. A global
+    * sort's range sampler executes the uncached child once and the
+    * exchange executes it again, so every agg-then-orderBy query paid
+    * its post-shuffle aggregation tail TWICE; with the rollup persisted
+    * the sampler reads the cache. NOT `coalesce(1)` — coalesce collapses
+    * the whole final stage to one task, which serializes the big
+    * distinct/percentile partial merges that stage also contains
+    * (measured: vocab_approx 2.6 → 3.0 s at sf1 under coalesce, back
+    * under the persist form). ONLY for frames bounded by a group-by's
+    * cardinality — a corpus-sized result persists at the caller when
+    * its recompute is expensive. */
   def sortedRollup(df: org.apache.spark.sql.DataFrame,
       cols: String*): org.apache.spark.sql.DataFrame =
-    df.coalesce(1).sortWithinPartitions(cols.head, cols.tail: _*)
+    graft.core.Caching.persistOnce(df)
+      .orderBy(cols.map(org.apache.spark.sql.functions.col): _*)
 }
