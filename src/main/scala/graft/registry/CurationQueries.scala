@@ -53,10 +53,14 @@ object CurationQueries {
     // the same analyzed Dataset and matOnce re-pins it per cache
     // generation (the eager flag IS matOnce)
     {
-      // dependency pin OUTSIDE the construction memo (the
-      // dsirBucketCounts guard pattern): the distinct-bigram table is
-      // referenced twice below — the unigram derivation and the score
-      // join — and must re-pin per cache generation
+      // dependency pins OUTSIDE the construction memos (the
+      // dsirBucketCounts guard pattern): the memo builds run once per
+      // session, so anything pinned only inside them never re-pins
+      // after a cache clear. The token cache is referenced by BOTH
+      // memoized plans (the bigram explode, the last-token pass),
+      // and the distinct-bigram table twice within lmScores (unigram
+      // derivation + score join) — each must re-pin per generation.
+      LlmQueries.tokenArrays(s, d)
       lmQtabRaw(s, d)
       graft.core.Caching.memoDf(s, s"lmScores:$d", eager = true)(
         lmScoresPlan(s, d))
@@ -1483,15 +1487,21 @@ object CurationQueries {
       (s, d) => {
         val rows = LlmQueries.gramSetRows(s, d)
         // df >= 2 ⇔ the gram occurs in another doc: the postings are
-        // distinct per (doc, gram) by construction
-        val withDf = rows.withColumn("df",
-          count(lit(1)).over(Window.partitionBy("g")))
+        // distinct per (doc, gram) by construction. df comes from the
+        // SHARED per-gram vocabulary memo (one map-side-combined shuffle
+        // serving the whole gram family), not a corpus-postings window —
+        // the window paid the same shuffle PLUS a sort, per query.
+        val df = LlmQueries.gramDfFlags(s, d).select(col("g"), col("df"))
         val shared1 = sum(when(col("df") >= 2, 1L).otherwise(0L))
-        withDf.groupBy("doc_id").agg(
-            count(lit(1)).as("n_grams"),
-            shared1.as("n_shared"),
-            (shared1.cast("double") / count(lit(1))).as("shared_frac"),
-            max("df").as("max_df"))
+        // persist before the global sort (the range sampler otherwise
+        // re-executes the join+aggregate tail)
+        graft.core.Caching.persistOnce(
+          rows.join(df.hint("shuffle_hash"), Seq("g"))
+            .groupBy("doc_id").agg(
+              count(lit(1)).as("n_grams"),
+              shared1.as("n_shared"),
+              (shared1.cast("double") / count(lit(1))).as("shared_frac"),
+              max("df").as("max_df")))
           .orderBy("doc_id")
       }),
 
