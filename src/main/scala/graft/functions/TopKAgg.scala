@@ -3,6 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -106,6 +107,15 @@ case class BoundedTopKPairs(
 
   require(k > 0, s"k must be positive, got $k")
 
+  // update() casts straight to Long — reject anything else at analysis
+  // time instead of ClassCastException-ing mid-job
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (key.dataType == LongType && id.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (BIGINT, BIGINT), got " +
+        s"(${key.dataType.simpleString}, ${id.dataType.simpleString})")
+
   override def children: Seq[Expression] = Seq(key, id)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -192,6 +202,17 @@ case class BoundedTopKCarry(
   extends TypedImperativeAggregate[TopKAgg.CarryBuf] {
 
   require(k > 0, s"k must be positive, got $k")
+
+  // update() casts straight to Long/Double — reject anything else at
+  // analysis time instead of ClassCastException-ing mid-job
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (key.dataType == LongType && id.dataType == LongType &&
+        carry.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (BIGINT, BIGINT, DOUBLE), got " +
+        s"(${key.dataType.simpleString}, ${id.dataType.simpleString}, " +
+        s"${carry.dataType.simpleString})")
 
   override def children: Seq[Expression] = Seq(key, id, carry)
   override def nullable: Boolean = false

@@ -41,6 +41,13 @@ object SkewGuard {
     * twins (inlined into the oracle text — keep in sync). */
   val MaxCellSize = 1024
 
+  /** `spark.sql.shuffle.partitions` may hold a non-numeric value on
+    * some deployments (e.g. an "auto" extension) — the old join form
+    * tolerated that (the planner resolved it), so the explicit
+    * repartition must too: fall back to the cluster default. */
+  private[llmops] def parseWidth(raw: String, fallback: Int): Int =
+    scala.util.Try(raw.trim.toInt).filter(_ > 0).getOrElse(fallback)
+
   /** Candidate pairs (a_id, b_id), a < b, per cell of `cellCols`, with
     * the oversized-cell star guard. Callers dedup across cells with
     * `.distinct()` exactly as they did over the raw self-join.
@@ -75,7 +82,27 @@ object SkewGuard {
     // condition); rows with a NULL cell key match nothing under the
     // join's `===` and are filtered up front to preserve that.
     val spark = items.sparkSession
-    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val width = parseWidth(spark.conf.get("spark.sql.shuffle.partitions"),
+      spark.sparkContext.defaultParallelism)
+    // the per-partition pass compares cell keys and ids with boxed
+    // equality (Row.get != Row.get). For integral/string/boolean keys
+    // that is exactly the join form's `===`; for float (-0.0 vs 0.0,
+    // NaN) and binary (reference equality on Array[Byte]) it silently
+    // diverges — refuse those up front rather than emit wrong pairs
+    val inTypes = items.select((cellCols :+ idCol).map(col): _*).schema
+    inTypes.fields.foreach { f =>
+      import org.apache.spark.sql.types._
+      val ok = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case StringType | BooleanType => true
+        case DateType | TimestampType => true
+        case _ => false
+      }
+      require(ok, s"cellPairs key/id column '${f.name}' has type " +
+        s"${f.dataType.simpleString}; boxed equality diverges from === " +
+        "for float/binary keys — hash such keys to LONG first " +
+        "(e.g. xxhash64)")
+    }
     val proj = items
       .filter(cellCols.map(col(_).isNotNull).reduce(_ && _))
       .select((cellCols ++ (idCol +: carryCols)).map(col): _*)

@@ -70,21 +70,31 @@ object AsOfJoin {
     * common case and its input is usually the engine's biggest table).
     * The caller must pre-filter `events` to rows belonging to either
     * side. `leftCols` are the left-side output columns, evaluated on
-    * left rows only. */
+    * left rows only.
+    *
+    * A NULL-valued `isRight` tag is normalized to FALSE (left side):
+    * without the normalization a nullable tag (e.g. `event_type IS
+    * NULL` surviving a caller's predicate) would fall through BOTH
+    * `when` branches and emit a corrupt all-null output row — with it,
+    * the row is deterministically a left row with its real values,
+    * matching what `events.filter(!isRight)` + three-valued-logic would
+    * EXCLUDE but corrupting nothing. Callers wanting exclusion filter
+    * NULL tags out before calling, per the pre-filter contract. */
   def asOfTagged(events: DataFrame, isRight: Column, keys: Seq[String],
       leftTime: Column, rightTime: Column,
       leftCols: Seq[(String, Column)],
       rightPayload: Seq[(String, Column)],
       rightTiebreak: Column): DataFrame = {
+    val tag = coalesce(isRight, lit(false))
     val rStruct = struct(rightPayload.map { case (n, c) => c.as(n) }: _*)
     val lStruct = struct(leftCols.map { case (n, c) => c.as(n) }: _*)
     val merged = events.select(
       keys.map(col) ++ Seq(
-        when(isRight, rightTime).otherwise(leftTime).as("__t"),
-        when(isRight, lit(1)).otherwise(lit(0)).as("__side"),
-        when(isRight, rightTiebreak).as("__tb"),
-        when(isRight, rStruct).as("__r"),
-        when(!isRight, lStruct).as("__l")): _*)
+        when(tag, rightTime).otherwise(leftTime).as("__t"),
+        when(tag, lit(1)).otherwise(lit(0)).as("__side"),
+        when(tag, rightTiebreak).as("__tb"),
+        when(tag, rStruct).as("__r"),
+        when(!tag, lStruct).as("__l")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").desc, col("__tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

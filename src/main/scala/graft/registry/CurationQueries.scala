@@ -135,9 +135,19 @@ object CurationQueries {
       // scan → explode → BroadcastHashJoin → partial agg riding the
       // token cache's hashpartitioning(doc_id) — ZERO exchanges; a
       // corpus whose bigram vocabulary outgrows the threshold keeps the
-      // bounded-memory shuffled hash join instead.
+      // bounded-memory shuffled hash join instead. The gate is on
+      // ESTIMATED BYTES, not rows: 1M bigram STRINGS can be 50-100 MB+
+      // (long-token corpora) — past the broadcast/driver-collect
+      // comfort zone even when the row count looks small. Per-row
+      // estimate = avg bg length + 8 (the long score) + 40 UnsafeRow
+      // overhead; both stats come off the pinned qtabRaw in one
+      // metadata-cheap agg.
+      val qstats = qtabRaw.agg(count(lit(1)).as("n"),
+        coalesce(avg(length(col("bg"))), lit(0.0)).as("len")).head()
+      val qtabEstBytes =
+        (qstats.getLong(0) * (qstats.getDouble(1) + 48.0)).toLong
       val scoreJoin =
-        if (qtabRaw.count() <= 1000000L) docbg.join(broadcast(qtab), Seq("bg"))
+        if (qtabEstBytes <= (64L << 20)) docbg.join(broadcast(qtab), Seq("bg"))
         else docbg.join(qtab.hint("shuffle_hash"), Seq("bg"))
       scoreJoin
         .groupBy("doc_id").agg(
@@ -1427,8 +1437,14 @@ object CurationQueries {
         |FROM sk JOIN ex ON ex.source = sk.source
         |ORDER BY sk.source""")(
       (s, d) => {
-        val f = t(s, d, "documents")
-          .select(col("source"), nTokens(col("text")).as("nt"))
+        // pin the narrow (source, nt) frame: the sketch aggregate and
+        // the exact-histogram branch would otherwise EACH re-run the
+        // regex token count over the full text column (the query's
+        // dominant cost, paid twice; the oracle materializes its CTE
+        // once)
+        val f = graft.core.Caching.persistOnce(
+          t(s, d, "documents")
+            .select(col("source"), nTokens(col("text")).as("nt")))
         val sketch = f.groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           approx_percentile(col("nt"), lit(0.5), lit(10000)).as("a50"),
@@ -2095,12 +2111,14 @@ object CurationQueries {
         val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(nDocs))
           .withColumn("score",
             col("tf") * (col("n_docs").cast("double") / col("df")))
-        scored
-          .withColumn("rank", row_number().over(
-            Window.partitionBy("doc_id")
-              .orderBy(col("score").desc, col("term"))).cast("long"))
-          .filter(col("rank") <= 3)
-          .select("doc_id", "rank", "term", "tf", "score")
+        graft.core.Caching.persistOnce(scored
+            .withColumn("rank", row_number().over(
+              Window.partitionBy("doc_id")
+                .orderBy(col("score").desc, col("term"))).cast("long"))
+            .filter(col("rank") <= 3)
+            .select("doc_id", "rank", "term", "tf", "score"))
+          // persist before the global sort (sampler re-execution of the
+          // join+window tail; output is docs×3 rows — tiny)
           .orderBy("doc_id", "rank")
       }),
 

@@ -1899,9 +1899,13 @@ object LlmQueries {
         |FROM m CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k)
         |WHERE k < n
         |ORDER BY doc_id, frame_idx""")(
-      (s, d) => Multimodal.sampleFramesDF(
-          t(s, d, "documents").select(col("doc_id"),
-            col("source").as("kind"), col("text").cast("binary").as("media")))
+      (s, d) => graft.core.Caching.persistOnce(
+          // persist before the global sort: the range sampler otherwise
+          // re-executes the whole per-frame md5 flatMap (same recipe as
+          // llm_mm_audio below)
+          Multimodal.sampleFramesDF(
+            t(s, d, "documents").select(col("doc_id"),
+              col("source").as("kind"), col("text").cast("binary").as("media"))))
         .orderBy("doc_id", "frame_idx")),
 
     // ── Multimodal AUDIO segmentation: payload + sample-rate metadata →

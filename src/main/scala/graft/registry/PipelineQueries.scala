@@ -149,10 +149,13 @@ object PipelineQueries {
             timestamp_micros(lit(baseUs)
               + (col("o_orderkey") % 720 + col("o_orderkey") % 7 + 1) * HourUs)
               .as("we"))
-        graft.operators.RangeJoin.pointInInterval(
-            t(s, d, "events").select("event_id", "ts"), col("ts"),
-            w, col("ws"), col("we"), binMicros = 8 * HourUs)
-          .select("event_id", "label")
+        // persist before the global sort: the range sampler otherwise
+        // re-executes the bucketed bin join (the r14 recipe)
+        graft.core.Caching.persistOnce(
+            graft.operators.RangeJoin.pointInInterval(
+              t(s, d, "events").select("event_id", "ts"), col("ts"),
+              w, col("ws"), col("we"), binMicros = 8 * HourUs)
+            .select("event_id", "label"))
           .orderBy("event_id", "label")
       }),
 
@@ -379,24 +382,31 @@ object PipelineQueries {
         |         - cum_before // $PackLen + 1 AS n_windows
         |FROM packed ORDER BY doc_id""")(
       (s, d) => {
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), col("source"),
-            nTokens(col("text")).as("n_tokens"))
-          .filter(col("n_tokens") > 0)
+        // persist the NARROW token-count frame: PrefixSum's two passes
+        // (local window + shard totals) would otherwise each re-run the
+        // regex token count over the full text column — the query's
+        // dominant cost paid twice (three times with the sort sampler)
+        val docs = graft.core.Caching.persistOnce(
+          t(s, d, "documents")
+            .select(col("doc_id"), col("source"),
+              nTokens(col("text")).as("n_tokens"))
+            .filter(col("n_tokens") > 0))
         // the per-source running total via the two-level stitched scan:
         // `source` is low-cardinality, so a window partitioned by it
         // alone would serialize each source's corpus share through one
         // task at 100× — PrefixSum range-shards on doc_id, scans each
         // (source, shard) locally, and stitches shard offsets through
         // the shard-totals-sized frame (core/PrefixSum.scala)
-        graft.core.PrefixSum.exclusive(docs, "n_tokens", "doc_id",
-            groupCols = Seq("source"),
-            snapshot = false) // upstream = one narrow token-count scan
-          .select(col("doc_id"), col("source"), col("n_tokens"),
-            expr(s"cum_before DIV $PackLen").as("window_start"),
-            expr(s"(cum_before + n_tokens - 1) DIV $PackLen").as("window_end"),
-            expr(s"(cum_before + n_tokens - 1) DIV $PackLen" +
-              s" - cum_before DIV $PackLen + 1").as("n_windows"))
+        graft.core.Caching.persistOnce(
+          graft.core.PrefixSum.exclusive(docs, "n_tokens", "doc_id",
+              groupCols = Seq("source"),
+              snapshot = false) // upstream = the pinned narrow frame
+            .select(col("doc_id"), col("source"), col("n_tokens"),
+              expr(s"cum_before DIV $PackLen").as("window_start"),
+              expr(s"(cum_before + n_tokens - 1) DIV $PackLen").as("window_end"),
+              expr(s"(cum_before + n_tokens - 1) DIV $PackLen" +
+                s" - cum_before DIV $PackLen + 1").as("n_windows")))
+          // persist before the global sort (sampler re-execution)
           .orderBy("doc_id")
       }),
 

@@ -417,6 +417,12 @@ object SurfaceQueries {
     //    handle_get_request :226-277 and the in-use check of
     //    delete_tag :162-224 in one surface). One exchange for the tag
     //    counts (map-side combined), broadcast join for the type dim.
+    //    SQL-SPEC NOTE: the oracle's count(DISTINCT p_partkey) in
+    //    `types` is implemented as count(*) — valid ONLY under the
+    //    TPC-H PK contract that p_partkey is unique in part (which the
+    //    generators honor). A part table with duplicate keys would make
+    //    the Spark side diverge from this declared SQL; if that
+    //    contract ever weakens, switch back to countDistinct.
     sql("tg1_tag_catalog",
       """WITH tags AS (
         |  SELECT unnest(regexp_split_to_array(p_type, ' ')) AS tag_name,

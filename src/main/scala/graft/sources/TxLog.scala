@@ -474,7 +474,10 @@ object TxLog {
     * analogue): `exprSql` is a boolean SQL expression over the table's
     * columns; a row violates it only when it evaluates to FALSE — a
     * NULL-valued expression SATISFIES the constraint, the SQL-standard
-    * CHECK semantics the reference's stores inherit. (This is what
+    * CHECK semantics the reference's stores inherit (a semantics CHANGE
+    * from pre-r13 behavior — see CHANGELOG.md for the upgrade note;
+    * constraints that relied on implicit NOT-NULL strictness must be
+    * rewritten as `c IS NOT NULL AND <pred>`). (This is what
     * makes narrow upserts on constrained tables possible: a merge
     * batch omitting a constrained nullable column null-widens and
     * passes. Authors wanting NOT-NULL strictness write it explicitly:

@@ -443,7 +443,15 @@ object Workflows {
       * LOG (latest record per execution), so the listing covers the
       * full history even past the driver-resident
       * [[Workflows.RecoveryRetention]] bound; in-memory mode lists the
-      * runtime buffer. */
+      * runtime buffer.
+      *
+      * Ordering is `startedAtMs` ascending (ties broken by executionId)
+      * in BOTH modes — parquet read order is otherwise file-listing
+      * order, which changes as the log grows. Cost note: each call is a
+      * full scan + latest-per-key reduction over the WHOLE transition
+      * log (O(history)); that is control-plane-sized by construction
+      * (one tiny row per state change), but a caller polling this in a
+      * tight loop should cache the result or compact the log first. */
     def executionTable(spark: SparkSession): DataFrame = {
       import spark.implicits._
       execLogDir.filter { d =>
@@ -456,7 +464,9 @@ object Workflows {
           rows.withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).drop("_rn", "recSeq")
             .as[ExecutionRecord].toDF()
+            .orderBy(col("startedAtMs"), col("executionId"))
         case None => executions.toSeq.toDF()
+          .orderBy(col("startedAtMs"), col("executionId"))
       }
     }
 

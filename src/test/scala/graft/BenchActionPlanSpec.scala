@@ -48,10 +48,19 @@ class BenchActionPlanSpec extends SparkSpec {
       // listener delivery is async; wait for at least the write command,
       // then drain the bus so stragglers land too
       assert(done.await(120, TimeUnit.SECONDS), "no query execution observed")
-      // give stragglers a beat to land (listener delivery is async and the
-      // bus is private); the assertions only need the write command's plan,
-      // which `done` already guarantees
-      Thread.sleep(500)
+      // the bus is private (no waitUntilEmpty from here), so poll until
+      // the observed plan count is STABLE for 3 consecutive ticks rather
+      // than racing a single fixed sleep; the assertions only need the
+      // write command's plan, which `done` already guarantees — this
+      // just lets stragglers land deterministically
+      val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(10)
+      var stable = 0
+      var last = -1
+      while (stable < 3 && System.nanoTime() < deadline) {
+        val n = plans.size
+        if (n == last) stable += 1 else { stable = 0; last = n }
+        Thread.sleep(100)
+      }
     } finally spark.listenerManager.unregister(listener)
     import scala.jdk.CollectionConverters._
     plans.asScala.toSeq
@@ -99,9 +108,15 @@ class BenchActionPlanSpec extends SparkSpec {
     val plans = executedPlans { outerJoinSortQuery().count(): Unit }
     val all = plans.mkString("\n===\n")
     assert(plans.nonEmpty && !all.contains("rangepartitioning"),
-      s"count() no longer removes the final sort:\n${all.take(4000)}")
+      "VERSION PIN (expected to fail on a Spark upgrade that stops " +
+        "sort-elimination under count(); update BASELINE.md's instrument " +
+        s"caveat, then this pin): count() no longer removes the final " +
+        s"sort:\n${all.take(4000)}")
     assert(!all.contains("sum(n_chars"),
-      s"count() no longer prunes the output aggregate:\n${all.take(4000)}")
+      "VERSION PIN (expected to fail on a Spark upgrade that stops " +
+        "output-column pruning under count(); update BASELINE.md's " +
+        s"instrument caveat, then this pin): count() no longer prunes " +
+        s"the output aggregate:\n${all.take(4000)}")
   }
 
   test("an output-heavy gate query keeps its sort under the bench action") {

@@ -107,4 +107,36 @@ class SkewGuardSpec extends SparkSpec {
     assert(fragment.contains(s"> ${SkewGuard.MaxCellSize}"))
     assert(fragment.contains("_rn = 1 AND b._rn > 1"))
   }
+
+  test("shuffle-partition width parse falls back on non-numeric values") {
+    // a deployment may set shuffle.partitions to something the planner
+    // resolves but .toInt does not (r14 advice): the explicit
+    // repartition must fall back to the cluster default, not throw
+    assert(SkewGuard.parseWidth("32", 8) == 32)
+    assert(SkewGuard.parseWidth(" 200 ", 8) == 200)
+    assert(SkewGuard.parseWidth("auto", 8) == 8)
+    assert(SkewGuard.parseWidth("", 8) == 8)
+    assert(SkewGuard.parseWidth("-1", 8) == 8)
+  }
+
+  test("float/binary cell keys are refused up front (boxed != diverges from ===)") {
+    // the per-partition pass compares keys with boxed equality; for
+    // DOUBLE (-0.0 vs 0.0, NaN) and BINARY (Array reference equality)
+    // that silently diverges from the join form's === — the guard must
+    // refuse rather than emit wrong pairs
+    val floats = Seq((0.0d, 1L), (-0.0d, 2L)).toDF("cell", "id")
+    val e1 = intercept[IllegalArgumentException] {
+      SkewGuard.cellPairs(floats, Seq("cell"), "id")
+    }
+    assert(e1.getMessage.contains("boxed equality"))
+    val bins = Seq((Array[Byte](1, 2), 1L)).toDF("cell", "id")
+    val e2 = intercept[IllegalArgumentException] {
+      SkewGuard.cellPairs(bins, Seq("cell"), "id")
+    }
+    assert(e2.getMessage.contains("cell"))
+    // long keys (every production caller hashes to LONG) still pass
+    val ok = SkewGuard.cellPairs(
+      Seq((1L, 1L), (1L, 2L)).toDF("cell", "id"), Seq("cell"), "id")
+    assert(ok.as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+  }
 }

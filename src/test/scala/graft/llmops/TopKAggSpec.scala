@@ -75,4 +75,22 @@ class TopKAggSpec extends SparkSpec {
       .as[(String, Array[Long])].collect().toMap
     assert(got("a").toSeq == Seq(1L, 10L, 3L, 30L))
   }
+
+  test("non-BIGINT inputs are rejected at analysis, not mid-job (r14 advice)") {
+    // update() casts straight to Long/Double; without checkInputDataTypes
+    // an INT or FLOAT column analyzed fine and ClassCastException'd in
+    // the executor — now it must fail the query's analysis instead
+    val df = Seq(("a", 1, 10L, 0.5f)).toDF("grp", "key_int", "id", "carry_f")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("grp")
+        .agg(TopK.smallestK(5)(col("key_int"), col("id"))).collect()
+    }
+    assert(e1.getMessage.contains("BIGINT"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("grp")
+        .agg(TopK.smallestKCarry(5)(col("id"), col("id"),
+          col("carry_f"))).collect()
+    }
+    assert(e2.getMessage.contains("DOUBLE"))
+  }
 }

@@ -76,6 +76,22 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("asOfTagged: a NULL tag row is a left row, never a corrupt all-null row") {
+    // pre-r15 a nullable isRight fell through BOTH when() branches:
+    // side defaulted to 0 but __l stayed NULL → an all-null output row.
+    // The tag is now coalesced to false, so the row is a real left row.
+    val rows = Seq(
+      (1L, 10L, 100L, Some(true)),   // right @10
+      (1L, 20L, 200L, Some(false)),  // left  @20 → matches 100
+      (1L, 30L, 300L, None))         // NULL tag → left @30 → matches 100
+      .toDF("k", "t", "id", "is_r")
+    val got = AsOfJoin.asOfTagged(rows, col("is_r"), Seq("k"),
+        col("t"), col("t"), Seq("lid" -> col("id")),
+        Seq("m" -> col("id")), col("id"))
+      .select("lid", "m").as[(Option[Long], Option[Long])].collect().toSet
+    assert(got == Set((Some(200L), Some(100L)), (Some(300L), Some(100L))))
+  }
+
   test("asOfTagged plans ONE scan of the tagged source") {
     val rows = randomRows(7, 100, 5, 15).map { case (k, t, id) =>
       (k, t, id, id % 2 == 0) }.toDF("k", "t", "id", "is_r")

@@ -106,13 +106,20 @@ class PlanShapeSpec extends SparkSpec {
 
   test("novelty profile never broadcasts the gram df table") {
     // the gram vocabulary grows with the corpus: df must attach via a
-    // window over a hash-partition on g, not a broadcast join
+    // shuffled-hash join on g against the shared gramDfFlags memo, not a
+    // broadcast join (the no-broadcast half is the scale guard). The
+    // r14 rewrite replaced the per-query window (same shuffle + a sort)
+    // with the memo join; the result is persisted before the output
+    // sort so the range sampler doesn't re-execute the tail.
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     val qe = graft.SparkEntry.queries("llm_profile_novelty")(spark, sf())
       .queryExecution
     assert(qe.sparkPlan.collect {
       case b: BroadcastExchangeExec => b }.isEmpty)
-    assert(qe.executedPlan.toString.contains("Window"), "df via window")
+    val p = qe.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), "df via shuffle_hash memo join")
+    assert(p.contains("InMemoryTableScan"),
+      "aggregate persisted before the output sort")
   }
 
   test("embed-lsh dedup shuffle-joins vectors to candidates (no corpus broadcast)") {

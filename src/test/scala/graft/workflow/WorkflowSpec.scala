@@ -225,5 +225,10 @@ class WorkflowSpec extends SparkSpec {
     assert(execId == s"exec-$n")
     assert(r.executionTable(spark).filter(col("executionId") === execId)
       .head().getAs[String]("executionStatus") == "SUCCEEDED")
+    // listing order is the declared contract (startedAtMs asc, ties by
+    // executionId), not parquet file-listing order (r14 advice)
+    val heads = r.executionTable(spark)
+      .select("startedAtMs").as[Long].head(1000).toSeq
+    assert(heads == heads.sorted, "listing not startedAtMs-ordered")
   }
 }
