@@ -1674,12 +1674,23 @@ object CurationQueries {
           count(lit(1)).as("x_docs"),
           approx_count_distinct(col("doc_id"), 0.02).as("est_docs"),
           sum(col("n")).as("n_postings"))
-        val posting = dl.select(col("source"), explode(col("gs")).as("g"))
-        val estG = posting.groupBy("source").agg(
+        // ONE posting explode, deduped on (source, g) first: HLL is
+        // duplicate-insensitive, so the estimate over the DISTINCT rows
+        // has identical registers to one over the multiset — and the
+        // exact distinct count is then a plain count(*). This replaces
+        // the r14 shape's TWO explode passes (narrow HLL scan + a
+        // two-stage countDistinct) with one explode + one dedup
+        // exchange; the earlier hazard (fusing HLL with countDistinct
+        // in ONE aggregate ships a 400-byte HLL partial per distinct
+        // posting through the one-distinct rewrite) does not apply —
+        // the dedup exchange ships bare (source, g) pairs and the HLL
+        // partials aggregate AFTER it, per (source, partition).
+        val distG = dl.select(col("source"), explode(col("gs")).as("g"))
+          .dropDuplicates("source", "g")
+        val gAgg = distG.groupBy("source").agg(
+          count(lit(1)).as("x_grams"),
           approx_count_distinct(col("g"), 0.02).as("est_grams"))
-        val exactG = posting.groupBy("source").agg(
-          countDistinct(col("g")).as("x_grams"))
-        docAgg.join(estG, "source").join(exactG, "source")
+        docAgg.join(gAgg, "source")
           .select(col("source"), col("n_postings"),
             within3Sigma(col("est_docs"), col("x_docs")).as("docs_ok"),
             within3Sigma(col("est_grams"), col("x_grams")).as("grams_ok"))

@@ -53,27 +53,36 @@ object PipelineQueries {
         |  ORDER BY s.ts DESC, s.event_id DESC) = 1
         |ORDER BY p.event_id""")(
       (s, d) => {
-        // self-as-of over one table → the tagged single-scan form (the
-        // generic two-frame asOf plans the events scan twice)
+        // ASYMMETRIC as-of: the right side (signups) is dimension-like —
+        // bounded rows per user — while purchases are the fact stream.
+        // Folding each user's signups into ONE sorted array row and
+        // probing it per purchase replaces the corpus-wide
+        // partition-sort + running-window of the generic as-of with a
+        // small aggregate + hash join + per-row array search: the big
+        // side is never sorted on (user, ts) at all. The general
+        // unbounded-both-sides operator remains AsOfJoin.asOfTagged
+        // (ev5/spec surface); this is the shape to pick when one side
+        // aggregates to per-key arrays that fit a row (at 100 TB:
+        // signups per user are account-lifecycle-bounded, so the array
+        // row stays KB-sized however big the corpus grows).
         val ev = t(s, d, "events")
-          .filter(col("event_type").isin("purchase", "signup"))
-        AsOfJoin.asOfTagged(ev, col("event_type") === "signup",
-            keys = Seq("user_id"),
-            leftTime = col("ts"), rightTime = col("ts"),
-            leftCols = Seq(
-              "event_id" -> col("event_id"),
-              "user_id" -> col("user_id"),
-              "ts" -> col("ts"),
-              "value" -> col("value")),
-            rightPayload = Seq(
-              "signup_event_id" -> col("event_id"),
-              "signup_us" -> unix_micros(col("ts"))),
-            rightTiebreak = col("event_id"))
+        val sigs = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(
+            struct(col("ts"), col("event_id")))).as("__sigs"))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        // last signup with s.ts <= p.ts = last element of the filtered
+        // ascending (ts, event_id) array; get() is NULL-safe on the
+        // empty/na array (exactly the oracle's LEFT JOIN null row)
+        val hits = filter(col("__sigs"), sg => sg("ts") <= col("ts"))
+        val m = get(hits, size(hits) - 1)
+        pur.join(sigs.hint("shuffle_hash"), Seq("user_id"), "left")
           .select(col("event_id"), col("user_id"),
             date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
-            col("value"), col("signup_event_id"), col("signup_us"))
-          // persist before the global sort: the range sampler otherwise
-          // re-executes the as-of window chain
+            col("value"), m("event_id").as("signup_event_id"),
+            unix_micros(m("ts")).as("signup_us"))
+          // persist before the global sort (range-sampler re-execution)
           .transform(df => graft.core.Caching.persistOnce(df))
           .orderBy("event_id")
       }),
