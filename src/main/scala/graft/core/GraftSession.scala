@@ -46,4 +46,16 @@ object GraftSession {
     graft.functions.GraftFunctions.register(s)
     s
   }
+
+  /** `spark.sql.shuffle.partitions` as an Int, tolerating non-numeric
+    * values (some deployments set e.g. an "auto" extension value that
+    * the planner resolves but `.toInt` does not): falls back to the
+    * cluster default parallelism. Every explicit `repartition(width)`
+    * in the library routes through this — a raw
+    * `conf.get(...).toInt` throws exactly where the implicit-planner
+    * path would have worked (r14 advice, SkewGuard). */
+  def shuffleWidth(s: SparkSession): Int =
+    scala.util.Try(s.conf.get("spark.sql.shuffle.partitions").trim.toInt)
+      .filter(_ > 0)
+      .getOrElse(s.sparkContext.defaultParallelism)
 }

@@ -207,8 +207,7 @@ object CurationQueries {
         // a quarter of the session's shuffle width so the three
         // selection passes over it schedule proportionally fewer tasks
         // (measured: warm llm_mix_dsir 0.91 s → 0.58 s at sf0.1)
-        .coalesce(math.max(4,
-          s.conf.get("spark.sql.shuffle.partitions").toInt / 4))
+        .coalesce(math.max(4, graft.core.GraftSession.shuffleWidth(s) / 4))
     }
   }
 

@@ -115,7 +115,7 @@ object LlmQueries {
     * reused by every doc-keyed aggregation downstream. */
   private[registry] def tokenArrays(s: SparkSession, d: String): DataFrame =
     Caching.memoDf(s, s"tokenArrays:$d", eager = true) {
-      val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val width = graft.core.GraftSession.shuffleWidth(s)
       // the narrow metadata columns ride the cache (~6% of its bytes
       // next to the token arrays): language-gated consumers (the bigram
       // LM, DSIR, fertility, the funnel's meta frame) previously each
@@ -281,7 +281,7 @@ object LlmQueries {
     * property-checks superset-ness against brute force). */
   private def ngramPrefixJoin(base: DataFrame,
       df2: Option[DataFrame] = None): DataFrame = {
-    val w = base.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val w = graft.core.GraftSession.shuffleWidth(base.sparkSession)
     val raw = base.select(col("doc_id"), col("n"),
         posexplode(slice(col("gs"), lit(1),
           (size(col("gs")) / 2).cast("int") + 1)).as(Seq("pos", "g")))
@@ -478,7 +478,7 @@ object LlmQueries {
       .persist()
     try {
       val nEdges = edgesRaw.count()
-      val sessParts = s.conf.get("spark.sql.shuffle.partitions").toLong
+      val sessParts = graft.core.GraftSession.shuffleWidth(s).toLong
       val iterParts = math.max(1L,
         math.min(sessParts, nEdges / 50000L + 1L)).toInt
       val edges = edgesRaw.repartition(iterParts, col("u")).persist()

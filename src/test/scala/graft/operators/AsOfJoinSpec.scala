@@ -76,6 +76,28 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("array-probe as-of (the ev1 shape) ≡ brute force on randomized data") {
+    // the asymmetric shape ev1 uses: fold the right side into per-key
+    // sorted (t, id) arrays, probe per left row with filter + null-safe
+    // get. Must match the operator's brute-force contract exactly —
+    // at-or-before, ties on time broken by max id, no-match → null.
+    for (seed <- Seq(11, 12)) {
+      val l = randomRows(seed, 120, keys = 6, times = 20)
+      val r = randomRows(seed + 100, 80, keys = 8, times = 20)
+      val expected = brute(l, r)
+      val sigs = r.toDF("k", "t", "id").groupBy("k")
+        .agg(sort_array(collect_list(struct(col("t"), col("id"))))
+          .as("__sigs"))
+      val hits = filter(col("__sigs"), sg => sg("t") <= col("t"))
+      val m = get(hits, size(hits) - 1)
+      val got = l.toDF("k", "t", "lid")
+        .join(sigs.hint("shuffle_hash"), Seq("k"), "left")
+        .select(col("lid"), m("id").as("m"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("asOfTagged: a NULL tag row is a left row, never a corrupt all-null row") {
     // pre-r15 a nullable isRight fell through BOTH when() branches:
     // side defaulted to 0 but __l stayed NULL → an all-null output row.
