@@ -55,7 +55,12 @@ object GraftSession {
     * `conf.get(...).toInt` throws exactly where the implicit-planner
     * path would have worked (r14 advice, SkewGuard). */
   def shuffleWidth(s: SparkSession): Int =
-    scala.util.Try(s.conf.get("spark.sql.shuffle.partitions").trim.toInt)
-      .filter(_ > 0)
-      .getOrElse(s.sparkContext.defaultParallelism)
+    parseWidth(s.conf.get("spark.sql.shuffle.partitions"),
+      s.sparkContext.defaultParallelism)
+
+  /** The pure parse behind [[shuffleWidth]] (separately testable —
+    * `conf.set` validates the int conf, so the fallback can't be
+    * exercised through a real session). */
+  def parseWidth(raw: String, fallback: Int): Int =
+    scala.util.Try(raw.trim.toInt).filter(_ > 0).getOrElse(fallback)
 }

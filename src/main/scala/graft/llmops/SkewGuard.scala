@@ -44,9 +44,10 @@ object SkewGuard {
   /** `spark.sql.shuffle.partitions` may hold a non-numeric value on
     * some deployments (e.g. an "auto" extension) — the old join form
     * tolerated that (the planner resolved it), so the explicit
-    * repartition must too: fall back to the cluster default. */
+    * repartition must too: fall back to the cluster default.
+    * (Delegates to the library-wide parse in [[graft.core.GraftSession]].) */
   private[llmops] def parseWidth(raw: String, fallback: Int): Int =
-    scala.util.Try(raw.trim.toInt).filter(_ > 0).getOrElse(fallback)
+    graft.core.GraftSession.parseWidth(raw, fallback)
 
   /** Candidate pairs (a_id, b_id), a < b, per cell of `cellCols`, with
     * the oversized-cell star guard. Callers dedup across cells with

@@ -106,4 +106,43 @@ object AsOfJoin {
       col("__m").getField(n).as(n) }
     matched.select(leftOut ++ rightOut: _*)
   }
+
+  /** The ASYMMETRIC as-of: fold each key's right rows into ONE sorted
+    * `(time, tiebreak, payload…)` array and probe it per left row with
+    * `filter` + a null-safe `get`. Picks the same row as [[asOf]]
+    * (at-or-before; max tiebreak on time ties; null when no match) —
+    * spec-pinned equivalent — but the LEFT side is never sorted on
+    * (key, time) at all: one small aggregate on the right, one hash
+    * join, one per-row binary-search-sized array scan. Use when the
+    * right side is dimension-like (bounded rows per key — signups,
+    * dimension versions, config changes): the array row stays KB-sized
+    * however big the corpus grows, and the fact stream's only cost is
+    * the join exchange. For unbounded-both-sides inputs keep [[asOf]]/
+    * [[asOfTagged]] — a key with millions of right rows would buffer
+    * them all in one array row here, where the union-merge streams.
+    *
+    * `rightTiebreak` must be unique per (key, time) on the right (the
+    * usual as-of contract) — the array sorts lexicographically on
+    * (time, tiebreak, payload…), so a duplicate (time, tiebreak) pair
+    * would let payload values decide the order. */
+  def asOfArrayProbe(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: Column, rightTime: Column,
+      rightPayload: Seq[(String, Column)],
+      rightTiebreak: Column): DataFrame = {
+    require(!left.columns.contains("__asof_arr"),
+      "left side may not have a column named __asof_arr")
+    val entry = struct((rightTime.as("__t") +: rightTiebreak.as("__tb") +:
+      rightPayload.map { case (n, c) => c.as(n) }): _*)
+    val arrays = right.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(entry)).as("__asof_arr"))
+    // shuffle_hash: the array table is key-cardinality-sized — usually
+    // far smaller than the fact side but NOT broadcast-safe in general
+    // (it grows with the key space); the hash join keeps memory bounded
+    // and skips the sort the default merge join would pay
+    val hits = filter(col("__asof_arr"), e => e("__t") <= leftTime)
+    val m = get(hits, size(hits) - 1)
+    left.join(arrays.hint("shuffle_hash"), keys, "left")
+      .select(left.columns.map(col) ++
+        rightPayload.map { case (n, _) => m(n).as(n) }: _*)
+  }
 }

@@ -66,22 +66,19 @@ object PipelineQueries {
         // signups per user are account-lifecycle-bounded, so the array
         // row stays KB-sized however big the corpus grows).
         val ev = t(s, d, "events")
-        val sigs = ev.filter(col("event_type") === "signup")
-          .groupBy("user_id")
-          .agg(sort_array(collect_list(
-            struct(col("ts"), col("event_id")))).as("__sigs"))
-        val pur = ev.filter(col("event_type") === "purchase")
-          .select("event_id", "user_id", "ts", "value")
-        // last signup with s.ts <= p.ts = last element of the filtered
-        // ascending (ts, event_id) array; get() is NULL-safe on the
-        // empty/na array (exactly the oracle's LEFT JOIN null row)
-        val hits = filter(col("__sigs"), sg => sg("ts") <= col("ts"))
-        val m = get(hits, size(hits) - 1)
-        pur.join(sigs.hint("shuffle_hash"), Seq("user_id"), "left")
+        AsOfJoin.asOfArrayProbe(
+            left = ev.filter(col("event_type") === "purchase")
+              .select("event_id", "user_id", "ts", "value"),
+            right = ev.filter(col("event_type") === "signup"),
+            keys = Seq("user_id"),
+            leftTime = col("ts"), rightTime = col("ts"),
+            rightPayload = Seq(
+              "signup_event_id" -> col("event_id"),
+              "signup_us" -> unix_micros(col("ts"))),
+            rightTiebreak = col("event_id"))
           .select(col("event_id"), col("user_id"),
             date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
-            col("value"), m("event_id").as("signup_event_id"),
-            unix_micros(m("ts")).as("signup_us"))
+            col("value"), col("signup_event_id"), col("signup_us"))
           // persist before the global sort (range-sampler re-execution)
           .transform(df => graft.core.Caching.persistOnce(df))
           .orderBy("event_id")

@@ -38,4 +38,17 @@ class GraftSessionSpec extends SparkSpec {
       prevDefault.foreach(SparkSession.setDefaultSession)
     }
   }
+
+  test("shuffleWidth parses the session conf; the pure parse falls back") {
+    assert(GraftSession.shuffleWidth(spark) ==
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    // a non-numeric/invalid value must fall back, not throw (the r14
+    // SkewGuard advice, now the library-wide contract)
+    assert(GraftSession.parseWidth("32", 8) == 32)
+    assert(GraftSession.parseWidth(" 200 ", 8) == 200)
+    assert(GraftSession.parseWidth("auto", 8) == 8)
+    assert(GraftSession.parseWidth("", 8) == 8)
+    assert(GraftSession.parseWidth("0", 8) == 8)
+    assert(GraftSession.parseWidth("-1", 8) == 8)
+  }
 }

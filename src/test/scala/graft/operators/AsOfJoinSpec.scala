@@ -76,26 +76,35 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
-  test("array-probe as-of (the ev1 shape) ≡ brute force on randomized data") {
-    // the asymmetric shape ev1 uses: fold the right side into per-key
-    // sorted (t, id) arrays, probe per left row with filter + null-safe
-    // get. Must match the operator's brute-force contract exactly —
-    // at-or-before, ties on time broken by max id, no-match → null.
+  test("asOfArrayProbe (the asymmetric shape) ≡ brute force on randomized data") {
+    // fold the right side into per-key sorted (t, id) arrays, probe per
+    // left row with filter + null-safe get. Must match the operator's
+    // brute-force contract exactly — at-or-before, ties on time broken
+    // by max id, no-match → null.
     for (seed <- Seq(11, 12)) {
       val l = randomRows(seed, 120, keys = 6, times = 20)
       val r = randomRows(seed + 100, 80, keys = 8, times = 20)
       val expected = brute(l, r)
-      val sigs = r.toDF("k", "t", "id").groupBy("k")
-        .agg(sort_array(collect_list(struct(col("t"), col("id"))))
-          .as("__sigs"))
-      val hits = filter(col("__sigs"), sg => sg("t") <= col("t"))
-      val m = get(hits, size(hits) - 1)
-      val got = l.toDF("k", "t", "lid")
-        .join(sigs.hint("shuffle_hash"), Seq("k"), "left")
-        .select(col("lid"), m("id").as("m"))
-        .as[(Long, Option[Long])].collect().toMap
+      val got = AsOfJoin.asOfArrayProbe(
+          l.toDF("k", "t", "lid"), r.toDF("k", "t", "rid"),
+          keys = Seq("k"), leftTime = col("t"), rightTime = col("t"),
+          rightPayload = Seq("m" -> col("rid")), rightTiebreak = col("rid"))
+        .select("lid", "m").as[(Long, Option[Long])].collect().toMap
       assert(got == expected, s"seed=$seed")
     }
+  }
+
+  test("asOfArrayProbe plans no sort of the left (fact) side") {
+    val l = randomRows(21, 100, 5, 15).toDF("k", "t", "lid")
+    val r = randomRows(22, 60, 5, 15).toDF("k", "t", "rid")
+    val plan = AsOfJoin.asOfArrayProbe(l, r, Seq("k"), col("t"), col("t"),
+        Seq("m" -> col("rid")), col("rid"))
+      .queryExecution.executedPlan.toString
+    // the right side aggregates (sort_array is per-ROW, not a plan
+    // Sort); a ShuffledHashJoin needs no sort on either input — the
+    // only acceptable Sort would be none at all
+    assert(!plan.contains("Sort "), s"unexpected plan sort:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), plan)
   }
 
   test("asOfTagged: a NULL tag row is a left row, never a corrupt all-null row") {
