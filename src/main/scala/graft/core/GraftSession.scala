@@ -16,7 +16,17 @@ object GraftSession {
   /** Apply the engine's required settings to any builder. AQE stays ON
     * here — it is the right default on a cluster (skew joins, partition
     * coalescing); `graft.Bench` turns it off only because benchmark
-    * stages at tens of MB are known-tiny (see ARCHITECTURE.md). */
+    * stages at tens of MB are known-tiny (see ARCHITECTURE.md).
+    *
+    * CAVEAT (measured, round 15): the memo-pinned curation-funnel
+    * family (llm_curate_pipeline2 and its constituents) is built from
+    * MANY small eagerly-materialized stages, and AQE's per-exchange
+    * materialize-and-replan barrier multiplies each one — 5.9 s AQE-off
+    * vs 63.9 s AQE-on at sf1, the inflation spread uniformly across
+    * every memo build. Interactive/repeated-funnel deployments at
+    * known-small scale should set `spark.sql.adaptive.enabled=false`
+    * on the session running that family; leave AQE on for large
+    * unknown-stats batch jobs, which is what it exists for. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
