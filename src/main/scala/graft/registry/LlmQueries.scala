@@ -1415,7 +1415,11 @@ object LlmQueries {
             coalesce(sum("hit"), lit(0L)).as("nh"))
           .select(lit("ivf_recall_at_5_vs_brute_ge_0.7").as("metric"),
             col("n_queries"),
-            (col("nh").cast("double") / col("np") >= 0.7).as("recall_ok"))
+            // vacuously OK on an empty corpus: np = 0 would make the
+            // ANSI divide throw, and a recall floor over zero pairs holds
+            when(col("np") === 0, lit(true))
+              .otherwise(col("nh").cast("double") / col("np") >= 0.7)
+              .as("recall_ok"))
       }),
 
     // ── The MAINTAINED IVF index (llmops/IvfIndex): built once on two
@@ -1466,7 +1470,11 @@ object LlmQueries {
             coalesce(sum("hit"), lit(0L)).as("nh"))
           .select(lit("ivf_maintained_recall_at_5_vs_brute_ge_0.7").as("metric"),
             col("n_queries"),
-            (col("nh").cast("double") / col("np") >= 0.7).as("recall_ok"))
+            // vacuously OK on an empty corpus: np = 0 would make the
+            // ANSI divide throw, and a recall floor over zero pairs holds
+            when(col("np") === 0, lit(true))
+              .otherwise(col("nh").cast("double") / col("np") >= 0.7)
+              .as("recall_ok"))
       }),
 
     // ── PQ ANN (third scale path — the STORAGE one): per-subspace
@@ -1513,7 +1521,11 @@ object LlmQueries {
             coalesce(sum("hit"), lit(0L)).as("nh"))
           .select(lit("pq_recall_at_5_vs_brute_ge_0.55").as("metric"),
             col("n_queries"),
-            (col("nh").cast("double") / col("np") >= 0.55).as("recall_ok"))
+            // vacuously OK on an empty corpus: np = 0 would make the
+            // ANSI divide throw, and a recall floor over zero pairs holds
+            when(col("np") === 0, lit(true))
+              .otherwise(col("nh").cast("double") / col("np") >= 0.55)
+              .as("recall_ok"))
       }),
 
     // ── Language-ID heuristic: marker-stopword hits per language,

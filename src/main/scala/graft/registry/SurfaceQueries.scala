@@ -1127,7 +1127,9 @@ object SurfaceQueries {
           val nodes = e.select(col("src").as("node"))
             .unionByName(e.select(col("dst").as("node")))
             .distinct().localCheckpoint()
-          val nCnt = nodes.count()
+          // empty graph → empty rank frame (the driver-side seed
+          // divisions would otherwise throw on nCnt = 0)
+          val nCnt = math.max(nodes.count(), 1L)
           val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
           var r = nodes.select(col("node"),
             lit(1000000000000L / nCnt).as("r"))

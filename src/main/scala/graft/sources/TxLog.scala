@@ -1285,7 +1285,29 @@ object TxLog {
         .collect().map(_.getString(0)).filter(_ != null).toSet)
       .getOrElse(Set.empty)
     val touched = updParts ++ rmParts
-    if (touched.isEmpty) return
+    if (touched.isEmpty) {
+      // Delta semantics: creating a table from an EMPTY frame still
+      // creates it — commit v0 with the schema and zero files, so
+      // readers, time travel (asOfVersion = 0), and later merges see a
+      // table instead of "no log" (a fresh tenant / dry-run pipeline is
+      // the normal first caller). An empty merge on an EXISTING table
+      // stays the no-op it always was.
+      if (snapshot(spark, path).version < 0) {
+        val ddl = Some(org.apache.spark.sql.types.StructType(
+          updates.schema.filter(_.name != partitionCol) ++
+            updates.schema.find(_.name == partitionCol)).toDDL)
+        var attempt = 0
+        var done = false
+        while (!done && attempt < maxAttempts) {
+          attempt += 1
+          // a racing writer creating the table concurrently wins; our
+          // empty create then has nothing to add
+          if (snapshot(spark, path).version >= 0) done = true
+          else done = tryCommit(spark, path, 0L, Seq.empty, Seq.empty, ddl)
+        }
+      }
+      return
+    }
     // KEY SHAPE CONTRACT, half 1: a `#` inside a partition value makes
     // every later delete of that partition derive a wrong (prefix)
     // partition — refuse to commit such values at all

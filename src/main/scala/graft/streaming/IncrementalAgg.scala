@@ -51,7 +51,19 @@ object IncrementalAgg {
       valueCol: Option[String] = None,
       partitionDim: String = "facet_part"): Unit = {
     val d = deltas(changes, dims, valueCol)
-    if (d.isEmpty) return
+    if (d.isEmpty) {
+      // an all-empty FIRST batch must still create the rollup (the
+      // TxLog empty-create semantics: a schema-carrying v0), so a
+      // maintained-but-empty rollup reads with its columns instead of
+      // as a 0-column frame; later empty batches stay free no-ops
+      if (!TxLog.isTable(spark, rollupPath))
+        TxLog.merge(spark, rollupPath,
+          d.select(Seq(lit("").as("_docId"), lit("all").as(partitionDim)) ++
+            dims.map(col) ++ Seq(lit(0L).as("n"),
+              lit(0.0).as("total")): _*).limit(0),
+          partitionCol = partitionDim)
+      return
+    }
     // key convention "partition#groupKey" (merge's remove path derives
     // the partition from the prefix before '#')
     val keyed = d.withColumn("_docId",
@@ -108,7 +120,16 @@ object IncrementalAgg {
       max(when(isIns, v)).as("ins_max"),
       min(when(isDel, v)).as("del_min"),
       max(when(isDel, v)).as("del_max"))
-    if (d.isEmpty) return
+    if (d.isEmpty) {
+      // same empty-create contract as [[applyChanges]]
+      if (!TxLog.isTable(spark, rollupPath))
+        TxLog.merge(spark, rollupPath,
+          d.select(Seq(lit("").as("_docId"), lit("all").as(partitionDim)) ++
+            dims.map(col) ++ Seq(lit(0L).as("n"), lit(0.0).as("mn"),
+              lit(0.0).as("mx")): _*).limit(0),
+          partitionCol = partitionDim)
+      return
+    }
     val keyed = d.withColumn("_docId",
       concat(lit("all#"), concat_ws("|",
         dims.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*)))
