@@ -26,9 +26,13 @@ object Codecs {
   /** assetIndexer.py:345-353 — build `a:b:c` composite key. */
   def compositeKey(parts: Column*): Column = concat_ws(":", parts: _*)
 
-  /** assetIndexer.py:879-890 — split composite key, 0-based part index. */
+  /** assetIndexer.py:879-890 — split composite key, 0-based part index.
+    * `get` (not `element_at`): a malformed/short key — e.g. one built by
+    * `concat_ws` from a NULL component, which silently skips it — reads
+    * the missing part as NULL instead of throwing the ANSI
+    * out-of-bounds error mid-job. Well-formed keys are unaffected. */
   def keyPart(key: Column, idx: Int): Column =
-    element_at(split(key, ":"), idx + 1)
+    get(split(key, ":"), lit(idx))
 
   /** assetIndexer.py:184-276 — type autodetect: bool set, int-then-float,
     * ISO date, string fallback. Pure regex + `when` chain (codegen'd). */

@@ -29,15 +29,21 @@ object DocBuilder {
     * keys sanitized (C2). */
   def pivotMetadata(metadata: DataFrame, assetLevelOnly: Boolean = true): DataFrame = {
     val md = if (assetLevelOnly) metadata.filter(col("filePath") === "/") else metadata
-    md.groupBy(entityKeys.map(col): _*)
+    // a NULL metadata key cannot index (and map_from_entries throws
+    // NULL_MAP_KEY) — an attribute without a name does not exist on the
+    // doc, exactly as in the reference's pivot
+    md.filter(col("metadataKey").isNotNull)
+      .groupBy(entityKeys.map(col): _*)
       .agg(map_from_entries(collect_list(struct(
         Codecs.sanitizeFieldName(col("metadataKey")).as("k"),
         col("metadataValue").as("v")))).as("MD"))
   }
 
-  /** File-level pivot keyed by (db, asset, filePath) for the file docs. */
+  /** File-level pivot keyed by (db, asset, filePath) for the file docs.
+    * NULL keys are dropped (see [[pivotMetadata]]). */
   def pivotFileKv(kv: DataFrame, keyCol: String, valCol: String, out: String): DataFrame =
-    kv.groupBy(col("databaseId"), col("assetId"), col("filePath"))
+    kv.filter(col(keyCol).isNotNull)
+      .groupBy(col("databaseId"), col("assetId"), col("filePath"))
       .agg(map_from_entries(collect_list(struct(
         Codecs.sanitizeFieldName(col(keyCol)).as("k"),
         col(valCol).as("v")))).as(out))

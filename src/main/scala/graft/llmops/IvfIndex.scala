@@ -83,7 +83,10 @@ object IvfIndex {
       vecs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val centLit = typedLit(centroids(spark, root).map(_.toSeq).toSeq)
-    vecs.select(col("vec_id").cast("long").as("vec_id"),
+    // NULL embeddings never enter (or leave) the lists — the Similarity
+    // operator contract; a null vector has no assignable centroid
+    vecs.filter(col("embedding").isNotNull)
+      .select(col("vec_id").cast("long").as("vec_id"),
         Similarity.asDouble(col("embedding")).as("e"))
       .withColumn("cid", element_at(call_function(
         "graft_nearest_centroids", col("e"), centLit, lit(1)), 1))
@@ -120,7 +123,8 @@ object IvfIndex {
       k: Int, nprobe: Int = Similarity.IvfProbes): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val centLit = typedLit(centroids(spark, root).map(_.toSeq).toSeq)
-    val probes = queries.select(col("vec_id").cast("long").as("q_id"),
+    val probes = queries.filter(col("embedding").isNotNull)
+      .select(col("vec_id").cast("long").as("q_id"),
         Similarity.asDouble(col("embedding")).as("q_vec"))
       // query norm ONCE per query, not per probed pair
       .withColumn("q_nrm", sqrt(call_function("graft_dot",

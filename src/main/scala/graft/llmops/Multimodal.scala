@@ -28,6 +28,13 @@ object Multimodal {
 
   val BatchSize = 64
 
+  /** A NULL media payload is an undecodable record: every facade below
+    * SKIPS it (a real decoder would route it to quarantine) instead of
+    * letting the byte-math stubs NPE mid-task. Callers wanting the
+    * quarantine frame filter `media IS NULL` before calling. */
+  private def decodable(df: org.apache.spark.sql.DataFrame) =
+    df.filter(org.apache.spark.sql.functions.col("media").isNotNull)
+
   /** STUB decode: deterministic byte-level features standing in for a
     * codec call (the md5 is the "content fingerprint", `frames` a fake
     * sampled-frame count). Replace the body with a real decoder when
@@ -54,7 +61,7 @@ object Multimodal {
   def extractFeaturesDF(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaRecord]
-    extractFeatures(df.as[MediaRecord]).toDF()
+    extractFeatures(decodable(df).as[MediaRecord]).toDF()
   }
 
   /** One sampled frame of a media payload. */
@@ -87,7 +94,7 @@ object Multimodal {
   def sampleFramesDF(df: DataFrame): DataFrame = {
     implicit val in = org.apache.spark.sql.Encoders.product[MediaRecord]
     implicit val out = org.apache.spark.sql.Encoders.product[MediaFrame]
-    df.as[MediaRecord].mapPartitions { it =>
+    decodable(df).as[MediaRecord].mapPartitions { it =>
       it.grouped(BatchSize).flatMap(_.iterator.flatMap(sampleFramesStub))
     }.toDF()
   }
@@ -123,7 +130,7 @@ object Multimodal {
   def aHashDF(df: DataFrame): DataFrame = {
     implicit val in = org.apache.spark.sql.Encoders.product[MediaRecord]
     implicit val out = org.apache.spark.sql.Encoders.product[MediaAHash]
-    df.as[MediaRecord].mapPartitions { it =>
+    decodable(df).as[MediaRecord].mapPartitions { it =>
       it.grouped(BatchSize).flatMap(_.iterator.map(aHashStub))
     }.toDF()
   }
@@ -189,7 +196,7 @@ object Multimodal {
   def segmentAudioDF(df: DataFrame): DataFrame = {
     implicit val in = org.apache.spark.sql.Encoders.product[AudioRecord]
     implicit val out = org.apache.spark.sql.Encoders.product[AudioSegment]
-    df.as[AudioRecord].mapPartitions { it =>
+    decodable(df).as[AudioRecord].mapPartitions { it =>
       it.grouped(BatchSize).flatMap(_.iterator.flatMap(segmentAudioStub))
     }.toDF()
   }
@@ -219,7 +226,7 @@ object Multimodal {
   def resizeDF(df: DataFrame): DataFrame = {
     implicit val in = org.apache.spark.sql.Encoders.product[ImageRecord]
     implicit val out = org.apache.spark.sql.Encoders.product[ImageResized]
-    df.as[ImageRecord].mapPartitions { it =>
+    decodable(df).as[ImageRecord].mapPartitions { it =>
       it.grouped(BatchSize).flatMap(_.iterator.map(resizeStub))
     }.toDF()
   }

@@ -22,6 +22,15 @@ object Similarity {
   /** Cast a float embedding column to array<double> (exact). */
   def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Rows with a NULL embedding are EXCLUDED from every operator in
+    * this object (and the maintained stores built on them): a null
+    * vector has no defined norm or similarity, and letting one reach
+    * the kernels turns a data-quality problem into an executor NPE.
+    * Callers wanting to surface them route the nulls to a quarantine
+    * frame before searching. */
+  private def nonNullVecs(vecs: DataFrame): DataFrame =
+    vecs.filter(col("embedding").isNotNull)
+
   /** Sequential-fold dot product (deterministic). Reference HOF form —
     * [[graft.functions.GraftFunctions.CosineSimExpr]] is the fast path
     * with identical fold order; specs assert bit-equality. */
@@ -79,8 +88,9 @@ object Similarity {
       .select(col("q_id"), (col("i") + 1).cast("int").as("rank"),
         col("r._2").as("cand_id"), col("r._3").as("sim"))
 
-  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(queries.sparkSession)
+  def bruteForceTopK(queries0: DataFrame, candidates0: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries0.sparkSession)
+    val (queries, candidates) = (nonNullVecs(queries0), nonNullVecs(candidates0))
     // per-vector norms precomputed ONCE (|q| + |c| sqrt-dots), not
     // re-derived inside every pair's cosine — at queries × corpus pair
     // volume the two norm folds are 2/3 of the kernel. sqrt(q·q) and
@@ -104,9 +114,10 @@ object Similarity {
     * (`graft_cosine_q8`). At 100 TB this is the full int8 win — 4× less
     * to read AND an integer hot loop — where dequantize-then-float
     * would pay the storage saving back in compute. */
-  def bruteForceTopKQ8(queries: DataFrame, candidates: DataFrame, k: Int,
+  def bruteForceTopKQ8(queries0: DataFrame, candidates0: DataFrame, k: Int,
       cacheKey: Option[String] = None): DataFrame = {
-    graft.functions.GraftFunctions.register(queries.sparkSession)
+    graft.functions.GraftFunctions.register(queries0.sparkSession)
+    val (queries, candidates) = (nonNullVecs(queries0), nonNullVecs(candidates0))
     def codes(df: DataFrame, idName: String, vName: String) = df.select(
       col("vec_id").as(idName),
       graft.llmops.Quantize.quantize(asDouble(col("embedding")))
@@ -245,10 +256,11 @@ object Similarity {
     * subspaces want density-proportional seeds — farthest-point chases
     * the subspace corners there and measurably DROPPED PQ recall below
     * its 0.55 floor at sf0.1. */
-  def kmeansCentroids(vecs: DataFrame, k: Int = IvfCentroids,
+  def kmeansCentroids(vecs0: DataFrame, k: Int = IvfCentroids,
       iters: Int = IvfIters,
       assignFn: String = "graft_nearest_centroids",
       farthestSeeding: Boolean = true): Array[Array[Double]] = {
+    val vecs = nonNullVecs(vecs0)
     val spark = vecs.sparkSession
     graft.functions.GraftFunctions.register(spark)
     var cents: Array[Array[Double]] =
@@ -289,9 +301,10 @@ object Similarity {
 
   /** IVF ANN search: assign corpus to lists (narrow), probe nprobe
     * lists per query, exact re-rank. */
-  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+  def ivfTopK(queries0: DataFrame, candidates0: DataFrame, k: Int,
       nCentroids: Int = IvfCentroids, nprobe: Int = IvfProbes,
       cacheKey: Option[String] = None): DataFrame = {
+    val (queries, candidates) = (nonNullVecs(queries0), nonNullVecs(candidates0))
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
     // cacheKey (e.g. the corpus path) reuses the trained centroids
@@ -410,9 +423,10 @@ object Similarity {
     * product. Every emitted pair carries its EXACT cosine (the
     * approximation is only in which pairs are considered, never in the
     * scores). */
-  def semDedupPairs(vecs: DataFrame, tau: Double,
+  def semDedupPairs(vecs0: DataFrame, tau: Double,
       nCentroids: Int = IvfCentroids, probes: Int = 3,
       cacheKey: Option[String] = None): DataFrame = {
+    val vecs = nonNullVecs(vecs0)
     val spark = vecs.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val cents = cacheKey match {
@@ -454,8 +468,9 @@ object Similarity {
     * broadcast queries, exact-cosine re-rank the top rerank·k.
     * `cacheKey` (e.g. the corpus path) reuses trained codebooks across
     * searches over the same immutable corpus. */
-  def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+  def pqTopK(queries0: DataFrame, candidates0: DataFrame, k: Int,
       rerank: Int = PqRerank, cacheKey: Option[String] = None): DataFrame = {
+    val (queries, candidates) = (nonNullVecs(queries0), nonNullVecs(candidates0))
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val books = cacheKey match {

@@ -124,8 +124,13 @@ object CurationQueries {
         .join(uni.hint("shuffle_hash"), col("w1") === col("w"), "left")
         .crossJoin(broadcast(vocab))
         .select(col("bg"),
+          // greatest(..., 1): a corpus with ZERO English docs has an
+          // empty unigram vocabulary (v = 0, c1 all null) — the add-1
+          // score is meaningless there but must stay finite (the
+          // denominator is ≥ 1 whenever any English doc exists, so
+          // real corpora are unaffected)
           floor(lit(1000000000.0) * (col("c2") + 1) /
-            (coalesce(col("c1"), lit(0L)) + col("v")))
+            greatest(coalesce(col("c1"), lit(0L)) + col("v"), lit(1L)))
             .cast("long").as("q"))
       // inner join is row-preserving: every bg in the stream is in qtab
       // by construction, so n_bigrams still counts every occurrence.

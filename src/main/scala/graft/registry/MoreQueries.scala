@@ -119,6 +119,9 @@ object MoreQueries {
         // last-writer-wins dedup (max) before the map build, as in the
         // reference's metadata pivot semantics (and f7).
         val mdp = files
+          // NULL map keys throw NULL_MAP_KEY — a kv row without a key
+          // cannot index (DocBuilder pivot contract)
+          .filter(col("l_linenumber").isNotNull)
           .groupBy(col("l_orderkey"), col("l_linenumber"))
           .agg(max(col("l_quantity").cast("int")).cast("string").as("v"))
           .groupBy("l_orderkey")

@@ -1450,11 +1450,16 @@ private[registry] object TxSideTables {
     })
 
   private def docRows(s: SparkSession, d: String) =
-    Tables.load(s, d, "documents").select(
-      concat(col("source"), lit("#"),
-        lpad(col("doc_id").cast("string"), 8, "0")).as("_docId"),
-      col("source").as("str_databaseid"),
-      col("doc_id"), col("lang"), col("n_chars"))
+    Tables.load(s, d, "documents")
+      // TxLog KEY SHAPE CONTRACT: partition values must be non-null
+      // (merge refuses them) — a source row without one has no
+      // addressable key and stays out of the fixture table
+      .filter(col("source").isNotNull)
+      .select(
+        concat(col("source"), lit("#"),
+          lpad(col("doc_id").cast("string"), 8, "0")).as("_docId"),
+        col("source").as("str_databaseid"),
+        col("doc_id"), col("lang"), col("n_chars"))
 
   /** A SEPARATE table copy carrying one committed predicate update
     * (tx3_update_where) — its own dir so the read-only tx1/tx2 gates
@@ -1472,11 +1477,14 @@ private[registry] object TxSideTables {
         .createTempDirectory("graft-ivm-src").toString
       val roll = java.nio.file.Files
         .createTempDirectory("graft-ivm-roll").toString + "/r"
-      def rows(df: org.apache.spark.sql.DataFrame) = df.select(
-        concat(col("lang"), lit("#"),
-          lpad(col("doc_id").cast("string"), 8, "0")).as("_docId"),
-        col("lang").as("str_databaseid"),
-        col("n_chars").cast("double").as("v"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        // non-null partition per the TxLog KEY SHAPE CONTRACT
+        .filter(col("lang").isNotNull)
+        .select(
+          concat(col("lang"), lit("#"),
+            lpad(col("doc_id").cast("string"), 8, "0")).as("_docId"),
+          col("lang").as("str_databaseid"),
+          col("n_chars").cast("double").as("v"))
       val docs = Tables.load(s, d, "documents")
       // v0: bootstrap inserts
       graft.sources.TxLog.merge(s, src, rows(docs))

@@ -1278,8 +1278,18 @@ object TxLog {
       partitionCol: String = "str_databaseid",
       maxAttempts: Int = 20,
       expectedVersion: Option[Long] = None): Unit = {
-    val updParts: Set[String] = updates.select(partitionCol).distinct()
-      .collect().map(_.getString(0)).filter(_ != null).toSet
+    val updPartsRaw = updates.select(partitionCol).distinct()
+      .collect().map(_.getString(0))
+    // KEY SHAPE CONTRACT, half 0: a NULL partition value cannot
+    // round-trip through the "partition#key" delete convention (and
+    // would land in parquet's default-partition limbo) — refuse it up
+    // front, like the '#' check below, instead of silently staging
+    // rows no delete can ever reach
+    require(!updPartsRaw.contains(null),
+      s"merge: NULL value in partition column '$partitionCol' — " +
+        "partition values must be non-null strings (KEY SHAPE " +
+        "CONTRACT); filter or default them before merging")
+    val updParts: Set[String] = updPartsRaw.toSet
     val rmParts: Set[String] = Option(removedKeys)
       .map(_.select(split(col(keyCol), "#").getItem(0)).distinct()
         .collect().map(_.getString(0)).filter(_ != null).toSet)
