@@ -11,6 +11,11 @@ object Explain {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      // same AQE condition as Bench/MicroBench so committed plan files
+      // reflect the benched plan shape
+      .config("spark.sql.adaptive.enabled",
+        sys.env.get("SPARK_GRAFT_AQE")
+          .exists(v => Set("true", "1", "yes")(v.toLowerCase)).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -25,19 +25,25 @@ object QueryDef {
     s"CAST(('0x' || substring(md5($expr), 1, 15)) AS BIGINT) % 2147483647"
 
   /** Total order for a GROUP-CARDINALITY result frame (a per-source /
-    * per-lang rollup): persist the tiny result, THEN sort. A global
-    * sort's range sampler executes the uncached child once and the
-    * exchange executes it again, so every agg-then-orderBy query paid
-    * its post-shuffle aggregation tail TWICE; with the rollup persisted
-    * the sampler reads the cache. NOT `coalesce(1)` — coalesce collapses
-    * the whole final stage to one task, which serializes the big
-    * distinct/percentile partial merges that stage also contains
-    * (measured: vocab_approx 2.6 → 3.0 s at sf1 under coalesce, back
-    * under the persist form). ONLY for frames bounded by a group-by's
-    * cardinality — a corpus-sized result persists at the caller when
-    * its recompute is expensive. */
+    * per-lang rollup): shuffle the tiny result into ONE partition and
+    * sort within it. Identical total order to `orderBy` (the rollup's
+    * sort key is a deterministic total order), ONE operator-tree
+    * execution in ONE job — where `orderBy` pays a range-sampler job
+    * that executes the uncached child once and an exchange that
+    * executes it again (the r14 fix persisted the child so the sampler
+    * read cache, but still paid persist + two jobs; measured r15:
+    * repartition(1) saves 0.1-0.3 s/query at sf0.1 on top of that).
+    * NOT `coalesce(1)` — coalesce collapses the whole final stage to
+    * one task, which serializes the big distinct/percentile partial
+    * merges that stage also contains (measured: vocab_approx 2.6 →
+    * 3.0 s at sf1 under coalesce). `repartition(1)` keeps the
+    * aggregation at full width and adds a narrow single-task exchange
+    * AFTER it — scale-safe for exactly the frames this helper is
+    * documented for: results bounded by a group-by's cardinality
+    * (sources/langs — a few thousand rows at any corpus size). A
+    * corpus-sized result must keep a range sort at the caller. */
   def sortedRollup(df: org.apache.spark.sql.DataFrame,
       cols: String*): org.apache.spark.sql.DataFrame =
-    graft.core.Caching.persistOnce(df)
-      .orderBy(cols.map(org.apache.spark.sql.functions.col): _*)
+    df.repartition(1)
+      .sortWithinPartitions(cols.map(org.apache.spark.sql.functions.col): _*)
 }
