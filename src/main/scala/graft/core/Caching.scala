@@ -44,6 +44,36 @@ object Caching {
     df
   }
 
+  /** Materialize INDEPENDENT shared frames concurrently (guide §2.6:
+    * overlap independent jobs — actions submitted from separate driver
+    * threads back-fill executor capacity that a serial pin chain leaves
+    * idle during its small stages). Callers pass thunks that each pin
+    * one dependency chain (typically an eager memoDf access); any
+    * SHARED upstream (e.g. the token cache) must be pinned BEFORE the
+    * concurrent block so racing threads don't double-compute it. Waits
+    * for all; the first failure rethrows its cause. Bounded pool, one
+    * thread per thunk (pin fan-out is 2-4 in practice). */
+  def pinConcurrently(builds: (() => Unit)*): Unit = {
+    if (builds.sizeIs <= 1) builds.foreach(_.apply())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(builds.size)
+      try {
+        val futs = builds.map { b =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = b()
+          })
+        }
+        futs.foreach { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }
+      } finally pool.shutdown()
+    }
+  }
+
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 

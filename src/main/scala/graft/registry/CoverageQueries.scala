@@ -69,7 +69,12 @@ object CoverageQueries {
           .agg(max(when(col("l_linenumber") === 3, 1).otherwise(0)).as("has_k"),
             max(when(col("v").contains("2"), 1).otherwise(0)).as("has_v"))
           .filter(col("has_k") === 1 && col("has_v") === 1)
-          .select("l_orderkey").orderBy("l_orderkey")
+          .select("l_orderkey")
+          // persist before the global sort: the sampler otherwise
+          // re-executes the two-aggregate chain (r14 recipe; result is
+          // entity-sized — keeps a range sort)
+          .transform(graft.core.Caching.persistOnce)
+          .orderBy("l_orderkey")
       }),
 
     // ── J7: version-snapshot resolution — (version, fileKey) → stored

@@ -190,7 +190,10 @@ object CurationQueries {
 
   private def dsirWeights(s: SparkSession, d: String): DataFrame = {
     val db = dsirBucketCounts(s, d)
-    graft.core.Caching.memoDf(s, s"dsirW:$d") {
+    // eager like subDupStarts: the funnel pins this chain concurrently
+    // with the LM build; lazy marking deferred the weight fold into
+    // TopFraction's serial histogram pass
+    graft.core.Caching.memoDf(s, s"dsirW:$d", eager = true) {
       val m = 4096
       val bc = db.groupBy("b").agg(
         sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"),
@@ -505,6 +508,9 @@ object CurationQueries {
             groupCols = Seq("source"), snapshot = true)
           .select(col("doc_id"), col("source"), col("score_fp"),
             col("selected"))
+          // persist before the global sort: the range sampler otherwise
+          // re-executes the uncached tail (r14 recipe)
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("doc_id")
       }),
 
@@ -566,6 +572,9 @@ object CurationQueries {
             (col("f.best").cast("double") / col("n")).as("top_frac"),
             ((col("n") - col("f.singles")).cast("double") / col("n"))
               .as("dup_frac"))
+          // persist before the global sort: the range sampler otherwise
+          // re-executes the uncached tail (r14 recipe)
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("doc_id")
       }),
 
@@ -648,6 +657,9 @@ object CurationQueries {
           .select(col("doc_id"), col("n").as("n_tokens"),
             col("f.nruns").as("n_distinct"),
             (lg(col("n")) - expr("f.sc DIV n")).as("entropy_fp"))
+          // persist before the global sort: the range sampler otherwise
+          // re-executes the uncached tail (r14 recipe)
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("doc_id")
       }),
 
@@ -873,6 +885,9 @@ object CurationQueries {
             snapshot = false)
           .select(col("doc_id"), col("n_tokens"), col("weight_fp"),
             (col("score") / 1000000.0).as("importance"), col("selected"))
+          // persist before the global sort: the range sampler otherwise
+          // re-executes the uncached tail (r14 recipe)
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("doc_id")
       }),
 
@@ -945,6 +960,9 @@ object CurationQueries {
               lit(1000000000.0)).as("mean_p"),
             ((col("score_fp").cast("double") / col("n_bigrams")) >
               (col("ts").cast("double") / col("tn"))).as("kept"))
+          // persist before the global sort: the range sampler otherwise
+          // re-executes the uncached tail (r14 recipe)
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("doc_id")
       }),
 
@@ -1107,76 +1125,102 @@ object CurationQueries {
         // broadcast total), so an unpinned generation recomputes the
         // bigram chain per reference inside the first stage count
         // (measured: p2s1 3.1 s vs 1.6 s at sf1).
+        // the three pinned chains are INDEPENDENT given the token cache
+        // (bigram LM; positional-shingle dup starts; DSIR weights) —
+        // materialize them concurrently (guide §2.6) so the funnel's
+        // wall time is the LONGEST chain, not the sum (measured at
+        // sf0.1: lm ~1.8 s + starts ~0.7 s + weights ~0.4 s serial →
+        // max ≈ 1.8 s overlapped). The shared token cache is pinned
+        // first, single-threaded, so the racing chains read it instead
+        // of double-computing it.
+        LlmQueries.tokenArrays(s, d)
+        graft.core.Caching.pinConcurrently(
+          () => { lmScores(s, d); () },
+          () => { LlmQueries.substringDupStarts(s, d); () },
+          () => { dsirWeights(s, d); () })
         val lm = lmScores(s, d)
-        LlmQueries.substringDupTokens(s, d)
-        dsirWeights(s, d)
-        // stage 1: LM gate off the shared score builder
-        val s1 = memoDf(s, s"p2s1:$d", eager = true) {
-          val lmTot = lm.agg(sum("score_fp").as("ts"),
-            sum("n_bigrams").as("tn"))
-          lm.crossJoin(broadcast(lmTot))
-            .filter((col("score_fp").cast("double") / col("n_bigrams")) >
-              (col("ts").cast("double") / col("tn")))
-            .select("doc_id")
-        }
-        // stage 2: substring low-dup gate off the shared starts memo
-        val s2 = memoDf(s, s"p2s2:$d", eager = true) {
-          val ntok = LlmQueries.tokenArrays(s, d)
-            .select(col("doc_id"), size(col("tk")).as("ntok"))
-          s1.join(ntok, Seq("doc_id"))
-            .join(LlmQueries.substringDupTokens(s, d), Seq("doc_id"), "left")
-            .filter(coalesce(col("dup_tokens"), lit(0L)) * 5 < col("ntok"))
-            .select("doc_id")
-        }
-        // stage 3: DSIR top-25% among survivors (weights shared) —
-        // exact boundary from the bucket histogram, no global rank.
-        // snapshot = false: the mark's two internal passes read the
-        // PINNED s2 ∙ weights join, so a checkpoint would only add a
-        // materialization of what the cache already holds
-        val s3 = memoDf(s, s"p2s3:$d", eager = true)(
-          graft.llmops.TopFraction.mark(
-            dsirWeights(s, d).join(s2, Seq("doc_id")).withColumn("score",
-              col("weight_fp").cast("double") / col("n_tokens")),
-            "score", "doc_id", 0.25, snapshot = false)
-          .filter(col("selected")).select("doc_id"))
-        // stage 4: temperature sampling over the survivors' lang mix
-        val s4 = memoDf(s, s"p2s4:$d", eager = true) {
-          val lc = meta.join(s3, Seq("doc_id")).groupBy("lang").agg(
-            count(lit(1)).as("n"),
-            floor(sqrt(count(lit(1)).cast("double")) * lit(1000000.0))
-              .cast("long").as("sv"))
-          val lt = lc.agg(sum("sv").as("st"), sum("n").as("nd2"))
-          val rates = lc.crossJoin(broadcast(lt))
-            .select(col("lang"), least(lit(1.0),
-              (col("sv").cast("double") / col("st")) *
-                (col("nd2").cast("double") / lit(2.0)) / col("n")).as("rate"))
-          val h = Text.hash60(concat(lit("tmix2:"),
-            col("doc_id").cast("string")))
-          meta.join(s3, Seq("doc_id"))
-            .join(broadcast(rates), Seq("lang"))
-            .filter(h < col("rate") * lit(2147483647L))
-            .select("doc_id")
-        }
-        // the funnel is strictly nested (s4 ⊆ s3 ⊆ s2 ⊆ s1 by
-        // construction: each stage joins the previous), so a doc's four
-        // membership flags collapse to its MAX stage — one join against
-        // meta instead of four, with the per-stage counts recovered as
-        // st >= k. Construction-memoized like the stages (the result is
-        // a handful of rows; the persist marking is free).
-        memoDf(s, s"p2final:$d") {
-          val stage = s1.select(col("doc_id"), lit(1).as("st"))
-            .union(s2.select(col("doc_id"), lit(2).as("st")))
-            .union(s3.select(col("doc_id"), lit(3).as("st")))
-            .union(s4.select(col("doc_id"), lit(4).as("st")))
-            .groupBy("doc_id").agg(max("st").as("st"))
+        val dup = LlmQueries.substringDupTokens(s, d)
+        val w = dsirWeights(s, d)
+        // r15 RESTRUCTURE (guide §1.2 step 1 — fix the distributed
+        // algorithm's job count, not its stages' insides): the four
+        // doc-id-sized stage frames (s1..s4) + their four eager pins +
+        // the 4-way union of the old accounting are replaced by ONE
+        // pinned doc-level BASE (meta ⋈ lm ⋈ dup ⋈ weights — every join
+        // doc-id-keyed over cached doc-id-partitioned inputs) carrying
+        // the stage memberships as COLUMN predicates:
+        //   f1 (LM gate)      = score_fp/n_bigrams > ts/tn (NULL → out,
+        //                       exactly like the old inner join),
+        //   f2 (low-dup gate) = f1 && dup_tokens·5 < n_tokens
+        //                       (n_tokens ≡ size(tk): every token lands
+        //                       in exactly one DSIR bucket),
+        //   f3 (DSIR top-25%) = TopFraction over base.filter(f2) — the
+        //                       identical (score DESC, doc_id) boundary
+        //                       semantics, and
+        //   f4 (temp sample)  = the tmix2 hash gate against the lang
+        //                       rates computed from the f3 survivors.
+        // The per-source accounting is then TWO aggregates (base-side
+        // n0/n_lm/n_lowdup; survivor-side n_dsir/n_final) stitched by a
+        // 5-row join — measured at sf0.1 this halves the funnel's
+        // serial post-pin job chain (old: 4 stage counts + 4 cache
+        // writes + union-agg; new: base count + TopFraction's two
+        // passes + two rollup aggs).
+        val base = memoDf(s, s"p2base:$d", eager = true) {
           meta
-            .join(stage, Seq("doc_id"), "left")
+            .join(lm, Seq("doc_id"), "left")
+            .join(dup, Seq("doc_id"), "left")
+            .join(w, Seq("doc_id"), "left")
+        }
+        // one-row LM total, pinned so each downstream action's
+        // broadcast reads cache instead of re-aggregating
+        val lmTot = memoDf(s, s"p2lmtot:$d", eager = true)(
+          base.agg(sum("score_fp").as("ts"), sum("n_bigrams").as("tn")))
+        val f1 = (col("score_fp").cast("double") / col("n_bigrams")) >
+          (col("ts").cast("double") / col("tn"))
+        val f2 = f1 &&
+          (coalesce(col("dup_tokens"), lit(0L)) * 5 < col("n_tokens"))
+        val fb = base.crossJoin(broadcast(lmTot))
+        // DSIR top-25% among the gate survivors — exact boundary from
+        // the bucket histogram, no global rank. snapshot = false: both
+        // TopFraction passes read the pinned base. The survivor frame
+        // is pinned: the lang-rate aggregate AND the final accounting
+        // both read it.
+        val s3docs = memoDf(s, s"p2s3:$d", eager = true)(
+          graft.llmops.TopFraction.mark(
+            fb.filter(f2).withColumn("score",
+              col("weight_fp").cast("double") / col("n_tokens"))
+              .select(col("doc_id"), col("lang"), col("source"), col("score")),
+            "score", "doc_id", 0.25, snapshot = false)
+          .filter(col("selected")).select("doc_id", "lang", "source"))
+        // temperature rates over the survivors' lang mix (tiny: one agg
+        // over the pinned survivor frame, broadcast back)
+        val lc = s3docs.groupBy("lang").agg(
+          count(lit(1)).as("n"),
+          floor(sqrt(count(lit(1)).cast("double")) * lit(1000000.0))
+            .cast("long").as("sv"))
+        val lt = lc.agg(sum("sv").as("st"), sum("n").as("nd2"))
+        val rates = lc.crossJoin(broadcast(lt))
+          .select(col("lang"), least(lit(1.0),
+            (col("sv").cast("double") / col("st")) *
+              (col("nd2").cast("double") / lit(2.0)) / col("n")).as("rate"))
+        val h = Text.hash60(concat(lit("tmix2:"),
+          col("doc_id").cast("string")))
+        memoDf(s, s"p2final:$d") {
+          // base-side counts (stages 0-2) and survivor-side counts
+          // (stages 3-4), each ONE map-side-combined aggregate over a
+          // pinned frame; stitched on the source rollup key
+          val aggA = fb.groupBy("source").agg(
+            count(lit(1)).as("n0"),
+            sum(when(f1, 1L).otherwise(0L)).as("n_lm"),
+            sum(when(f2, 1L).otherwise(0L)).as("n_lowdup"))
+          val aggB = s3docs.join(broadcast(rates), Seq("lang"))
             .groupBy("source").agg(
-              count(lit(1)).as("n0"),
-              sum(when(col("st") >= 1, 1L).otherwise(0L)).as("n_lm"),
-              sum(when(col("st") >= 2, 1L).otherwise(0L)).as("n_lowdup"),
-              sum(when(col("st") >= 3, 1L).otherwise(0L)).as("n_dsir"),
-              sum(when(col("st") >= 4, 1L).otherwise(0L)).as("n_final"))
+              count(lit(1)).as("n_dsir"),
+              sum(when(h < col("rate") * lit(2147483647L), 1L)
+                .otherwise(0L)).as("n_final"))
+          aggA.join(aggB, Seq("source"), "left")
+            .select(col("source"), col("n0"), col("n_lm"), col("n_lowdup"),
+              coalesce(col("n_dsir"), lit(0L)).as("n_dsir"),
+              coalesce(col("n_final"), lit(0L)).as("n_final"))
             .transform(QueryDef.sortedRollup(_, "source"))
         }
       }),
@@ -1590,6 +1634,9 @@ object CurationQueries {
           .select(col("a_id"), col("b_id"), col("shared"),
             cont.as("containment"))
           .dropDuplicates("a_id", "b_id")
+          // persist before the global sort: the range sampler otherwise
+          // re-executes the uncached tail (r14 recipe)
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("a_id", "b_id")
       }),
 
@@ -1884,7 +1931,8 @@ object CurationQueries {
           count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_total"))
         .select(col("source"), col("bin"), col("lo"), col("hi"),
           col("n_docs"), col("n_chars_total"))
-        .orderBy("source", "bin")),
+        // group-cardinality rollup (source × 64-char bin)
+        .transform(QueryDef.sortedRollup(_, "source", "bin"))),
 
     // ── Leakage-safe split assignment: hash on the near-dup FAMILY
     //    (component canonical, falling back to the doc id for
@@ -2014,7 +2062,8 @@ object CurationQueries {
               .otherwise("test"))
           .groupBy("source", "stage").agg(
             count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
-          .orderBy("source", "stage")
+          // group-cardinality rollup (source × 6 stages)
+          .transform(QueryDef.sortedRollup(_, "source", "stage"))
       }),
 
     // ── Cross-source duplication matrix: which sources mirror each
@@ -2051,7 +2100,8 @@ object CurationQueries {
             greatest(col("sa"), col("sb")).as("source_b"), col("hamming"))
           .groupBy("source_a", "source_b")
           .agg(count(lit(1)).as("n_pairs"), min("hamming").as("min_hamming"))
-          .orderBy("source_a", "source_b")
+          // group-cardinality rollup (source-pair matrix)
+          .transform(QueryDef.sortedRollup(_, "source_a", "source_b"))
       }),
 
     // ── Corpus tf-idf top terms per document (keyword extraction for
@@ -2134,6 +2184,9 @@ object CurationQueries {
             .select("doc_id", "rank", "term", "tf", "score"))
           // persist before the global sort (sampler re-execution of the
           // join+window tail; output is docs×3 rows — tiny)
+          // persist before the global sort: the range sampler otherwise
+          // re-executes the uncached tail (r14 recipe)
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("doc_id", "rank")
       }),
 
@@ -2237,9 +2290,12 @@ object CurationQueries {
         |       min(cosc) AS min_cos
         |FROM scored GROUP BY label ORDER BY label""")(
       (s, d) => {
-        val v = t(s, d, "embeddings").select(col("vec_id"), col("label"),
-          transform(col("embedding").cast("array<double>"),
-            x => floor(x * 4096).cast("long")).as("q"))
+        // v feeds two plan branches (the centroid fold and the scoring
+        // join) — persist so the scan + per-dim quantize runs once
+        val v = graft.core.Caching.persistOnce(
+          t(s, d, "embeddings").select(col("vec_id"), col("label"),
+            transform(col("embedding").cast("array<double>"),
+              x => floor(x * 4096).cast("long")).as("q")))
         val dims = v.select(col("label"), posexplode(col("q")))
           .groupBy("label", "pos")
           .agg(sum("col").as("s2"), count(lit(1)).as("n"))
@@ -2261,7 +2317,7 @@ object CurationQueries {
             (sum(floor(col("cosc") * 1000000000.0).cast("long")).cast("double")
               / count(lit(1)) / 1000000000.0).as("avg_cos"),
             min(col("cosc")).as("min_cos"))
-          .orderBy("label")
+          .transform(QueryDef.sortedRollup(_, "label"))
       })
   )
 }

@@ -98,25 +98,29 @@ object JoinAggQueries {
         |         AS sketch_ok
         |FROM orders GROUP BY 1 ORDER BY facet_value""")(
       (s, d) => {
-        // exact and sketch as SEPARATE aggregates joined on the facet:
-        // combined in one agg, Spark's distinct rewrite pre-groups by
-        // (facet, custkey) and carries the partial HLL buffer (409
-        // longs at rsd 0.02) on EVERY pre-aggregation row — a ~200 MB
-        // exchange for a 5-row answer (measured 1.8 s; split, the HLL
-        // ships 5 buffers total and the distinct pre-agg stays narrow)
-        val orders = t(s, d, "orders")
-        val exact = orders
-          .groupBy(col("o_orderpriority").as("facet_value"))
-          .agg(countDistinct(col("o_custkey")).as("n_customers"))
-        val est = orders
-          .groupBy(col("o_orderpriority").as("facet_value"))
-          .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("est"))
-        exact.join(est, "facet_value")
+        // ONE scan, one explicit distinct pre-aggregate feeding BOTH the
+        // exact count and the sketch. HLL registers are max-folds of
+        // per-value hashes, so the estimate over the DISTINCT
+        // (facet, custkey) pairs is bit-identical to the estimate over
+        // the raw rows — and the partial HLL buffer (409 longs at rsd
+        // 0.02) ships 5 per partition over the post-distinct exchange
+        // instead of riding every pre-aggregation row (the r9-measured
+        // ~200 MB exchange when countDistinct and the HLL shared one
+        // aggregate). Replaces the r9 two-aggregate + join form: that
+        // shape scanned orders twice and paid a join for a 5-row
+        // answer (2 scans + 4 exchanges + join → 1 scan + 3 exchanges).
+        val pairs = t(s, d, "orders")
+          .select(col("o_orderpriority").as("facet_value"),
+            col("o_custkey"))
+          .distinct()
+        pairs.groupBy("facet_value")
+          .agg(count(lit(1)).as("n_customers"),
+            approx_count_distinct(col("o_custkey"), rsd = 0.02).as("est"))
           .withColumn("sketch_ok",
             abs(col("est") - col("n_customers")).cast("double") <=
               greatest(lit(3.0), lit(0.06) * col("n_customers")))
           .select("facet_value", "n_customers", "sketch_ok")
-          .orderBy("facet_value")
+          .transform(QueryDef.sortedRollup(_, "facet_value"))
       }),
 
     // ── A3+A5: aggregation totals / count endpoints (search.py:1750-1762,
@@ -147,7 +151,8 @@ object JoinAggQueries {
             col("l_quantity").cast("int").cast("string")).as("kv"))
         .groupBy("l_orderkey")
         .agg(array_join(sort_array(collect_list("kv")), ",").as("md"))
-        .orderBy("l_orderkey")),
+        // bounded output (< 200 keys) — single-partition sort
+        .repartition(1).sortWithinPartitions("l_orderkey")),
 
     // ── A8: max-version selection — latest row per key via ranked window
     //    (fileIndexer.py:544-556); full tiebreak chain for determinism.
@@ -160,18 +165,22 @@ object JoinAggQueries {
         |           l_suppkey DESC, l_extendedprice DESC) = 1
         |ORDER BY l_orderkey""")(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
+        // MAX over the full tiebreak chain as ONE struct aggregate —
+        // lexicographic struct comparison picks exactly the row the
+        // row_number window ranked first (all keys DESC, and the chain
+        // is total: every output column derives from it), but with
+        // map-side combine instead of a per-key sort: partial agg →
+        // one narrow exchange → final agg, no window sort at all
         t(s, d, "lineitem")
           .filter(col("l_orderkey") < 1000)
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("l_orderkey").orderBy(
-              col("l_shipdate").desc, col("l_linenumber").desc,
-              col("l_partkey").desc, col("l_suppkey").desc,
-              col("l_extendedprice").desc)))
-          .filter(col("rn") === 1)
-          .select(col("l_orderkey"), col("l_linenumber"),
-            date_format(col("l_shipdate"), "yyyy-MM-dd").as("shipped"))
-          .orderBy("l_orderkey")
+          .groupBy("l_orderkey")
+          .agg(max(struct(col("l_shipdate"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"), col("l_extendedprice")))
+            .as("top"))
+          .select(col("l_orderkey"), col("top.l_linenumber").as("l_linenumber"),
+            date_format(col("top.l_shipdate"), "yyyy-MM-dd").as("shipped"))
+          // bounded output (< 1000 keys) — single-partition sort
+          .repartition(1).sortWithinPartitions("l_orderkey")
       }),
 
     // ── J1: document-enrichment join — fact ⋈ broadcast dims ⋈ detail

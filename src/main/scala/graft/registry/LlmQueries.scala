@@ -683,7 +683,11 @@ object LlmQueries {
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 5
-    Caching.memoDf(s, s"subDupStarts:$d") {
+    // eager: the build is the dominant cost of every consumer's first
+    // job, and the curation funnel pins it CONCURRENTLY with the bigram
+    // LM chain (Caching.pinConcurrently) — lazy marking would defer the
+    // work back into the serial stage-2 job
+    Caching.memoDf(s, s"subDupStarts:$d", eager = true) {
       // count() OVER (partition by g), not aggregate + semi join: the
       // window shuffles and sorts the positional-gram stream ONCE,
       // where the join form computes the gram derivation TWICE (once
@@ -730,6 +734,10 @@ object LlmQueries {
       (s, d) => t(s, d, "documents")
         .groupBy(md5(col("text")).as("h"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        // persist before the global sort: the sampler otherwise re-runs
+        // the corpus md5 + aggregation; the cached frame is 3 narrow
+        // columns per distinct hash
+        .transform(graft.core.Caching.persistOnce)
         .orderBy("keep_id")),
 
     // ── INCREMENTAL dedup: Bloom screen + exact confirm. The incoming
@@ -857,6 +865,9 @@ object LlmQueries {
               col("n_tokens")).as("dup_frac"),
             (coalesce(col("dup_tokens"), lit(0L)) * 5 >= col("n_tokens"))
               .as("flagged"))
+          // persist before the global sort: the range sampler otherwise
+          // re-executes the uncached tail (r14 recipe)
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("doc_id")
       }),
 
@@ -928,6 +939,9 @@ object LlmQueries {
             (size(col("tk")) - size(col("kept"))).cast("long")
               .as("removed_tokens"),
             md5(array_join(col("kept"), " ")).as("kept_sig"))
+          // persist before the global sort: the range sampler otherwise
+          // re-executes the uncached tail (r14 recipe)
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("doc_id")
       }),
 
@@ -1006,7 +1020,10 @@ object LlmQueries {
         // ≥ 2 docs, the only ones that can ever collide — lets the
         // prefix join drop df=1 postings via a colocated semi-join
         val df2 = gramDfFlags(s, d).filter(col("df") >= 2).select("g")
-        ngramJaccardPairs(stats, viral, Some(df2)).orderBy("a_id", "b_id")
+        ngramJaccardPairs(stats, viral, Some(df2))
+          // persist before the global sort (r14 recipe)
+          .transform(graft.core.Caching.persistOnce)
+          .orderBy("a_id", "b_id")
       }),
 
     // ── MinHash + LSH near-dup detection: one-pass signature aggregate,
@@ -1098,6 +1115,9 @@ object LlmQueries {
           .withColumn("shared",
             icount(s, col("gs_a"), col("gs_b")))
           .select(col("a_id"), col("b_id"), col("n_match"), jac.as("jaccard"))
+          // persist before the global sort: the range sampler otherwise
+          // re-executes the uncached tail (r14 recipe)
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("a_id", "b_id")
       }),
 
@@ -1151,6 +1171,9 @@ object LlmQueries {
         graft.llmops.IncrementalDedup.screen(
             sigs.filter(col("doc_id") % 4 === 0),
             sigs.filter(col("doc_id") % 4 =!= 0))
+          // persist before the global sort: the range sampler otherwise
+          // re-executes the uncached tail (r14 recipe)
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("b_id", "c_id")
       }),
 
@@ -1262,6 +1285,9 @@ object LlmQueries {
       (s, d) => {
         val e = t(s, d, "embeddings")
         Similarity.lshTopK(e.filter(col("vec_id") < 100), e, k = 5)
+          // persist before the global sort (r14 recipe: the range
+          // sampler otherwise re-executes the uncached tail)
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("q_id", "rank")
       }),
 
@@ -1614,6 +1640,9 @@ object LlmQueries {
               .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
               .when(col("s_es") >= col("s_fr"), "es")
               .otherwise("fr"))
+          // persist before the global sort: the range sampler otherwise
+          // re-executes the uncached tail (r14 recipe)
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("doc_id")
       }),
 
@@ -1677,6 +1706,9 @@ object LlmQueries {
             .cast("long").as("n_ws"),
           regexp_count(lower(col("text")),
             lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("n_bpe"))
+        // persist before the global sort: the range sampler otherwise
+        // re-executes the uncached tail (r14 recipe)
+        .transform(graft.core.Caching.persistOnce)
         .orderBy("doc_id")),
 
     // ── Tokenizer-fertility sheet per language: pooled chars/token
@@ -1803,6 +1835,9 @@ object LlmQueries {
             sum("n_sym").cast("long").as("n_bpe"))
           .withColumn("fertility",
             col("n_bpe").cast("double") / col("n_tokens"))
+          // persist before the global sort: the range sampler otherwise
+          // re-executes the uncached tail (r14 recipe)
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("doc_id")
       }),
 
@@ -1868,6 +1903,11 @@ object LlmQueries {
             md5(regexp_replace(
               regexp_replace(col("payload"), emailRe, "[EMAIL]"),
               phoneRe, "[PHONE]")).as("redacted_sig"))
+          // persist the NARROW result before the global sort: the range
+          // sampler otherwise re-runs the 4-regex pass over the payload
+          // (the dominant cost) a second time; the cached frame is
+          // (id + 2 longs + md5), not the payload
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("doc_id")
       }),
 
@@ -2010,7 +2050,10 @@ object LlmQueries {
       s"""WITH $MmPhashCtes
         |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
         |FROM mmdup ORDER BY a_id, b_id""")(
-      (s, d) => mmPhashPairs(s, d).orderBy("a_id", "b_id")),
+      (s, d) => mmPhashPairs(s, d)
+        // persist before the global sort (r14 recipe)
+        .transform(graft.core.Caching.persistOnce)
+        .orderBy("a_id", "b_id")),
 
     // ── Image-dedup CLUSTERS + keep-list: the step a media pipeline
     //    actually consumes after pair generation — connected components

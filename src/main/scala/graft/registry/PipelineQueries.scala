@@ -108,16 +108,19 @@ object PipelineQueries {
         |ORDER BY conv_event_id, src_event_id""")(
       (s, d) => {
         val ev = t(s, d, "events")
-        graft.streaming.EventOps.attributionJoin(
-            ev.filter(col("event_type") === "view"),
-            ev.filter(col("event_type") === "purchase"),
-            horizon = "1 HOUR")
-          .select(col("conv_event_id"), col("src_event_id"), col("user_id"),
-            date_format(col("src_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
-              .as("src_ts"),
-            date_format(col("conv_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
-              .as("conv_ts"),
-            col("lag_us"))
+        // persist before the global sort: the sampler otherwise
+        // re-executes the attribution join (the r14 recipe)
+        graft.core.Caching.persistOnce(
+          graft.streaming.EventOps.attributionJoin(
+              ev.filter(col("event_type") === "view"),
+              ev.filter(col("event_type") === "purchase"),
+              horizon = "1 HOUR")
+            .select(col("conv_event_id"), col("src_event_id"), col("user_id"),
+              date_format(col("src_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .as("src_ts"),
+              date_format(col("conv_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .as("conv_ts"),
+              col("lag_us")))
           .orderBy("conv_event_id", "src_event_id")
       }),
 
@@ -202,6 +205,11 @@ object PipelineQueries {
             datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
           .groupBy("cohort_day", "day_offset")
           .agg(count(lit(1)).as("n_users"))
+          // persist before the global sort (r14 recipe): the sampler
+          // otherwise re-executes the two-aggregate tail; the result is
+          // (cohort × offset)-sized — grows with the event window, so
+          // it keeps a range sort rather than a single-partition one
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("cohort_day", "day_offset")
       }),
 
@@ -784,6 +792,9 @@ object PipelineQueries {
             Seq(col("h"), col("doc_id")), shiftright(col("h"), 19), "pos",
             snapshot = false) // upstream = one narrow id+hash projection
           .select(col("doc_id"), col("epoch"), col("shard"), col("pos"))
+          // persist before the global sort: the sampler otherwise
+          // re-runs the stitched row-number pass (narrow 4-long rows)
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("epoch", "shard", "pos")
       }),
 
@@ -915,6 +926,9 @@ object PipelineQueries {
         graft.core.PrefixSum.rowNumber(kept, Seq("shard"),
             Seq(col("h"), col("doc_id")), shiftright(col("h"), 19), "pos")
           .select(col("doc_id"), col("shard"), col("pos"), col("quality"))
+          // persist before the global sort (r14 recipe: the range
+          // sampler otherwise re-executes the uncached tail)
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("shard", "pos")
       }),
 

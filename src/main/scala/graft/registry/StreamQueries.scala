@@ -10,6 +10,12 @@ import graft.streaming.EventOps
   * table (the streaming twins run the same EventOps code over readStream;
   * see streaming specs). All window starts are epoch-aligned so the
   * DuckDB `date_trunc`-based oracles match exactly.
+  *
+  * Every query here persists its (narrow) aggregate/window result
+  * before the final global sort — the r14 persist-before-sort recipe:
+  * the range sampler otherwise re-executes the scan + window/aggregate
+  * tail a second time. Results stay range-sorted (they grow with the
+  * corpus/time span; never a single-partition sort).
   */
 object StreamQueries {
   import QueryDef.sql
@@ -28,6 +34,7 @@ object StreamQueries {
           col("event_type"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("ws"),
           col("event_type"), col("n"), col("total"))
+        .transform(graft.core.Caching.persistOnce)
         .orderBy("ws", "event_type")),
 
     // ── ST5 addition: sliding 1 h window, 30 min slide.
@@ -49,6 +56,7 @@ object StreamQueries {
           "30 minutes", col("event_type"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("ws"),
           col("event_type"), col("n"), col("total"))
+        .transform(graft.core.Caching.persistOnce)
         .orderBy("ws", "event_type")),
 
     // ── Sessionization, 30 min gap, per user.
@@ -82,6 +90,7 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_events"),
           min(unix_micros(col("ts"))).as("session_start_us"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        .transform(graft.core.Caching.persistOnce)
         .orderBy("user_id", "session_seq")),
 
     // ── Sessionization via the built-in `session_window` — the most
@@ -123,6 +132,7 @@ object StreamQueries {
           date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
             .as("session_end"),
           col("n_events"), col("total"))
+        .transform(graft.core.Caching.persistOnce)
         .orderBy("user_id", "session_start")),
 
     // ── ST3: last-writer-wins compaction (idempotent MERGE equivalent):
@@ -138,6 +148,7 @@ object StreamQueries {
           Seq(col("ts").desc, col("event_id").desc))
         .select(col("user_id"), col("event_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+        .transform(graft.core.Caching.persistOnce)
         .orderBy("user_id"))
   )
 }

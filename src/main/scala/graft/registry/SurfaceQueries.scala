@@ -410,6 +410,9 @@ object SurfaceQueries {
               .when(col("etag").isNull, "added")
               .when(col("etag") =!= col("etag2"), "changed")
               .otherwise("unchanged").as("change"))
+          // persist before the global sort (r14 recipe: the range
+          // sampler otherwise re-executes the uncached tail)
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("asset_id", "file_key")
       }),
 
@@ -615,7 +618,10 @@ object SurfaceQueries {
               (a, e) => a + e.getField("b")).as("sz"))
         val expired = col("age_days") >= 7
         val complete = col("present") === sequence(lit(1L), col("expected_n"))
-        ups.join(parts, "upload_id")
+        // both sides are bounded by the < 400 key filter: broadcast the
+        // upload-dim side instead of shuffling both (scale-safe — the
+        // bound holds at any SF)
+        broadcast(ups).join(parts, "upload_id")
           .select(col("upload_id"), col("asset_id"),
             when(expired, "expired").when(complete, "complete")
               .otherwise("incomplete").as("status"),
@@ -624,7 +630,8 @@ object SurfaceQueries {
               .as("etag_surrogate"),
             when(complete && !expired, col("sz")).otherwise(0L)
               .as("total_size"))
-          .orderBy("upload_id")
+          // bounded output (< 400 uploads) — single-partition sort
+          .repartition(1).sortWithinPartitions("upload_id")
       }),
 
     // ── API keys: the authorizer's key-state resolution rolled up per
@@ -907,8 +914,11 @@ object SurfaceQueries {
           struct(lit("Property").as("type"), v.as("value"))
         assets
           .join(broadcast(buckets), col("bucket_id") === col("bid"))
-          .join(childf, Seq("aid"), "left")
-          .join(parentf, Seq("aid"), "left")
+          // the edge flags are bounded by the < 200 key filter —
+          // broadcast both flag dims instead of shuffling the asset side
+          // twice (scale-safe: the bound holds at any SF)
+          .join(broadcast(childf), Seq("aid"), "left")
+          .join(broadcast(parentf), Seq("aid"), "left")
           .select(col("aid").as("asset_id"),
             to_json(struct(
               concat(lit("urn:vams:asset:"), col("db"), lit(":"), col("aid"))
@@ -930,7 +940,8 @@ object SurfaceQueries {
               prop(coalesce(col("has_parents"), lit(false)))
                 .as("hasParents"),
               prop(col("ver")).as("currentVersionId"))).as("ngsild"))
-          .orderBy("asset_id")
+          // bounded output (< 300 assets) — single-partition sort
+          .repartition(1).sortWithinPartitions("asset_id")
       }),
 
     // ── NGSI-LD FILE entity export (the Garnet addon's third converter,

@@ -14,6 +14,29 @@ class PlanShapeSpec extends SparkSpec {
     graft.SparkEntry.queries(name)(spark, sf())
       .queryExecution.executedPlan.toString
 
+  /** Collect over the plan AND every cached subplan: the r15
+    * persist-before-sort recipe hides a query's working plan inside an
+    * InMemoryRelation, which `SparkPlan.collect` does not descend into —
+    * a shape assertion that stopped at the cache boundary would silently
+    * pass/fail on an empty tree (and the no-corpus-broadcast guard would
+    * go blind). */
+  private def collectThroughCaches[T](
+      p: org.apache.spark.sql.execution.SparkPlan)(
+      f: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val here = p.collect(f)
+    // a cached plan is wrapped in AdaptiveSparkPlanExec under AQE (the
+    // test session default) — collect() descends into neither wrapper
+    val nested = p.collect {
+      case s: InMemoryTableScanExec =>
+        collectThroughCaches(s.relation.cachedPlan)(f)
+      case a: AdaptiveSparkPlanExec =>
+        collectThroughCaches(a.executedPlan)(f)
+    }.flatten
+    here ++ nested
+  }
+
   test("J1 doc enrichment broadcasts its dimension tables") {
     val p = plan("j1_doc_enrichment")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
@@ -64,7 +87,7 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     val sp = graft.SparkEntry.queries(name)(spark, sf())
       .queryExecution.sparkPlan
-    sp.collect {
+    collectThroughCaches(sp) {
       case b: BroadcastExchangeExec
           if b.output.exists(a => corpusStatAttrs.contains(a.name)) =>
         b.output.map(_.name).mkString(",")
@@ -73,9 +96,8 @@ class PlanShapeSpec extends SparkSpec {
 
   private def shuffledHashJoins(name: String): Int = {
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
-    graft.SparkEntry.queries(name)(spark, sf())
-      .queryExecution.sparkPlan
-      .collect { case j: ShuffledHashJoinExec => j }.size
+    collectThroughCaches(graft.SparkEntry.queries(name)(spark, sf())
+      .queryExecution.sparkPlan) { case j: ShuffledHashJoinExec => j }.size
   }
 
   test("minhash verify stage shuffle-joins the stats table (no corpus broadcast)") {
