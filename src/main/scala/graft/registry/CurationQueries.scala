@@ -508,9 +508,6 @@ object CurationQueries {
             groupCols = Seq("source"), snapshot = true)
           .select(col("doc_id"), col("source"), col("score_fp"),
             col("selected"))
-          // persist before the global sort: the range sampler otherwise
-          // re-executes the uncached tail (r14 recipe)
-          .transform(graft.core.Caching.persistOnce)
           .orderBy("doc_id")
       }),
 

@@ -447,6 +447,16 @@ object LlmQueries {
     * whose total stays ≤ threshold + ~2·log₂(n) rounds. */
   private[registry] val EscalateAfter = 32
 
+  /** Single-hop layers folded into ONE materialized plan per fixpoint
+    * round (r15): the loop is driver-action-bound, so batching K hops
+    * per localCheckpoint+checksum pair divides the action count by K.
+    * 4 keeps the per-round plan shallow (4 join/agg layers) while
+    * cutting the ecc-27 phash chain from 28 to 7 materializations;
+    * convergence detection coarsens to K-hop granularity, wasting at
+    * most K−1 no-op hops inside the final round — stages over an
+    * already-converged one-partition label frame, not new jobs. */
+  private[registry] val HopsPerAction = 4
+
   /** The maintained-IVF gate's index, built once per (JVM, sf dir):
     * two thirds of the corpus at [[graft.llmops.IvfIndex.build]],
     * the last third through keyed maintenance — so the gate probes an
@@ -502,31 +512,40 @@ object LlmQueries {
         var converged = false
         var rounds = 0
         while (!converged) {
-          // One edge hop per round; rounds = the component's
-          // eccentricity from its min node (27 on the sf0.1 phash
-          // graph's 388-node chain — the worst case measured).
-          // MEASURED NON-FIX at common scale: a comp := comp(comp)
-          // path-halving join on EVERY round cuts rounds only 28 → 20
-          // (single application = 2 hops/round, not doubling) while
-          // doubling the per-round action count — the loop is
-          // driver-action-latency-bound at pair-graph sizes (the
-          // label frame fits one partition), so the simple hop wins
-          // end to end on real graphs (dense blobs, ecc ≤ ~6).
-          // ADAPTIVE ESCALATION for the pathological shape: a round
+          // The loop is driver-action-latency-bound at pair-graph sizes
+          // (the label frame fits one partition), so hops are BATCHED:
+          // each materialization applies HopsPerAction single-hop
+          // layers lazily in ONE plan (K joins/aggs = K cheap stages of
+          // one job) and pays the localCheckpoint + checksum actions
+          // once per batch — r15 measured the unbatched loop at 2
+          // driver actions per hop, ~60 ms each, which WAS
+          // llm_mm_phash_cluster's 3.4 s on the 388-node ecc-27 chain.
+          // `rounds` still counts HOPS (+1 per squaring), so the
+          // escalation threshold and the spec bounds keep their
+          // meaning. MEASURED NON-FIX from r11 still stands: a
+          // comp := comp(comp) path-halving join per round cut rounds
+          // only 28 → 20 while doubling actions — batching attacks the
+          // action count directly instead.
+          // ADAPTIVE ESCALATION for the pathological shape: a hop
           // count past `escalateAfter` means a long-chain component
           // (the near-identical-shingle llm_dedup_substring shape),
-          // where single hops pay O(diameter) rounds; from then on,
-          // each hop is followed by comp := comp(comp) SQUARED TO
+          // where hops pay O(diameter) rounds; from then on, each hop
+          // batch is followed by comp := comp(comp) SQUARED TO
           // SATURATION — label-reach doubles per squaring, so the
           // remaining rounds are O(log diameter) while the common
           // case never pays the extra actions.
-          rounds += 1
-          val next = labels.join(edges, labels("node") === edges("u"))
-            .select(col("v").as("node"), col("comp"))
-            .unionByName(labels.select("node", "comp"))
-            .repartition(iterParts, col("node"))
-            .groupBy("node").agg(min("comp").as("comp"))
-            .localCheckpoint(true)
+          var hopped = labels
+          var k = 0
+          while (k < HopsPerAction) {
+            rounds += 1
+            hopped = hopped.join(edges, col("node") === col("u"))
+              .select(col("v").as("node"), col("comp"))
+              .unionByName(hopped.select("node", "comp"))
+              .repartition(iterParts, col("node"))
+              .groupBy("node").agg(min("comp").as("comp"))
+            k += 1
+          }
+          val next = hopped.localCheckpoint(true)
           val s1 = checksumOf(next)
           chkRdd(labels).foreach(_.unpersist(false))
           labels = next

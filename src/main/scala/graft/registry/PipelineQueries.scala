@@ -793,7 +793,8 @@ object PipelineQueries {
             snapshot = false) // upstream = one narrow id+hash projection
           .select(col("doc_id"), col("epoch"), col("shard"), col("pos"))
           // persist before the global sort: the sampler otherwise
-          // re-runs the stitched row-number pass (narrow 4-long rows)
+          // re-runs the stitched row-number pass (A/B at sf0.1:
+          // 0.70 s persisted vs 1.04 s not)
           .transform(graft.core.Caching.persistOnce)
           .orderBy("epoch", "shard", "pos")
       }),
