@@ -1127,6 +1127,9 @@ object PipelineQueries {
             graft.streaming.CurationStream.decisionsPath(root))
           .select(col("doc_id"), col("source"),
             col("n_tokens").cast("long").as("n_tokens"), col("stage"))
+          // persist the narrow ledger read before the global sort: the
+          // range sampler otherwise re-reads the state table (r14 recipe)
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("doc_id")
       }),
 
@@ -1184,6 +1187,9 @@ object PipelineQueries {
         s.read.parquet(s"$root/verdicts")
           .select(col("doc_id"), col("is_dup"), col("dup_of"),
             col("hamming"))
+          // persist the narrow ledger read before the global sort: the
+          // range sampler otherwise re-reads the state table (r14 recipe)
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("doc_id")
       }),
 
@@ -1227,6 +1233,9 @@ object PipelineQueries {
         val root = TxSideTables.embedRun(s, d)
         s.read.parquet(s"$root/verdicts")
           .select(col("vec_id"), col("is_dup"), col("dup_of"), col("sim"))
+          // persist the narrow ledger read before the global sort: the
+          // range sampler otherwise re-reads the state table (r14 recipe)
+          .transform(graft.core.Caching.persistOnce)
           .orderBy("vec_id")
       })
   )
