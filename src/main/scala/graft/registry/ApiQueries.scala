@@ -15,23 +15,24 @@ import graft.query.{SearchRequest, SortField}
 object ApiQueries {
   import QueryDef.sql
 
-  // session-cached: the BM25 scan route references the doc frame TWICE
-  // per query (corpus idf stats + the scored target), and three facade
-  // queries share it — unmemoized, every reference re-ran the
-  // orders ⋈ customer join (Catalyst does not CSE plan subtrees)
+  // NOT session-cached (r15 measured both ways): a memo here saves the
+  // BM25 scan route's duplicated orders ⋈ customer subtree (idf stats +
+  // scored target) but DESTROYS the parquet filter pushdown every facade
+  // query's predicate stack relies on — search_advanced went from a
+  // pushed-filter fraction-scan to materialize-everything-then-filter
+  // (0.16 → 0.84 s at sf0.1), more than the bm25 route saved. The
+  // un-memoized join stays: pushdown is worth more than subtree reuse.
   private def docs(s: SparkSession, d: String): DataFrame =
-    graft.core.Caching.memoDf(s, s"apiDocs:$d") {
-      Tables.orders(s, d)
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .select(
-          col("o_orderkey").cast("string").as("_docId"),
-          col("c_name").as("str_assetname"),
-          col("o_orderstatus").as("str_assettype"),
-          col("o_orderpriority").as("str_databaseid"),
-          col("c_mktsegment").as("str_description"),
-          col("o_orderkey").cast("string").as("str_assetid"),
-          (col("o_orderstatus") === "F").as("bool_archived"))
-    }
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("o_orderkey").cast("string").as("_docId"),
+        col("c_name").as("str_assetname"),
+        col("o_orderstatus").as("str_assettype"),
+        col("o_orderpriority").as("str_databaseid"),
+        col("c_mktsegment").as("str_description"),
+        col("o_orderkey").cast("string").as("str_assetid"),
+        (col("o_orderstatus") === "F").as("bool_archived"))
 
   private val Q = "customer#00000012"
 

@@ -492,6 +492,17 @@ object LlmQueries {
       val iterParts = math.max(1L,
         math.min(sessParts, nEdges / 50000L + 1L)).toInt
       val edges = edgesRaw.repartition(iterParts, col("u")).persist()
+      // self-loops make a hop layer SINGLE-REFERENCE: without them each
+      // batched layer needed `hopped` twice (join side + union side to
+      // keep a node's own label), and Catalyst's lack of plan-subtree
+      // CSE made the K-layer lazy plan re-evaluate layer k-1 twice per
+      // layer — 2^K work (r15 measured the union form SLOWER than the
+      // unbatched loop it was meant to fix). min over self+neighbors
+      // ≡ min(own, neighbors): identical hop semantics.
+      val edgesSelf = edges
+        .unionByName(edges.select(col("u")).distinct()
+          .select(col("u"), col("u").as("v")))
+        .repartition(iterParts, col("u")).persist()
       try {
         var labels = edges.select(col("u").as("node")).distinct()
           .withColumn("comp", col("node")).localCheckpoint(true)
@@ -538,9 +549,8 @@ object LlmQueries {
           var k = 0
           while (k < HopsPerAction) {
             rounds += 1
-            hopped = hopped.join(edges, col("node") === col("u"))
+            hopped = hopped.join(edgesSelf, col("node") === col("u"))
               .select(col("v").as("node"), col("comp"))
-              .unionByName(hopped.select("node", "comp"))
               .repartition(iterParts, col("node"))
               .groupBy("node").agg(min("comp").as("comp"))
             k += 1
@@ -575,7 +585,10 @@ object LlmQueries {
           }
         }
         (labels, rounds)
-      } finally edges.unpersist(false)
+      } finally {
+        edgesSelf.unpersist(false)
+        edges.unpersist(false)
+      }
     } finally edgesRaw.unpersist(false)
   }
 
