@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must pass through UNPREFIXED: the default
+// LoggedOutput strategy wraps every line in "[info] ", which breaks any
+// consumer that parses the final stdout line as JSON (Bench/Verify print
+// their machine-read summary there). StdoutOutput inherits the parent
+// process's stdout directly — no logger, no prefix.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Bench/Verify print a machine-parsed JSON line as their LAST stdout line;
 // sbt's "[success] Total time..." trailer would otherwise land after it and
 // break the parser reading the final line.

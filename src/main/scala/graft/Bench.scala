@@ -299,6 +299,14 @@ object Bench {
     // hard guarantee: the line the driver must parse fits its 2000-char tail
     // with ~150 chars of slack for any trailing harness output
     assert(line.length < 1850, s"bench JSON line too long: ${line.length}")
+    // belt-and-braces for the driver contract: the same line also lands in a
+    // fixed file, so a consumer that loses the stdout tail (or a logger that
+    // prefixes it) can still read the summary. Full runs only, like
+    // bench_detail.json — a selective local iteration must not clobber it.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_line.json"), (line + "\n").getBytes("UTF-8"))
+      catch { case _: Exception => () }
     println(line)
     spark.stop()
   }

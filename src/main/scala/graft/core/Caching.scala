@@ -18,7 +18,16 @@ import org.apache.spark.storage.StorageLevel
   * transparently re-persists (and re-counts).
   */
 object Caching {
-  /** Persist lazily, once per cache generation. */
+  /** Persist lazily, once per cache generation.
+    *
+    * CACHE BUDGET (long-lived sessions): the suite's persist-before-sort
+    * result frames are never explicitly unpersisted, so a session that
+    * runs many queries accumulates cached result frames until the next
+    * `clearCache` (the bench clears between passes). MEMORY_AND_DISK
+    * spills rather than OOMs, but sustained pressure can evict the
+    * shared token/gram caches — a service embedding this engine should
+    * clear or unpersist per request batch, or cap the storage pool
+    * (`spark.memory.storageFraction`). */
   def persistOnce(df: DataFrame): DataFrame = {
     if (df.storageLevel == StorageLevel.NONE) df.persist()
     df
@@ -63,12 +72,21 @@ object Caching {
             def call(): Unit = b()
           })
         }
-        futs.foreach { f =>
+        try futs.foreach { f =>
           try f.get()
           catch {
             case e: java.util.concurrent.ExecutionException =>
               throw Option(e.getCause).getOrElse(e)
           }
+        } catch {
+          case t: Throwable =>
+            // first failure: cancel the siblings instead of letting
+            // their Spark jobs run on in the background while the
+            // caller unwinds (a cancelled pin re-materializes lazily at
+            // its next access — persistOnce/matOnce are idempotent)
+            futs.foreach(_.cancel(true))
+            pool.shutdownNow()
+            throw t
         }
       } finally pool.shutdown()
     }

@@ -335,15 +335,17 @@ object CurationQueries {
    graft.core.Caching.memoDfEpoch(s, s"qtScores:$d:$splitKey") {
     val F = QtF; val S2 = QtS; val C = QtC; val M = QtM
     val stops = Seq("the", "a", "of", "and", "to", "in", "is")
-    val tkq = Text.tokens(col("text"))
-    val lab = t(s, d, "documents")
-      .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"),
-        ((lit(0.5) * (size(filter(tkq, x => x.isInCollection(stops)))
-          .cast("double") / size(tkq)) +
-          lit(0.5) * (lit(1.0) -
-            graft.llmops.Text.nonAlnumCount(col("text")).cast("double") /
-              length(col("text")))) >= 0.53).as("y"))
+    // label derived ROW-WISE off the shared token cache (r16): the
+    // heuristic's three ingredients (stopword fraction of tk,
+    // non-alnum count, text length) all ride tokenArrays now, so the
+    // old second documents scan + tokenize + doc_id join is gone —
+    // same filter (length(trim(text)) > 0 is the cache's own gate),
+    // bit-identical arithmetic, one fewer corpus pass per training.
+    val yCol =
+      ((lit(0.5) * (size(filter(col("tk"), x => x.isInCollection(stops)))
+        .cast("double") / size(col("tk"))) +
+        lit(0.5) * (lit(1.0) -
+          col("n_nonalnum").cast("double") / col("n_text_len"))) >= 0.53)
     // The sparse feature table is consumed ~7× per training run (per
     // iteration: scores, residual joins, bucket sums; plus dp and the
     // final scoring) and shared by all three classifier queries, so —
@@ -351,8 +353,8 @@ object CurationQueries {
     // barrier cost more than it saved — memoizing it pays for itself
     // several times over within one cache generation.
     val featAll = graft.core.Caching.memoDf(s, s"qtFeat:$d") {
-      LlmQueries.tokenArrays(s, d).join(lab, Seq("doc_id"))
-        .select(col("doc_id"), col("y"), size(col("tk")).as("nt"),
+      LlmQueries.tokenArrays(s, d)
+        .select(col("doc_id"), yCol.as("y"), size(col("tk")).as("nt"),
           explode(col("tk")).as("tok"))
         .groupBy(col("doc_id"), (Text.hash60(col("tok")) % M).as("b"))
         .agg(first(col("y")).as("y"),
@@ -2173,17 +2175,14 @@ object CurationQueries {
         val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(nDocs))
           .withColumn("score",
             col("tf") * (col("n_docs").cast("double") / col("df")))
+        // persist before the global sort (sampler re-execution of the
+        // join+window tail; output is docs×3 rows — tiny)
         graft.core.Caching.persistOnce(scored
             .withColumn("rank", row_number().over(
               Window.partitionBy("doc_id")
                 .orderBy(col("score").desc, col("term"))).cast("long"))
             .filter(col("rank") <= 3)
             .select("doc_id", "rank", "term", "tf", "score"))
-          // persist before the global sort (sampler re-execution of the
-          // join+window tail; output is docs×3 rows — tiny)
-          // persist before the global sort: the range sampler otherwise
-          // re-executes the uncached tail (r14 recipe)
-          .transform(graft.core.Caching.persistOnce)
           .orderBy("doc_id", "rank")
       }),
 

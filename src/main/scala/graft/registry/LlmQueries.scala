@@ -124,7 +124,16 @@ object LlmQueries {
       t(s, d, "documents")
         .filter(length(trim(col("text"))) > 0)
         .repartition(width, col("doc_id"))
+        // n_text_len / n_nonalnum (two longs, computed in the same
+        // single scan): the classifier family's label heuristic needs
+        // them, and carrying them here lets qualityTrainFrame derive
+        // its labels ROW-WISE off this cache instead of paying a
+        // second documents scan + tokenize + join per training
+        // (guide §1.2 step 1 — don't recompute what one pass already
+        // produced)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          length(col("text")).as("n_text_len"),
+          Text.nonAlnumCount(col("text")).cast("long").as("n_nonalnum"),
           Text.tokens(col("text")).as("tk"))
     }
 
@@ -504,11 +513,24 @@ object LlmQueries {
           .select(col("u"), col("u").as("v")))
         .repartition(iterParts, col("u")).persist()
       try {
-        var labels = edges.select(col("u").as("node")).distinct()
-          .withColumn("comp", col("node")).localCheckpoint(true)
-        def checksumOf(df: DataFrame): Long =
-          Option(df.agg(sum("comp")).head().getAs[java.lang.Long](0))
+        // convergence checksum FOLDED into the materialization action
+        // (r16, guide §1.2: the loop is driver-action-bound, so the
+        // separate checksum agg job per round was half the action
+        // count): a CollectMetrics observation rides the eager
+        // localCheckpoint's own execution — one action per round where
+        // r15 paid two (checkpoint + checksum agg).
+        def checkpointWithChecksum(df: DataFrame): (DataFrame, Long) = {
+          val obs = org.apache.spark.sql.Observation()
+          val out = df.observe(obs, sum(col("comp")).as("cc"))
+            .localCheckpoint(true)
+          val cc = Option(obs.get("cc").asInstanceOf[java.lang.Long])
             .map(_.toLong).getOrElse(0L)
+          (out, cc)
+        }
+        val (labels0, checksum0) = checkpointWithChecksum(
+          edges.select(col("u").as("node")).distinct()
+            .withColumn("comp", col("node")))
+        var labels = labels0
         // the fixpoint only ever needs the LATEST labels frame: once
         // `next` is materialized (eager localCheckpoint), the previous
         // iteration's checkpoint blocks are dead — release them now
@@ -519,7 +541,7 @@ object LlmQueries {
           df.queryExecution.analyzed.collectFirst {
             case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
           }
-        var checksum = checksumOf(labels)
+        var checksum = checksum0
         var converged = false
         var rounds = 0
         while (!converged) {
@@ -555,8 +577,7 @@ object LlmQueries {
               .groupBy("node").agg(min("comp").as("comp"))
             k += 1
           }
-          val next = hopped.localCheckpoint(true)
-          val s1 = checksumOf(next)
+          val (next, s1) = checkpointWithChecksum(hopped)
           chkRdd(labels).foreach(_.unpersist(false))
           labels = next
           converged = s1 == checksum
@@ -571,12 +592,10 @@ object LlmQueries {
               rounds += 1
               val parent = labels
                 .select(col("node").as("p_node"), col("comp").as("p_comp"))
-              val sq = labels
+              val (sq, s2) = checkpointWithChecksum(labels
                 .join(parent, col("comp") === col("p_node"))
                 .select(col("node"), col("p_comp").as("comp"))
-                .repartition(iterParts, col("node"))
-                .localCheckpoint(true)
-              val s2 = checksumOf(sq)
+                .repartition(iterParts, col("node")))
               chkRdd(labels).foreach(_.unpersist(false))
               labels = sq
               saturated = s2 == checksum

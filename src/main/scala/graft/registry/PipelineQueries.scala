@@ -1452,7 +1452,12 @@ private[registry] object TxSideTables {
       for (k <- 0 until 3)
         graft.llmops.PhashDedup.processBatch(s, s"$root/hashes",
           docs.filter(pmod(col("doc_id"), lit(3)) === k),
-          flagged => flagged.write.mode("append")
+          // one verdict file per micro-batch, not one per upstream task
+          // (guide §6: un-coalesced, 32 tasks × 3 batches = 96 tiny
+          // files the gate re-lists and re-opens every read; a verdict
+          // set is batch-bounded, so a single file per batch is the
+          // right sink sizing — a production sink would size by bytes)
+          flagged => flagged.repartition(1).write.mode("append")
             .parquet(s"$root/verdicts"))
       root
     })
@@ -1468,7 +1473,8 @@ private[registry] object TxSideTables {
       for (k <- 0 until 3)
         graft.llmops.EmbedDedup.processBatch(s, s"$root/vecs",
           vecs.filter(pmod(col("vec_id"), lit(3)) === k),
-          flagged => flagged.write.mode("append")
+          // one verdict file per micro-batch (see phashRun's note)
+          flagged => flagged.repartition(1).write.mode("append")
             .parquet(s"$root/verdicts"))
       root
     })

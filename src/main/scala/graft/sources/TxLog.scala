@@ -1469,8 +1469,22 @@ object TxLog {
               .unionByName(up, allowMissingColumns = true)
         }
         // stage once per BASE: a partition-disjoint conflict re-commits
-        // the same files; any movement of the base restages above
-        staged = stageData(spark, path, merged, partitionCol, Some(keyCol))
+        // the same files; any movement of the base restages above.
+        // CLUSTER before staging (guide §6 — small files hurt twice):
+        // un-clustered, every upstream task writes its own file into
+        // every partition it holds (measured: 279 live files for a
+        // 16-shard ledger after 3 micro-batch merges — the whole state
+        // table re-listed and re-opened per read). One hash exchange by
+        // the partition column makes each touched partition ONE file
+        // per commit (a merge rewrites touched partitions wholesale, so
+        // the live set stays one file per shard regardless of commit
+        // count); the within-file key sort keeps footer min/max stats
+        // tight for the read path's key skipping. Oversized partitions
+        // remain [[compact]]'s job, which re-slots by target size.
+        val clustered = merged
+          .repartition(col(partitionCol))
+          .sortWithinPartitions(col(partitionCol), col(keyCol))
+        staged = stageData(spark, path, clustered, partitionCol, Some(keyCol))
         stagedBase = oldFiles.toSet
         // the commit carries the table schema (partition column last,
         // mirroring the partitioned read's column order) so an emptied

@@ -161,7 +161,12 @@ object StreamBloomDedup {
       }
       writeBloom(spark, stateDir, merged)
     }
-    processed.write.mode("append").parquet(indexPath(stateDir))
+    // one index file per micro-batch (guide §6): the delta is
+    // batch-bounded and already sits in checkpoint blocks, so coalesce
+    // reads them in one task without a shuffle — un-coalesced, every
+    // upstream task appends its own tiny file and the confirm join
+    // re-lists/re-opens all of them each batch
+    processed.coalesce(1).write.mode("append").parquet(indexPath(stateDir))
   }
 
   /** Process one micro-batch of (doc_id, k): returns the batch rows

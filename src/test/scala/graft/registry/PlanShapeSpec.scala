@@ -25,16 +25,29 @@ class PlanShapeSpec extends SparkSpec {
       f: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    val here = p.collect(f)
-    // a cached plan is wrapped in AdaptiveSparkPlanExec under AQE (the
-    // test session default) — collect() descends into neither wrapper
-    val nested = p.collect {
-      case s: InMemoryTableScanExec =>
-        collectThroughCaches(s.relation.cachedPlan)(f)
-      case a: AdaptiveSparkPlanExec =>
-        collectThroughCaches(a.executedPlan)(f)
-    }.flatten
-    here ++ nested
+    // each cached subplan is visited ONCE even when several
+    // InMemoryTableScanExec nodes reference the same InMemoryRelation —
+    // without the identity-dedup a shared cache's matches multiply by
+    // reference count, which is safe for >=N / ==0 assertions but wrong
+    // for exact-count shape assertions. (AdaptiveSparkPlanExec
+    // .executedPlan on an unexecuted plan is the initial plan — fine
+    // for structural assertions, which is all this helper serves.)
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[
+        org.apache.spark.sql.execution.SparkPlan, java.lang.Boolean]())
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Seq[T] = {
+      val here = p.collect(f)
+      // a cached plan is wrapped in AdaptiveSparkPlanExec under AQE (the
+      // test session default) — collect() descends into neither wrapper
+      val nested = p.collect {
+        case s: InMemoryTableScanExec if seen.add(s.relation.cachedPlan) =>
+          go(s.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec if seen.add(a.executedPlan) =>
+          go(a.executedPlan)
+      }.flatten
+      here ++ nested
+    }
+    go(p)
   }
 
   test("J1 doc enrichment broadcasts its dimension tables") {
@@ -450,6 +463,52 @@ class PlanShapeSpec extends SparkSpec {
     val ex = sp.collect {
       case e: ShuffleExchangeExec => e.outputPartitioning.toString }
     assert(ex.forall(_.contains("range")), ex.toString)
+  }
+
+  test("single-partition sorts appear ONLY under bounded-output queries") {
+    // The sortedRollup / bounded-sort contract (r15) is documentation +
+    // this pin: a SinglePartition exchange is the right tail for a
+    // GROUP-CARDINALITY or key-range-bounded result (a few thousand
+    // rows at ANY corpus size) and a silent scale-killer for a
+    // corpus-sized one (the whole result serializes through one task).
+    // Representative CORPUS-SIZED outputs must never plan one; their
+    // total order must stay a range sort (or top-k). A future caller
+    // feeding sortedRollup a corpus-sized frame trips this first.
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the hazard is specifically a single-task SORT (the sortedRollup
+    // tail: Sort ← Exchange(1 partition)); a global scalar aggregate's
+    // 1-row SinglePartition exchange is fine and must not trip this.
+    // numPartitions == 1 rather than the SinglePartition object:
+    // repartition(1) plans as RoundRobinPartitioning(1) — same
+    // single-task tail, different partitioning node.
+    def singlePartitionSorts(q: String): Seq[String] =
+      collectThroughCaches(graft.SparkEntry.queries(q)(spark, sf())
+        .queryExecution.sparkPlan) {
+        case s: SortExec if s.child.collectFirst {
+            case e: ShuffleExchangeExec => e
+          }.exists(_.outputPartitioning.numPartitions == 1) =>
+          s"$q: Sort over ${s.child.nodeName}(1 partition)"
+      }
+    // corpus-sized results: one row per document (or more)
+    val corpusSized = Seq("llm_dedup_exact", "llm_text_pii",
+      "llm_shuffle_epoch", "llm_profile_novelty", "llm_text_tokens",
+      "llm_quality_train", "llm_mix_classifier", "llm_dedup_substring",
+      "c3_type_coercion", "s3_scan_filter", "llm_text_tfidf")
+    for (q <- corpusSized if graft.SparkEntry.queries.contains(q)) {
+      val bad = singlePartitionSorts(q)
+      assert(bad.isEmpty,
+        s"corpus-sized $q plans a single-partition exchange:\n" +
+          bad.mkString("\n"))
+    }
+    // documented bounded rollups: the single-task tail IS the contract
+    // (group-cardinality: source × stage / source pairs / key-range)
+    val bounded = Seq("llm_curate_pipeline", "llm_mix_temperature",
+      "a8_latest_per_key")
+    for (q <- bounded if graft.SparkEntry.queries.contains(q)) {
+      assert(singlePartitionSorts(q).nonEmpty,
+        s"bounded $q lost its documented single-partition rollup tail")
+    }
   }
 
   test("constraint-template fan-out is map-side: the only exchange is the output sort") {
