@@ -19,12 +19,35 @@ object MicroBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    var jobCounts: Option[(java.util.concurrent.atomic.AtomicInteger,
+      java.util.concurrent.atomic.AtomicInteger,
+      java.util.concurrent.atomic.AtomicInteger)] = None
     val noClear = args.contains("-nc")
+    // -jobs: per-pass Spark job/stage/task counts (dev attribution of
+    // the fixed per-query cost — which floor queries pay extra actions)
+    if (args.contains("-jobs")) {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val stages = new java.util.concurrent.atomic.AtomicInteger()
+      val tasks = new java.util.concurrent.atomic.AtomicInteger()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); ()
+          }
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stages.incrementAndGet()
+            tasks.addAndGet(s.stageInfo.numTasks); ()
+          }
+        })
+      jobCounts = Some((jobs, stages, tasks))
+    }
     // -noop: materialize via a noop write (every row, every column —
     // ScaleSmoke's action) instead of count() (which lets the optimizer
     // prune the output projection and eliminate the final sort)
     val noop = args.contains("-noop")
-    val rest = args.filterNot(a => a == "-nc" || a == "-noop")
+    val rest = args.filterNot(a => a == "-nc" || a == "-noop" || a == "-jobs")
     val sf = rest.headOption.getOrElse("/root/testdata/sf0.1")
     rest.drop(1).foreach { q =>
       (1 to 3).foreach { p =>
@@ -32,7 +55,12 @@ object MicroBench {
         val df = SparkEntry.queries(q)(spark, sf)
         if (noop) df.write.mode("overwrite").format("noop").save()
         else df.count()
-        println(f"MICRO $q pass$p ${(System.nanoTime() - t0) / 1e9}%.3f")
+        val jc = jobCounts.map { case (j, st, tk) =>
+          val line = s" jobs=${j.get} stages=${st.get} tasks=${tk.get}"
+          j.set(0); st.set(0); tk.set(0)
+          line
+        }.getOrElse("")
+        println(f"MICRO $q pass$p ${(System.nanoTime() - t0) / 1e9}%.3f$jc")
         if (!noClear) { spark.sharedState.cacheManager.clearCache(); System.gc() }
       }
     }

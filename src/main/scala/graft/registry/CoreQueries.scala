@@ -414,10 +414,25 @@ object CoreQueries {
         |FROM (SELECT event_id, json_extract_string(props, '$.k') AS v FROM events)
         |ORDER BY event_id LIMIT 1000""")(
       (s, d) => t(s, d, "events")
+        // top-k FIRST, parse AFTER (r16, guide §1.2: don't compute what
+        // you throw away): the old shape ran the JSON extract + 4-regex
+        // detect on EVERY event row below the TakeOrdered; event_id is
+        // the events table's unique key, so the 1000 smallest ids are
+        // the same rows either way and only they pay the parse. The
+        // trailing 1000-row re-sort keeps the output order contractual
+        // rather than relying on limit's partition layout.
+        .select(col("event_id"), col("props"))
+        .orderBy("event_id").limit(1000)
+        // ONE projection (not select-then-withColumn): the stacked
+        // projects blocked the sort elimination and the planner
+        // re-merged the two sorts into a full range sort of all events
+        // carrying props; this shape plans TakeOrderedAndProject with
+        // the parse in its post-take project list, like c5
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").as("v"))
-        .withColumn("detected", Codecs.detectType(col("v")))
-        .orderBy("event_id").limit(1000)),
+          get_json_object(col("props"), "$.k").as("v"),
+          Codecs.detectType(get_json_object(col("props"), "$.k"))
+            .as("detected"))
+        .orderBy("event_id")),
 
     // ── C6: composite-key build/split round trip
     //    (assetIndexer.py:345-353,879-890).

@@ -750,7 +750,16 @@ object PipelineQueries {
               when(col("l_partkey") % 17 === 0,
                   concat(lit("rare-"), col("l_partkey").cast("string")))
                 .otherwise("metal"))).as("label"))
-        graft.llmops.Inference.consolidateLabels(vl)
+        // BOUNDED input (the l_orderkey < 300 key-range filter holds at
+        // any SF — the j2/gx2/s11 recipe): one narrow exchange clusters
+        // the ≤ ~6300 label rows on the asset key, and BOTH of
+        // consolidateLabels' aggregations reuse it (hash(databaseId,
+        // assetId) satisfies the (db, aid, norm) clustering too — subset
+        // rule), where the default width paid 32-task stages per
+        // aggregation for a few-hundred-row result (measured 131 tasks /
+        // 5 stages → 3 tasks / 4 stages at sf0.1).
+        graft.llmops.Inference.consolidateLabels(
+            vl.repartition(1, col("databaseId"), col("assetId")))
           .orderBy("databaseId", "assetId")
       }),
 
