@@ -227,30 +227,8 @@ object SearchApi {
             filtered.join(sc, "_docId")
               .filter(col("_score") > QC.MinScore)
           case _ =>
-            // ONE corpus materialization serves both passes (r16; guide
-            // §2.4 — remove duplicated subtrees): the scan route used to
-            // evaluate the docs subtree TWICE per query (corpus-wide
-            // idf/length stats + the filtered scored target). The
-            // tokenized corpus is persisted and both derive from it.
-            // Scoped to the bm25 SCAN route only — the predicate-bearing
-            // facade paths stay memo-free (the r15 lesson: a memo below
-            // a pushdown-bearing predicate stack trades scan pruning for
-            // subtree reuse and loses); here the stats pass materializes
-            // the full corpus regardless, so filtering the cache costs
-            // nothing the query wasn't already paying.
-            val corpusTk = graft.core.Caching.persistOnce(
-              docs.withColumn("__tk", graft.query.Bm25.tokensOf(scoredPresent)))
-            // the same predicate stack `filtered` applies, recompiled
-            // against the cached frame (the policy compiles against a
-            // concrete frame's columns)
-            val policyTk = policy.map(p => Abac.compile(corpusTk, p))
-              .getOrElse(lit(true))
-            val targetTk = corpusTk.filter(QC.boolQuery(
-              must = Seq(tokenPred, textPred),
-              filter = Seq(archived, access, policyTk) ++ termFilters))
-            graft.query.Bm25
-              .scoreSearchTokenized(corpusTk, targetTk, "__tk", q)
-              .drop("__tk")
+            graft.query.Bm25.scoreSearch(docs,
+                filtered, ScoredFields.map(_._1).filter(fieldsPresent), q)
               .filter(col("_score") > QC.MinScore)
         }
       case Some(q) =>

@@ -85,42 +85,36 @@ object Bm25 {
       .select(idCol, "score_fp")
   }
 
-  /** The façade's "all-fields" document: lower-cased, whitespace-split
-    * concatenation of the searched fields (the multi_match the
-    * reference issues). */
-  def tokensOf(fields: Seq[String]): Column =
-    split(trim(lower(concat_ws(" ", fields.map(col): _*))), "\\s+")
-
   /** BM25 `_score` COLUMN for the search façade: scores `target` rows
     * (already filtered) with corpus statistics taken from the FULL
     * `corpus` frame — OpenSearch computes scores from index-wide stats,
     * not from the filtered hit set, so the reference's `_score` for a
-    * given doc does not move when filters change. Both frames must
-    * carry the tokenized document in `tkCol` ([[tokensOf]]); passing a
-    * PERSISTED frame as both `corpus` and (filtered) `target` makes
-    * the corpus subtree materialize ONCE for the two passes (r16 —
-    * the un-tokenized form evaluated the docs subtree twice per
-    * query: idf stats + scored target). Adds `outCol` (the
-    * fixed-point score as DOUBLE — exact, scores are < 2^53) and
-    * removes every helper column except `tkCol` (caller's). */
-  def scoreSearchTokenized(corpus: DataFrame, target: DataFrame,
-      tkCol: String, query: String,
+    * given doc does not move when filters change. The per-row document
+    * is the lower-cased concatenation of the searched fields (the
+    * "all-fields" match the reference's multi_match issues). Adds
+    * `outCol` (the fixed-point score as DOUBLE — exact, scores are
+    * < 2^53) and removes every helper column. */
+  def scoreSearch(corpus: DataFrame, target: DataFrame,
+      fields: Seq[String], query: String,
       outCol: String = "_score"): DataFrame = {
     val terms = query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "BM25 search needs at least one query term")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def tkOf(df: DataFrame): Column =
+      split(trim(lower(concat_ws(" ", fields.map(col): _*))), "\\s+")
     val aggs = (count(lit(1)).cast("long").as("__n") +:
-      sum(size(col(tkCol)).cast("long")).as("__sumdl") +:
+      sum(size(tkOf(corpus)).cast("long")).as("__sumdl") +:
       terms.zipWithIndex.map { case (t, i) =>
-        sum(array_contains(col(tkCol), t).cast("long")).as(s"__df_$i")
+        sum(array_contains(tkOf(corpus), t).cast("long")).as(s"__df_$i")
       }).toList
     val stats = corpus.agg(aggs.head, aggs.tail: _*)
     var cur = target.crossJoin(broadcast(stats))
-      .withColumn("__dl", size(col(tkCol)).cast("long"))
+      .withColumn("__tk", tkOf(target))
+      .withColumn("__dl", size(col("__tk")).cast("long"))
     terms.zipWithIndex.foreach { case (t, i) =>
       cur = cur
         .withColumn(s"__tf_$i",
-          size(filter(col(tkCol), x => x === lit(t))).cast("long"))
+          size(filter(col("__tk"), x => x === lit(t))).cast("long"))
         .withColumn(s"__idf_$i", call_function("graft_log2_fp",
           col("__n") * 2L + lit(2L), col(s"__df_$i") * 2L + lit(1L)))
     }
@@ -131,7 +125,7 @@ object Bm25 {
         s"(__dl * ((__n * 18432) % __sumdl)) DIV __sumdl)"
     }.mkString(" + ")
     cur.withColumn(outCol, expr(scoreSum).cast("double"))
-      .drop(Seq("__dl", "__n", "__sumdl") ++
+      .drop(Seq("__tk", "__dl", "__n", "__sumdl") ++
         terms.indices.flatMap(i => Seq(s"__tf_$i", s"__df_$i", s"__idf_$i")): _*)
   }
 
